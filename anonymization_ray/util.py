@@ -1,0 +1,169 @@
+"""Distributed helpers shared by the anonymization stages.
+
+The generalization/randomization operators (reference
+``service/anonymizer/Generalization.java:30-105``, ``Randomization.java:27-75``)
+need *global value order* per attribute. At 100 TB we never materialize a
+global rank column; instead we:
+
+1. sort only the narrow ``(value, id)`` projection (two columns, ~16 B/row),
+2. keep the sorted blocks in the object store (``to_arrow_refs`` — zero-copy
+   refs, driver holds only per-block row counts),
+3. probe single rows at the g-1 cut ranks (tiny tasks) to get bucket
+   boundaries, and
+4. assign buckets via a broadcast ``searchsorted`` inside ``map_batches`` on
+   the unsorted wide data — no join, no full shuffle of the wide table.
+
+Randomization additionally runs one task per sorted block with a ±w halo of
+neighboring narrow blocks (sliding-window noise scale), then hash-joins the
+(id, randomized) column back.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+
+@ray.remote(num_cpus=0.25)
+def _block_num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
+
+@ray.remote(num_cpus=0.25)
+def _block_take(t: pa.Table, idxs: list[int]) -> pa.Table:
+    return t.take(idxs)
+
+
+@ray.remote(num_cpus=0.25)
+def _block_slice(t: pa.Table, start: int, length: int) -> pa.Table:
+    return t.slice(start, length).combine_chunks()
+
+
+@dataclass
+class SortedColumn:
+    """A sorted narrow (value, id) projection held as ordered block refs."""
+
+    refs: list  # ObjectRef[pa.Table], in ascending sorted order
+    counts: list[int]  # rows per block
+    offsets: np.ndarray  # global start rank per block (len = len(refs)+1)
+    total: int  # k = number of non-null rows
+    value_col: str
+    id_col: str
+
+    def rows_at_ranks(self, ranks: list[int]) -> pa.Table:
+        """Fetch rows at specific global ranks (tiny point lookups)."""
+        ranks = sorted(set(int(r) for r in ranks))
+        by_block: dict[int, list[int]] = {}
+        for r in ranks:
+            if r < 0 or r >= self.total:
+                raise IndexError(f"rank {r} out of range [0, {self.total})")
+            b = int(np.searchsorted(self.offsets, r, side="right")) - 1
+            by_block.setdefault(b, []).append(r - int(self.offsets[b]))
+        futs = [_block_take.remote(self.refs[b], idxs) for b, idxs in sorted(by_block.items())]
+        parts = ray.get(futs)
+        return pa.concat_tables(parts) if parts else pa.table({})
+
+    def values_at_ranks(self, ranks: list[int]) -> dict[int, float]:
+        ranks_u = sorted(set(int(r) for r in ranks))
+        t = self.rows_at_ranks(ranks_u)
+        vals = t.column(self.value_col).to_numpy(zero_copy_only=False)
+        return dict(zip(ranks_u, vals.tolist()))
+
+    def halo_slice_refs(self, start: int, stop: int) -> list:
+        """Refs + slices covering global ranks [start, stop) (clamped)."""
+        start = max(0, start)
+        stop = min(self.total, stop)
+        out = []
+        for b, ref in enumerate(self.refs):
+            b0, b1 = int(self.offsets[b]), int(self.offsets[b + 1])
+            if b1 <= start or b0 >= stop:
+                continue
+            s = max(start, b0) - b0
+            ln = min(stop, b1) - max(start, b0)
+            if s == 0 and ln == b1 - b0:
+                out.append(ref)
+            else:
+                out.append(_block_slice.remote(ref, s, ln))
+        return out
+
+
+def sorted_column(
+    ds: ray.data.Dataset,
+    value_col: str,
+    id_col: str,
+    to_numeric,
+) -> SortedColumn:
+    """Drop nulls, convert to a canonical numeric dtype, sort by (value, id).
+
+    ``to_numeric(pa.ChunkedArray) -> pa.Array`` maps the column to a sortable
+    numeric representation (identity for doubles, epoch-days for dates,
+    epoch-millis for dateTimes).
+    """
+
+    def _project(batch: pa.Table) -> pa.Table:
+        v = to_numeric(batch.column(value_col))
+        t = pa.table({value_col: v, id_col: batch.column(id_col).combine_chunks()})
+        return t.filter(valid_mask(t.column(value_col)))
+
+    narrow = ds.map_batches(_project, batch_format="pyarrow")
+    sorted_ds = narrow.sort([value_col, id_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    # drop empty blocks to keep offsets strictly increasing
+    refs = [r for r, c in zip(refs, counts) if c > 0]
+    counts = [c for c in counts if c > 0]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return SortedColumn(
+        refs=refs,
+        counts=counts,
+        offsets=offsets,
+        total=int(offsets[-1]),
+        value_col=value_col,
+        id_col=id_col,
+    )
+
+
+def default_num_partitions() -> int:
+    """Join/shuffle partition count sized to the cluster: the join's
+    aggregator actors each hold a CPU, so too many partitions on a small
+    cluster deadlocks against the map tasks."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus // 2)
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    join_type: str = "left_outer",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Hash-partitioned join (Ray Data native). Both sides shuffle by key —
+    use only when a broadcast lookup can't express the op."""
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+    return left.join(
+        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+    )
+
+
+def valid_mask(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Non-missing mask: Arrow null OR floating NaN both count as missing
+    (the reference sees absent triples; Parquet NaNs are treated the same)."""
+    m = pc.is_valid(arr)
+    if pa.types.is_floating(arr.type):
+        m = pc.and_(m, pc.invert(pc.is_nan(arr)))
+    return m
+
+
+def java_half(total: int) -> int:
+    """Java long division by 2 (truncates toward zero) — midpoint semantics of
+    the reference's date/dateTime medians (``GeneralizationDate.java:47``,
+    ``GeneralizationDateTime.java:42``)."""
+    q, r = divmod(abs(total), 2)
+    return q if total >= 0 else -q
