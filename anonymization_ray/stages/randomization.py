@@ -66,27 +66,7 @@ def randomize_ranks_np(
     n = stop - start
     idx = np.arange(start, stop, dtype=np.int64)
     v = v_all[idx - halo_start].astype(np.float64)
-
-    if w <= 0 or k <= 1:
-        dist = np.zeros(n)
-        lb = np.clip(idx, 0, max(k - 1, 0))
-    else:
-        # candidate j range covered by the halo: [max(0, start-w), min(k-w-2, stop-1)]
-        j0 = max(0, start - w)
-        j1 = min(k - w - 2, stop - 1)
-        if j1 >= j0:
-            jr = np.arange(j0, j1 + 1, dtype=np.int64)
-            svec = v_all[jr - halo_start].astype(np.float64) + v_all[
-                jr + w + 1 - halo_start
-            ].astype(np.float64)
-            first_j = j0 + np.searchsorted(svec, 2.0 * v, side="left")
-        else:
-            first_j = np.full(n, k - w - 1, dtype=np.int64)
-        lb = np.minimum(np.maximum(np.maximum(first_j, idx - w), 0), k - w - 1)
-        dist = np.maximum(
-            np.abs(v - v_all[lb - halo_start].astype(np.float64)),
-            np.abs(v - v_all[lb + w - halo_start].astype(np.float64)),
-        )
+    dist = window_noise_scale_np(v_all, halo_start, start, stop, w, k)
 
     codec = CODECS[kind]
     if kind == NUMERIC:
@@ -128,6 +108,93 @@ def _first_ok(cand: np.ndarray, ok: np.ndarray, fallback: np.ndarray) -> np.ndar
     any_ok = ok.any(axis=1)
     picked = cand[np.arange(cand.shape[0]), first]
     return np.where(any_ok, picked, fallback)
+
+
+def window_noise_scale_np(
+    v_all: np.ndarray, halo_start: int, start: int, stop: int, w: int, k: int
+) -> np.ndarray:
+    """The deterministic part of randomization: dist per sorted rank
+    (``Randomization.java:42-52``), exposed for oracle checks."""
+    n = stop - start
+    idx = np.arange(start, stop, dtype=np.int64)
+    v = v_all[idx - halo_start].astype(np.float64)
+    if w <= 0 or k <= 1:
+        return np.zeros(n)
+    j0 = max(0, start - w)
+    j1 = min(k - w - 2, stop - 1)
+    if j1 >= j0:
+        jr = np.arange(j0, j1 + 1, dtype=np.int64)
+        svec = v_all[jr - halo_start].astype(np.float64) + v_all[jr + w + 1 - halo_start].astype(
+            np.float64
+        )
+        first_j = j0 + np.searchsorted(svec, 2.0 * v, side="left")
+    else:
+        first_j = np.full(n, k - w - 1, dtype=np.int64)
+    lb = np.minimum(np.maximum(np.maximum(first_j, idx - w), 0), k - w - 1)
+    return np.maximum(
+        np.abs(v - v_all[lb - halo_start].astype(np.float64)),
+        np.abs(v - v_all[lb + w - halo_start].astype(np.float64)),
+    )
+
+
+@ray.remote
+def _window_scale_block(
+    value_col: str,
+    id_col: str,
+    out_col: str,
+    halo_start: int,
+    start: int,
+    stop: int,
+    w: int,
+    k: int,
+    *halo_tables: pa.Table,
+) -> pa.Table:
+    tbl = pa.concat_tables(halo_tables)
+    v_all = tbl.column(value_col).to_numpy(zero_copy_only=False)
+    dist = window_noise_scale_np(v_all, halo_start, start, stop, w, k)
+    ids = tbl.column(id_col).slice(start - halo_start, stop - start)
+    return pa.table({id_col: ids.combine_chunks(), out_col: pa.array(dist, pa.float64())})
+
+
+def window_noise_scale(
+    ds: ray.data.Dataset,
+    col: str,
+    id_col: str,
+    *,
+    num_attrs: int,
+    kind: str,
+    out_col: str = "noise_scale",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Dataset of (id, noise_scale) — the seed-independent noise magnitude."""
+    codec = CODECS[kind]
+    sc = sorted_column(ds, col, id_col, codec.to_numeric)
+    k = sc.total
+    if k == 0:
+        return ds.map_batches(
+            lambda b: pa.table(
+                {id_col: b.column(id_col), out_col: pa.nulls(b.num_rows, pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+    g = calculate_num_buckets(k, num_attrs)
+    w = k // g
+    if w == k:
+        w = k - 1
+    out_refs = []
+    for b in range(len(sc.refs)):
+        start, stop = int(sc.offsets[b]), int(sc.offsets[b + 1])
+        halo = sc.halo_slice_refs(max(0, start - (w + 1)), min(k, stop + (w + 1)))
+        out_refs.append(
+            _window_scale_block.remote(
+                sc.value_col, sc.id_col, out_col, max(0, start - (w + 1)), start, stop, w, k, *halo
+            )
+        )
+    scale_ds = ray.data.from_arrow_refs(out_refs)
+    return hash_join(
+        ds.select_columns([id_col]), scale_ds, on=id_col, join_type="left_outer",
+        num_partitions=num_partitions,
+    )
 
 
 @ray.remote

@@ -152,6 +152,18 @@ def hash_join(
     )
 
 
+def format_double(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Double -> lexical form matching Java Double.toString / Python repr for
+    ordinary decimals: integral values get a trailing ".0" (Arrow's cast
+    yields "1226", the reference emits "1226.0")."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.cast(arr, pa.string())
+    has_point = pc.match_substring_regex(s, r"[.eE]|^$")
+    fixed = pc.if_else(has_point, s, pc.binary_join_element_wise(s, ".0", ""))
+    return fixed.combine_chunks() if isinstance(fixed, pa.ChunkedArray) else fixed
+
+
 def valid_mask(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """Non-missing mask: Arrow null OR floating NaN both count as missing
     (the reference sees absent triples; Parquet NaNs are treated the same)."""
