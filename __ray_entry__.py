@@ -18,11 +18,13 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry() -> Any:
-    """Flagship: full anonymization of the customer entity (masking +
-    generalization + object generalization over the nation/region hierarchy)."""
+    """Flagship: the full KG-construction pipeline — synthesized web pages ->
+    mention extraction (actor pool) -> entity linking -> union-find
+    canonicalization -> anonymization (bucket generalization + skolemization)
+    -> canonical triple stream."""
     from anonymization_ray.queries import REGISTRY
 
-    return REGISTRY["anonymize_customer"].fn(SF_SMOKE)
+    return REGISTRY["kg_anonymized_triples"].fn(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

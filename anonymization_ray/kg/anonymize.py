@@ -1,0 +1,194 @@
+"""The signature anonymization pass applied to the canonicalized triple
+stream.
+
+Replicates the reference's triple-level output shape on top of the wide-table
+operators:
+
+- generalized literal triples become ``(subj, <pred>_generalized,
+  <pred>_<bucketIdx>, iri)`` referencing bucket resources named exactly like
+  the reference's (``Generalization.java:74``)
+- each bucket resource gets ``rdf:type soya:generalization`` plus
+  ``rdfs:min``/``rdfs:max`` literals — except bucket 0's min and the last
+  bucket's max, which carry the obfuscation comment
+  (``Generalization.java:76-89``)
+- masked predicates become ``<pred>_masked "*****"`` (``Masking.java:19-25``)
+- original literal triples are deleted (``QueryService.deleteOriginalProperties``)
+- non-entity subjects are skolemized to deterministic ``urn:skolem:<hash>``
+  IRIs (blank-node skolemization per the north star).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import MASK_VALUE
+from ..stages.generalization import GeneralizationResult, generalize_column
+from ..util import format_double
+
+SOYA_GENERALIZATION = "soya:generalization"
+RDFS_MIN = "rdfs:min"
+RDFS_MAX = "rdfs:max"
+RDFS_COMMENT = "rdfs:comment"
+OBFUSCATED_MIN = "For the lower bound the minimum value is obfuscated"
+OBFUSCATED_MAX = "For the higher bound the maximum value is obfuscated"
+
+
+@dataclass(frozen=True)
+class TriplePredicateConfig:
+    pred: str
+    datatype: str  # double|integer|date|dateTime|string
+    method: str  # masking|generalization
+
+
+def bucket_resource_triples(pred: str, res: GeneralizationResult, datatype: str) -> pa.Table:
+    """The bucket side-table as triples (tiny; driver-side)."""
+    subs, preds, objs, kinds = [], [], [], []
+    from ..stages.codecs import CODECS
+
+    codec = CODECS[res.kind]
+    for row in res.buckets.to_pylist():
+        b = f"{pred}_{row['bucket']}"
+        subs.append(b)
+        preds.append("rdf:type")
+        objs.append(SOYA_GENERALIZATION)
+        kinds.append("iri")
+        if row["min"] is None:
+            subs.append(b), preds.append(RDFS_COMMENT), objs.append(OBFUSCATED_MIN), kinds.append("string")
+        else:
+            subs.append(b), preds.append(RDFS_MIN), objs.append(codec.format_value(row["min"])), kinds.append(datatype)
+        if row["max"] is None:
+            subs.append(b), preds.append(RDFS_COMMENT), objs.append(OBFUSCATED_MAX), kinds.append("string")
+        else:
+            subs.append(b), preds.append(RDFS_MAX), objs.append(codec.format_value(row["max"])), kinds.append(datatype)
+    return pa.table(
+        {
+            "subj": pa.array(subs, pa.string()),
+            "pred": pa.array(preds, pa.string()),
+            "obj": pa.array(objs, pa.string()),
+            "obj_kind": pa.array(kinds, pa.string()),
+        }
+    )
+
+
+def anonymize_triples(
+    triples: rd.Dataset,
+    configs: list[TriplePredicateConfig],
+    *,
+    url_col_present: bool = False,
+) -> tuple[rd.Dataset, dict[str, GeneralizationResult]]:
+    """Returns (anonymized triple stream, bucket results per predicate).
+
+    ``triples`` must be reusable (materialized upstream) — each generalized
+    predicate adds one narrow sort over its literal slice.
+    """
+    n = sum(1 for c in configs if c.method == "generalization")
+    gen_results: dict[str, GeneralizationResult] = {}
+    extra_tables: list[pa.Table] = []
+    new_streams: list[rd.Dataset] = []
+    anonymized_preds = [c.pred for c in configs]
+
+    for cfg in configs:
+        if cfg.method == "masking":
+            slice_ds = triples.filter(expr=f"pred == '{cfg.pred}'")
+
+            def _mask(batch: pa.Table, p=cfg.pred) -> pa.Table:
+                nrows = batch.num_rows
+                return pa.table(
+                    {
+                        "subj": batch.column("subj").combine_chunks(),
+                        "pred": pa.array([f"{p}_masked"] * nrows, pa.string()),
+                        "obj": pa.array([MASK_VALUE] * nrows, pa.string()),
+                        "obj_kind": pa.array(["string"] * nrows, pa.string()),
+                    }
+                )
+
+            new_streams.append(slice_ds.map_batches(_mask, batch_format="pyarrow"))
+            continue
+
+        # generalization over this predicate's literal slice
+        from ..stages.codecs import kind_for_datatype
+
+        kind = kind_for_datatype(cfg.datatype)
+        slice_ds = triples.filter(expr=f"pred == '{cfg.pred}'")
+
+        def _narrow(batch: pa.Table, knd=kind) -> pa.Table:
+            vals = batch.column("obj")
+            if knd == "numeric":
+                arr = pc.cast(vals, pa.float64())
+            elif knd == "date":
+                arr = pc.cast(vals, pa.date32())
+            else:
+                arr = pc.cast(vals, pa.timestamp("ms"))
+            return pa.table({"subj": batch.column("subj").combine_chunks(), "value": arr})
+
+        narrow = slice_ds.map_batches(_narrow, batch_format="pyarrow")
+        assigned, res = generalize_column(
+            narrow, "value", "subj", num_attrs=max(n, 1), kind=kind, out_col="bucket"
+        )
+        gen_results[cfg.pred] = res
+
+        def _to_triples(batch: pa.Table, p=cfg.pred) -> pa.Table:
+            mask = pc.is_valid(batch.column("bucket"))
+            b = batch.filter(mask)
+            bstr = pc.cast(b.column("bucket"), pa.string())
+            obj = pc.binary_join_element_wise(
+                pa.array([p] * b.num_rows, pa.string()), bstr, "_"
+            )
+            return pa.table(
+                {
+                    "subj": b.column("subj").combine_chunks(),
+                    "pred": pa.array([f"{p}_generalized"] * b.num_rows, pa.string()),
+                    "obj": obj,
+                    "obj_kind": pa.array(["iri"] * b.num_rows, pa.string()),
+                }
+            )
+
+        new_streams.append(assigned.map_batches(_to_triples, batch_format="pyarrow"))
+        extra_tables.append(bucket_resource_triples(cfg.pred, res, cfg.datatype))
+
+    # delete originals (Q6): drop every anonymized predicate's literal triples
+    pred_set = set(anonymized_preds)
+    remaining = triples.map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column("pred"), value_set=pa.array(sorted(pred_set))))
+        ),
+        batch_format="pyarrow",
+    )
+    if url_col_present:
+        remaining = remaining.drop_columns(["url"])
+
+    out = remaining
+    for s in new_streams:
+        out = out.union(s)
+    if extra_tables:
+        out = out.union(rd.from_arrow(pa.concat_tables(extra_tables)))
+    return out, gen_results
+
+
+def skolemize(triples: rd.Dataset, cols: tuple[str, ...] = ("subj",)) -> rd.Dataset:
+    """Deterministic skolem IRIs for non-entity subjects: any value not
+    already an IRI-ish node (urn:/http…/suffixed bucket) becomes
+    ``urn:skolem:<md5-12>`` — the Ray-native stand-in for the reference's
+    blank-node handling (blank nodes cannot cross partition boundaries)."""
+
+    def _skolem_one(v: str) -> str:
+        return "urn:skolem:" + hashlib.md5(v.encode()).hexdigest()[:12]
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            vals = batch.column(c).to_pylist()
+            out = [
+                v if (v is None or v.startswith(("urn:", "http", "rdf:", "soya:")) or "_" in v)
+                else _skolem_one(v)
+                for v in vals
+            ]
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pa.array(out, pa.string()))
+        return batch
+
+    return triples.map_batches(_apply, batch_format="pyarrow")

@@ -501,7 +501,7 @@ class QueryDef:
     sql: str | None
 
 
-REGISTRY: dict[str, QueryDef] = {
+_BASE_REGISTRY: dict[str, QueryDef] = {
     "mask_customer_name": QueryDef(q_mask_customer_name, SQL_MASK),
     "gen_numeric_acctbal": QueryDef(q_gen_numeric_acctbal, SQL_GEN_NUMERIC),
     "gen_numeric_buckets": QueryDef(q_gen_numeric_buckets, SQL_GEN_NUMERIC_BUCKETS),
@@ -519,3 +519,14 @@ REGISTRY: dict[str, QueryDef] = {
     "flat_lift_triples": QueryDef(q_flat_lift_triples, SQL_FLAT_LIFT),
     "used_properties": QueryDef(q_used_properties, SQL_USED_PROPERTIES),
 }
+
+
+def _full_registry() -> dict[str, QueryDef]:
+    from .queries_kg import KG_REGISTRY
+
+    out = dict(_BASE_REGISTRY)
+    out.update(KG_REGISTRY)
+    return out
+
+
+REGISTRY: dict[str, QueryDef] = _full_registry()

@@ -1,0 +1,146 @@
+"""KG-construction queries + DuckDB oracles.
+
+The page table is synthesized deterministically from the sf tables
+(kg/pages.py), so every stage's expected output is derivable in SQL from
+``documents``/``customer``/``nation``/``region`` — giving the KG pipeline the
+same exact correctness gate as the relational operators (triple P/R = 1.0
+against the oracle set).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .queries import QueryDef, _sql_gk
+
+BASE = "https://example.org/doc/"
+
+_SQL_VARIANT = (
+    "CASE c_custkey % 3 WHEN 0 THEN n_name WHEN 1 THEN lower(n_name) "
+    "ELSE replace(n_name, '_', ' ') END"
+)
+
+
+def q_kg_text_extract(sf_dir: str):
+    """Stateless text extraction; byte-identical per url (input_hint invariant)."""
+    from .kg.extract import extract_text
+    from .kg.pages import synthesize_pages
+
+    pages = extract_text(synthesize_pages(sf_dir))
+    return pages.select_columns(["url", "text_extracted"])
+
+
+SQL_KG_TEXT = f"SELECT '{BASE}' || doc_id AS url, text AS text_extracted FROM documents"
+
+
+def q_kg_text_invariant(sf_dir: str):
+    """Invariant count: rows where extracted text != stored text (must be 0)."""
+    from .kg.pipeline import verify_text_invariant
+
+    v = verify_text_invariant(sf_dir)
+    return pa.table({"violations": pa.array([v], pa.int64())})
+
+
+SQL_KG_TEXT_INVARIANT = "SELECT CAST(0 AS BIGINT) AS violations"
+
+
+def q_kg_mention_triples(sf_dir: str):
+    """Mention-level extraction (actor-pool stage) before linking."""
+    from .kg.extract import extract_mentions
+    from .kg.pages import synthesize_pages
+
+    pages = synthesize_pages(sf_dir)
+    return extract_mentions(pages.select_columns(["url", "html"]))
+
+
+SQL_KG_MENTIONS = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+var AS (SELECT c_custkey, c_acctbal, {_SQL_VARIANT} AS nv
+        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT '{BASE}' || (c_custkey % nd.n) AS url, 'Customer#' || c_custkey AS subj,
+       'hasAccountBalance' AS pred, CAST(c_acctbal AS VARCHAR) AS obj, 'double' AS obj_kind
+FROM var, nd WHERE c_acctbal IS NOT NULL
+UNION ALL
+SELECT '{BASE}' || (c_custkey % nd.n), 'Customer#' || c_custkey, 'basedIn', nv, 'mention'
+FROM var, nd
+UNION ALL
+SELECT '{BASE}' || (n_nationkey % nd.n), n_name, 'partOf', r_name, 'mention'
+FROM nation JOIN region ON n_regionkey = r_regionkey, nd
+"""
+
+
+def q_kg_canonical_triples(sf_dir: str):
+    """After linking + union-find canonicalization: every mention resolved to
+    its stable canonical IRI."""
+    from .kg.pipeline import kg_pipeline
+
+    res = kg_pipeline(sf_dir, anonymize=False)
+    return res.triples.select_columns(["subj", "pred", "obj", "obj_kind"])
+
+
+SQL_KG_CANONICAL = """
+SELECT 'urn:cust:' || c_custkey AS subj, 'hasAccountBalance' AS pred,
+       CAST(c_acctbal AS VARCHAR) AS obj, 'double' AS obj_kind
+FROM customer WHERE c_acctbal IS NOT NULL
+UNION ALL
+SELECT 'urn:cust:' || c_custkey, 'basedIn', 'urn:nation:' || c_nationkey, 'iri' FROM customer
+UNION ALL
+SELECT 'urn:nation:' || n_nationkey, 'partOf', 'urn:region:' || n_regionkey, 'iri' FROM nation
+"""
+
+
+def q_kg_anonymized_triples(sf_dir: str):
+    """Full pipeline: the signature anonymization pass on the canonical graph
+    (account balances generalized into bucket IRIs + bucket resources with
+    obfuscated outer bounds; Generalization.java:59-92 shape)."""
+    from .kg.pipeline import kg_pipeline
+
+    res = kg_pipeline(sf_dir, anonymize=True)
+    return res.triples.select_columns(["subj", "pred", "obj", "obj_kind"])
+
+
+# the generalized id is the canonical IRI string 'urn:cust:<k>' — ties in
+# c_acctbal break on the STRING, so the oracle orders by the same expression
+SQL_KG_ANONYMIZED = f"""
+WITH vals AS (SELECT 'urn:cust:' || c_custkey AS id, CAST(c_acctbal AS DOUBLE) AS v
+              FROM customer WHERE c_acctbal IS NOT NULL),
+stats AS (SELECT count(*) AS k FROM vals),
+gk AS (SELECT k, {_sql_gk('k', 1)} AS g FROM stats),
+s AS (SELECT id, v, row_number() OVER (ORDER BY v, id) - 1 AS rnk FROM vals),
+assigned AS (SELECT s.id, (gk.g * s.rnk) // gk.k AS bucket FROM s CROSS JOIN gk),
+cuts AS (SELECT p.p, (p.p * gk.k) // gk.g AS c FROM gk,
+         (SELECT unnest(range(1, (SELECT g FROM gk)))) AS p(p)),
+bvals AS (SELECT cuts.p, (s1.v + s2.v) / 2.0 AS bv FROM cuts
+          JOIN s s1 ON s1.rnk = cuts.c - 1 JOIN s s2 ON s2.rnk = cuts.c),
+bkts AS (SELECT unnest(range(0, (SELECT g FROM gk))) AS bucket)
+SELECT 'urn:cust:' || c_custkey AS subj, 'basedIn' AS pred,
+       'urn:nation:' || c_nationkey AS obj, 'iri' AS obj_kind FROM customer
+UNION ALL
+SELECT 'urn:nation:' || n_nationkey, 'partOf', 'urn:region:' || n_regionkey, 'iri' FROM nation
+UNION ALL
+SELECT assigned.id, 'hasAccountBalance_generalized',
+       'hasAccountBalance_' || assigned.bucket, 'iri' FROM assigned
+UNION ALL
+SELECT 'hasAccountBalance_' || bucket, 'rdf:type', 'soya:generalization', 'iri' FROM bkts
+UNION ALL
+SELECT 'hasAccountBalance_' || bkts.bucket, 'rdfs:min', CAST(bmin.bv AS VARCHAR), 'double'
+FROM bkts JOIN bvals bmin ON bmin.p = bkts.bucket
+UNION ALL
+SELECT 'hasAccountBalance_' || bkts.bucket, 'rdfs:max', CAST(bmax.bv AS VARCHAR), 'double'
+FROM bkts JOIN bvals bmax ON bmax.p = bkts.bucket + 1
+UNION ALL
+SELECT 'hasAccountBalance_0', 'rdfs:comment',
+       'For the lower bound the minimum value is obfuscated', 'string'
+UNION ALL
+SELECT 'hasAccountBalance_' || (SELECT g - 1 FROM gk), 'rdfs:comment',
+       'For the higher bound the maximum value is obfuscated', 'string'
+"""
+
+
+KG_REGISTRY: dict[str, QueryDef] = {
+    "kg_text_extract": QueryDef(q_kg_text_extract, SQL_KG_TEXT),
+    "kg_text_invariant": QueryDef(q_kg_text_invariant, SQL_KG_TEXT_INVARIANT),
+    "kg_mention_triples": QueryDef(q_kg_mention_triples, SQL_KG_MENTIONS),
+    "kg_canonical_triples": QueryDef(q_kg_canonical_triples, SQL_KG_CANONICAL),
+    "kg_anonymized_triples": QueryDef(q_kg_anonymized_triples, SQL_KG_ANONYMIZED),
+}

@@ -1,0 +1,109 @@
+"""KG-construction stage tests."""
+
+import json
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from anonymization_ray.kg import (
+    canonicalize_components,
+    apply_canonical_mapping,
+    kg_pipeline,
+    materialize_triples,
+    verify_text_invariant,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_text_extraction_byte_identical():
+    assert verify_text_invariant(SF) == 0
+
+
+def test_union_find_chains_and_component_labels():
+    # chain a->b->c->urn:x plus disjoint pair without entity node
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "edge_a": ["a", "b", "c", "p", "c", "b"],  # duplicates on purpose
+                "edge_b": ["b", "c", "urn:x", "q", "urn:x", "c"],
+            }
+        )
+    ).repartition(3)
+    m = canonicalize_components(edges).to_pandas().set_index("node")["canonical"]
+    assert m["a"] == "urn:x" and m["b"] == "urn:x" and m["c"] == "urn:x"
+    assert m["urn:x"] == "urn:x"
+    assert m["p"] == "p" and m["q"] == "p"  # no urn member -> lexicographic min
+
+
+def test_apply_mapping_broadcast_and_join_agree():
+    triples = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["a", "zz", "b"],
+                "pred": ["r", "r", "r"],
+                "obj": ["b", "a", "unknown"],
+                "obj_kind": ["iri"] * 3,
+            }
+        )
+    )
+    mapping = pa.table({"node": ["a", "b"], "canonical": ["urn:1", "urn:1"]})
+    got_b = (
+        apply_canonical_mapping(triples, mapping, broadcast=True)
+        .to_pandas()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    got_j = (
+        apply_canonical_mapping(triples, mapping, broadcast=False, num_partitions=2)
+        .to_pandas()
+        .sort_values(["subj", "obj"])
+        .reset_index(drop=True)
+    )
+    assert got_b[["subj", "obj"]].values.tolist() == got_j[["subj", "obj"]].values.tolist()
+    assert got_b.loc[got_b.obj == "unknown"].shape[0] == 1  # unmapped passes through
+
+
+def test_kg_pipeline_and_resume(tmp_path):
+    out = str(tmp_path / "kg")
+    r1 = kg_pipeline(SF, out_dir=out, num_partitions=4)
+    total = r1.materialize_report["spo"]["rows"]
+    assert total > 0
+    assert sorted(r1.materialize_report["spo"]["written"]) == [0, 1, 2, 3]
+
+    # simulate partial failure: drop one partition's data + manifest
+    shutil.rmtree(os.path.join(out, "spo", "part=2"))
+    os.remove(os.path.join(out, "_manifests", "spo_part=2.json"))
+    r2 = kg_pipeline(SF, out_dir=out, num_partitions=4)
+    assert r2.materialize_report["spo"]["written"] == [2]
+    assert sorted(r2.materialize_report["spo"]["skipped"]) == [0, 1, 3]
+    assert r2.materialize_report["pos"]["written"] == []
+
+    spo = pads.dataset(os.path.join(out, "spo"), partitioning="hive").to_table()
+    assert spo.num_rows == total
+    # manifests carry lineage
+    m = json.load(open(os.path.join(out, "_manifests", "spo_part=0.json")))
+    assert m["inputs"] == [SF] and m["rows"] > 0
+
+
+def test_config_change_invalidates_manifests(tmp_path):
+    out = str(tmp_path / "kg2")
+    t = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["s1", "s2"],
+                "pred": ["p", "p"],
+                "obj": ["o1", "o2"],
+                "obj_kind": ["iri", "iri"],
+            }
+        )
+    )
+    r1 = materialize_triples(t, out, num_partitions=2, config={"v": 1}, layouts=("spo",))
+    assert len(r1["spo"]["written"]) == 2
+    r2 = materialize_triples(t, out, num_partitions=2, config={"v": 2}, layouts=("spo",))
+    assert len(r2["spo"]["written"]) == 2  # config changed -> full rewrite
+    r3 = materialize_triples(t, out, num_partitions=2, config={"v": 2}, layouts=("spo",))
+    assert r3["spo"]["written"] == []  # same config -> all skipped
