@@ -1,0 +1,153 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``brute_force_topk``: exact cosine top-k. The (small) query matrix is
+  broadcast; each batch does one float64 matmul and emits only its local
+  top-k per query; a final tiny ``groupby(query).map_groups`` merges local
+  winners — the corpus is never gathered.
+- ``lsh_topk``: the scale path — seeded random-hyperplane buckets; candidates
+  share >= 1 bucket with the query; exact rescoring of candidates only.
+  Approximate (recall measured in tests), same output schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1)
+    n[n == 0] = 1.0
+    return m / n[:, None]
+
+
+def brute_force_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Exact top-k: Dataset[(query_id, vec_id, cosine)], k rows per query.
+    Ties broken by ascending id (matching the SQL oracle's ORDER BY)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = np.asarray(query_ids)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        v = _normalize(np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64))
+        scores = qn @ v.T  # (nq, batch)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = scores[qi]
+            mask = ids != qids[qi] if exclude_self else np.ones(len(ids), bool)
+            cand = np.nonzero(mask)[0]
+            if not len(cand):
+                continue
+            # local top-k: sort by (-score, id)
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            out_q.extend([qids[qi]] * len(order))
+            out_i.extend(ids[order].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(out_i),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+
+    def _merge(group: pa.Table, kk=k) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:kk]
+        return group.take(order)
+
+    return local.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with the
+    query (in any of ``n_tables`` tables) are scored."""
+    q = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids)
+    dim = q.shape[1]
+    planes = [_hyperplanes(dim, n_planes, seed=7 + t) for t in range(n_tables)]
+    qsigs = [((q @ p.T) > 0).astype(np.uint8) for p in planes]  # (nq, n_planes)
+    qbuckets = [np.packbits(s, axis=1, bitorder="little")[:, 0] for s in qsigs]
+    qn = _normalize(q)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        vsig = [
+            np.packbits(((v @ p.T) > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
+            for p in planes
+        ]
+        vn = _normalize(v)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand_mask = np.zeros(len(ids), dtype=bool)
+            for t in range(n_tables):
+                cand_mask |= vsig[t] == qbuckets[t][qi]
+            if exclude_self:
+                cand_mask &= ids != qids[qi]
+            cand = np.nonzero(cand_mask)[0]
+            if not len(cand):
+                continue
+            s = vn[cand] @ qn[qi]
+            order = np.lexsort((ids[cand], -s))[:k]
+            sel = cand[order]
+            out_q.extend([qids[qi]] * len(sel))
+            out_i.extend(ids[sel].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(out_i),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+
+    def _merge(group: pa.Table, kk=k) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:kk]
+        return group.take(order)
+
+    return local.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
+
+
+def load_query_vectors(
+    sf_dir: str, n: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> tuple[np.ndarray, np.ndarray]:
+    """First n vectors by id — the fixed query set used by the oracle SQL."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=[id_col, vec_col])
+    df = t.to_pandas().sort_values(id_col).head(n)
+    return np.stack(df[vec_col].to_numpy()), df[id_col].to_numpy()

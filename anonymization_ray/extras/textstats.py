@@ -1,0 +1,146 @@
+"""Text analysis: token counting, quality scoring, language ID, fingerprints.
+
+All stateless vectorized ``map_batches`` stages (pyarrow.compute / numpy);
+the quality/token operators are SQL-mirrored for the oracle gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+STOPWORDS = ("the", "a", "of", "and", "is", "in", "to")
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "is", "of", "to"},
+    "de": {"der", "die", "und", "ist", "das"},
+    "fr": {"le", "la", "et", "est", "les"},
+    "es": {"el", "la", "y", "es", "los"},
+    "zh": set(),  # fallback: non-ascii ratio
+}
+
+
+def token_counts(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, n_tokens): whitespace tokenization, vectorized regex count."""
+
+    def _count(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        n = pc.count_substring_regex(txt, r"\S+")
+        return pa.table(
+            {id_col: batch.column(id_col).combine_chunks(), "n_tokens": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow")
+
+
+def quality_scores(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, n_chars, n_tokens, stopword_ratio, alpha_ratio) quality signals.
+
+    Mirrored exactly in SQL (queries_extras.py) for the oracle check."""
+    sw = pa.array(sorted(STOPWORDS))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        n_chars = pc.cast(pc.utf8_length(txt), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64())
+        n_alpha = pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]"), pa.int64())
+        # stopword count: vectorized via split + isin per batch
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        flat = pc.list_flatten(toks)
+        is_sw = pc.is_in(flat, value_set=sw)
+        # re-aggregate per row via list offsets
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flags = pc.cast(is_sw, pa.int64()).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.cumsum(lens)])
+        sw_counts = np.add.reduceat(
+            np.concatenate([flags, [0]]), offsets[:-1]
+        ) * (lens > 0)
+        nt = n_tokens.to_numpy(zero_copy_only=False).astype(np.float64)
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        sw_ratio = np.where(nt > 0, sw_counts / np.maximum(nt, 1), 0.0)
+        alpha_ratio = np.where(
+            nc > 0, n_alpha.to_numpy(zero_copy_only=False) / np.maximum(nc, 1), 0.0
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "stopword_ratio": pa.array(sw_ratio, pa.float64()),
+                "alpha_ratio": pa.array(alpha_ratio, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def language_id(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, lang_pred): deterministic marker-word/charset heuristic. Accuracy
+    depends on the corpus (the synthetic docs' lang labels are decorative);
+    determinism is the contract tested."""
+
+    def _lid(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        preds = []
+        for t in texts:
+            t = t or ""
+            toks = set(t.lower().split())
+            nonascii = sum(1 for ch in t if ord(ch) > 127)
+            if len(t) and nonascii / len(t) > 0.3:
+                preds.append("zh")
+                continue
+            best, best_n = "en", -1
+            for lang, markers in _LANG_MARKERS.items():
+                n = len(toks & markers)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table(
+            {id_col: batch.column(id_col).combine_chunks(), "lang_pred": pa.array(preds)}
+        )
+
+    return ds.map_batches(_lid, batch_format="pyarrow")
+
+
+def fingerprints(
+    ds: rd.Dataset, text_col: str, id_col: str, *, window: int = 8, k: int = 5
+) -> rd.Dataset:
+    """(id, md5, winnow_fp list<int64>): content md5 + winnowing rolling-hash
+    fingerprints (min crc32 shingle per sliding window — robust to local
+    edits)."""
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        md5s, fps = [], []
+        for t in texts:
+            t = t or ""
+            md5s.append(hashlib.md5(t.encode()).hexdigest())
+            enc = t.encode()
+            if len(enc) < k:
+                fps.append([zlib.crc32(enc)])
+                continue
+            hs = np.fromiter(
+                (zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)), dtype=np.int64
+            )
+            if len(hs) <= window:
+                fps.append([int(hs.min())])
+            else:
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                mins = sliding_window_view(hs, window).min(axis=1)
+                fps.append(sorted(set(int(x) for x in mins)))
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "md5": pa.array(md5s, pa.string()),
+                "winnow_fp": pa.array(fps, pa.list_(pa.int64())),
+            }
+        )
+
+    return ds.map_batches(_fp, batch_format="pyarrow")

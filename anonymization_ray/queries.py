@@ -522,11 +522,18 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 
 
 def _full_registry() -> dict[str, QueryDef]:
+    from .queries_extras import EXTRAS_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     out = dict(_BASE_REGISTRY)
     out.update(KG_REGISTRY)
+    out.update(EXTRAS_REGISTRY)
     return out
 
 
-REGISTRY: dict[str, QueryDef] = _full_registry()
+def __getattr__(name: str):
+    # lazy REGISTRY avoids a circular import (queries_extras/_kg import
+    # helpers from this module)
+    if name == "REGISTRY":
+        return _full_registry()
+    raise AttributeError(name)

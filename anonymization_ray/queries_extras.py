@@ -1,0 +1,396 @@
+"""Training-data extras + relational operator queries with DuckDB oracles.
+
+Dedup / similarity / text-analysis over ``documents``/``embeddings`` plus the
+classic relational shapes (pre-aggregated groupby, broadcast join, sort/limit,
+windowed aggregate, sessionization) over the TPC-H-ish tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .queries import QueryDef, load
+
+DUP_OFFSET = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# dedup family
+# --------------------------------------------------------------------------
+
+def _corpus_with_dups(sf_dir: str) -> rd.Dataset:
+    """documents ∪ perturbed copies (doc_id + 1e6, last word dropped) — the
+    deterministic near-duplicate corpus used by the pair-finding oracles."""
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _perturb(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        cut = [t.rsplit(" ", 1)[0] if t and " " in t else t for t in texts]
+        dup = pa.table(
+            {
+                "doc_id": pa.array(ids + DUP_OFFSET, pa.int64()),
+                "text": pa.array(cut, pa.string()),
+            }
+        )
+        return pa.concat_tables([batch.select(["doc_id", "text"]), dup])
+
+    return docs.map_batches(_perturb, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup keepers: min doc_id per identical text."""
+    from .extras.dedup import exact_dedup
+
+    return exact_dedup(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs over the perturbed corpus. The corpus's
+    true pair-jaccard distribution is bimodal (planted near-dups >= 0.78,
+    unrelated < 0.3), so with 32 bands x 2 rows the LSH miss probability is
+    ~1e-13 per true pair and in-bucket verification removes false candidates
+    — a probabilistic operator with an exact SQL oracle."""
+    from .extras.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _corpus_with_dups(sf_dir), "text", "doc_id", bands=32, verify_threshold=0.5
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+# exact word-3-shingle jaccard >= 0.5 over the same perturbed corpus
+SQL_DEDUP_MINHASH = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET},
+         CASE WHEN strpos(text, ' ') > 0 THEN regexp_replace(text, ' \\S+$', '') ELSE text END
+  FROM documents
+),
+tok AS (SELECT id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+sh AS (SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+       WHERE len(toks) >= 3),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+pair_inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id)
+SELECT ia AS id_a, ib AS id_b FROM pair_inter
+JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (rows-only: 64-bit simhash isn't SQL)."""
+    from .extras.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_corpus_with_dups(sf_dir), "text", "doc_id", max_hamming=3)
+
+
+def q_dedup_embedding(sf_dir: str):
+    """Embedding cosine near-dup pairs at threshold 0.45."""
+    from .extras.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(
+        load(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding",
+        "vec_id",
+        threshold=0.45,
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 vectors (exact baseline)."""
+    from .extras.similarity import brute_force_topk, load_query_vectors
+
+    q, qids = load_query_vectors(sf_dir, n=5)
+    res = brute_force_topk(
+        load(sf_dir, "embeddings", ["vec_id", "embedding"]), q, qids, k=10
+    )
+    return res.select_columns(["query_id", "vec_id"])
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 5),
+scores AS (SELECT q.query_id, e.vec_id,
+                  list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+           FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+ranked AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+           FROM scores)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 10
+"""
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN (approximate; rows-only — recall vs brute force is
+    asserted in tests)."""
+    from .extras.similarity import lsh_topk, load_query_vectors
+
+    q, qids = load_query_vectors(sf_dir, n=5)
+    return lsh_topk(load(sf_dir, "embeddings", ["vec_id", "embedding"]), q, qids, k=10)
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+def q_text_tokens(sf_dir: str):
+    from .extras.textstats import token_counts
+
+    return token_counts(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+SQL_TEXT_TOKENS = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality(sf_dir: str):
+    from .extras.textstats import quality_scores
+
+    return quality_scores(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+SQL_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x IN ('the','a','of','and','is','in','to'))) END AS n_sw
+  FROM documents)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CASE WHEN n_tokens > 0 THEN CAST(n_sw AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(n_alpha AS DOUBLE) / n_chars ELSE 0.0 END AS alpha_ratio
+FROM t
+"""
+
+
+def q_text_langid(sf_dir: str):
+    """Deterministic language-ID heuristic (rows-only; the synthetic lang
+    labels are not recoverable from the word-soup text)."""
+    from .extras.textstats import language_id
+
+    return language_id(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+def q_text_fingerprint(sf_dir: str):
+    """Content md5 fingerprint (the winnowing variant is tested separately)."""
+    from .extras.textstats import fingerprints
+
+    fp = fingerprints(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+    return fp.select_columns(["doc_id", "md5"])
+
+
+SQL_TEXT_FINGERPRINT = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+
+# --------------------------------------------------------------------------
+# relational shapes
+# --------------------------------------------------------------------------
+
+def q_agg_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pre-aggregated groupby: partial sums inside map_batches,
+    then a tiny groupby over per-batch partials (the combiner pattern — the
+    shuffle moves #groups x #batches rows, not the table)."""
+    ds = load(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_disc=("l_discount", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    final = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty", "sum_base_price", "sum_disc", "count_order"])
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        qty = batch.column("sum(sum_qty)")
+        cnt = pc.cast(batch.column("sum(count_order)"), pa.int64())
+        disc = batch.column("sum(sum_disc)")
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag").combine_chunks(),
+                "l_linestatus": batch.column("l_linestatus").combine_chunks(),
+                "sum_qty": qty,
+                "sum_base_price": batch.column("sum(sum_base_price)"),
+                "avg_disc": pc.divide(disc, pc.cast(cnt, pa.float64())),
+                "count_order": cnt,
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_discount) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_customer_geo(sf_dir: str):
+    """Broadcast join: nation+region ride the closure once; no shuffle."""
+    from .queries import _geo_lookup, _with_geo
+
+    ds = _with_geo(load(sf_dir, "customer", ["c_custkey", "c_nationkey"]), _geo_lookup(sf_dir))
+    return ds.select_columns(["c_custkey", "n_name", "r_name"])
+
+
+SQL_JOIN_GEO = """
+SELECT c_custkey, n_name, r_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """sort desc + limit with deterministic tie-break."""
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: truncate-to-hour + groupby."""
+    ds = load(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _trunc(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").combine_chunks(),
+                "hour": hour,
+                "value": batch.column("value").combine_chunks(),
+            }
+        )
+
+    g = ds.map_batches(_trunc, batch_format="pyarrow").groupby(["event_type", "hour"]).sum("value")
+    return g.rename_columns({"sum(value)": "sum_value"})
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour, sum(value) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_events_sessionize(sf_dir: str):
+    """Gap-based sessionization (30 min) per user: groupby(user).map_groups
+    with a vectorized diff — the canonical stateful-per-key pattern."""
+    ds = load(sf_dir, "events", ["user_id", "event_id", "ts"])
+
+    def _sessions(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["ts", "event_id"])
+        gaps = df["ts"].diff().dt.total_seconds().to_numpy()
+        n_sessions = int(1 + np.sum(gaps[1:] > 1800)) if len(df) else 0
+        return pa.table(
+            {
+                "user_id": pa.array([df["user_id"].iloc[0]], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH x AS (SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+           FROM events)
+SELECT user_id,
+       CAST(sum(CASE WHEN pts IS NULL OR ts - pts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions
+FROM x GROUP BY user_id
+"""
+
+
+def q_filter_lineitem(sf_dir: str):
+    """Filter + projection with column pruning at the read."""
+    ds = load(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_extendedprice"]
+    )
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch.column("l_shipdate"), pa.scalar(np.datetime64("1997-01-01", "us"))),
+            pc.greater(batch.column("l_discount"), 0.05),
+        )
+        return batch.filter(m).select(["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+SQL_FILTER_LINEITEM = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
+"""
+
+
+EXTRAS_REGISTRY: dict[str, QueryDef] = {
+    "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_pairs": QueryDef(q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_simhash_pairs": QueryDef(q_dedup_simhash, None),
+    "dedup_embedding_pairs": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
+    "ann_lsh_topk": QueryDef(q_ann_lsh_topk, None),
+    "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),
+    "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
+    "text_langid": QueryDef(q_text_langid, None),
+    "text_fingerprint": QueryDef(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "agg_pricing_summary": QueryDef(q_agg_pricing_summary, SQL_AGG_PRICING),
+    "join_customer_geo": QueryDef(q_join_customer_geo, SQL_JOIN_GEO),
+    "top_orders": QueryDef(q_top_orders, SQL_TOP_ORDERS),
+    "events_hourly": QueryDef(q_events_hourly, SQL_EVENTS_HOURLY),
+    "events_sessionize": QueryDef(q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "filter_lineitem": QueryDef(q_filter_lineitem, SQL_FILTER_LINEITEM),
+}

@@ -28,7 +28,7 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(9)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).astype("int64")
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]").astype("int64")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         else:

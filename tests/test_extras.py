@@ -1,0 +1,138 @@
+"""Extras: dedup family, similarity search, text analysis, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from anonymization_ray.extras.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_dup_pairs,
+    simhash_signatures,
+)
+from anonymization_ray.extras.multimodal import attach_fake_media, decode_media
+from anonymization_ray.extras.similarity import brute_force_topk, lsh_topk
+from anonymization_ray.extras.textstats import fingerprints, language_id
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_with_planted_dups():
+    texts = [f"alpha beta gamma delta epsilon zeta eta theta doc{i} " * 3 for i in range(20)]
+    texts += [t + "tail" for t in texts[:5]]  # near-dups of docs 0-4
+    texts += [texts[0]]  # exact dup of doc 0
+    ids = list(range(len(texts)))
+    return rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}))
+
+
+def test_exact_dedup_keeps_min_id():
+    ds = _docs_with_planted_dups()
+    kept = sorted(exact_dedup(ds, "text", "doc_id").to_pandas()["doc_id"])
+    assert 25 not in kept  # exact dup of doc 0 dropped
+    assert 0 in kept
+    assert len(kept) == 25
+
+
+def test_minhash_recovers_planted_pairs_deterministically():
+    ds = _docs_with_planted_dups()
+    p1 = minhash_lsh_pairs(ds, "text", "doc_id", bands=32, verify_threshold=0.5).to_pandas()
+    p2 = minhash_lsh_pairs(
+        ds.repartition(5), "text", "doc_id", bands=32, verify_threshold=0.5
+    ).to_pandas()
+    s1 = set(map(tuple, p1[["id_a", "id_b"]].values.tolist()))
+    s2 = set(map(tuple, p2[["id_a", "id_b"]].values.tolist()))
+    assert s1 == s2  # partitioning-independent
+    for i in range(5):
+        assert (i, 20 + i) in s1  # planted near-dups found
+    assert (0, 25) in s1  # exact dup found
+
+
+def test_simhash_pairs_find_exact_dups():
+    ds = _docs_with_planted_dups()
+    sigs = simhash_signatures(ds, "text", "doc_id").to_pandas().set_index("doc_id")["simhash"]
+    assert sigs[0] == sigs[25]  # identical text -> identical simhash
+    pairs = simhash_dup_pairs(ds, "text", "doc_id", max_hamming=3).to_pandas()
+    s = set(map(tuple, pairs[["id_a", "id_b"]].values.tolist()))
+    assert (0, 25) in s
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+    assert ngram_jaccard("a b c d e", "x y z w v") == 0.0
+
+
+def test_embedding_dup_pairs_symmetric_and_thresholded():
+    vecs = [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0], [-1.0, 0.0]]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    )
+    pairs = embedding_dup_pairs(ds, "embedding", "vec_id", threshold=0.9).to_pandas()
+    assert set(map(tuple, pairs[["id_a", "id_b"]].values.tolist())) == {(0, 1)}
+
+
+def test_lsh_topk_recall_vs_brute_force():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(t)
+    q = np.stack(t.column("embedding").to_pylist()[:5])
+    qids = np.array(t.column("vec_id").to_pylist()[:5])
+    bf = brute_force_topk(ds, q, qids, k=10).to_pandas()
+    # short signatures + many tables: this corpus is near-uniform random
+    # (top-10 cosines ~0.3-0.45), the hardest regime for hyperplane LSH
+    ap = lsh_topk(ds, q, qids, k=10, n_planes=4, n_tables=16).to_pandas()
+    recalls = []
+    for qid in qids:
+        want = set(bf[bf.query_id == qid]["vec_id"])
+        got = set(ap[ap.query_id == qid]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.5  # far above random (10/500 = 0.02)
+
+
+def test_language_id_deterministic():
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": ["the cat is on the mat and it is fine", "der hund ist das tier und die katze"]})
+    )
+    a = language_id(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    assert a["lang_pred"].tolist() == ["en", "de"]
+
+
+def test_winnowing_fingerprint_robust_to_suffix_edit():
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": [base, base + " extra"]})
+    )
+    fp = fingerprints(ds, "text", "doc_id").to_pandas().set_index("doc_id")
+    a, b = set(fp.loc[1, "winnow_fp"]), set(fp.loc[2, "winnow_fp"])
+    assert fp.loc[1, "md5"] != fp.loc[2, "md5"]
+    assert len(a & b) / len(a | b) > 0.8  # fingerprints mostly shared
+
+
+def test_multimodal_plumbing():
+    ds = rd.from_arrow(pa.table({"item_id": pa.array(range(10), pa.int64())}))
+    with_media = attach_fake_media(ds, "item_id", payload_bytes=256)
+    out = decode_media(with_media, fake=True, feature_dim=8, concurrency=2, batch_size=4)
+    df = out.to_pandas().sort_values("item_id")
+    assert "media" not in df.columns  # payload dropped after decode
+    assert all(len(f) == 8 for f in df["media_features"])
+    # deterministic features
+    df2 = decode_media(
+        attach_fake_media(ds.repartition(3), "item_id", payload_bytes=256),
+        fake=True, feature_dim=8,
+    ).to_pandas().sort_values("item_id")
+    assert all(
+        np.array_equal(x, y) for x, y in zip(df["media_features"], df2["media_features"])
+    )
+
+
+def test_multimodal_real_decode_is_gated():
+    from anonymization_ray.extras.multimodal import MediaDecoder
+
+    dec = MediaDecoder(fake=False)
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"payload")
