@@ -1,9 +1,9 @@
 """Deduplication family for training-data pipelines.
 
 All operators follow the same scale shape: per-batch vectorized signature
-computation (``map_batches``), then a hash ``groupby`` on the signature /
-band bucket — the only shuffle — with candidate verification inside
-``map_groups``. Nothing materializes the corpus on the driver.
+computation (``map_batches``), then one hash shuffle on the signature /
+band bucket (vectorized self-join for pair generation — never a per-bucket
+Python UDF). Nothing materializes the corpus on the driver.
 
 - exact: content hash -> keep min doc_id per group
 - MinHash + LSH: char-shingles -> 64-perm minhash -> banded buckets ->
@@ -21,6 +21,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 # fixed seeded permutation parameters (deterministic across runs/processes)
@@ -102,6 +103,10 @@ def minhash_lsh_pairs(
     ``verify_threshold`` is set, pairs are verified with exact n-gram jaccard
     inside the bucket group."""
     rows_per_band = num_perm // bands
+    # the (id, text) projection feeds signature computation AND both
+    # verification joins — materialize the narrow slice once instead of
+    # re-executing the upstream three times
+    ds = ds.select_columns([id_col, text_col]).materialize()
     sigs = minhash_signatures(ds, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k)
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -126,64 +131,67 @@ def minhash_lsh_pairs(
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    # need text for verification inside the group: attach via broadcast-free
-    # self-join only when verifying; otherwise pure id pairs
-    if verify_threshold is None:
-        def _pairs(group: pa.Table) -> pa.Table:
-            ids = sorted(group.column(id_col).to_pylist())
-            a_out, b_out = [], []
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-            return pa.table({"id_a": pa.array(a_out), "id_b": pa.array(b_out)})
+    # candidate pairs via a self-join on (band, bucket) — a vectorized hash
+    # join, NOT a per-bucket Python UDF (bucket count is O(corpus), so
+    # per-group calls would dominate wall time)
+    from ..util import default_num_partitions, hash_join
 
-        pairs = banded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pyarrow")
-        return pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
-
-    from ..util import hash_join
-
-    with_text = hash_join(
-        banded,
-        ds.select_columns([id_col, text_col]),
-        on=id_col,
-        join_type="inner",
+    nparts = max(2, default_num_partitions() // 2)
+    left = banded.rename_columns({id_col: "id_a"})
+    right = banded.rename_columns({id_col: "id_b"})
+    cand = left.join(
+        right, join_type="inner", num_partitions=nparts, on=("band", "bucket")
     )
 
-    def _pairs_verified(group: pa.Table, thr=verify_threshold, k=shingle_k) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        texts = group.column(text_col).to_pylist()
-        order = np.argsort(ids)
-        a_out, b_out, jac = [], [], []
-        sets = [None] * len(ids)
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                oi, oj = order[i], order[j]
-                if sets[oi] is None:
-                    sets[oi] = set(_shingle_hashes(texts[oi] or "", k).tolist())
-                if sets[oj] is None:
-                    sets[oj] = set(_shingle_hashes(texts[oj] or "", k).tolist())
-                inter = len(sets[oi] & sets[oj])
-                union = len(sets[oi] | sets[oj])
-                jv = inter / union if union else 1.0
-                if jv >= thr:
-                    a_out.append(ids[oi])
-                    b_out.append(ids[oj])
-                    jac.append(jv)
-        return pa.table(
+    def _ordered(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("id_a"), batch.column("id_b"))
+        return batch.filter(m).select(["id_a", "id_b"])
+
+    pairs = cand.map_batches(_ordered, batch_format="pyarrow")
+    uniq = pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+    if verify_threshold is None:
+        return uniq
+
+    # exact jaccard verification: attach both texts by join, compute per pair
+    ta = ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_a", text_col: "text_a"}
+    )
+    tb = ds.select_columns([id_col, text_col]).rename_columns(
+        {id_col: "id_b", text_col: "text_b"}
+    )
+    joined = hash_join(uniq, ta, on="id_a", join_type="inner", num_partitions=nparts)
+    joined = hash_join(joined, tb, on="id_b", join_type="inner", num_partitions=nparts)
+
+    def _verify(batch: pa.Table, thr=verify_threshold, k=shingle_k) -> pa.Table:
+        a_ids = batch.column("id_a").to_pylist()
+        b_ids = batch.column("id_b").to_pylist()
+        a_txt = batch.column("text_a").to_pylist()
+        b_txt = batch.column("text_b").to_pylist()
+        cache: dict = {}
+
+        def sset(doc_id, text):
+            s = cache.get(doc_id)
+            if s is None:
+                s = set(_shingle_hashes(text or "", k).tolist())
+                cache[doc_id] = s
+            return s
+
+        ja = np.empty(batch.num_rows)
+        for i in range(batch.num_rows):
+            sa = sset(a_ids[i], a_txt[i])
+            sb = sset(b_ids[i], b_txt[i])
+            u = len(sa | sb)
+            ja[i] = (len(sa & sb) / u) if u else 1.0
+        out = pa.table(
             {
-                "id_a": pa.array(a_out),
-                "id_b": pa.array(b_out),
-                "jaccard": pa.array(jac, pa.float64()),
+                "id_a": batch.column("id_a").combine_chunks(),
+                "id_b": batch.column("id_b").combine_chunks(),
+                "jaccard": pa.array(ja, pa.float64()),
             }
         )
+        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
 
-    pairs = with_text.groupby(["band", "bucket"]).map_groups(
-        _pairs_verified, batch_format="pyarrow"
-    )
-    return pairs.groupby(["id_a", "id_b"]).max("jaccard").rename_columns(
-        {"max(jaccard)": "jaccard"}
-    )
+    return joined.map_batches(_verify, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -110,10 +110,18 @@ def anonymize_triples(
             new_streams.append(slice_ds.map_batches(_mask, batch_format="pyarrow"))
             continue
 
-        # generalization over this predicate's literal slice
-        from ..stages.codecs import kind_for_datatype
+        # generalization over this predicate's literal slice — the bucket of
+        # a sorted row is g*rank//k directly, so generalized triples are
+        # emitted straight from the sorted narrow blocks (one pass; no
+        # re-scan of the triple stream for assignment)
+        import ray
+
+        from ..config import calculate_num_buckets
+        from ..stages.codecs import CODECS, kind_for_datatype
+        from ..util import chunked_ranges, sorted_column
 
         kind = kind_for_datatype(cfg.datatype)
+        codec = CODECS[kind]
         slice_ds = triples.filter(expr=f"pred == '{cfg.pred}'")
 
         def _narrow(batch: pa.Table, knd=kind) -> pa.Table:
@@ -124,31 +132,48 @@ def anonymize_triples(
                 arr = pc.cast(vals, pa.date32())
             else:
                 arr = pc.cast(vals, pa.timestamp("ms"))
-            return pa.table({"subj": batch.column("subj").combine_chunks(), "value": arr})
+            return pa.table({"value": arr, "subj": batch.column("subj").combine_chunks()})
 
         narrow = slice_ds.map_batches(_narrow, batch_format="pyarrow")
-        assigned, res = generalize_column(
-            narrow, "value", "subj", num_attrs=max(n, 1), kind=kind, out_col="bucket"
+        sc = sorted_column(narrow, "value", "subj", codec.to_numeric)
+        k = sc.total
+        if k == 0:
+            continue
+        g = calculate_num_buckets(k, max(n, 1))
+        from ..stages.generalization import GeneralizationResult, _boundary_values
+
+        res = GeneralizationResult(
+            attribute=cfg.pred, out_col="bucket", g=g, k=k, kind=kind,
+            buckets=_boundary_values(sc, g, codec),
         )
         gen_results[cfg.pred] = res
 
-        def _to_triples(batch: pa.Table, p=cfg.pred) -> pa.Table:
-            mask = pc.is_valid(batch.column("bucket"))
-            b = batch.filter(mask)
-            bstr = pc.cast(b.column("bucket"), pa.string())
+        @ray.remote
+        def _emit(start: int, stop: int, p: str, gg: int, kk: int, *tables: pa.Table) -> pa.Table:
+            import numpy as np
+
+            tbl = pa.concat_tables(tables)
+            ranks = np.arange(start, stop, dtype=np.int64)
+            buckets = (gg * ranks) // kk
             obj = pc.binary_join_element_wise(
-                pa.array([p] * b.num_rows, pa.string()), bstr, "_"
+                pa.array([p] * len(ranks), pa.string()),
+                pc.cast(pa.array(buckets, pa.int64()), pa.string()),
+                "_",
             )
             return pa.table(
                 {
-                    "subj": b.column("subj").combine_chunks(),
-                    "pred": pa.array([f"{p}_generalized"] * b.num_rows, pa.string()),
+                    "subj": tbl.column("subj").combine_chunks(),
+                    "pred": pa.array([f"{p}_generalized"] * len(ranks), pa.string()),
                     "obj": obj,
-                    "obj_kind": pa.array(["iri"] * b.num_rows, pa.string()),
+                    "obj_kind": pa.array(["iri"] * len(ranks), pa.string()),
                 }
             )
 
-        new_streams.append(assigned.map_batches(_to_triples, batch_format="pyarrow"))
+        refs = [
+            _emit.remote(start, stop, cfg.pred, g, k, *sc.halo_slice_refs(start, stop))
+            for start, stop in chunked_ranges(sc.offsets)
+        ]
+        new_streams.append(rd.from_arrow_refs(refs))
         extra_tables.append(bucket_resource_triples(cfg.pred, res, cfg.datatype))
 
     # delete originals (Q6): drop every anonymized predicate's literal triples

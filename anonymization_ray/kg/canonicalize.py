@@ -45,15 +45,18 @@ def canonicalize_components(
     is distilled from can be arbitrarily large — that reduction happens in
     the distributed dedup below.
     """
-    uniq = (
-        edges.map_batches(_local_dedup, batch_format="pyarrow")
-        .groupby(["edge_a", "edge_b"])
-        .count()
-        .drop_columns(["count()"])
-    )
-    parts = list(uniq.iter_batches(batch_format="pyarrow"))
-    if parts:
-        et = pa.concat_tables(parts)
+    # two-stage dedup: vectorized per-block dedup (collapses the hot-key
+    # occurrence stream), then a driver-side set union over the block-distinct
+    # edges — the alias vocabulary is dimension-scale by the same assumption
+    # that makes the driver-side union-find valid, so a global shuffle for
+    # the final dedup is wasted latency
+    local = edges.map_batches(_local_dedup, batch_format="pyarrow")
+    seen: set[tuple[str, str]] = set()
+    for b in local.iter_batches(batch_format="pyarrow"):
+        seen.update(zip(b.column("edge_a").to_pylist(), b.column("edge_b").to_pylist()))
+    if seen:
+        ea, eb = zip(*sorted(seen))
+        et = pa.table({"edge_a": pa.array(ea, pa.string()), "edge_b": pa.array(eb, pa.string())})
     else:
         et = pa.table({"edge_a": pa.array([], pa.string()), "edge_b": pa.array([], pa.string())})
 

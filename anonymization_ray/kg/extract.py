@@ -98,11 +98,16 @@ class MentionExtractor:
 def extract_mentions(
     pages: rd.Dataset,
     *,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 512,
 ) -> rd.Dataset:
     """Mention-level triples via the extractor actor pool. Small batches —
     pages carry MB-scale html; project html away right after this stage."""
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, cpus // 4), max(4, cpus))
     return pages.map_batches(
         MentionExtractor,
         batch_format="pyarrow",

@@ -1,0 +1,144 @@
+"""Page fingerprinting + exact-dedup pre-filter.
+
+Web-scale KG construction dedupes the crawl before extraction (a large
+fraction of Common-Crawl is exact or near duplicates). This stage computes,
+per page, inside one vectorized ``map_batches``:
+
+- ``content_hash``: 64-bit siphash of the page text (exact-dup key)
+- ``page_minhash``: 64-perm MinHash signature over word-3 shingles (near-dup
+  signal, carried for downstream LSH)
+- ``page_simhash``: 64-bit SimHash
+
+Exact dedup then shuffles ONLY the narrow (content_hash, url) projection,
+keeps min(url) per hash, and inner-joins the winners back — page payloads
+never ride the dedup shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..extras.dedup import _perm_params, _shingle_hashes
+from ..util import hash_join
+
+
+def page_fingerprints(pages: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Narrow fingerprint index: (url, content_hash, page_minhash,
+    page_simhash) — one row per page. Written alongside the graph as the
+    dedup index and reused for the exact-dedup decision."""
+    a, b = _perm_params(64)
+    MERSENNE = (1 << 61) - 1
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        ch = pd.util.hash_array(np.array(texts, dtype=object)).astype(np.int64)
+        sigs = np.empty((n, 64), dtype=np.int64)
+        simh = np.empty(n, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sh = _shingle_hashes(t or "")
+            vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE
+            sigs[i] = vals.min(axis=1)
+            # simhash from the shingle hash set (reuses the crc32 work)
+            bits = ((sh[:, None].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                    >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            simh[i] = np.left_shift(
+                (votes > 0).astype(np.uint64), np.arange(64, dtype=np.uint64)
+            ).sum(dtype=np.uint64)
+        return pa.table(
+            {
+                "url": batch.column("url").combine_chunks(),
+                "content_hash": pa.array(ch, pa.int64()),
+                "page_minhash": pa.array(list(sigs), pa.list_(pa.int64())),
+                "page_simhash": pa.array(simh.view(np.int64), pa.int64()),
+            }
+        )
+
+    return pages.map_batches(_fp, batch_format="pyarrow")
+
+
+def dedup_pages_exact(
+    pages: rd.Dataset,
+    fingerprints: rd.Dataset,
+    *,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """Drop non-min(url) pages per content_hash, deciding from the (already
+    computed) narrow fingerprint index — page payloads never ride the dedup
+    shuffle.
+
+    The LOSER url set (duplicates to drop) is usually a small fraction of the
+    corpus: when it fits ``broadcast_limit`` it is broadcast and applied as a
+    vectorized filter; beyond that, fall back to an inner join on keeper
+    urls."""
+    # Loser detection WITHOUT a many-group aggregate (Ray's groupby pays a
+    # per-group cost — ruinous when nearly every page is its own group):
+    # sort the narrow (hash, url) index, then a vectorized per-block scan
+    # marks every row whose hash equals its predecessor (block boundaries
+    # handled via single-row lookups on the ordered blocks).
+    import ray
+
+    from ..util import sorted_column
+
+    sc = sorted_column(
+        fingerprints.select_columns(["content_hash", "url"]),
+        "content_hash",
+        "url",
+        lambda a: a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+    )
+    if sc.total == 0:
+        return pages
+
+    @ray.remote(num_cpus=0.5)
+    def _block_losers(tbl: pa.Table, prev_hash) -> pa.Table:
+        h = tbl.column("content_hash").to_numpy(zero_copy_only=False)
+        dup = np.empty(len(h), dtype=bool)
+        dup[0] = prev_hash is not None and h[0] == prev_hash
+        dup[1:] = h[1:] == h[:-1]
+        return pa.table({"url": tbl.column("url").filter(pa.array(dup))})
+
+    # previous-block boundary hashes (one tiny lookup per block)
+    boundary = {}
+    if len(sc.refs) > 1:
+        t = sc.rows_at_ranks([int(sc.offsets[b]) - 1 for b in range(1, len(sc.refs))])
+        hs = t.column("content_hash").to_pylist()
+        for b in range(1, len(sc.refs)):
+            boundary[b] = hs[b - 1]
+    loser_refs = [
+        _block_losers.remote(sc.refs[b], boundary.get(b)) for b in range(len(sc.refs))
+    ]
+    loser_tables = [t for t in ray.get(loser_refs) if t.num_rows]
+    loser_count = sum(t.num_rows for t in loser_tables)
+    if loser_count == 0:
+        return pages
+
+    if loser_count <= broadcast_limit:
+        loser_set = set(
+            u for t in loser_tables for u in t.column("url").to_pylist()
+        )
+
+        def _filter_pages(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            mask = pa.array([u not in loser_set for u in urls], pa.bool_())
+            return batch.filter(mask)
+
+        return pages.map_batches(_filter_pages, batch_format="pyarrow")
+
+    # loser set too big to broadcast: anti-join pages against the loser urls
+    losers_ds = rd.from_arrow_refs(loser_refs)
+    tagged = losers_ds.map_batches(
+        lambda b: b.append_column("_loser", pa.array([True] * b.num_rows, pa.bool_())),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(pages, tagged, on="url", join_type="left_outer",
+                       num_partitions=num_partitions)
+    return joined.map_batches(
+        lambda b: b.filter(pc.is_null(b.column("_loser"))).drop_columns(["_loser"]),
+        batch_format="pyarrow",
+    )

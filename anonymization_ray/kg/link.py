@@ -137,10 +137,13 @@ def link_mentions(
     mentions: rd.Dataset,
     alias_index: dict,
     *,
-    concurrency: int | tuple[int, int] = (1, 8),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 4096,
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """Returns (linked_triples, alias_edges)."""
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, cpus // 4), max(4, cpus))
     alias_ref = ray.put(alias_index)
     out = mentions.map_batches(
         MentionLinker,
@@ -152,6 +155,47 @@ def link_mentions(
     # materialize ONCE so the two consumers below don't re-run extraction +
     # linking; this intermediate is mention-level (orders of magnitude smaller
     # than the page table) and lives in the object store / spills
+    out = out.materialize()
+    triples = out.filter(expr="obj_kind != 'edge'").drop_columns(["edge_a", "edge_b"])
+    edges = out.filter(expr="obj_kind == 'edge'").select_columns(["edge_a", "edge_b"])
+    return triples, edges
+
+
+class ExtractLinker:
+    """Fused extraction + linking actor: compiled patterns AND the broadcast
+    alias index live for the actor's lifetime; mention rows go straight into
+    linking without an intermediate object-store exchange. One pool instead
+    of two halves actor pressure on small clusters."""
+
+    def __init__(self, alias_ref) -> None:
+        from .extract import MentionExtractor
+
+        self._extract = MentionExtractor()
+        self._link = MentionLinker(alias_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._link(self._extract(batch))
+
+
+def extract_and_link(
+    pages: rd.Dataset,
+    alias_index: dict,
+    *,
+    concurrency: int | tuple[int, int] | None = None,
+    batch_size: int = 512,
+) -> tuple[rd.Dataset, rd.Dataset]:
+    """Fused pages -> linked triples + alias edges (single actor pool)."""
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (max(1, cpus // 4), max(4, cpus))
+    alias_ref = ray.put(alias_index)
+    out = pages.map_batches(
+        ExtractLinker,
+        fn_constructor_args=(alias_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
     out = out.materialize()
     triples = out.filter(expr="obj_kind != 'edge'").drop_columns(["edge_a", "edge_b"])
     edges = out.filter(expr="obj_kind == 'edge'").select_columns(["edge_a", "edge_b"])

@@ -91,8 +91,11 @@ def materialize_triples(
         lambda b: _partition_col(b, num_partitions), batch_format="pyarrow"
     )
     # materialize once; both layouts and all partitions consume it without
-    # re-running the upstream pipeline
-    parted = parted.materialize()
+    # re-running the upstream pipeline. Coalesce: unions of many small
+    # streams leave hundreds of tiny blocks that multiply sort overhead.
+    from ..util import coalesce_blocks
+
+    parted = coalesce_blocks(parted.materialize())
 
     for layout in layouts:
         keys = LAYOUT_KEYS[layout]

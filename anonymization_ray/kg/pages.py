@@ -70,7 +70,17 @@ def synthesize_pages(sf_dir: str) -> rd.Dataset:
     for nk, (nn, rn) in nmap.items():
         facts.setdefault(nk % n_docs, []).append(nation_fact(nn, rn))
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # fine-grained input blocks: everything downstream (render, replicate,
+    # fingerprint, extraction) fuses onto these tasks, so the block count IS
+    # the pipeline's parallelism ceiling
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=max(4 * cpus, 64),
+    )
 
     def _render(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_pylist()
@@ -98,3 +108,42 @@ def synthesize_pages(sf_dir: str) -> rd.Dataset:
         )
 
     return docs.map_batches(_render, batch_format="pyarrow")
+
+
+def replicate_pages(pages: rd.Dataset, factor: int) -> rd.Dataset:
+    """Replicate the page corpus with distinct urls (bench/scaling helper:
+    the sandbox's sf corpora are far smaller than the 10^12-doc target, so
+    scaling runs inflate the input to make the job compute-bound)."""
+    if factor <= 1:
+        return pages
+
+    def _rep(batch: pa.Table):
+        # generator UDF: one bounded output batch per replica — a single
+        # concatenated table would be ``factor`` x the input block and blow
+        # the object store under high task concurrency
+        urls = batch.column("url").to_pylist()
+        texts = batch.column("text").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        for r in range(factor):
+            t = batch.set_column(
+                batch.column_names.index("url"),
+                "url",
+                pa.array([f"{u}#r{r}" for u in urls], pa.string()),
+            )
+            # distinct content per replica (a trailing marker word) so the
+            # exact-dedup pre-filter doesn't collapse the inflated corpus
+            t = t.set_column(
+                t.column_names.index("text"),
+                "text",
+                pa.array([f"{x} r{r}" for x in texts], pa.string()),
+            )
+            t = t.set_column(
+                t.column_names.index("html"),
+                "html",
+                pa.array(
+                    [h.replace(b"</p>", f" r{r}</p>".encode(), 1) for h in htmls], pa.binary()
+                ),
+            )
+            yield t
+
+    return pages.map_batches(_rep, batch_format="pyarrow", batch_size=512)

@@ -36,17 +36,44 @@ def kg_pipeline(
     *,
     pages: rd.Dataset | None = None,
     anonymize: bool = True,
+    dedup_pages: bool = True,
     out_dir: str | None = None,
     num_partitions: int = 16,
-    extractor_concurrency=(1, 8),
+    extractor_concurrency=None,
 ) -> KgRunResult:
+    if extractor_concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # min actors pre-started: the autoscaling ramp from 1 actor
+        # serializes the stage regardless of cluster size
+        extractor_concurrency = (max(1, cpus // 4), max(4, cpus))
     pages = pages if pages is not None else synthesize_pages(sf_dir)
-    # project html+url only into the extractor (MB-scale html never rides
-    # further than this stage)
-    mentions = extract_mentions(
-        pages.select_columns(["url", "html"]), concurrency=extractor_concurrency
+    if dedup_pages:
+        from .fingerprint import dedup_pages_exact, page_fingerprints
+
+        # pass 1: narrow fingerprint index (the dedup artifact, written with
+        # the graph); pass 2: the filtered page stream feeds extraction
+        fp = page_fingerprints(pages)
+        if out_dir is not None:
+            import os
+            import shutil
+
+            fp_dir = os.path.join(out_dir, "fingerprints")
+            shutil.rmtree(fp_dir, ignore_errors=True)  # write_parquet appends
+            fp.write_parquet(fp_dir)
+            fp = rd.read_parquet(fp_dir)
+        pages = dedup_pages_exact(pages, fp)
+    # project html+url only into the fused extract+link actor pool (MB-scale
+    # html never rides further than this stage; mention rows link in-actor
+    # without an intermediate exchange)
+    from .link import extract_and_link
+
+    triples, edges = extract_and_link(
+        pages.select_columns(["url", "html"]),
+        build_alias_index(sf_dir),
+        concurrency=extractor_concurrency,
     )
-    triples, edges = link_mentions(mentions, build_alias_index(sf_dir))
     mapping = canonicalize_components(edges)
     canon = apply_canonical_mapping(triples, mapping).drop_columns(["url"])
     canon = canon.materialize()  # reused by each per-predicate anonymizer pass

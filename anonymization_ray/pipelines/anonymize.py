@@ -107,6 +107,11 @@ def anonymize_table(
     """
     attrs = config.for_type(object_type)
     object_layout = object_layout or {}
+    # the presence probe, each per-attribute narrow sort, and the KPI passes
+    # all consume ``ds`` — materialize once so the upstream (reads, joins,
+    # feature stages) doesn't re-execute per pass; blocks live in the object
+    # store and spill under pressure
+    ds = ds.materialize()
 
     # --- presence probe (Q2) --------------------------------------------
     probe_cols: dict[str, str] = {}

@@ -40,7 +40,7 @@ import ray.data
 
 from ..config import calculate_num_buckets
 from ..rng import RETRY_ROUNDS, attribute_seed, gaussian_rounds, uniform_rounds
-from ..util import hash_join, sorted_column
+from ..util import chunked_ranges, default_num_partitions, hash_join, sorted_column
 from .codecs import CODECS, DATE, DATETIME, NUMERIC
 
 
@@ -182,8 +182,7 @@ def window_noise_scale(
     if w == k:
         w = k - 1
     out_refs = []
-    for b in range(len(sc.refs)):
-        start, stop = int(sc.offsets[b]), int(sc.offsets[b + 1])
+    for start, stop in chunked_ranges(sc.offsets):
         halo = sc.halo_slice_refs(max(0, start - (w + 1)), min(k, stop + (w + 1)))
         out_refs.append(
             _window_scale_block.remote(
@@ -191,6 +190,8 @@ def window_noise_scale(
             )
         )
     scale_ds = ray.data.from_arrow_refs(out_refs)
+    if num_partitions is None:
+        num_partitions = max(2, min(default_num_partitions(), k // 50_000 + 1))
     return hash_join(
         ds.select_columns([id_col]), scale_ds, on=id_col, join_type="left_outer",
         num_partitions=num_partitions,
@@ -262,8 +263,7 @@ def randomize_column(
     key = attribute_seed(seed, object_type, col)
 
     out_refs = []
-    for b in range(len(sc.refs)):
-        start, stop = int(sc.offsets[b]), int(sc.offsets[b + 1])
+    for start, stop in chunked_ranges(sc.offsets):
         halo_start = max(0, start - (w + 1))
         halo_stop = min(k, stop + (w + 1))
         halo = sc.halo_slice_refs(halo_start, halo_stop)
@@ -287,4 +287,7 @@ def randomize_column(
     rand_ds = ray.data.from_arrow_refs(out_refs)
     if out == col:
         ds = ds.drop_columns([col])
+    if num_partitions is None:
+        # small column -> few join partitions (each spins an aggregator actor)
+        num_partitions = max(2, min(default_num_partitions(), k // 50_000 + 1))
     return hash_join(ds, rand_ds, on=id_col, join_type="left_outer", num_partitions=num_partitions)
