@@ -139,8 +139,7 @@ def anonymize_table(
         elif a.is_object:
             pres, levels = object_layout[a.attribute]
             ds, ores = generalize_object_column(
-                ds, a.attribute, [lv for lv in (a.attribute_order or levels)], num_attrs=n,
-                presence_col=pres,
+                ds, a.attribute, list(levels), num_attrs=n, presence_col=pres,
             )
             result.object_gen[a.attribute] = ores
             gen_cols.append(ores.out_col)

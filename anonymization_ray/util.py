@@ -201,10 +201,12 @@ def format_double(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 def valid_mask(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
     """Non-missing mask: Arrow null OR floating NaN both count as missing
-    (the reference sees absent triples; Parquet NaNs are treated the same)."""
+    (the reference sees absent triples; Parquet NaNs are treated the same).
+    Always null-free (plain ``and_`` would propagate nulls from is_nan)."""
     m = pc.is_valid(arr)
     if pa.types.is_floating(arr.type):
-        m = pc.and_(m, pc.invert(pc.is_nan(arr)))
+        m = pc.and_kleene(m, pc.invert(pc.is_nan(arr)))
+        m = pc.fill_null(m, False)
     return m
 
 
