@@ -56,10 +56,17 @@ def build_alias_index(sf_dir: str) -> dict:
 
 class MentionLinker:
     """Actor-pool callable: dereferences the broadcast alias index once in the
-    constructor."""
+    constructor.
 
-    def __init__(self, alias_ref) -> None:
+    Each actor deduplicates the alias edges it emits for its lifetime (the
+    combiner/salting pattern): the edge vocabulary is dimension-scale, so
+    without this every mention occurrence floods the object store with a
+    duplicate edge row."""
+
+    def __init__(self, alias_ref, emit_url: bool = True) -> None:
         self._alias = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
+        self._emit_url = emit_url
+        self._seen_edges: set[tuple[str, str]] = set()
 
     def _resolve_direct(self, m: str) -> str | None:
         cm = CUST_RE.match(m)
@@ -77,11 +84,16 @@ class MentionLinker:
         new_s, new_o, new_k = [], [], []
         edge_a, edge_b = [], []
 
+        def emit_edge(a: str, b: str) -> None:
+            if (a, b) not in self._seen_edges:
+                self._seen_edges.add((a, b))
+                edge_a.append(a)
+                edge_b.append(b)
+
         def link(m: str) -> str:
             direct = self._resolve_direct(m)
             if direct is not None:
-                edge_a.append(m)
-                edge_b.append(direct)
+                emit_edge(m, direct)
                 return direct
             # walk the alias chain, emitting every hop as an edge so the
             # mention's component always reaches its entity node even when the
@@ -91,8 +103,7 @@ class MentionLinker:
                 hop = self._alias.get(cur)
                 if hop is None:
                     break
-                edge_a.append(cur)
-                edge_b.append(hop)
+                emit_edge(cur, hop)
                 cur = hop
                 if hop.startswith("urn:"):
                     break
@@ -106,9 +117,11 @@ class MentionLinker:
             new_s.append(ls)
             new_o.append(lo)
             new_k.append("iri" if k == "mention" else k)
-        t = pa.table(
+        cols = {}
+        if self._emit_url:
+            cols["url"] = batch.column("url").combine_chunks()
+        cols.update(
             {
-                "url": batch.column("url").combine_chunks(),
                 "subj": pa.array(new_s, pa.string()),
                 "pred": batch.column("pred").combine_chunks(),
                 "obj": pa.array(new_o, pa.string()),
@@ -117,10 +130,13 @@ class MentionLinker:
                 "edge_b": pa.nulls(batch.num_rows, pa.string()),
             }
         )
+        t = pa.table(cols)
         if edge_a:
-            edges = pa.table(
+            ecols = {}
+            if self._emit_url:
+                ecols["url"] = pa.nulls(len(edge_a), pa.string())
+            ecols.update(
                 {
-                    "url": pa.nulls(len(edge_a), pa.string()),
                     "subj": pa.nulls(len(edge_a), pa.string()),
                     "pred": pa.nulls(len(edge_a), pa.string()),
                     "obj": pa.nulls(len(edge_a), pa.string()),
@@ -129,7 +145,7 @@ class MentionLinker:
                     "edge_b": pa.array(edge_b, pa.string()),
                 }
             )
-            t = pa.concat_tables([t, edges])
+            t = pa.concat_tables([t, pa.table(ecols)])
         return t
 
 
@@ -167,11 +183,11 @@ class ExtractLinker:
     linking without an intermediate object-store exchange. One pool instead
     of two halves actor pressure on small clusters."""
 
-    def __init__(self, alias_ref) -> None:
+    def __init__(self, alias_ref, emit_url: bool = True) -> None:
         from .extract import MentionExtractor
 
         self._extract = MentionExtractor()
-        self._link = MentionLinker(alias_ref)
+        self._link = MentionLinker(alias_ref, emit_url=emit_url)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self._link(self._extract(batch))
@@ -183,15 +199,20 @@ def extract_and_link(
     *,
     concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 512,
+    emit_url: bool = False,
 ) -> tuple[rd.Dataset, rd.Dataset]:
-    """Fused pages -> linked triples + alias edges (single actor pool)."""
+    """Fused pages -> linked triples + alias edges (single actor pool).
+
+    ``emit_url=False`` (default) drops the provenance url from the mention
+    stream — the pipeline discards it before canonicalization anyway, and at
+    scale it is the widest column in the materialized intermediate."""
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = (max(1, cpus // 4), max(4, cpus))
     alias_ref = ray.put(alias_index)
     out = pages.map_batches(
         ExtractLinker,
-        fn_constructor_args=(alias_ref,),
+        fn_constructor_args=(alias_ref, emit_url),
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

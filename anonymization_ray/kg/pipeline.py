@@ -75,7 +75,7 @@ def kg_pipeline(
         concurrency=extractor_concurrency,
     )
     mapping = canonicalize_components(edges)
-    canon = apply_canonical_mapping(triples, mapping).drop_columns(["url"])
+    canon = apply_canonical_mapping(triples, mapping)
     canon = canon.materialize()  # reused by each per-predicate anonymizer pass
 
     gen_results: dict = {}
