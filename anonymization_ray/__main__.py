@@ -1,0 +1,68 @@
+"""CLI entry point — the `ray job submit` surface of the north rule:
+
+    ray job submit -- python -m anonymization_ray \
+        --sf-dir /root/testdata/sf0.01 --out-dir /tmp/kg_out
+
+Runs the full KG-construction + anonymization pipeline and writes the sorted
+SPO/POS triple layouts with lineage manifests (resumable: re-running skips
+finished partitions).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="anonymization_ray")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--pages-parquet", default=None,
+                   help="read the page table from this parquet dir instead of synthesizing")
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--num-partitions", type=int, default=16)
+    p.add_argument("--no-anonymize", action="store_true")
+    p.add_argument("--no-dedup", action="store_true")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="only used when Ray is not already initialised")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False, logging_level="ERROR")
+        if args.num_cpus:
+            kwargs["num_cpus"] = args.num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    from anonymization_ray.kg.pipeline import kg_pipeline
+
+    pages = rd.read_parquet(args.pages_parquet) if args.pages_parquet else None
+    t0 = time.perf_counter()
+    res = kg_pipeline(
+        args.sf_dir,
+        pages=pages,
+        anonymize=not args.no_anonymize,
+        dedup_pages=not args.no_dedup,
+        out_dir=args.out_dir,
+        num_partitions=args.num_partitions,
+    )
+    out = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "out_dir": args.out_dir,
+        "report": res.materialize_report,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -394,3 +394,108 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "events_sessionize": QueryDef(q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "filter_lineitem": QueryDef(q_filter_lineitem, SQL_FILTER_LINEITEM),
 }
+
+
+# --------------------------------------------------------------------------
+# dateTime operators + triple pivot round-trip
+# --------------------------------------------------------------------------
+
+def q_gen_datetime_events(sf_dir: str):
+    """A2 dateTime generalization over events.ts (GeneralizationDateTime.java):
+    canonical values in epoch millis, Java integer-half midpoints."""
+    from .stages.generalization import generalize_column
+
+    ds = load(sf_dir, "events", ["event_id", "ts"])
+    out, _ = generalize_column(ds, "ts", "event_id", num_attrs=1, kind="dateTime")
+    out = out.select_columns(["event_id", "ts_generalized"])
+    from .queries import _as_int64
+
+    return _as_int64(out, ["ts_generalized"])
+
+
+def q_gen_datetime_buckets(sf_dir: str):
+    """A2 dateTime bucket boundary table (epoch-millis integer midpoints)."""
+    from .stages.generalization import generalize_column
+
+    ds = load(sf_dir, "events", ["event_id", "ts"])
+    _, res = generalize_column(ds, "ts", "event_id", num_attrs=1, kind="dateTime")
+    t = res.buckets
+    return pa.table(
+        {
+            "bucket": pc.cast(t.column("bucket"), pa.int64()),
+            "min": t.column("min"),
+            "max": t.column("max"),
+        }
+    )
+
+
+def q_rand_datetime_events(sf_dir: str):
+    """A4 dateTime randomization (gaussian whole-second noise; rows-only)."""
+    from .stages.randomization import randomize_column
+
+    ds = load(sf_dir, "events", ["event_id", "ts"])
+    out = randomize_column(
+        ds, "ts", "event_id", num_attrs=1, kind="dateTime", seed=1234, object_type="events"
+    )
+    return out.select_columns(["event_id", "ts_randomized"])
+
+
+def q_pivot_roundtrip(sf_dir: str):
+    """Q3 triple-store form: wide -> triples -> hash-partitioned subject pivot
+    back to wide (values stringified in both directions)."""
+    from .sources.triples import pivot_triples_to_wide, wide_to_triples
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+    triples = wide_to_triples(
+        cust, "c_custkey", ["c_name", "c_mktsegment", "c_acctbal"], subj_prefix="c:"
+    )
+    wide = pivot_triples_to_wide(triples, ["c_name", "c_mktsegment", "c_acctbal"])
+    return wide.rename_columns({"subj": "subj_iri"})
+
+
+SQL_PIVOT_ROUNDTRIP = """
+SELECT 'c:' || c_custkey AS subj_iri, c_name, c_mktsegment,
+       CAST(c_acctbal AS VARCHAR) AS c_acctbal
+FROM customer
+"""
+
+# epoch millis of a timestamp in DuckDB: epoch_ms(ts)
+SQL_GEN_DATETIME = """
+WITH stats AS (SELECT count(*) AS k FROM events WHERE ts IS NOT NULL),
+gk AS (SELECT k, {g} AS g FROM stats),
+s AS (SELECT event_id AS id, row_number() OVER (ORDER BY ts, event_id) - 1 AS rnk
+      FROM events WHERE ts IS NOT NULL),
+assigned AS (SELECT s.id, (gk.g * s.rnk) // gk.k AS bucket FROM s CROSS JOIN gk)
+SELECT t.event_id, assigned.bucket AS ts_generalized
+FROM events t LEFT JOIN assigned ON assigned.id = t.event_id
+"""
+
+SQL_GEN_DATETIME_BUCKETS = """
+WITH stats AS (SELECT count(*) AS k FROM events WHERE ts IS NOT NULL),
+gk AS (SELECT k, {g} AS g FROM stats),
+s AS (SELECT epoch_ms(ts) AS v, row_number() OVER (ORDER BY ts, event_id) - 1 AS rnk
+      FROM events WHERE ts IS NOT NULL),
+cuts AS (SELECT p.p, (p.p * gk.k) // gk.g AS c FROM gk,
+         (SELECT unnest(range(1, (SELECT g FROM gk)))) AS p(p)),
+bvals AS (SELECT cuts.p, (s1.v + s2.v) // 2 AS bv FROM cuts
+          JOIN s s1 ON s1.rnk = cuts.c - 1 JOIN s s2 ON s2.rnk = cuts.c),
+bkts AS (SELECT unnest(range(0, (SELECT g FROM gk))) AS bucket)
+SELECT bkts.bucket, bmin.bv AS min, bmax.bv AS max
+FROM bkts LEFT JOIN bvals bmin ON bmin.p = bkts.bucket
+          LEFT JOIN bvals bmax ON bmax.p = bkts.bucket + 1
+"""
+
+from .queries import _sql_gk as _gk  # noqa: E402
+
+EXTRAS_REGISTRY.update(
+    {
+        "gen_datetime_events": QueryDef(
+            q_gen_datetime_events, SQL_GEN_DATETIME.format(g=_gk("k", 1))
+        ),
+        "gen_datetime_buckets": QueryDef(
+            q_gen_datetime_buckets, SQL_GEN_DATETIME_BUCKETS.format(g=_gk("k", 1))
+        ),
+        "rand_datetime_events": QueryDef(q_rand_datetime_events, None),
+        "pivot_triples_roundtrip": QueryDef(q_pivot_roundtrip, SQL_PIVOT_ROUNDTRIP),
+    }
+)

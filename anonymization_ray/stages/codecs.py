@@ -56,7 +56,9 @@ class Codec:
                 arr = pc.cast(arr, pa.timestamp("ms"))
             elif not pa.types.is_timestamp(t):
                 raise ValueError(f"cannot read dateTime from {t}")
-            return pc.cast(pc.cast(arr, pa.timestamp("ms")), pa.int64())  # epoch millis
+            # sub-millisecond input truncates (xsd:dateTime carries seconds)
+            arr = arr.cast(pa.timestamp("ms"), safe=False)
+            return pc.cast(arr, pa.int64())  # epoch millis
         raise AssertionError(self.kind)
 
     def midpoint(self, a: float | int | None, b: float | int | None):
