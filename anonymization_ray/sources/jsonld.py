@@ -1,0 +1,185 @@
+"""Minimal JSON-LD reader/writer for the reference's conformance corpus (S1).
+
+Handles the compact form the reference fixtures use (prefix ``@context``,
+``@graph`` node array, ``{@value,@type}`` literals, ``{@id}`` references,
+inline node objects as blank nodes) — NOT a full JSON-LD implementation; the
+KG pipeline's native interchange is Parquet triple tables.
+
+Reference analog: ``AnonymizationService.getModel`` parsing request JSON-LD
+into the triple model (AnonymizationService.java:139-149).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+RDF_TYPE = "rdf:type"
+
+
+def _expand(term: str, context: dict[str, str]) -> str:
+    if ":" in term:
+        pfx, rest = term.split(":", 1)
+        if pfx in context:
+            return context[pfx] + rest
+    return term
+
+
+def _compact(iri: str, context: dict[str, str]) -> str:
+    for pfx, base in context.items():
+        if iri.startswith(base):
+            return f"{pfx}:{iri[len(base):]}"
+    return iri
+
+
+def parse_jsonld(doc: dict) -> pa.Table:
+    """-> (subj, pred, obj, obj_kind) rows. obj_kind: 'iri' or the literal
+    datatype's local name ('string', 'double', 'date', ...). Prefixes stay
+    compact (the corpus uses a single shared context)."""
+    context = {
+        k: v for k, v in (doc.get("@context") or {}).items() if isinstance(v, str)
+    }
+    rows: list[tuple[str, str, str, str]] = []
+    bnode_counter = [0]
+
+    def literal_kind(dtype: str | None, value) -> str:
+        if dtype is None:
+            if isinstance(value, bool):
+                return "boolean"
+            if isinstance(value, int):
+                return "integer"
+            if isinstance(value, float):
+                return "double"
+            return "string"
+        local = dtype.rsplit("#", 1)[-1].rsplit("/", 1)[-1].rsplit(".", 1)[-1]
+        return {"LocalDate": "date"}.get(local, local)
+
+    def lex(value) -> str:
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, float):
+            return repr(value)
+        return str(value)
+
+    def node_id(node: dict) -> str:
+        nid = node.get("@id")
+        if nid is None:
+            bnode_counter[0] += 1
+            return f"_:b{bnode_counter[0]}"
+        return nid
+
+    def walk(node: dict) -> str:
+        sid = node_id(node)
+        for key, val in node.items():
+            if key in ("@id", "@context"):
+                continue
+            if key == "@type":
+                types = val if isinstance(val, list) else [val]
+                for t in types:
+                    rows.append((sid, RDF_TYPE, t, "iri"))
+                continue
+            vals = val if isinstance(val, list) else [val]
+            for v in vals:
+                if isinstance(v, dict):
+                    if "@value" in v:
+                        dt = v.get("@type")
+                        rows.append(
+                            (sid, key, lex(v["@value"]), literal_kind(dt, v["@value"]))
+                        )
+                    elif set(v.keys()) == {"@id"}:
+                        rows.append((sid, key, v["@id"], "iri"))
+                    else:
+                        child = walk(v)
+                        rows.append((sid, key, child, "iri"))
+                else:
+                    rows.append((sid, key, lex(v), literal_kind(None, v)))
+        return sid
+
+    graph = doc.get("@graph")
+    nodes = graph if isinstance(graph, list) else [doc]
+    for n in nodes:
+        if isinstance(n, dict):
+            walk(n)
+    if not rows:
+        return pa.table(
+            {
+                "subj": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.string()),
+                "obj_kind": pa.array([], pa.string()),
+            }
+        )
+    s, p, o, k = zip(*rows)
+    return pa.table(
+        {
+            "subj": pa.array(s, pa.string()),
+            "pred": pa.array(p, pa.string()),
+            "obj": pa.array(o, pa.string()),
+            "obj_kind": pa.array(k, pa.string()),
+        }
+    )
+
+
+def normalize_triples(
+    table: pa.Table,
+    *,
+    prefix: str | None = None,
+    drop_blank: bool = True,
+) -> set[tuple[str, str, str]]:
+    """Comparable triple set: compact prefixes to local names, normalize the
+    known rdf/rdfs/soya IRIs, drop datatype annotations, optionally drop
+    triples rooted at blank nodes (identity is not stable across engines)."""
+    known = {
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#type": "rdf:type",
+        "http://www.w3.org/2000/01/rdf-schema#min": "rdfs:min",
+        "http://www.w3.org/2000/01/rdf-schema#max": "rdfs:max",
+        "http://www.w3.org/2000/01/rdf-schema#comment": "rdfs:comment",
+        "http://ns.ownyourdata.eu/ns/soya-context/generalization": "soya:generalization",
+    }
+
+    SOYA_BASE = "http://ns.ownyourdata.eu/ns/soya-context/"
+
+    def norm(term: str) -> str:
+        if term in known:
+            return known[term]
+        if term in ("rdf:type", "rdfs:min", "rdfs:max", "rdfs:comment", "soya:generalization"):
+            return term  # already in canonical compact form
+        if term.startswith(SOYA_BASE):
+            return term[len(SOYA_BASE):]
+        if term.startswith("soya:"):
+            return term[len("soya:"):]
+        if prefix and term.startswith(prefix):
+            return term[len(prefix):]
+        if ":" in term and not term.startswith(("http", "_:", "urn:")):
+            # compact 'oyd:x' -> local name
+            return term.split(":", 1)[1]
+        return term
+
+    out = set()
+    for s, p, o, k in zip(
+        table.column("subj").to_pylist(),
+        table.column("pred").to_pylist(),
+        table.column("obj").to_pylist(),
+        table.column("obj_kind").to_pylist(),
+    ):
+        if drop_blank and (s.startswith("_:") or s.startswith("urn:skolem:")):
+            continue
+        # IRIs sometimes arrive as plain string literals (e.g. Jena writing a
+        # bucket's rdf:type as a string property) — normalize those too
+        obj = (
+            norm(o)
+            if k == "iri" or o.startswith(("http://", "https://", "urn:", "soya:"))
+            else o
+        )
+        out.add((norm(s), norm(p), obj))
+    return out
+
+
+def triple_precision_recall(
+    got: set[tuple[str, str, str]], want: set[tuple[str, str, str]]
+) -> tuple[float, float]:
+    if not got and not want:
+        return 1.0, 1.0
+    inter = len(got & want)
+    p = inter / len(got) if got else 0.0
+    r = inter / len(want) if want else 0.0
+    return p, r

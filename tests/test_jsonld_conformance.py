@@ -1,0 +1,79 @@
+"""Triple P/R against the reference's JSON-LD golden outputs — the
+BASELINE.json headline metric ("Triple P/R >= 0.95 vs reference").
+
+Both my output and the reference golden are normalized to (subj, pred, obj)
+sets (prefixes compacted, datatypes dropped, blank/skolem subjects excluded).
+Randomized predicates (and the RNG-dependent k-anonymity literal) are
+excluded on BOTH sides for the randomization cases.
+"""
+
+import json
+
+import pytest
+
+from anonymization_ray.pipelines.jsonld import anonymize_jsonld_request
+from anonymization_ray.sources.jsonld import (
+    normalize_triples,
+    parse_jsonld,
+    triple_precision_recall,
+)
+
+from test_conformance import REF_CONFIG, REF_CONFIG2
+
+IN_DIR = "/root/reference/pytest/01_input_json_ld"
+OUT_DIR = "/root/reference/pytest/01_output_json_ld"
+
+
+def run_case(name, config):
+    with open(f"{IN_DIR}/{name}.json") as f:
+        req = json.load(f)
+    with open(f"{OUT_DIR}/{name}.json") as f:
+        golden = json.load(f)
+    got = anonymize_jsonld_request(
+        req["data"],
+        config,
+        seed=req.get("randomSeed", 0),
+        include_original_data=req.get("includeOriginalData", False),
+        use_adjusted_attributes=req.get("useAdjustedAttributes", True),
+    )
+    want = parse_jsonld(golden)
+    return got, want
+
+
+def pr(got, want, exclude_preds=(), exclude_pred_contains=()):
+    def keep(t):
+        _, p, _ = t
+        if p in exclude_preds:
+            return False
+        return not any(c in p for c in exclude_pred_contains)
+
+    gset = {t for t in normalize_triples(got) if keep(t)}
+    wset = {t for t in normalize_triples(want) if keep(t)}
+    return triple_precision_recall(gset, wset)
+
+
+@pytest.mark.parametrize(
+    "name,config,excl,floor",
+    [
+        ("11-maksing", REF_CONFIG, (), 1.0),
+        # 0.9993: two date-tied records swap adjacent buckets (the reference's
+        # tie order is arbitrary HashMap order; ours is deterministic)
+        ("12-generalization", REF_CONFIG, (), 0.999),
+        ("13-generalization-address", REF_CONFIG, (), 1.0),
+        # randomized values + RNG-dependent k-anonymity excluded both sides
+        ("14-randomization", REF_CONFIG, ("_randomized", "kanonymity"), 1.0),
+        ("15-multiple-attributes", REF_CONFIG, ("_randomized", "kanonymity"), 1.0),
+        ("16-multiple-objects", REF_CONFIG2, ("_randomized", "kanonymity"), 1.0),
+    ],
+)
+def test_jsonld_triple_pr(name, config, excl, floor):
+    got, want = run_case(name, config)
+    p, r = pr(got, want, exclude_pred_contains=excl)
+    assert p >= floor, f"{name}: precision {p:.4f}"
+    assert r >= floor, f"{name}: recall {r:.4f}"
+
+
+def test_jsonld_deterministic_cases_near_exact():
+    got, want = run_case("11-maksing", REF_CONFIG)
+    p, r = pr(got, want)
+    assert p == 1.0 and r == 1.0
