@@ -114,6 +114,7 @@ def run_main() -> dict:
 
 
 SCALING_REPLICATE = int(os.environ.get("GRAFT_KG_REPLICATE", "768"))
+HW_BASELINE_NOTE = "see BASELINE.md: single-socket hardware ceiling ~0.76 between 8 and 32 active cores"
 SCALING_PAGES_DIR = "/tmp/bench_pages_parquet"
 
 
