@@ -227,14 +227,20 @@ def q_agg_pricing_summary(sf_dir: str):
     )
 
     def _partial(batch: pa.Table) -> pa.Table:
+        # exact integer-unit sums (cents): float summation order differs
+        # between Ray partial aggregation and any SQL engine, so plain double
+        # sums are not bit-reproducible; integer sums are order-independent
         df = batch.to_pandas()
+        df["qty_i"] = df["l_quantity"].round().astype("int64")
+        df["price_c"] = (df["l_extendedprice"] * 100).round().astype("int64")
+        df["disc_c"] = (df["l_discount"] * 100).round().astype("int64")
         g = (
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
             .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc=("l_discount", "sum"),
-                count_order=("l_quantity", "size"),
+                sum_qty_i=("qty_i", "sum"),
+                sum_price_c=("price_c", "sum"),
+                sum_disc_c=("disc_c", "sum"),
+                count_order=("qty_i", "size"),
             )
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -242,19 +248,20 @@ def q_agg_pricing_summary(sf_dir: str):
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     final = (
         partials.groupby(["l_returnflag", "l_linestatus"])
-        .sum(["sum_qty", "sum_base_price", "sum_disc", "count_order"])
+        .sum(["sum_qty_i", "sum_price_c", "sum_disc_c", "count_order"])
     )
 
     def _finish(batch: pa.Table) -> pa.Table:
-        qty = batch.column("sum(sum_qty)")
+        qty = pc.cast(batch.column("sum(sum_qty_i)"), pa.float64())
         cnt = pc.cast(batch.column("sum(count_order)"), pa.int64())
-        disc = batch.column("sum(sum_disc)")
+        price = pc.divide(pc.cast(batch.column("sum(sum_price_c)"), pa.float64()), 100.0)
+        disc = pc.divide(pc.cast(batch.column("sum(sum_disc_c)"), pa.float64()), 100.0)
         return pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag").combine_chunks(),
                 "l_linestatus": batch.column("l_linestatus").combine_chunks(),
                 "sum_qty": qty,
-                "sum_base_price": batch.column("sum(sum_base_price)"),
+                "sum_base_price": price,
                 "avg_disc": pc.divide(disc, pc.cast(cnt, pa.float64())),
                 "count_order": cnt,
             }
@@ -265,9 +272,9 @@ def q_agg_pricing_summary(sf_dir: str):
 
 SQL_AGG_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_discount) / count(*) AS avg_disc,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       (CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -306,20 +313,34 @@ def q_events_hourly(sf_dir: str):
 
     def _trunc(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch.column("ts"), unit="hour")
+        # micro-unit integers: order-independent exact sums (see pricing note)
+        micro = pc.cast(pc.round(pc.multiply(batch.column("value"), 1e6)), pa.int64())
         return pa.table(
             {
                 "event_type": batch.column("event_type").combine_chunks(),
                 "hour": hour,
-                "value": batch.column("value").combine_chunks(),
+                "value_u": micro,
             }
         )
 
-    g = ds.map_batches(_trunc, batch_format="pyarrow").groupby(["event_type", "hour"]).sum("value")
-    return g.rename_columns({"sum(value)": "sum_value"})
+    g = ds.map_batches(_trunc, batch_format="pyarrow").groupby(["event_type", "hour"]).sum("value_u")
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        sv = pc.divide(pc.cast(batch.column("sum(value_u)"), pa.float64()), 1e6)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").combine_chunks(),
+                "hour": batch.column("hour").combine_chunks(),
+                "sum_value": sv,
+            }
+        )
+
+    return g.map_batches(_fin, batch_format="pyarrow")
 
 
 SQL_EVENTS_HOURLY = """
-SELECT event_type, date_trunc('hour', ts) AS hour, sum(value) AS sum_value
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 

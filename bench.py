@@ -156,6 +156,46 @@ def run_scaling_child(num_cpus: int) -> dict:
     return {"num_cpus": num_cpus, "sec": round(sec, 3), "docs_per_sec": round(n_docs / sec, 1)}
 
 
+def _hw_work(n: int) -> float:
+    """Fixed CPU-bound unit mirroring the pipeline kernels (string ops +
+    crc32 + small numpy)."""
+    import time as _t
+    import zlib
+
+    import numpy as np
+
+    t0 = _t.perf_counter()
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    words = text.split()
+    a = np.arange(64, dtype=np.int64) * 2654435761
+    for _ in range(n):
+        sh = np.array(
+            [zlib.crc32(" ".join(words[i : i + 3]).encode()) for i in range(len(words) - 2)],
+            dtype=np.int64,
+        )
+        (a[:, None] * sh[None, :] % ((1 << 61) - 1)).min(axis=1)
+    return _t.perf_counter() - t0
+
+
+def measure_hw_ceiling(low: int = 8, high: int = 32, units: int = 8000) -> float:
+    """Single-socket parallel-efficiency ceiling: identical per-process work
+    at `low` vs `high` active processes. On one box the two 'clusters' share
+    a memory bus and turbo budget; a real N vs 4N NODE cluster does not —
+    this ratio normalizes the end-to-end number accordingly."""
+    import multiprocessing as mp
+
+    per_proc = {}
+    for n in (low, high):
+        with mp.Pool(n) as p:
+            p.map(_hw_work, [units // 20] * n)  # warm-up
+            t0 = time.perf_counter()
+            p.map(_hw_work, [units] * n)
+            wall = time.perf_counter() - t0
+        per_proc[n] = wall
+    # perfect hardware would give identical walls (same per-process work)
+    return round(per_proc[low] / per_proc[high], 3)
+
+
 def run_scaling() -> dict:
     """Same job, fresh process per parallelism level (8 then 32 CPUs)."""
     prep = subprocess.run(
@@ -185,6 +225,7 @@ def run_scaling() -> dict:
     low, high = results
     speedup = low["sec"] / high["sec"] if high["sec"] else 0.0
     efficiency = speedup / (high["num_cpus"] / low["num_cpus"])
+    hw_ceiling = measure_hw_ceiling(low["num_cpus"], high["num_cpus"])
     return {
         "metric": "scaling_efficiency",
         "value": round(efficiency, 3),
@@ -200,6 +241,14 @@ def run_scaling() -> dict:
             str(high["num_cpus"]): high["docs_per_sec"],
         },
         "speedup": round(speedup, 3),
+        # single-socket sandbox correction (see BASELINE.md): both "clusters"
+        # share one memory bus + turbo budget; a real N vs 4N node cluster
+        # does not. hw_ceiling = parallel efficiency of IDENTICAL per-process
+        # work at the two concurrency levels on this box.
+        "hw_ceiling": hw_ceiling,
+        "efficiency_normalized": round(min(1.0, efficiency / hw_ceiling), 3)
+        if hw_ceiling
+        else None,
     }
 
 
