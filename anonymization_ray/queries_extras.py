@@ -520,3 +520,29 @@ EXTRAS_REGISTRY.update(
         "pivot_triples_roundtrip": QueryDef(q_pivot_roundtrip, SQL_PIVOT_ROUNDTRIP),
     }
 )
+
+
+def q_sample_lineitem(sf_dir: str):
+    """Deterministic systematic sampling (5%): keep rows where the key falls
+    in a fixed residue class — reproducible across runs/partitionings and
+    SQL-mirrorable (hash-based sampling would tie the oracle to a specific
+    hash implementation)."""
+    ds = load(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = batch.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ((ok * 7 + ln) % 20) == 3
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
+
+
+SQL_SAMPLE_LINEITEM = """
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE (l_orderkey * 7 + l_linenumber) % 20 = 3
+"""
+
+EXTRAS_REGISTRY.update(
+    {"sample_lineitem": QueryDef(q_sample_lineitem, SQL_SAMPLE_LINEITEM)}
+)
