@@ -156,6 +156,7 @@ def anonymize_jsonld_request(
                 if ac is None:
                     continue
                 out_name = col if use_adjusted_attributes else base
+                renamed_output = (not use_adjusted_attributes) and col == base
                 if col.endswith("_generalized") and base in res.buckets:
                     emit(s, out_name, f"{base}_{int(val)}", "iri")
                 elif col.endswith("_generalized"):
@@ -163,11 +164,24 @@ def anonymize_jsonld_request(
                 elif col.endswith("_masked"):
                     emit(s, out_name, "*****")
                 elif col.endswith("_randomized"):
-                    codec = CODECS[kind_for_datatype(ac.datatype)]
                     if ac.datatype == "date":
                         emit(s, out_name, val.isoformat() if hasattr(val, "isoformat") else str(val), "date")
                     else:
                         emit(s, out_name, repr(float(val)), "double")
+                elif renamed_output:
+                    # use_adjusted_attributes=False: the anonymized column was
+                    # renamed back to the original attribute name upstream
+                    if ac.method == GENERALIZATION and base in res.buckets:
+                        emit(s, out_name, f"{base}_{int(val)}", "iri")
+                    elif ac.method == GENERALIZATION:
+                        emit(s, out_name, str(val))
+                    elif ac.method == MASKING:
+                        emit(s, out_name, "*****")
+                    elif ac.method == RANDOMIZATION:
+                        if ac.datatype == "date":
+                            emit(s, out_name, val.isoformat() if hasattr(val, "isoformat") else str(val), "date")
+                        else:
+                            emit(s, out_name, repr(float(val)), "double")
                 elif col == base and include_original_data:
                     pass  # original kept below via passthrough
             # mark originals consumed (deleted unless include_original)

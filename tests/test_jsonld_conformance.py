@@ -77,3 +77,16 @@ def test_jsonld_deterministic_cases_near_exact():
     got, want = run_case("11-maksing", REF_CONFIG)
     p, r = pr(got, want)
     assert p == 1.0 and r == 1.0
+
+
+def test_jsonld_case_17_rename_pass():
+    got, want = run_case("17-use-original-attributes", REF_CONFIG)
+    # randomized attrs keep their original names after the rename pass;
+    # exclude them (and RNG-dependent k-anonymity) on both sides
+    p, r = pr(
+        got, want,
+        exclude_preds=("longitude", "geburtsdatum"),
+        exclude_pred_contains=("kanonymity",),
+    )
+    assert p >= 0.999, f"precision {p:.4f}"
+    assert r >= 0.999, f"recall {r:.4f}"
