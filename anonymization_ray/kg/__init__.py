@@ -1,7 +1,11 @@
 from .pages import synthesize_pages  # noqa: F401
 from .extract import extract_text, extract_mentions  # noqa: F401
 from .link import build_alias_index, link_mentions  # noqa: F401
-from .canonicalize import canonicalize_components, apply_canonical_mapping  # noqa: F401
+from .canonicalize import (  # noqa: F401
+    apply_canonical_mapping,
+    canonicalize_components,
+    canonicalize_components_distributed,
+)
 from .materialize import materialize_triples, resume_missing_partitions  # noqa: F401
 from .anonymize import anonymize_triples, skolemize, TriplePredicateConfig  # noqa: F401
 from .pipeline import kg_pipeline, verify_text_invariant, KgRunResult  # noqa: F401

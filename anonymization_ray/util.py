@@ -163,6 +163,54 @@ def chunked_ranges(offsets: np.ndarray, min_rows: int = 65536) -> list[tuple[int
     return [r for r in out if r[1] > r[0]]
 
 
+def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Dataset:
+    """(key, min(val)) for a narrow two-column dataset WITHOUT a per-group
+    aggregate.
+
+    Ray's ``groupby().min()`` pays a per-GROUP Python cost (~8-10s per 500k
+    groups regardless of shuffle strategy), ruinous when nearly every key is
+    its own group. Instead: one range sort by (key, val), then a vectorized
+    per-block scan keeping each block's first row per key; block boundaries
+    are fixed by comparing against the previous block's last key (single-row
+    metadata, no data exchange). Same pattern as
+    ``kg/fingerprint.dedup_pages_exact``.
+    """
+    s = coalesce_blocks(
+        ds.select_columns([key_col, val_col]).materialize()
+    ).sort([key_col, val_col]).materialize()
+    refs = [r for r in s.to_arrow_refs()]
+
+    @ray.remote(num_cpus=0.25)
+    def _edge_keys(t: pa.Table):
+        if t.num_rows == 0:
+            return None, None
+        k = t.column(key_col)
+        return k[0].as_py(), k[-1].as_py()
+
+    bounds = ray.get([_edge_keys.remote(r) for r in refs])
+    refs = [r for r, (f, _) in zip(refs, bounds) if f is not None]
+    bounds = [b for b in bounds if b[0] is not None]
+
+    @ray.remote(num_cpus=0.5)
+    def _first_per_key(t: pa.Table, prev_last) -> pa.Table:
+        k = t.column(key_col).combine_chunks()
+        n = len(k)
+        same_prev = pc.equal(k.slice(1), k.slice(0, n - 1))
+        keep = np.empty(n, dtype=bool)
+        keep[0] = prev_last is None or k[0].as_py() != prev_last
+        if n > 1:
+            keep[1:] = np.invert(same_prev.to_numpy(zero_copy_only=False))
+        return t.filter(pa.array(keep))
+
+    out_refs = [
+        _first_per_key.remote(refs[i], bounds[i - 1][1] if i > 0 else None)
+        for i in range(len(refs))
+    ]
+    if not out_refs:
+        return s  # empty, correct schema
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def default_num_partitions() -> int:
     """Join/shuffle partition count sized to the cluster: the join's
     aggregator actors each hold a CPU, so too many partitions on a small

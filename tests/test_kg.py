@@ -10,6 +10,7 @@ import ray.data as rd
 
 from anonymization_ray.kg import (
     canonicalize_components,
+    canonicalize_components_distributed,
     apply_canonical_mapping,
     kg_pipeline,
     materialize_triples,
@@ -37,6 +38,41 @@ def test_union_find_chains_and_component_labels():
     assert m["a"] == "urn:x" and m["b"] == "urn:x" and m["c"] == "urn:x"
     assert m["urn:x"] == "urn:x"
     assert m["p"] == "p" and m["q"] == "p"  # no urn member -> lexicographic min
+
+
+def test_distributed_canonicalization_matches_driver():
+    # deep alias chain (adversarial for one-hop propagation) + disjoint pair;
+    # forces the distributed min-label contraction path and checks it against
+    # the exact driver union-find
+    chain = [f"a{i:02d}" for i in range(1, 11)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "edge_a": chain[:] + ["p"],
+                "edge_b": chain[1:] + ["urn:x", "q"],
+            }
+        )
+    ).repartition(4)
+    drv = (
+        canonicalize_components(edges)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        canonicalize_components_distributed(edges)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert drv.equals(dist)
+    assert (dist.set_index("node").loc[chain, "canonical"] == "urn:x").all()
+
+    # auto-selection: a tiny driver cap must fall through to the distributed
+    # path and still produce the identical mapping (as a Dataset)
+    auto = canonicalize_components(edges, driver_edge_limit=2)
+    assert isinstance(auto, rd.Dataset)
+    assert auto.to_pandas().sort_values("node").reset_index(drop=True).equals(drv)
 
 
 def test_apply_mapping_broadcast_and_join_agree():
