@@ -58,6 +58,11 @@ class AttributeConfig:
     datatype: str  # integer|double|date|dateTime|string | <object type name>
     method: str  # masking|generalization|randomization
     attribute_order: tuple[str, ...] = field(default=())
+    # full IRIs when parsed from a SOyA config graph (soya.parse_soya_config);
+    # the request surface matches prefix+name against these like the
+    # reference matches Jena Property IRIs (FaltJsonService.java:40-91)
+    object_iri: str | None = field(default=None, compare=False)
+    attribute_iri: str | None = field(default=None, compare=False)
 
     @property
     def is_object(self) -> bool:

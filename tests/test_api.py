@@ -1,0 +1,120 @@
+"""Request-surface conformance: the reference's error cases 01-05 (flat) and
+01-04 (JSON-LD) from /root/reference/pytest/testcases.txt, driven through
+handle_flat_request / handle_jsonld_request with the vendored SOyA overlay
+as the fetched configuration."""
+
+import json
+import os
+
+import pytest
+
+from anonymization_ray.api import (
+    handle_flat_request,
+    handle_jsonld_request,
+    static_fetcher,
+)
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+FLAT_IN = "/root/reference/pytest/02_input_flat_json"
+FLAT_OUT = "/root/reference/pytest/02_output_flat_json"
+LD_IN = "/root/reference/pytest/01_input_json_ld"
+LD_OUT = "/root/reference/pytest/01_output_json_ld"
+
+CONFIG_URL = "https://soya.ownyourdata.eu/AnonymisationDemo"
+
+with open(os.path.join(FIXDIR, "anonymisation_demo_soya.jsonld")) as _f:
+    FETCH = static_fetcher({CONFIG_URL: _f.read()})
+
+
+def load(indir, name):
+    with open(f"{indir}/{name}.json") as f:
+        return json.load(f)
+
+
+def golden(outdir, name):
+    with open(f"{outdir}/{name}.json") as f:
+        return json.load(f)
+
+
+# ---- flat error cases -----------------------------------------------------
+
+def test_flat_01_missing_parameter():
+    got = handle_flat_request(load(FLAT_IN, "01-missing-parameter"), fetch=FETCH)
+    assert got == golden(FLAT_OUT, "01-missing-parameter")
+
+
+def test_flat_02_invalid_url():
+    got = handle_flat_request(load(FLAT_IN, "02-invalid-url"), fetch=FETCH)
+    want = golden(FLAT_OUT, "02-invalid-url")
+    assert (got["status"], got["title"], got["detail"], got["instance"]) == (
+        want["status"], want["title"], want["detail"], want["instance"]
+    )
+
+
+def test_flat_03_invalid_config_content():
+    # the reference fetches https://soya.ownyourdata.eu/ which serves HTML;
+    # mirror with a fetcher that returns non-RDF content for that url
+    req = load(FLAT_IN, "03-invalid-config")
+    fetch = static_fetcher({req["configurationUrl"]: "<html>landing page</html>"})
+    got = handle_flat_request(req, fetch=fetch)
+    want = golden(FLAT_OUT, "03-invalid-config")
+    assert (got["status"], got["title"], got["detail"], got["instance"]) == (
+        want["status"], want["title"], want["detail"], want["instance"]
+    )
+
+
+def test_flat_04_jsonld_data_on_flat_endpoint():
+    got = handle_flat_request(load(FLAT_IN, "04-no-json-ld"), fetch=FETCH)
+    want = golden(FLAT_OUT, "04-no-json-ld")
+    assert (got["status"], got["title"], got["instance"]) == (
+        want["status"], want["title"], want["instance"]
+    )
+    assert got["detail"].startswith("Cannot deserialize value of type `java.util.ArrayList")
+
+
+def test_flat_05_invalid_prefix():
+    got = handle_flat_request(load(FLAT_IN, "05-invalid-prefix"), fetch=FETCH)
+    assert got == golden(FLAT_OUT, "05-invalid-prefix")
+
+
+# ---- flat happy path through the API (url -> SOyA parse -> anonymize) -----
+
+def test_flat_11_masking_through_api():
+    got = handle_flat_request(load(FLAT_IN, "11-maksing"), fetch=FETCH)
+    assert got == golden(FLAT_OUT, "11-maksing")
+
+
+# ---- json-ld error cases --------------------------------------------------
+
+def test_jsonld_01_missing_parameter():
+    got = handle_jsonld_request(load(LD_IN, "01-missing-parameter"), fetch=FETCH)
+    assert got == golden(LD_OUT, "01-missing-parameter")
+
+
+def test_jsonld_02_invalid_url():
+    got = handle_jsonld_request(load(LD_IN, "02-invalid-url"), fetch=FETCH)
+    want = golden(LD_OUT, "02-invalid-url")
+    assert (got["status"], got["title"], got["detail"], got["instance"]) == (
+        want["status"], want["title"], want["detail"], want["instance"]
+    )
+
+
+def test_jsonld_03_invalid_config_content():
+    req = load(LD_IN, "03-invalid-config")
+    fetch = static_fetcher({req["configurationUrl"]: "<html>landing page</html>"})
+    got = handle_jsonld_request(req, fetch=fetch)
+    want = golden(LD_OUT, "03-invalid-config")
+    assert (got["status"], got["title"], got["detail"], got["instance"]) == (
+        want["status"], want["title"], want["detail"], want["instance"]
+    )
+
+
+def test_jsonld_04_flat_data_on_jsonld_endpoint():
+    # non-JSON-LD data -> empty model; only the kpi node (k=1) survives
+    got = handle_jsonld_request(load(LD_IN, "04-no-json-ld"), fetch=FETCH)
+    graph = got["@graph"]
+    assert len(graph) == 1
+    node = graph[0]
+    assert node["@id"].endswith("kpiAnonymisationDemo")
+    (kan,) = [v for k, v in node.items() if k.endswith("kanonymity")]
+    assert kan["@value"] == "1"

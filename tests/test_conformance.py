@@ -2,15 +2,19 @@
 (/root/reference/pytest/02_{input,output}_flat_json — read-only).
 
 The reference's config graph (fetched from the live SOyA URL at request time,
-not in its repo) is vendored here as inferred from the fixtures
-(FIXTURES.md §1-§3): deterministic cases (masking, generalization numeric/
-date, object generalization) must match the goldens EXACTLY; randomized
-values are checked structurally (bounds, determinism) since the reference's
-java.util.Random stream is not bit-replicated (BASELINE.md P/R gate).
+not in its repo) is vendored as a SOyA overlay JSON-LD fixture
+(tests/fixtures/anonymisation_demo_soya.jsonld, shape per FIXTURES.md §1-§3)
+and parsed through the same extraction path a real request uses
+(soya.parse_soya_config): deterministic cases (masking, generalization
+numeric/date, object generalization) must match the goldens EXACTLY;
+randomized values are checked structurally (bounds, determinism) since the
+reference's java.util.Random stream is not bit-replicated (BASELINE.md P/R
+gate).
 """
 
 import json
 import math
+import os
 
 import pytest
 
@@ -21,27 +25,13 @@ from anonymization_ray.pipelines.flat import (
     validate_key,
     validate_request,
 )
+from anonymization_ray.soya import parse_soya_config
 
 IN_DIR = "/root/reference/pytest/02_input_flat_json"
 OUT_DIR = "/root/reference/pytest/02_output_flat_json"
 
-REF_CONFIG = AnonymizationConfig(
-    (
-        AttributeConfig("AnonymisationDemo", "name", "string", "masking"),
-        AttributeConfig("AnonymisationDemo", "latitude", "float", "generalization"),
-        AttributeConfig("AnonymisationDemo", "longitude", "float", "randomization"),
-        AttributeConfig("AnonymisationDemo", "gehalt", "float", "generalization"),
-        AttributeConfig("AnonymisationDemo", "start_pv", "date", "generalization"),
-        AttributeConfig("AnonymisationDemo", "geburtsdatum", "date", "randomization"),
-        AttributeConfig(
-            "AnonymisationDemo",
-            "adresse",
-            "Address",
-            "generalization",
-            ("detail", "zip", "city", "state", "country"),
-        ),
-    )
-)
+with open(os.path.join(os.path.dirname(__file__), "fixtures", "anonymisation_demo_soya.jsonld")) as _f:
+    REF_CONFIG = parse_soya_config(_f.read())
 
 REF_CONFIG2 = AnonymizationConfig(
     (

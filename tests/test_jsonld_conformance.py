@@ -79,6 +79,36 @@ def test_jsonld_deterministic_cases_near_exact():
     assert p == 1.0 and r == 1.0
 
 
+@pytest.mark.parametrize(
+    "name", ["11-maksing", "12-generalization", "13-generalization-address"]
+)
+def test_write_jsonld_roundtrip_goldens(name):
+    # serializer conformance: golden -> parse -> write_jsonld -> parse must
+    # reproduce the identical triple set (P/R 1.0, document-level diff modulo
+    # key order)
+    from anonymization_ray.sources.jsonld import write_jsonld
+
+    with open(f"{OUT_DIR}/{name}.json") as f:
+        golden = json.load(f)
+    t1 = parse_jsonld(golden)
+    doc = write_jsonld(t1, context=golden.get("@context"))
+    t2 = parse_jsonld(doc)
+    s1 = normalize_triples(t1, drop_blank=False)
+    s2 = normalize_triples(t2, drop_blank=False)
+    p, r = triple_precision_recall(s2, s1)
+    assert p == 1.0 and r == 1.0
+
+
+def test_write_jsonld_byte_stable():
+    from anonymization_ray.sources.jsonld import write_jsonld
+
+    with open(f"{OUT_DIR}/11-maksing.json") as f:
+        golden = json.load(f)
+    d1 = json.dumps(write_jsonld(parse_jsonld(golden)), sort_keys=True)
+    d2 = json.dumps(write_jsonld(parse_jsonld(golden)), sort_keys=True)
+    assert d1 == d2
+
+
 def test_jsonld_case_17_rename_pass():
     got, want = run_case("17-use-original-attributes", REF_CONFIG)
     # randomized attrs keep their original names after the rename pass;
