@@ -202,10 +202,21 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _md5_64(tok: str) -> int:
+    """First 8 md5 bytes, little-endian — bit-identical to DuckDB's
+    ``md5_number_upper``, which makes the simhash SQL-oracleable."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+
+
 def simhash_signatures(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    """(id, simhash int64): sign-sum of token crc32 bit vectors."""
+    """(id, simhash int64): sign-sum of token md5-64 bit vectors. Token
+    hashes are memoized per task (natural-language vocabularies are tiny
+    relative to token streams)."""
 
     def _sim(batch: pa.Table) -> pa.Table:
+        cache: dict[str, int] = {}
         texts = batch.column(text_col).to_pylist()
         out = np.empty(len(texts), dtype=np.uint64)
         for i, t in enumerate(texts):
@@ -213,8 +224,11 @@ def simhash_signatures(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset
             if not toks:
                 out[i] = 0
                 continue
-            hs = np.array([zlib.crc32(w.encode()) for w in toks], dtype=np.uint64)
-            hs = hs * np.uint64(0x9E3779B97F4A7C15)  # spread to 64 bits
+            hs = np.fromiter(
+                (cache.get(w) or cache.setdefault(w, _md5_64(w)) for w in toks),
+                dtype=np.uint64,
+                count=len(toks),
+            )
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
                 np.int64
             )
@@ -258,7 +272,10 @@ def simhash_dup_pairs(
         a_out, b_out, d_out = [], [], []
         for i in range(len(ids)):
             x = sims[i] ^ sims[i + 1 :]
-            ham = np.array([bin(v).count("1") for v in x])
+            if not len(x):
+                continue
+            # vectorized popcount: xor words -> bytes -> unpackbits sum
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
             for off in np.nonzero(ham <= mh)[0]:
                 j = i + 1 + off
                 a, b = sorted((ids[i], ids[j]))
@@ -280,40 +297,185 @@ def simhash_dup_pairs(
 
 
 def embedding_dup_pairs(
-    ds: rd.Dataset, vec_col: str, id_col: str, *, threshold: float = 0.95
+    ds: rd.Dataset,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    target_block_rows: int = 16384,
 ) -> rd.Dataset:
-    """Cosine >= threshold pairs (a < b). The corpus matrix is broadcast once
-    (ray.put via closure); each batch does one blocked matmul against it —
-    suitable while the embedding table fits the object store; beyond that,
-    use lsh_topk-style bucketing."""
-    mat_t = ds.select_columns([id_col, vec_col]).to_pandas()
-    all_ids = mat_t[id_col].to_numpy()
-    mat = np.stack(mat_t[vec_col].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
+    """EXACT cosine >= threshold pairs (a < b) via a distributed block-pair
+    join: the normalized corpus is materialized as B object-store blocks and
+    B(B+1)/2 tasks each compute one block x block matmul, emitting only the
+    threshold hits. Nothing is gathered on the driver; each task touches two
+    blocks (zero-copy refs).
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    The quadratic task count is inherent to an exact low-threshold similarity
+    join (no metric blocking is lossless at cosine ~0.5); for genuine
+    near-duplicate detection (threshold >= ~0.9) use
+    ``embedding_dup_pairs_lsh`` — linear-ish work via hyperplane blocking."""
+    import ray
+
+    def _normalize_block(batch: pa.Table) -> pa.Table:
         v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
-        vn = np.linalg.norm(v, axis=1)
-        vn[vn == 0] = 1.0
-        v = v / vn[:, None]
-        scores = v @ matn.T  # (batch, corpus)
-        a_out, b_out, s_out = [], [], []
-        for r in range(len(ids)):
-            hits = np.nonzero(scores[r] >= threshold)[0]
-            for h in hits:
-                if all_ids[h] > ids[r]:  # dedupe: emit each unordered pair once
-                    a_out.append(ids[r])
-                    b_out.append(all_ids[h])
-                    s_out.append(float(scores[r, h]))
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        v = v / n[:, None]
         return pa.table(
             {
-                "id_a": pa.array(a_out),
-                "id_b": pa.array(b_out),
-                "cosine": pa.array(s_out, pa.float64()),
+                id_col: batch.column(id_col).combine_chunks(),
+                "_nvec": pa.array(list(v), pa.list_(pa.float64())),
             }
         )
 
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    narrow = ds.select_columns([id_col, vec_col]).map_batches(
+        _normalize_block, batch_format="pyarrow"
+    ).materialize()
+    nrows = narrow.count()
+    nblocks = max(1, min(256, nrows // target_block_rows + 1))
+    narrow = narrow.repartition(nblocks).materialize()
+    refs = narrow.to_arrow_refs()
+
+    @ray.remote
+    def _block_pair(ta: pa.Table, tb: pa.Table) -> pa.Table:
+        ia = ta.column(id_col).to_numpy(zero_copy_only=False)
+        ib = tb.column(id_col).to_numpy(zero_copy_only=False)
+        va = np.stack(ta.column("_nvec").to_numpy(zero_copy_only=False))
+        vb = np.stack(tb.column("_nvec").to_numpy(zero_copy_only=False))
+        scores = va @ vb.T
+        r, c = np.nonzero(scores >= threshold)
+        a, b = ia[r], ib[c]
+        s = scores[r, c]
+        keep = a != b
+        a, b, s = a[keep], b[keep], s[keep]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(a2),
+                "id_b": pa.array(b2),
+                "cosine": pa.array(s, pa.float64()),
+            }
+        )
+
+    out_refs = [
+        _block_pair.remote(refs[i], refs[j])
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    pairs = rd.from_arrow_refs(out_refs)
+    # same-block pairs appear twice only as (a,b) ordered — the cross-block
+    # tiles are disjoint, so no global dedup shuffle is needed; the diagonal
+    # tile emits each unordered pair twice (both orders hit the >= filter),
+    # collapsed by the ordered swap + per-block dedup
+    def _dedup(b: pa.Table) -> pa.Table:
+        g = b.group_by(["id_a", "id_b"]).aggregate([("cosine", "min")])
+        return g.select(["id_a", "id_b", "cosine_min"]).rename_columns(
+            ["id_a", "id_b", "cosine"]
+        )
+
+    return pairs.map_batches(_dedup, batch_format="pyarrow")
+
+
+def embedding_dup_pairs_lsh(
+    ds: rd.Dataset,
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> rd.Dataset:
+    """Near-duplicate pairs for HIGH thresholds: random-hyperplane band
+    signatures -> self-join on (table, bucket) -> exact cosine verification
+    in the joined stream. Collision probability per table for angle θ is
+    (1-θ/π)^n_planes, so near-identical vectors (θ→0) collide in every
+    table while unrelated vectors rarely share a bucket; verification makes
+    false positives impossible — only recall is probabilistic. Same scale
+    shape as ``minhash_lsh_pairs`` (banded self-join, no per-bucket UDF)."""
+    from ..extras.similarity import _hyperplanes
+    from ..util import default_num_partitions, hash_join
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        dim = v.shape[1]
+        out_t, out_b, out_i = [], [], []
+        for t in range(n_tables):
+            p = _hyperplanes(dim, n_planes, seed=101 + t)
+            sig = np.packbits((v @ p.T) > 0, axis=1, bitorder="little")[:, 0].astype(np.int64)
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_b.append(sig)
+            out_i.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_t), pa.int32()),
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                id_col: pa.array(np.concatenate(out_i)),
+            }
+        )
+
+    banded = ds.map_batches(_bands, batch_format="pyarrow")
+    nparts = max(2, default_num_partitions() // 2)
+    left = banded.rename_columns({id_col: "id_a"})
+    right = banded.rename_columns({id_col: "id_b"})
+    cand = left.join(right, join_type="inner", num_partitions=nparts, on=("band", "bucket"))
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        m = pc.less(batch.column("id_a"), batch.column("id_b"))
+        return batch.filter(m).select(["id_a", "id_b"])
+
+    uniq = (
+        cand.map_batches(_ordered, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    # exact verification: attach both vectors by hash join (packed to binary
+    # — Arrow joins reject list-typed payload columns), vectorized cosine
+    def _pack(batch: pa.Table) -> pa.Table:
+        v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "_vec": pa.array([row.tobytes() for row in v], pa.binary()),
+            }
+        )
+
+    packed = ds.map_batches(_pack, batch_format="pyarrow")
+    va = packed.rename_columns({id_col: "id_a", "_vec": "_vec_a"})
+    vb = packed.rename_columns({id_col: "id_b", "_vec": "_vec_b"})
+    joined = hash_join(uniq, va, on="id_a", join_type="inner", num_partitions=nparts)
+    joined = joined.materialize()  # chained joins over shared lineage (see canonicalize)
+    joined = hash_join(joined, vb, on="id_b", join_type="inner", num_partitions=nparts)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], batch.column("id_a").type),
+                    "id_b": pa.array([], batch.column("id_b").type),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        a = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch.column("_vec_a").to_pylist()])
+        b = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch.column("_vec_b").to_pylist()])
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", a, b) / (na * nb)
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a").combine_chunks(),
+                "id_b": batch.column("id_b").combine_chunks(),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("cosine"), threshold))
+
+    return joined.map_batches(_verify, batch_format="pyarrow")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -201,19 +202,23 @@ def skolemize(triples: rd.Dataset, cols: tuple[str, ...] = ("subj",)) -> rd.Data
     ``urn:skolem:<md5-12>`` — the Ray-native stand-in for the reference's
     blank-node handling (blank nodes cannot cross partition boundaries)."""
 
-    def _skolem_one(v: str) -> str:
-        return "urn:skolem:" + hashlib.md5(v.encode()).hexdigest()[:12]
-
     def _apply(batch: pa.Table) -> pa.Table:
         for c in cols:
-            vals = batch.column(c).to_pylist()
-            out = [
-                v if (v is None or v.startswith(("urn:", "http", "rdf:", "soya:")) or "_" in v)
-                else _skolem_one(v)
-                for v in vals
-            ]
-            i = batch.column_names.index(c)
-            batch = batch.set_column(i, c, pa.array(out, pa.string()))
+            col = batch.column(c).combine_chunks()
+            # vectorized mask: IRI-ish nodes and suffixed bucket/anonymized
+            # names stay; only the (minority) plain-literal slice is hashed
+            keep = pc.match_substring_regex(col, r"^(urn:|http|rdf:|soya:)|_")
+            keep = pc.fill_null(pc.or_kleene(keep, pc.is_null(col)), True)
+            need = pc.invert(keep)
+            if pc.sum(pc.cast(need, pa.int64())).as_py() == 0:
+                continue
+            need_np = need.to_numpy(zero_copy_only=False)
+            vals = col.to_numpy(zero_copy_only=False)
+            out = vals.copy()
+            for i in np.nonzero(need_np)[0]:
+                out[i] = "urn:skolem:" + hashlib.md5(vals[i].encode()).hexdigest()[:12]
+            idx = batch.column_names.index(c)
+            batch = batch.set_column(idx, c, pa.array(out, pa.string()))
         return batch
 
     return triples.map_batches(_apply, batch_format="pyarrow")

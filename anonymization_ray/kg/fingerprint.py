@@ -119,13 +119,10 @@ def dedup_pages_exact(
         return pages
 
     if loser_count <= broadcast_limit:
-        loser_set = set(
-            u for t in loser_tables for u in t.column("url").to_pylist()
-        )
+        loser_arr = pa.concat_tables(loser_tables).column("url").combine_chunks()
 
         def _filter_pages(batch: pa.Table) -> pa.Table:
-            urls = batch.column("url").to_pylist()
-            mask = pa.array([u not in loser_set for u in urls], pa.bool_())
+            mask = pc.invert(pc.is_in(batch.column("url"), value_set=loser_arr))
             return batch.filter(mask)
 
         return pages.map_batches(_filter_pages, batch_format="pyarrow")

@@ -21,6 +21,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
@@ -56,7 +57,9 @@ def build_alias_index(sf_dir: str) -> dict:
 
 class MentionLinker:
     """Actor-pool callable: dereferences the broadcast alias index once in the
-    constructor.
+    constructor and PRE-WALKS every alias chain there — per batch the hot
+    path is a vectorized regex + sorted-array lookup; per-row Python runs
+    only once per DISTINCT previously-unseen surface form (edge emission).
 
     Each actor deduplicates the alias edges it emits for its lifetime (the
     combiner/salting pattern): the edge vocabulary is dimension-scale, so
@@ -64,68 +67,109 @@ class MentionLinker:
     duplicate edge row."""
 
     def __init__(self, alias_ref, emit_url: bool = True) -> None:
-        self._alias = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
+        import numpy as np
+
+        alias = ray.get(alias_ref) if isinstance(alias_ref, ray.ObjectRef) else alias_ref
         self._emit_url = emit_url
         self._seen_edges: set[tuple[str, str]] = set()
+        self._seen_mentions: set[str] = set()
+        self._edge_buf: list[tuple[str, str]] = []
+        # pre-walk: surface form -> (direct target or None, chain edges
+        # exactly as the reference per-row walk would emit them)
+        self._chain: dict[str, tuple[str | None, list[tuple[str, str]]]] = {}
+        for k, hop in alias.items():
+            if hop.startswith("urn:"):
+                self._chain[k] = (hop, [(k, hop)])
+                continue
+            edges: list[tuple[str, str]] = []
+            cur = k
+            for _ in range(8):  # chain-depth guard
+                nxt = alias.get(cur)
+                if nxt is None:
+                    break
+                edges.append((cur, nxt))
+                cur = nxt
+                if nxt.startswith("urn:"):
+                    break
+            self._chain[k] = (None, edges)
+        self._keys = np.array(sorted(self._chain), dtype=object)
+        self._resolved = np.array(
+            [self._chain[k][0] or "" for k in self._keys], dtype=object
+        )
 
-    def _resolve_direct(self, m: str) -> str | None:
-        cm = CUST_RE.match(m)
-        if cm:
-            return f"urn:cust:{int(cm.group(1))}"
-        hop = self._alias.get(m)
-        if hop is not None and hop.startswith("urn:"):
-            return hop
-        return None
+    def _emit_mention(self, m: str, direct: str | None) -> None:
+        """Record the chain edges of a newly seen surface form (once per
+        actor lifetime)."""
+        self._seen_mentions.add(m)
+        edges = [(m, direct)] if direct is not None else self._chain[m][1]
+        for e in edges:
+            if e not in self._seen_edges:
+                self._seen_edges.add(e)
+                self._edge_buf.append(e)
+
+    def _link_array(self, arr: pa.Array, active):
+        import numpy as np
+
+        vals = arr.to_numpy(zero_copy_only=False)
+        out = vals.copy()
+        # rule-based direct hit: Customer#N -> urn:cust:N, vectorized on the
+        # matching subset (casting non-digit slices would throw)
+        cust = pc.match_substring_regex(arr, r"^Customer#\d+$").to_numpy(
+            zero_copy_only=False
+        ) & active
+        idx = np.nonzero(cust)[0]
+        if idx.size:
+            sub = pa.array(vals[idx].tolist(), pa.string())
+            nums = pc.cast(pc.utf8_slice_codeunits(sub, 9, 1 << 30), pa.int64())
+            targets = pc.binary_join_element_wise(
+                pa.array(["urn:cust:"] * idx.size, pa.string()),
+                pc.cast(nums, pa.string()),
+                "",
+            ).to_numpy(zero_copy_only=False)
+            out[idx] = targets
+            for i, t in zip(idx, targets):
+                if vals[i] not in self._seen_mentions:
+                    self._emit_mention(vals[i], t)
+        # alias-table hits: sorted-array membership lookup (broadcast index)
+        rest = np.nonzero(active & ~cust)[0]
+        if rest.size and len(self._keys):
+            sub = vals[rest]
+            pos = np.clip(np.searchsorted(self._keys, sub), 0, len(self._keys) - 1)
+            hit = self._keys[pos] == sub
+            hit_rows = rest[hit]
+            res = self._resolved[pos[hit]]
+            direct = res != ""
+            out[hit_rows[direct]] = res[direct]
+            for m in sub[hit]:
+                if m not in self._seen_mentions:
+                    self._emit_mention(m, None if self._chain[m][0] is None else self._chain[m][0])
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subs = batch.column("subj").to_pylist()
-        objs = batch.column("obj").to_pylist()
-        kinds = batch.column("obj_kind").to_pylist()
-        new_s, new_o, new_k = [], [], []
-        edge_a, edge_b = [], []
+        import numpy as np
 
-        def emit_edge(a: str, b: str) -> None:
-            if (a, b) not in self._seen_edges:
-                self._seen_edges.add((a, b))
-                edge_a.append(a)
-                edge_b.append(b)
-
-        def link(m: str) -> str:
-            direct = self._resolve_direct(m)
-            if direct is not None:
-                emit_edge(m, direct)
-                return direct
-            # walk the alias chain, emitting every hop as an edge so the
-            # mention's component always reaches its entity node even when the
-            # intermediate surface forms never occur in any page
-            cur = m
-            for _ in range(8):  # chain-depth guard
-                hop = self._alias.get(cur)
-                if hop is None:
-                    break
-                emit_edge(cur, hop)
-                cur = hop
-                if hop.startswith("urn:"):
-                    break
-            return m  # surface form stays; canonicalization rewrites it
-
-    # one output table with a row marker so the stage stays single-pass:
-    # kind="edge" rows feed canonicalization, others are linked triples
-        for s, o, k in zip(subs, objs, kinds):
-            ls = link(s)
-            lo = link(o) if k == "mention" else o
-            new_s.append(ls)
-            new_o.append(lo)
-            new_k.append("iri" if k == "mention" else k)
+        subs = batch.column("subj").combine_chunks()
+        objs = batch.column("obj").combine_chunks()
+        kinds = batch.column("obj_kind").combine_chunks()
+        self._edge_buf = []
+        all_on = np.ones(batch.num_rows, dtype=bool)
+        mention = pc.equal(kinds, "mention").to_numpy(zero_copy_only=False)
+        new_s = self._link_array(subs, all_on)
+        new_o = self._link_array(objs, mention)
+        new_k = np.where(mention, "iri", kinds.to_numpy(zero_copy_only=False))
+        edge_a = [e[0] for e in self._edge_buf]
+        edge_b = [e[1] for e in self._edge_buf]
+        # one output table with a row marker so the stage stays single-pass:
+        # kind="edge" rows feed canonicalization, others are linked triples
         cols = {}
         if self._emit_url:
             cols["url"] = batch.column("url").combine_chunks()
         cols.update(
             {
-                "subj": pa.array(new_s, pa.string()),
+                "subj": pa.array(new_s.tolist(), pa.string()),
                 "pred": batch.column("pred").combine_chunks(),
-                "obj": pa.array(new_o, pa.string()),
-                "obj_kind": pa.array(new_k, pa.string()),
+                "obj": pa.array(new_o.tolist(), pa.string()),
+                "obj_kind": pa.array(new_k.tolist(), pa.string()),
                 "edge_a": pa.nulls(batch.num_rows, pa.string()),
                 "edge_b": pa.nulls(batch.num_rows, pa.string()),
             }

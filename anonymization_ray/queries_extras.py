@@ -88,10 +88,51 @@ WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (rows-only: 64-bit simhash isn't SQL)."""
+    """SimHash near-dup pairs. 4x16-bit banding is LOSSLESS for hamming <= 3
+    (pigeonhole: 3 flipped bits cannot touch all 4 bands), so the output is
+    the exact all-pairs hamming<=3 set — and the token hash (md5 first 8
+    bytes LE == DuckDB md5_number_upper) makes the whole signature
+    SQL-expressible: a full value-level oracle, not rows-only."""
     from .extras.dedup import simhash_dup_pairs
 
-    return simhash_dup_pairs(_corpus_with_dups(sf_dir), "text", "doc_id", max_hamming=3)
+    pairs = simhash_dup_pairs(_corpus_with_dups(sf_dir), "text", "doc_id", max_hamming=3)
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b.column("id_a").combine_chunks(),
+                "id_b": b.column("id_b").combine_chunks(),
+                "hamming": pc.cast(b.column("hamming"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET},
+         CASE WHEN strpos(text, ' ') > 0 THEN regexp_replace(text, ' \\S+$', '') ELSE text END
+  FROM documents
+),
+tok AS (SELECT id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+        FROM corpus WHERE trim(text) <> ''),
+th AS (SELECT id, md5_number_upper(t) AS h FROM tok),
+bits AS (SELECT id, b.b AS b,
+                sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) AS b
+         GROUP BY id, b.b),
+sig0 AS (SELECT id, CAST(sum(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << b)
+                                  ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS s
+         FROM bits GROUP BY id),
+sig AS (SELECT c.id, coalesce(sig0.s, CAST(0 AS UBIGINT)) AS s
+        FROM corpus c LEFT JOIN sig0 ON c.id = sig0.id)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.s, b.s)) <= 3
+"""
 
 
 def q_dedup_embedding(sf_dir: str):
@@ -111,6 +152,50 @@ SQL_DEDUP_EMBEDDING = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs at threshold 0.9 over a planted-dup
+    corpus (each vector unioned with a x2-scaled copy at id+1e6: cosine
+    exactly 1.0, so every planted pair collides in every LSH table —
+    deterministic recall — while the corpus's unrelated pairs top out near
+    0.5 and are killed by exact verification)."""
+    from .extras.dedup import embedding_dup_pairs_lsh
+
+    base = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        vecs = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64)
+        dup = pa.table(
+            {
+                "vec_id": pa.array(ids + DUP_OFFSET, pa.int64()),
+                "embedding": pa.array(list(vecs * 2.0), pa.list_(pa.float64())),
+            }
+        )
+        orig = pa.table(
+            {
+                "vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+        return pa.concat_tables([orig, dup])
+
+    corpus = base.map_batches(_plant, batch_format="pyarrow")
+    pairs = embedding_dup_pairs_lsh(corpus, "embedding", "vec_id", threshold=0.9)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET}, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+  FROM embeddings
+)
+SELECT a.id AS id_a, b.id AS id_b FROM corpus a JOIN corpus b ON a.id < b.id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.9
 """
 
 
@@ -229,21 +314,29 @@ def q_agg_pricing_summary(sf_dir: str):
     def _partial(batch: pa.Table) -> pa.Table:
         # exact integer-unit sums (cents): float summation order differs
         # between Ray partial aggregation and any SQL engine, so plain double
-        # sums are not bit-reproducible; integer sums are order-independent
-        df = batch.to_pandas()
-        df["qty_i"] = df["l_quantity"].round().astype("int64")
-        df["price_c"] = (df["l_extendedprice"] * 100).round().astype("int64")
-        df["disc_c"] = (df["l_discount"] * 100).round().astype("int64")
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty_i=("qty_i", "sum"),
-                sum_price_c=("price_c", "sum"),
-                sum_disc_c=("disc_c", "sum"),
-                count_order=("qty_i", "size"),
-            )
+        # sums are not bit-reproducible; integer sums are order-independent.
+        # Arrow-native group_by — no pandas round-trip in the hot combiner
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag").combine_chunks(),
+                "l_linestatus": batch.column("l_linestatus").combine_chunks(),
+                "qty_i": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)), pa.int64()
+                ),
+                "disc_c": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_discount"), 100.0)), pa.int64()
+                ),
+            }
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_i", "sum"), ("price_c", "sum"), ("disc_c", "sum"), ("qty_i", "count")]
+        )
+        return g.select(
+            ["l_returnflag", "l_linestatus", "qty_i_sum", "price_c_sum", "disc_c_sum", "qty_i_count"]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_i", "sum_price_c", "sum_disc_c", "count_order"]
+        )
 
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     final = (
@@ -346,22 +439,62 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 
 def q_events_sessionize(sf_dir: str):
-    """Gap-based sessionization (30 min) per user: groupby(user).map_groups
-    with a vectorized diff — the canonical stateful-per-key pattern."""
-    ds = load(sf_dir, "events", ["user_id", "event_id", "ts"])
+    """Gap-based sessionization (30 min) per user WITHOUT a per-group UDF:
+    one range sort by (user, ts, event_id), then a vectorized per-block
+    session-start scan with a one-row halo (the previous block's last
+    (user, ts)), and a boundary-carry combine of the per-block per-user
+    partials (util.combine_sorted_partials) — per-group Python cost never
+    appears at any cardinality."""
+    import ray
 
-    def _sessions(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().sort_values(["ts", "event_id"])
-        gaps = df["ts"].diff().dt.total_seconds().to_numpy()
-        n_sessions = int(1 + np.sum(gaps[1:] > 1800)) if len(df) else 0
+    from .util import coalesce_blocks, combine_sorted_partials
+
+    GAP_US = 1800 * 1_000_000
+
+    ds = load(sf_dir, "events", ["user_id", "event_id", "ts"]).materialize()
+    s = coalesce_blocks(ds).sort(["user_id", "ts", "event_id"]).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _halo(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        u = t.column("user_id")[-1].as_py()
+        ts = t.column("ts").to_numpy(zero_copy_only=False)[-1]
+        return (u, ts.astype("datetime64[us]").astype(np.int64))
+
+    halos = ray.get([_halo.remote(r) for r in refs])
+    refs = [r for r, h in zip(refs, halos) if h is not None]
+    halos = [h for h in halos if h is not None]
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, prev) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        n = len(u)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = prev is None or u[0] != prev[0]
+        new_user[1:] = u[1:] != u[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = (not new_user[0]) and (ts[0] - prev[1] > GAP_US)
+        gap[1:] = (ts[1:] - ts[:-1]) > GAP_US
+        start = (new_user | gap).astype(np.int64)
+        seg = np.nonzero(new_user)[0]
+        if seg.size == 0 or seg[0] != 0:
+            # head rows continue the previous block's user — they form a
+            # partial segment whose count merges via the boundary carry
+            seg = np.concatenate([[0], seg]).astype(np.int64)
         return pa.table(
             {
-                "user_id": pa.array([df["user_id"].iloc[0]], pa.int64()),
-                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "user_id": pa.array(u[seg], pa.int64()),
+                "n_sessions": pa.array(np.add.reduceat(start, seg), pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(_sessions, batch_format="pyarrow")
+    part_refs = [
+        _scan.remote(refs[b], halos[b - 1] if b > 0 else None) for b in range(len(refs))
+    ]
+    return combine_sorted_partials(part_refs, "user_id", "n_sessions")
 
 
 SQL_EVENTS_SESSIONIZE = """
@@ -400,8 +533,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
 EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QueryDef(q_dedup_minhash, SQL_DEDUP_MINHASH),
-    "dedup_simhash_pairs": QueryDef(q_dedup_simhash, None),
+    "dedup_simhash_pairs": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_pairs": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_lsh": QueryDef(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, None),
     "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),
@@ -518,6 +652,53 @@ EXTRAS_REGISTRY.update(
         ),
         "rand_datetime_events": QueryDef(q_rand_datetime_events, None),
         "pivot_triples_roundtrip": QueryDef(q_pivot_roundtrip, SQL_PIVOT_ROUNDTRIP),
+    }
+)
+
+
+def q_rand_date_window_scale(sf_dir: str):
+    """A4 date randomization's deterministic noise scale in DAY units over
+    orders.o_orderdate — RandomizationDate.java:32-37 measures distance with
+    ChronoUnit.DAYS; the window walk itself is Randomization.java:42-52."""
+    from .stages.randomization import window_noise_scale
+
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    out = window_noise_scale(ds, "o_orderdate", "o_orderkey", num_attrs=1, kind="date")
+    return out.select_columns(["o_orderkey", "noise_scale"])
+
+
+from .queries import SQL_RAND_WINDOW as _SQL_RAND_WINDOW_NUM  # noqa: E402
+
+SQL_RAND_DATE_WINDOW = (
+    _SQL_RAND_WINDOW_NUM.replace("customer", "orders")
+    .replace("c_custkey", "o_orderkey")
+    .replace(
+        "CAST(c_acctbal AS DOUBLE)",
+        "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE)",
+    )
+    .replace("c_acctbal IS NOT NULL", "o_orderdate IS NOT NULL")
+    .replace("ORDER BY c_acctbal, o_orderkey", "ORDER BY CAST(o_orderdate AS DATE), o_orderkey")
+)
+
+
+def q_rand_date_orders(sf_dir: str):
+    """A4 date randomization end-to-end (RandomizationDate.java:40-58:
+    gaussian whole-day noise, reflected into [min, max]; seeded — rows-only;
+    day-unit window scale is the exact oracle above)."""
+    from .stages.randomization import randomize_column
+
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    out = randomize_column(
+        ds, "o_orderdate", "o_orderkey", num_attrs=1, kind="date", seed=1234,
+        object_type="orders",
+    )
+    return out.select_columns(["o_orderkey", "o_orderdate_randomized"])
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "rand_date_window_scale": QueryDef(q_rand_date_window_scale, SQL_RAND_DATE_WINDOW),
+        "rand_date_orders": QueryDef(q_rand_date_orders, None),
     }
 )
 

@@ -156,6 +156,94 @@ def _group_min_intersection(
     return best
 
 
+def _k_anonymity_single_class(ds: ray.data.Dataset, ra: RandomizedAttr) -> int:
+    """All-masked configs put EVERY record into one equivalence class —
+    a ``map_groups`` over that class would hand the whole dataset to one
+    task. For the single-randomized-attribute case the intersection count is
+    a pure range-count (rank(r+b) - rank(r-b) over sorted originals), so it
+    distributes as a sort-merge: originals and query points are both range
+    sorted; each query block scans only the original blocks overlapping its
+    value range ±benchmark, accumulating per-block searchsorted counts —
+    memory per task is bounded by two blocks at any input size."""
+    from ..util import sorted_column
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o": pa.array(_canon(batch.column(ra.orig_col), ra.kind), pa.float64()),
+                "r": pa.array(_canon(batch.column(ra.rand_col), ra.kind), pa.float64()),
+            }
+        )
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+    m = narrow.count()
+    if m == 0:
+        return 0
+    b = ra.benchmark or 0.0
+
+    # sorted non-null originals (valid_mask drops the NaN originals)
+    sc_o = sorted_column(narrow, "o", "r", lambda a: a)
+    n_null = m - sc_o.total
+    if sc_o.total == 0:
+        return n_null
+
+    # sorted query points: the randomized values of non-NULL-original rows
+    def _queries(batch: pa.Table) -> pa.Table:
+        o = batch.column("o").to_numpy(zero_copy_only=False)
+        return pa.table({"q": batch.column("r").filter(pa.array(~np.isnan(o)))})
+
+    q = narrow.map_batches(_queries, batch_format="pyarrow")
+    sc_q = sorted_column(q.map_batches(
+        lambda t: t.append_column("qid", pc.cast(t.column("q"), pa.float64())),
+        batch_format="pyarrow",
+    ), "q", "qid", lambda a: a)
+    if sc_q.total < sc_o.total:
+        # a NaN randomized value on a non-null original: its range count is 0
+        # in the per-class reference semantics
+        return 0
+
+    # driver holds only per-block boundary values of the sorted originals
+    import ray as _ray
+
+    @_ray.remote(num_cpus=0.25)
+    def _bounds(t: pa.Table):
+        v = t.column("o")
+        return (v[0].as_py(), v[-1].as_py())
+
+    obounds = _ray.get([_bounds.remote(rref) for rref in sc_o.refs])
+    firsts = np.array([x[0] for x in obounds])
+    lasts = np.array([x[1] for x in obounds])
+
+    @_ray.remote
+    def _qblock_min(qt: pa.Table, *oblocks: pa.Table) -> int:
+        r = qt.column("q").to_numpy(zero_copy_only=False)
+        counts = np.zeros(len(r), dtype=np.int64)
+        for ob in oblocks:
+            ov = ob.column("o").to_numpy(zero_copy_only=False)
+            counts += np.searchsorted(ov, r + b, side="right") - np.searchsorted(
+                ov, r - b, side="left"
+            )
+        return int(counts.min()) if len(r) else 0  # blocks are never empty
+
+    futs = []
+    for qi, qref in enumerate(sc_q.refs):
+        qlo, qhi = None, None
+        # block value range from the sorted structure's own boundary probes
+        t = sc_q.rows_at_ranks([int(sc_q.offsets[qi]), int(sc_q.offsets[qi + 1]) - 1])
+        vals = t.column("q").to_pylist()
+        qlo, qhi = min(vals), max(vals)
+        # original blocks overlapping [qlo-b, qhi+b]
+        sel = [
+            sc_o.refs[bi]
+            for bi in range(len(sc_o.refs))
+            if lasts[bi] >= qlo - b and firsts[bi] <= qhi + b
+        ]
+        futs.append(_qblock_min.remote(qref, *sel))
+    mins = _ray.get(futs)
+    best = min(mins) if mins else sc_o.total
+    return min(best, n_null) if n_null else best
+
+
 def k_anonymity(
     ds: ray.data.Dataset,
     gen_cols: list[str],
@@ -164,8 +252,13 @@ def k_anonymity(
     """K4. ``rand_attrs`` must carry benchmarks (``compute_benchmarks``)."""
     if not gen_cols and not rand_attrs:
         return ds.count()
+    if not gen_cols and len(rand_attrs) == 1:
+        return _k_anonymity_single_class(ds, rand_attrs[0])
     if not gen_cols:
-        # single class containing every record
+        # single class containing every record (multi-randomized-attribute:
+        # the intersection is not a pure range count; the chunked O(m^2/chunk)
+        # per-class path below applies — exact multi-attribute similarity at
+        # giant class sizes is inherently quadratic)
         keyed = ds.map_batches(
             lambda b: b.append_column("_k_all", pa.array([0] * b.num_rows, pa.int32())),
             batch_format="pyarrow",

@@ -211,6 +211,59 @@ def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Da
     return ray.data.from_arrow_refs(out_refs)
 
 
+def combine_sorted_partials(
+    part_refs: list, key_col: str, val_col: str
+) -> ray.data.Dataset:
+    """Sum per-key partial counts held as ordered block refs whose
+    concatenation is SORTED by key (so only adjacent blocks can share a key).
+
+    The all-to-all alternative (``groupby(key).sum``) pays a per-group Python
+    cost over the full key cardinality; here the driver only ever sees each
+    block's first/last (key, count) row, computes the boundary carries, and
+    per-block fix-up tasks apply them — heavy rows never move."""
+
+    @ray.remote(num_cpus=0.25)
+    def _edges(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col)
+        v = t.column(val_col)
+        return (k[0].as_py(), k[-1].as_py(), int(v[-1].as_py()), t.num_rows)
+
+    edges = ray.get([_edges.remote(r) for r in part_refs])
+    refs = [r for r, e in zip(part_refs, edges) if e is not None]
+    edges = [e for e in edges if e is not None]
+    n = len(refs)
+    adds = [0] * n
+    drop_last = [False] * n
+    carry_key, carry_val = None, 0
+    for b in range(n):
+        fk, lk, lc, rows = edges[b]
+        if carry_key is not None and carry_key == fk:
+            adds[b] = carry_val
+        carry_key, carry_val = None, 0
+        if b + 1 < n and lk == edges[b + 1][0]:
+            drop_last[b] = True
+            carry_val = lc + (adds[b] if rows == 1 else 0)
+            carry_key = lk
+
+    @ray.remote(num_cpus=0.25)
+    def _fix(t: pa.Table, add_first: int, drop: bool) -> pa.Table:
+        if drop and t.num_rows == 1:
+            return t.slice(0, 0)
+        if add_first:
+            v = t.column(val_col).to_numpy(zero_copy_only=False).copy()
+            v[0] += add_first
+            t = t.set_column(t.column_names.index(val_col), val_col, pa.array(v, t.column(val_col).type))
+        if drop:
+            t = t.slice(0, t.num_rows - 1)
+        return t
+
+    return ray.data.from_arrow_refs(
+        [_fix.remote(refs[b], adds[b], drop_last[b]) for b in range(n)]
+    )
+
+
 def default_num_partitions() -> int:
     """Join/shuffle partition count sized to the cluster: the join's
     aggregator actors each hold a CPU, so too many partitions on a small

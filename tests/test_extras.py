@@ -74,6 +74,41 @@ def test_embedding_dup_pairs_symmetric_and_thresholded():
     assert set(map(tuple, pairs[["id_a", "id_b"]].values.tolist())) == {(0, 1)}
 
 
+def test_embedding_dup_pairs_no_driver_materialization(monkeypatch):
+    # the block-pair join must never gather the corpus on the driver
+    vecs = [[1.0, 0.0], [0.99, 0.14], [0.0, 1.0], [-1.0, 0.0]]
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side to_pandas in embedding_dup_pairs")
+
+    monkeypatch.setattr(rd.Dataset, "to_pandas", _boom)
+    pairs = embedding_dup_pairs(ds, "embedding", "vec_id", threshold=0.9)
+    monkeypatch.undo()
+    got = pairs.to_pandas()
+    assert set(map(tuple, got[["id_a", "id_b"]].values.tolist())) == {(0, 1)}
+
+
+def test_embedding_dup_pairs_lsh_planted_dups():
+    from anonymization_ray.extras.dedup import embedding_dup_pairs_lsh
+
+    rng = np.random.Generator(np.random.Philox(key=3))
+    base = rng.standard_normal((40, 16))
+    ids = list(range(40)) + [i + 1000 for i in range(40)]
+    vecs = np.concatenate([base, base * 2.0])  # planted exact-direction dups
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float64()))})
+    ).repartition(4)
+    got = embedding_dup_pairs_lsh(ds, "embedding", "vec_id", threshold=0.95).to_pandas()
+    assert set(map(tuple, got[["id_a", "id_b"]].values.tolist())) == {
+        (i, i + 1000) for i in range(40)
+    }
+
+
 def test_lsh_topk_recall_vs_brute_force():
     import pyarrow.parquet as pq
 

@@ -261,3 +261,28 @@ def test_k_anonymity_with_randomization_matches_bruteforce():
             sim = valid & (o >= r[i] - b) & (o <= r[i] + b)
         best = min(best, int((same & sim).sum()))
     assert ka == best
+
+
+def test_k_anonymity_single_giant_class_distributed():
+    # all-masked config: no generalized columns -> every record in ONE
+    # equivalence class. The distributed sort-merge path must match the
+    # in-memory reference exactly and never hand the full dataset to one
+    # task (memory is bounded by block size; exercised with many blocks).
+    from anonymization_ray.stages.kpi import _group_min_intersection
+
+    rng = np.random.Generator(np.random.Philox(key=11))
+    n = 300_000
+    o = rng.normal(0, 1000, n)
+    o[rng.integers(0, n, 500)] = np.nan
+    r = o + rng.normal(0, 5, n)
+    tbl = pa.table(
+        {
+            "x": pa.array(o, pa.float64()),
+            "x_randomized": pa.array(np.where(np.isnan(o), np.nan, r), pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(32)
+    ra = RandomizedAttr("x", "x_randomized", "numeric", benchmark=12.5)
+    got = k_anonymity(ds, [], [ra])
+    want = _group_min_intersection(tbl, [ra])
+    assert got == want
