@@ -23,6 +23,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="read the page table from this parquet dir instead of synthesizing")
     p.add_argument("--out-dir", required=True)
     p.add_argument("--num-partitions", type=int, default=16)
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="with --pages-parquet: per-input-shard extraction "
+                        "checkpoint (resumable mid-pipeline)")
     p.add_argument("--no-anonymize", action="store_true")
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -44,20 +47,35 @@ def main(argv: list[str] | None = None) -> int:
 
     from anonymization_ray.kg.pipeline import kg_pipeline
 
-    pages = rd.read_parquet(args.pages_parquet) if args.pages_parquet else None
     t0 = time.perf_counter()
-    res = kg_pipeline(
-        args.sf_dir,
-        pages=pages,
-        anonymize=not args.no_anonymize,
-        dedup_pages=not args.no_dedup,
-        out_dir=args.out_dir,
-        num_partitions=args.num_partitions,
-    )
+    if args.checkpoint_dir:
+        if not args.pages_parquet:
+            p.error("--checkpoint-dir requires --pages-parquet")
+        from anonymization_ray.kg.checkpoint import kg_pipeline_checkpointed
+
+        res = kg_pipeline_checkpointed(
+            args.sf_dir,
+            args.pages_parquet,
+            args.checkpoint_dir,
+            anonymize=not args.no_anonymize,
+            out_dir=args.out_dir,
+            num_partitions=args.num_partitions,
+        )
+    else:
+        pages = rd.read_parquet(args.pages_parquet) if args.pages_parquet else None
+        res = kg_pipeline(
+            args.sf_dir,
+            pages=pages,
+            anonymize=not args.no_anonymize,
+            dedup_pages=not args.no_dedup,
+            out_dir=args.out_dir,
+            num_partitions=args.num_partitions,
+        )
     out = {
         "sec": round(time.perf_counter() - t0, 2),
         "out_dir": args.out_dir,
         "report": res.materialize_report,
+        "extract_report": res.extract_report,
     }
     print(json.dumps(out))
     ray.shutdown()

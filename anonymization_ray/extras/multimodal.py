@@ -1,20 +1,32 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The container ships no image/audio codecs, so the decode kernels are STUBS
-(clearly marked; they raise unless ``fake=True`` substitutes a deterministic
-fake decoder). Everything around them — schema, actor-pool signature, small
-batch sizing for MB-scale payloads, output layout — is real and tested, so
-swapping in a real codec is a one-function change.
-
 Schema convention:
     media: binary            (opaque payload)
     media_meta: struct<mime: string, width: int32, height: int32,
                        duration_ms: int32>
+
+What is REAL here (no external codecs needed):
+- ``parse_image_header``: container-format metadata (PNG IHDR, JPEG SOF,
+  GIF header) parsed straight from the payload bytes
+- ``probe_media_meta``: the metadata-typing stage over a binary column
+- grayscale 8-bit PNG encode/decode (``encode_png_gray`` /
+  ``decode_png_gray``) — PNG filter-0 scanlines need only ``zlib``, so the
+  actor-pool decode stage genuinely decodes PNG payloads to pixel arrays
+- ``MediaDecoder``: actor-pool stage (state in ``__init__``, payload dropped
+  after decode, small batches for MB-scale payloads)
+
+What is a STUB (clearly marked): decoding formats that require codecs absent
+from this container (JPEG entropy decode, audio, video frame-sampling) —
+``MediaDecoder(fake=False)`` raises NotImplementedError for those;
+``fake=True`` substitutes deterministic hash features so the plumbing is
+exercisable for any payload.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -29,12 +41,116 @@ MEDIA_META_TYPE = pa.struct(
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(pixels: np.ndarray) -> bytes:
+    """Minimal VALID grayscale 8-bit PNG (color type 0, filter 0 rows)."""
+    h, w = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_gray(payload: bytes) -> np.ndarray:
+    """Decode a filter-0 grayscale 8-bit PNG to (h, w) uint8 — pure
+    python+zlib, no codec dependency."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if depth != 8 or ctype != 0:
+                raise NotImplementedError("only 8-bit grayscale PNG decode")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    out = np.empty((h, w), dtype=np.uint8)
+    stride = w + 1
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        if row[0] != 0:
+            raise NotImplementedError("only filter-0 scanlines")
+        out[r] = np.frombuffer(row[1:], dtype=np.uint8)
+    return out
+
+
+def parse_image_header(payload: bytes) -> dict | None:
+    """(mime, width, height) from the container header — PNG / JPEG / GIF,
+    no codec needed. None for unrecognized payloads."""
+    if payload[:8] == _PNG_SIG and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return {"mime": "image/png", "width": w, "height": h, "duration_ms": 0}
+    if payload[:2] == b"\xff\xd8":  # JPEG: scan for a SOF marker
+        pos = 2
+        while pos + 9 < len(payload):
+            if payload[pos] != 0xFF:
+                pos += 1
+                continue
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seg,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", payload[pos + 5 : pos + 9])
+                return {"mime": "image/jpeg", "width": w, "height": h, "duration_ms": 0}
+            pos += 2 + seg
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return {"mime": "image/gif", "width": w, "height": h, "duration_ms": 0}
+    return None
+
+
+def attach_media(
+    ds: rd.Dataset, id_col: str, *, width: int = 32, height: int = 32
+) -> rd.Dataset:
+    """Deterministic REAL PNG payloads (id-seeded pixels) — the test corpus
+    for the probe/decode stages; no image library involved."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        payloads = []
+        for i in ids:
+            seed = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            rng = np.random.Generator(np.random.Philox(key=seed))
+            payloads.append(
+                encode_png_gray(rng.integers(0, 256, (height, width), dtype=np.uint8))
+            )
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
 
 def attach_fake_media(
     ds: rd.Dataset, id_col: str, *, payload_bytes: int = 4096
 ) -> rd.Dataset:
-    """Deterministic fake media column (content = id-seeded bytes) so the
-    plumbing can be exercised without codecs."""
+    """Opaque deterministic payloads (NOT valid images) for exercising the
+    fake-feature path and unknown-format handling."""
 
     def _attach(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -44,7 +160,7 @@ def attach_fake_media(
             seed = hashlib.md5(str(i).encode()).digest()
             payloads.append((seed * (payload_bytes // len(seed) + 1))[:payload_bytes])
             metas.append(
-                {"mime": "image/fake", "width": 64, "height": 64, "duration_ms": 0}
+                {"mime": "application/octet-stream", "width": 0, "height": 0, "duration_ms": 0}
             )
         batch = batch.append_column("media", pa.array(payloads, pa.binary()))
         return batch.append_column("media_meta", pa.array(metas, MEDIA_META_TYPE))
@@ -52,25 +168,66 @@ def attach_fake_media(
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def probe_media_meta(ds: rd.Dataset, *, payload_col: str = "media") -> rd.Dataset:
+    """Fill/replace ``media_meta`` by parsing container headers (REAL —
+    touches only header bytes, payload never copied)."""
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        metas = []
+        for p in batch.column(payload_col).to_pylist():
+            m = parse_image_header(p or b"")
+            metas.append(
+                m or {"mime": "application/octet-stream", "width": 0, "height": 0, "duration_ms": 0}
+            )
+        if "media_meta" in batch.column_names:
+            batch = batch.drop_columns(["media_meta"])
+        return batch.append_column("media_meta", pa.array(metas, MEDIA_META_TYPE))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
 class MediaDecoder:
     """Actor-pool callable: decode + feature-extract media payloads.
 
     Real deployments load the codec/model once here (``__init__`` runs once
-    per actor). In this container the decode step is a STUB: ``fake=True``
-    produces deterministic pseudo-features from the payload hash;
-    ``fake=False`` raises NotImplementedError (no image/audio libs baked in).
+    per actor). PNG grayscale payloads decode FOR REAL (zlib-only path
+    above); features are a deterministic ``feature_dim``-cell mean-pool grid
+    over the pixels. Other formats: ``fake=True`` produces deterministic
+    pseudo-features from the payload hash; ``fake=False`` raises
+    NotImplementedError (JPEG entropy / audio / video decoding needs codecs
+    not present in this container).
     """
 
     def __init__(self, *, fake: bool = True, feature_dim: int = 16) -> None:
         self._fake = fake
         self._dim = feature_dim
-        # real version: self._model = load_model(...); self._codec = ...
+        # real version adds: self._model = load_model(...)
+
+    def _png_features(self, px: np.ndarray) -> np.ndarray:
+        g = int(np.sqrt(self._dim))
+        g = max(1, g)
+        h, w = px.shape
+        feats = np.zeros(self._dim, dtype=np.float32)
+        idx = 0
+        for r in range(g):
+            for c in range(g):
+                if idx >= self._dim:
+                    break
+                cell = px[r * h // g : (r + 1) * h // g, c * w // g : (c + 1) * w // g]
+                feats[idx] = float(cell.mean()) / 255.0 if cell.size else 0.0
+                idx += 1
+        return feats
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if payload[:8] == _PNG_SIG:
+            try:
+                return self._png_features(decode_png_gray(payload))
+            except NotImplementedError:
+                pass  # non-grayscale PNG falls through to the stub policy
         if not self._fake:
             raise NotImplementedError(
-                "media decode requires an image/audio codec not present in "
-                "this environment; run with fake=True for plumbing tests"
+                "decode for this media format requires a codec not present "
+                "in this environment; run with fake=True for plumbing tests"
             )
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer((h * (self._dim * 8 // len(h) + 1))[: self._dim * 8], dtype=np.uint64)

@@ -9,3 +9,7 @@ from .canonicalize import (  # noqa: F401
 from .materialize import materialize_triples, resume_missing_partitions  # noqa: F401
 from .anonymize import anonymize_triples, skolemize, TriplePredicateConfig  # noqa: F401
 from .pipeline import kg_pipeline, verify_text_invariant, KgRunResult  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    extract_link_checkpointed,
+    kg_pipeline_checkpointed,
+)

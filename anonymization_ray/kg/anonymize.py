@@ -47,32 +47,50 @@ class TriplePredicateConfig:
 
 
 def bucket_resource_triples(pred: str, res: GeneralizationResult, datatype: str) -> pa.Table:
-    """The bucket side-table as triples (tiny; driver-side)."""
-    subs, preds, objs, kinds = [], [], [], []
+    """The bucket side-table as triples — vectorized: g grows with k at web
+    scale (k=10^7 gives ~5·10^5 buckets, 1.6M rows here), so per-bucket
+    Python appends would dominate."""
     from ..stages.codecs import CODECS
 
     codec = CODECS[res.kind]
-    for row in res.buckets.to_pylist():
-        b = f"{pred}_{row['bucket']}"
-        subs.append(b)
-        preds.append("rdf:type")
-        objs.append(SOYA_GENERALIZATION)
-        kinds.append("iri")
-        if row["min"] is None:
-            subs.append(b), preds.append(RDFS_COMMENT), objs.append(OBFUSCATED_MIN), kinds.append("string")
-        else:
-            subs.append(b), preds.append(RDFS_MIN), objs.append(codec.format_value(row["min"])), kinds.append(datatype)
-        if row["max"] is None:
-            subs.append(b), preds.append(RDFS_COMMENT), objs.append(OBFUSCATED_MAX), kinds.append("string")
-        else:
-            subs.append(b), preds.append(RDFS_MAX), objs.append(codec.format_value(row["max"])), kinds.append(datatype)
-    return pa.table(
+    t = res.buckets
+    n = t.num_rows
+    subj = pc.binary_join_element_wise(
+        pa.array([pred] * n, pa.string()),
+        pc.cast(pc.cast(t.column("bucket"), pa.int64()), pa.string()),
+        "_",
+    )
+
+    def _const(v: str) -> pa.Array:
+        return pa.array([v] * n, pa.string())
+
+    def _bound(col: str, obfuscated: str, bound_pred: str) -> pa.Table:
+        vals = t.column(col)
+        is_null = pc.is_null(vals)
+        formatted = pc.fill_null(codec.format_array(pc.fill_null(vals, 0)), "")
+        return pa.table(
+            {
+                "subj": subj,
+                "pred": pc.if_else(is_null, RDFS_COMMENT, _const(bound_pred)),
+                "obj": pc.if_else(is_null, obfuscated, formatted),
+                "obj_kind": pc.if_else(is_null, "string", _const(datatype)),
+            }
+        )
+
+    type_rows = pa.table(
         {
-            "subj": pa.array(subs, pa.string()),
-            "pred": pa.array(preds, pa.string()),
-            "obj": pa.array(objs, pa.string()),
-            "obj_kind": pa.array(kinds, pa.string()),
+            "subj": subj,
+            "pred": _const("rdf:type"),
+            "obj": _const(SOYA_GENERALIZATION),
+            "obj_kind": _const("iri"),
         }
+    )
+    return pa.concat_tables(
+        [
+            type_rows,
+            _bound("min", OBFUSCATED_MIN, RDFS_MIN),
+            _bound("max", OBFUSCATED_MAX, RDFS_MAX),
+        ]
     )
 
 

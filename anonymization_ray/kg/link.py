@@ -203,7 +203,7 @@ def link_mentions(
     """Returns (linked_triples, alias_edges)."""
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, cpus // 4), max(4, cpus))
+        concurrency = (max(2, cpus // 2), max(4, cpus))
     alias_ref = ray.put(alias_index)
     out = mentions.map_batches(
         MentionLinker,
@@ -252,7 +252,7 @@ def extract_and_link(
     scale it is the widest column in the materialized intermediate."""
     if concurrency is None:
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, cpus // 4), max(4, cpus))
+        concurrency = (max(2, cpus // 2), max(4, cpus))
     alias_ref = ray.put(alias_index)
     out = pages.map_batches(
         ExtractLinker,

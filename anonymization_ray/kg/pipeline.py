@@ -29,6 +29,7 @@ class KgRunResult:
     triples: rd.Dataset
     gen_results: dict = field(default_factory=dict)
     materialize_report: dict | None = None
+    extract_report: dict | None = None  # set by checkpoint.kg_pipeline_checkpointed
 
 
 def kg_pipeline(
@@ -47,7 +48,7 @@ def kg_pipeline(
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         # min actors pre-started: the autoscaling ramp from 1 actor
         # serializes the stage regardless of cluster size
-        extractor_concurrency = (max(1, cpus // 4), max(4, cpus))
+        extractor_concurrency = (max(2, cpus // 2), max(4, cpus))
     pages = pages if pages is not None else synthesize_pages(sf_dir)
     if dedup_pages:
         from .fingerprint import dedup_pages_exact, page_fingerprints

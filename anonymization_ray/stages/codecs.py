@@ -77,6 +77,35 @@ class Codec:
             return (a + b) / 2.0
         return java_half(int(a) + int(b))
 
+    def midpoint_array(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """Vectorized ``midpoint`` over aligned non-null pairs."""
+        if self.kind == NUMERIC:
+            return (a.astype(np.float64) + b.astype(np.float64)) / 2.0
+        s = a.astype(np.int64) + b.astype(np.int64)
+        # java long /2: truncation toward zero
+        return np.where(s >= 0, s // 2, -((-s) // 2))
+
+    def format_array(self, arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+        """Vectorized ``format_value`` (parity unit-tested)."""
+        from ..util import format_double
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if self.kind == NUMERIC:
+            return format_double(pc.cast(arr, pa.float64()))
+        if self.kind == DATE:
+            if not pa.types.is_date32(arr.type):
+                arr = pc.cast(pc.cast(arr, pa.int64()), pa.int32()).cast(pa.date32())
+            out = pc.cast(arr, pa.string())
+            return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+        if not pa.types.is_timestamp(arr.type):
+            arr = pc.cast(arr, pa.int64()).cast(pa.timestamp("ms"))
+        # whole seconds: Arrow's %S would print the fraction; the reference's
+        # lexical form (and format_value) truncates to seconds
+        arr = arr.cast(pa.timestamp("s"), safe=False)
+        out = pc.strftime(arr, format="%Y-%m-%dT%H:%M:%S")
+        return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
     def distance_scale(self) -> float:
         """Noise-space units per canonical-numeric unit: dateTime noise is in
         seconds while values are millis (``RandomizationDateTime.java:32,38``)."""

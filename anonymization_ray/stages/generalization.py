@@ -81,20 +81,38 @@ def _assignment_cut_pairs(sc, g: int) -> tuple[np.ndarray, np.ndarray]:
 def _boundary_values(sc, g: int, codec: Codec) -> pa.Table:
     """Bucket boundary table from ranks floor(p*k/g) (reference
     ``getBucketRange``): B_p = midpoint(v[c_p - 1], v[c_p]); bucket p gets
-    min=B_p (obfuscated for p=0) and max=B_{p+1} (obfuscated for p=g-1)."""
+    min=B_p (obfuscated for p=0) and max=B_{p+1} (obfuscated for p=g-1).
+
+    Fully vectorized — at web scale g grows with k (k=10^7 gives g~5·10^5),
+    so per-boundary Python calls would dominate the stage."""
     k = sc.total
-    cut_ranks = [(p * k) // g for p in range(1, g)]
-    needed = sorted({r for c in cut_ranks for r in (c - 1, c)})
-    vals = sc.values_at_ranks(needed) if needed else {}
-    boundaries = [codec.midpoint(vals[c - 1], vals[c]) for c in cut_ranks]
-    mins = [None] + boundaries
-    maxs = boundaries + [None]
     num_t = codec.numeric_dtype()
+    if g <= 1:
+        return pa.table(
+            {
+                "bucket": pa.array(range(g), type=pa.int32()),
+                "min": pa.array([None] * g, type=num_t),
+                "max": pa.array([None] * g, type=num_t),
+            }
+        )
+    cuts = (np.arange(1, g, dtype=np.int64) * k) // g
+    needed = np.unique(np.concatenate([cuts - 1, cuts]))
+    t = sc.rows_at_ranks(needed.tolist())
+    vals = t.column(sc.value_col).to_numpy(zero_copy_only=False)
+    a = vals[np.searchsorted(needed, cuts - 1)]
+    b = vals[np.searchsorted(needed, cuts)]
+    boundaries = codec.midpoint_array(a, b)
+    mins = np.concatenate([[0], boundaries]).astype(boundaries.dtype)
+    maxs = np.concatenate([boundaries, [0]]).astype(boundaries.dtype)
+    null_first = np.zeros(g, dtype=bool)
+    null_first[0] = True
+    null_last = np.zeros(g, dtype=bool)
+    null_last[-1] = True
     return pa.table(
         {
-            "bucket": pa.array(range(g), type=pa.int32()),
-            "min": pa.array(mins, type=num_t),
-            "max": pa.array(maxs, type=num_t),
+            "bucket": pa.array(np.arange(g, dtype=np.int32), type=pa.int32()),
+            "min": pa.array(mins, mask=null_first).cast(num_t),
+            "max": pa.array(maxs, mask=null_last).cast(num_t),
         }
     )
 

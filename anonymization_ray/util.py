@@ -56,15 +56,19 @@ class SortedColumn:
     id_col: str
 
     def rows_at_ranks(self, ranks: list[int]) -> pa.Table:
-        """Fetch rows at specific global ranks (tiny point lookups)."""
-        ranks = sorted(set(int(r) for r in ranks))
-        by_block: dict[int, list[int]] = {}
-        for r in ranks:
-            if r < 0 or r >= self.total:
-                raise IndexError(f"rank {r} out of range [0, {self.total})")
-            b = int(np.searchsorted(self.offsets, r, side="right")) - 1
-            by_block.setdefault(b, []).append(r - int(self.offsets[b]))
-        futs = [_block_take.remote(self.refs[b], idxs) for b, idxs in sorted(by_block.items())]
+        """Fetch rows at specific global ranks (point lookups; grouping is
+        vectorized — rank lists reach ~2g entries at web scale)."""
+        rank_arr = np.unique(np.asarray(ranks, dtype=np.int64))
+        if rank_arr.size == 0:
+            return pa.table({})
+        if rank_arr[0] < 0 or rank_arr[-1] >= self.total:
+            raise IndexError(f"rank out of range [0, {self.total})")
+        blocks = np.searchsorted(self.offsets, rank_arr, side="right") - 1
+        local = rank_arr - self.offsets[blocks]
+        futs = []
+        for b in np.unique(blocks):
+            idxs = local[blocks == b].tolist()
+            futs.append(_block_take.remote(self.refs[int(b)], idxs))
         parts = ray.get(futs)
         return pa.concat_tables(parts) if parts else pa.table({})
 

@@ -131,6 +131,10 @@ def prepare_scaling_input() -> None:
     _init_ray(NUM_CPUS)
     shutil.rmtree(SCALING_PAGES_DIR, ignore_errors=True)
     pages = replicate_pages(synthesize_pages(SF_DIR), SCALING_REPLICATE)
+    # shard the table properly: a handful of giant files caps read-task
+    # parallelism (and everything fused behind the read) far below the
+    # cluster width — real crawls arrive as thousands of WARC-sized shards
+    pages = pages.repartition(256)
     pages.write_parquet(SCALING_PAGES_DIR)
     open(marker, "w").write("ok")
 
@@ -177,23 +181,33 @@ def _hw_work(n: int) -> float:
     return _t.perf_counter() - t0
 
 
-def measure_hw_ceiling(low: int = 8, high: int = 32, units: int = 8000) -> float:
+def measure_hw_ceiling(
+    low: int = 8, high: int = 32, units: int = 8000, trials: int = 3
+) -> float:
     """Single-socket parallel-efficiency ceiling: identical per-process work
     at `low` vs `high` active processes. On one box the two 'clusters' share
     a memory bus and turbo budget; a real N vs 4N NODE cluster does not —
-    this ratio normalizes the end-to-end number accordingly."""
-    import multiprocessing as mp
+    this ratio normalizes the end-to-end number accordingly.
 
-    per_proc = {}
-    for n in (low, high):
-        with mp.Pool(n) as p:
-            p.map(_hw_work, [units // 20] * n)  # warm-up
-            t0 = time.perf_counter()
-            p.map(_hw_work, [units] * n)
-            wall = time.perf_counter() - t0
-        per_proc[n] = wall
-    # perfect hardware would give identical walls (same per-process work)
-    return round(per_proc[low] / per_proc[high], 3)
+    Alternating trials + median: a single shot is hostage to the machine's
+    turbo/thermal state right after the Ray children exit (observed spread
+    0.48-0.92 for one-shot runs)."""
+    import multiprocessing as mp
+    import statistics
+
+    ratios = []
+    for _ in range(trials):
+        per_proc = {}
+        for n in (low, high):
+            with mp.Pool(n) as p:
+                p.map(_hw_work, [units // 20] * n)  # warm-up
+                t0 = time.perf_counter()
+                p.map(_hw_work, [units] * n)
+                wall = time.perf_counter() - t0
+            per_proc[n] = wall
+        # perfect hardware would give identical walls (same per-process work)
+        ratios.append(per_proc[low] / per_proc[high])
+    return round(statistics.median(ratios), 3)
 
 
 def run_scaling() -> dict:

@@ -171,3 +171,46 @@ def test_multimodal_real_decode_is_gated():
     dec = MediaDecoder(fake=False)
     with pytest.raises(NotImplementedError):
         dec._decode(b"payload")
+
+
+def test_png_roundtrip_and_header_probe():
+    from anonymization_ray.extras.multimodal import (
+        attach_media,
+        decode_png_gray,
+        encode_png_gray,
+        parse_image_header,
+        probe_media_meta,
+    )
+
+    # pixel-exact pure-python PNG round trip
+    rng = np.random.Generator(np.random.Philox(key=9))
+    px = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    payload = encode_png_gray(px)
+    assert parse_image_header(payload) == {
+        "mime": "image/png", "width": 23, "height": 17, "duration_ms": 0
+    }
+    assert np.array_equal(decode_png_gray(payload), px)
+    # GIF + JPEG header probing (hand-built headers)
+    import struct
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    assert parse_image_header(gif)["width"] == 320
+    jpeg = b"\xff\xd8\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 10
+    jpeg += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 240, 360) + b"\x00" * 4
+    got = parse_image_header(jpeg)
+    assert (got["mime"], got["width"], got["height"]) == ("image/jpeg", 360, 240)
+
+    # Ray stages: attach real PNGs -> probe headers -> REAL decode features
+    from anonymization_ray.extras.multimodal import decode_media
+
+    ds = rd.from_arrow(pa.table({"item_id": pa.array(range(6), pa.int64())}))
+    media = attach_media(ds, "item_id", width=24, height=16)
+    probed = probe_media_meta(media).to_pandas().sort_values("item_id")
+    assert all(m["mime"] == "image/png" for m in probed["media_meta"])
+    assert all(m["width"] == 24 and m["height"] == 16 for m in probed["media_meta"])
+    # fake=False: PNG decode is real (no codec needed), so no gate trips
+    feats = decode_media(
+        attach_media(ds, "item_id", width=24, height=16), fake=False, feature_dim=9
+    ).to_pandas().sort_values("item_id")
+    assert all(len(f) == 9 for f in feats["media_features"])
+    assert all(0.0 <= v <= 1.0 for f in feats["media_features"] for v in f)

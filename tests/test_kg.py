@@ -125,6 +125,41 @@ def test_kg_pipeline_and_resume(tmp_path):
     assert m["inputs"] == [SF] and m["rows"] > 0
 
 
+def test_checkpointed_extraction_resume(tmp_path):
+    from anonymization_ray.kg import kg_pipeline_checkpointed
+    from anonymization_ray.kg.pages import synthesize_pages
+
+    pages_dir = str(tmp_path / "pages")
+    ckpt = str(tmp_path / "ckpt")
+    synthesize_pages(SF).repartition(4).write_parquet(pages_dir)
+
+    r1 = kg_pipeline_checkpointed(SF, pages_dir, ckpt)
+    rep1 = r1.extract_report
+    assert rep1["shards"] >= 2 and rep1["skipped"] == []
+    n1 = r1.triples.count()
+    assert n1 > 0
+    # metrics carry lineage counters per shard (mentions cluster on the
+    # low-doc_id shards in this corpus; the totals are the invariant)
+    assert all(m["pages_in"] > 0 for m in rep1["metrics"].values())
+    assert sum(m["mentions"] for m in rep1["metrics"].values()) > 0
+
+    # plain pipeline on the same pages (dedup off: checkpointing documents
+    # that crawl dedup happens when producing the page table) must agree
+    plain = kg_pipeline(SF, pages=rd.read_parquet(pages_dir), dedup_pages=False)
+    a = r1.triples.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    b = plain.triples.to_pandas().sort_values(["subj", "pred", "obj"]).reset_index(drop=True)
+    assert a.equals(b)
+
+    # simulate a partial failure: drop one shard's checkpoint + manifest
+    victim = rep1["extracted"][0]
+    shutil.rmtree(os.path.join(ckpt, "stage_extract", f"shard={victim}"))
+    os.remove(os.path.join(ckpt, "_manifests", f"extract_{victim}.json"))
+    r2 = kg_pipeline_checkpointed(SF, pages_dir, ckpt)
+    assert r2.extract_report["extracted"] == [victim]
+    assert len(r2.extract_report["skipped"]) == rep1["shards"] - 1
+    assert r2.triples.count() == n1
+
+
 def test_config_change_invalidates_manifests(tmp_path):
     out = str(tmp_path / "kg2")
     t = rd.from_arrow(

@@ -286,3 +286,35 @@ def test_k_anonymity_single_giant_class_distributed():
     got = k_anonymity(ds, [], [ra])
     want = _group_min_intersection(tbl, [ra])
     assert got == want
+
+
+def test_codec_vectorized_parity():
+    # format_array / midpoint_array must agree with the per-value paths
+    from anonymization_ray.stages.codecs import CODECS
+
+    rng = np.random.Generator(np.random.Philox(key=21))
+    num = CODECS["numeric"]
+    vals = np.concatenate([
+        rng.normal(0, 5000, 200).round(2),
+        np.array([0.0, -1.5, 1226.0, 999999.0, 0.5, -0.125]),
+    ])
+    got = num.format_array(pa.array(vals, pa.float64())).to_pylist()
+    want = [num.format_value(v) for v in vals]
+    assert got == want
+    a = rng.normal(0, 100, 100)
+    b = a + rng.random(100)
+    assert np.allclose(num.midpoint_array(a, b), [num.midpoint(x, y) for x, y in zip(a, b)])
+
+    date = CODECS["date"]
+    days = rng.integers(-3000, 20000, 200)
+    got = date.format_array(pa.array(days, pa.int64())).to_pylist()
+    want = [date.format_value(int(v)) for v in days]
+    assert got == want
+    d2 = days + rng.integers(0, 5, 200)
+    assert (date.midpoint_array(days, d2) == [date.midpoint(int(x), int(y)) for x, y in zip(days, d2)]).all()
+
+    dt = CODECS["dateTime"]
+    ms = rng.integers(0, 2_000_000_000_000, 200)
+    got = dt.format_array(pa.array(ms, pa.int64())).to_pylist()
+    want = [dt.format_value(int(v)) for v in ms]
+    assert got == want
