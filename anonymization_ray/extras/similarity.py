@@ -142,6 +142,113 @@ def lsh_topk(
     return local.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
 
 
+def lsh_ann_join(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 8,
+) -> rd.Dataset:
+    """ANN JOIN: approximate cosine top-k neighbors for EVERY corpus vector.
+
+    The scale path when the query set IS the corpus: candidates come from a
+    banded hyperplane self-join (shuffle by (table, bucket) — the
+    pre-bucketed index), exact cosine rescoring runs on the joined pairs,
+    and per-query top-k selection is the sort+boundary-carry
+    ``util.topk_per_key`` — no per-query corpus scan, no per-group UDF
+    anywhere. Approximate: recall depends on bucket collisions (guaranteed
+    for near-identical vectors; tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import default_num_partitions, hash_join, topk_per_key
+
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        dim = v.shape[1]
+        out_t, out_b, out_i = [], [], []
+        for t in range(n_tables):
+            p = _hyperplanes(dim, n_planes, seed=101 + t)
+            sig = np.packbits((v @ p.T) > 0, axis=1, bitorder="little")[:, 0].astype(np.int64)
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+            out_b.append(sig)
+            out_i.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(out_t), pa.int32()),
+                "bucket": pa.array(np.concatenate(out_b), pa.int64()),
+                id_col: pa.array(np.concatenate(out_i)),
+            }
+        )
+
+    banded = ds.map_batches(_bands, batch_format="pyarrow")
+    nparts = max(2, default_num_partitions() // 2)
+    left = banded.rename_columns({id_col: "query_id"})
+    right = banded.rename_columns({id_col: "cand_id"})
+    cand = left.join(right, join_type="inner", num_partitions=nparts, on=("band", "bucket"))
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        m = pc.invert(pc.equal(batch.column("query_id"), batch.column("cand_id")))
+        return batch.filter(m).select(["query_id", "cand_id"])
+
+    uniq = (
+        cand.map_batches(_directed, batch_format="pyarrow")
+        .groupby(["query_id", "cand_id"])
+        .count()
+        .drop_columns(["count()"])
+    )
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1.0
+        v = v / n[:, None]
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "_vec": pa.array([row.tobytes() for row in v], pa.binary()),
+            }
+        )
+
+    packed = ds.map_batches(_pack, batch_format="pyarrow")
+    joined = hash_join(
+        uniq, packed.rename_columns({id_col: "query_id", "_vec": "_vq"}),
+        on="query_id", join_type="inner", num_partitions=nparts,
+    ).materialize()  # chained joins over shared lineage (see canonicalize)
+    joined = hash_join(
+        joined, packed.rename_columns({id_col: "cand_id", "_vec": "_vc"}),
+        on="cand_id", join_type="inner", num_partitions=nparts,
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], batch.column("query_id").type),
+                    id_col: pa.array([], batch.column("cand_id").type),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        a = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch.column("_vq").to_pylist()])
+        b = np.stack([np.frombuffer(x, dtype=np.float64) for x in batch.column("_vc").to_pylist()])
+        cos = np.einsum("ij,ij->i", a, b)
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").combine_chunks(),
+                id_col: batch.column("cand_id").combine_chunks(),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(_score, batch_format="pyarrow")
+    return topk_per_key(scored, "query_id", "cosine", k, descending=True, tie_col=id_col)
+
+
 def load_query_vectors(
     sf_dir: str, n: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> tuple[np.ndarray, np.ndarray]:

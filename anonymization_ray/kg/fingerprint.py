@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..extras.dedup import _perm_params, _shingle_hashes
+from ..extras.dedup import _perm_params
 from ..util import hash_join
 
 
@@ -31,25 +31,29 @@ def page_fingerprints(pages: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     page_simhash) — one row per page. Written alongside the graph as the
     dedup index and reused for the exact-dedup decision."""
     a, b = _perm_params(64)
-    MERSENNE = (1 << 61) - 1
 
     def _fp(batch: pa.Table) -> pa.Table:
+        from ..extras.dedup import minhash_from_flat, shingle_hash_batch
+
         texts = batch.column(text_col).to_pylist()
         n = len(texts)
         ch = pd.util.hash_array(np.array(texts, dtype=object)).astype(np.int64)
-        sigs = np.empty((n, 64), dtype=np.int64)
-        simh = np.empty(n, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sh = _shingle_hashes(t or "")
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE
-            sigs[i] = vals.min(axis=1)
-            # simhash from the shingle hash set (reuses the crc32 work)
-            bits = ((sh[:, None].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                    >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            simh[i] = np.left_shift(
-                (votes > 0).astype(np.uint64), np.arange(64, dtype=np.uint64)
-            ).sum(dtype=np.uint64)
+        if n:
+            # one flat shingle-hash pass + segment reductions — no per-page
+            # Python in the crawl's dominant stage
+            h, offsets = shingle_hash_batch(texts)
+            sigs = minhash_from_flat(h, offsets, a, b)
+            hu = h.view(np.uint64)
+            bits = ((hu[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+                np.int8
+            )
+            votes = np.add.reduceat(2 * bits.astype(np.int16) - 1, offsets[:-1], axis=0)
+            simh = np.left_shift(
+                (votes > 0).astype(np.uint64), np.arange(64, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+        else:
+            sigs = np.empty((0, 64), dtype=np.int64)
+            simh = np.empty(0, dtype=np.uint64)
         return pa.table(
             {
                 "url": batch.column("url").combine_chunks(),

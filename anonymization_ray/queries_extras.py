@@ -155,14 +155,10 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
-def q_dedup_embedding_lsh(sf_dir: str):
-    """Hyperplane-LSH near-dup pairs at threshold 0.9 over a planted-dup
-    corpus (each vector unioned with a x2-scaled copy at id+1e6: cosine
-    exactly 1.0, so every planted pair collides in every LSH table —
-    deterministic recall — while the corpus's unrelated pairs top out near
-    0.5 and are killed by exact verification)."""
-    from .extras.dedup import embedding_dup_pairs_lsh
-
+def _planted_embeddings(sf_dir: str) -> rd.Dataset:
+    """embeddings ∪ x2-scaled copies at vec_id+1e6 — each planted pair has
+    cosine exactly 1.0 (identical direction), so hyperplane LSH buckets the
+    twins together in EVERY table: deterministic recall for the oracles."""
     base = load(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def _plant(batch: pa.Table) -> pa.Table:
@@ -182,8 +178,18 @@ def q_dedup_embedding_lsh(sf_dir: str):
         )
         return pa.concat_tables([orig, dup])
 
-    corpus = base.map_batches(_plant, batch_format="pyarrow")
-    pairs = embedding_dup_pairs_lsh(corpus, "embedding", "vec_id", threshold=0.9)
+    return base.map_batches(_plant, batch_format="pyarrow")
+
+
+def q_dedup_embedding_lsh(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs at threshold 0.9 over the planted-dup
+    corpus — unrelated pairs top out near 0.5 and are killed by exact
+    verification, planted twins are caught deterministically."""
+    from .extras.dedup import embedding_dup_pairs_lsh
+
+    pairs = embedding_dup_pairs_lsh(
+        _planted_embeddings(sf_dir), "embedding", "vec_id", threshold=0.9
+    )
     return pairs.select_columns(["id_a", "id_b"])
 
 
@@ -653,6 +659,38 @@ EXTRAS_REGISTRY.update(
         "rand_datetime_events": QueryDef(q_rand_datetime_events, None),
         "pivot_triples_roundtrip": QueryDef(q_pivot_roundtrip, SQL_PIVOT_ROUNDTRIP),
     }
+)
+
+
+def q_ann_join_top1(sf_dir: str):
+    """ANN JOIN (query set == corpus) via the pre-bucketed banded self-join
+    + distributed top-k (`lsh_ann_join`): each planted vector's top-1
+    neighbor is its exact-direction twin (cosine 1.0, bucketed together in
+    every table), so the global-exact SQL top-1 is a full oracle."""
+    from .extras.similarity import lsh_ann_join
+
+    res = lsh_ann_join(_planted_embeddings(sf_dir), k=1)
+    return res.select_columns(["query_id", "vec_id"])
+
+
+SQL_ANN_JOIN_TOP1 = f"""
+WITH corpus AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + {DUP_OFFSET}, list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+  FROM embeddings
+),
+scores AS (SELECT a.id AS query_id, b.id AS vec_id,
+                  list_cosine_similarity(a.e, b.e) AS s
+           FROM corpus a JOIN corpus b ON a.id <> b.id),
+ranked AS (SELECT query_id, vec_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+           FROM scores)
+SELECT query_id, vec_id FROM ranked WHERE rn = 1
+"""
+
+EXTRAS_REGISTRY.update(
+    {"ann_lsh_join_top1": QueryDef(q_ann_join_top1, SQL_ANN_JOIN_TOP1)}
 )
 
 

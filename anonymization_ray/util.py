@@ -268,6 +268,65 @@ def combine_sorted_partials(
     )
 
 
+def topk_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    k: int,
+    *,
+    descending: bool = True,
+    tie_col: str | None = None,
+) -> ray.data.Dataset:
+    """Top-k rows per key WITHOUT a per-group UDF: one range sort by
+    (key, order[, tie]), then per-block within-key ranks with a boundary
+    carry (rows of a block's first key already seen in prior blocks). Works
+    at any key cardinality — per-group Python never appears; the driver only
+    sees per-block edge rows."""
+    cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    desc = [False, descending] + ([False] if tie_col else [])
+    s = coalesce_blocks(ds.materialize()).sort(cols, descending=desc).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _edges(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        kc = t.column(key_col)
+        first, last = kc[0].as_py(), kc[-1].as_py()
+        eq_first = pc.sum(pc.cast(pc.equal(kc, kc[0]), pa.int64())).as_py()
+        eq_last = pc.sum(pc.cast(pc.equal(kc, kc[-1]), pa.int64())).as_py()
+        return (first, last, int(eq_first), int(eq_last), t.num_rows)
+
+    edges = ray.get([_edges.remote(r) for r in refs])
+    refs = [r for r, e in zip(refs, edges) if e is not None]
+    edges = [e for e in edges if e is not None]
+    carry_in = [0] * len(refs)
+    prev_key, cum = None, 0
+    for bidx, (fk, lk, nf, nl, rows) in enumerate(edges):
+        carry_in[bidx] = cum if prev_key == fk else 0
+        if fk == lk:
+            cum = carry_in[bidx] + rows
+        else:
+            cum = nl
+        prev_key = lk
+
+    @ray.remote(num_cpus=0.5)
+    def _take(t: pa.Table, carry: int) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(kv)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = kv[1:] != kv[:-1]
+        seg = np.nonzero(new)[0]
+        rank = np.arange(n, dtype=np.int64) - np.repeat(seg, np.diff(np.append(seg, n)))
+        rank[: (seg[1] if len(seg) > 1 else n)] += carry
+        return t.filter(pa.array(rank < k))
+
+    return ray.data.from_arrow_refs(
+        [_take.remote(refs[b], carry_in[b]) for b in range(len(refs))]
+    )
+
+
 def default_num_partitions() -> int:
     """Join/shuffle partition count sized to the cluster: the join's
     aggregator actors each hold a CPU, so too many partitions on a small

@@ -214,3 +214,41 @@ def test_png_roundtrip_and_header_probe():
     ).to_pandas().sort_values("item_id")
     assert all(len(f) == 9 for f in feats["media_features"])
     assert all(0.0 <= v <= 1.0 for f in feats["media_features"] for v in f)
+
+
+def test_topk_per_key_matches_pandas():
+    from anonymization_ray.util import topk_per_key
+
+    rng = np.random.Generator(np.random.Philox(key=17))
+    n = 50_000
+    keys = rng.integers(0, 700, n)
+    vals = rng.random(n)
+    ids = np.arange(n)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.float64()),
+                  "i": pa.array(ids, pa.int64())})
+    got = (
+        topk_per_key(rd.from_arrow(t).repartition(16), "k", "v", 5, descending=True, tie_col="i")
+        .to_pandas().sort_values(["k", "v", "i"], ascending=[True, False, True]).reset_index(drop=True)
+    )
+    import pandas as pd
+    df = t.to_pandas().sort_values(["k", "v", "i"], ascending=[True, False, True])
+    want = df.groupby("k", as_index=False).head(5).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_lsh_ann_join_planted_top1():
+    from anonymization_ray.extras.similarity import lsh_ann_join
+
+    rng = np.random.Generator(np.random.Philox(key=23))
+    base = rng.standard_normal((60, 16))
+    ids = list(range(60)) + [i + 1000 for i in range(60)]
+    vecs = np.concatenate([base, base * 2.0])
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(list(vecs), pa.list_(pa.float64()))})
+    ).repartition(4)
+    got = lsh_ann_join(ds, k=1).to_pandas()
+    # every vector's top-1 neighbor is its exact-direction twin
+    m = dict(zip(got["query_id"], got["vec_id"]))
+    assert len(m) == 120
+    assert all(m[i] == i + 1000 and m[i + 1000] == i for i in range(60))
