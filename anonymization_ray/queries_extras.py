@@ -741,6 +741,78 @@ EXTRAS_REGISTRY.update(
 )
 
 
+_QS = (0.01, 0.25, 0.5, 0.75, 0.99)
+
+
+def q_stats_quantiles(sf_dir: str):
+    """Exact discrete quantiles from the narrow-sort machinery (point
+    lookups at the quantile ranks; the column is never materialized)."""
+    from .extras.stats import exact_quantiles
+
+    ds = load(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", list(_QS), id_col="l_orderkey")
+
+
+SQL_STATS_QUANTILES = " UNION ALL ".join(
+    f"SELECT {q} AS q, quantile_disc(l_extendedprice, {q}) AS value FROM lineitem"
+    for q in _QS
+)
+
+
+def q_stats_distinct(sf_dir: str):
+    """Exact distinct count without a groupby (per-block unique + range sort
+    + boundary scan)."""
+    from .extras.stats import count_distinct_exact
+
+    n = count_distinct_exact(load(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey")
+    return pa.table({"n_distinct": pa.array([n], pa.int64())})
+
+
+SQL_STATS_DISTINCT = "SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct FROM lineitem"
+
+
+def q_stats_heavy_hitters(sf_dir: str):
+    """Exact top-10 customers by order count; per-value totals never ride a
+    Ray groupby (Arrow partial counts + boundary-carry segment sums)."""
+    from .extras.stats import heavy_hitters
+
+    hh = heavy_hitters(load(sf_dir, "orders", ["o_custkey"]), "o_custkey", k=10)
+    return hh.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+                "n": pc.cast(b.column("n"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STATS_HEAVY = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders
+GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10
+"""
+
+
+def q_stats_hll(sf_dir: str):
+    """HyperLogLog distinct estimate (sketch — rows-only; relative error vs
+    exact is unit-tested)."""
+    from .extras.stats import hll_count_distinct
+
+    n = hll_count_distinct(load(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey")
+    return pa.table({"estimate": pa.array([n], pa.int64())})
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "stats_quantiles": QueryDef(q_stats_quantiles, SQL_STATS_QUANTILES),
+        "stats_distinct": QueryDef(q_stats_distinct, SQL_STATS_DISTINCT),
+        "stats_heavy_hitters": QueryDef(q_stats_heavy_hitters, SQL_STATS_HEAVY),
+        "stats_hll_distinct": QueryDef(q_stats_hll, None),
+    }
+)
+
+
 def q_sample_lineitem(sf_dir: str):
     """Deterministic systematic sampling (5%): keep rows where the key falls
     in a fixed residue class — reproducible across runs/partitionings and

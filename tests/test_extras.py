@@ -252,3 +252,29 @@ def test_lsh_ann_join_planted_top1():
     m = dict(zip(got["query_id"], got["vec_id"]))
     assert len(m) == 120
     assert all(m[i] == i + 1000 and m[i + 1000] == i for i in range(60))
+
+
+def test_hll_distinct_within_error():
+    from anonymization_ray.extras.stats import count_distinct_exact, hll_count_distinct
+
+    rng = np.random.Generator(np.random.Philox(key=31))
+    vals = rng.integers(0, 40_000, 120_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())})).repartition(8)
+    exact = count_distinct_exact(ds, "v")
+    est = hll_count_distinct(ds, "v", p=12)
+    assert exact == len(np.unique(vals))
+    # HLL std error ~1.04/sqrt(2^12) ≈ 1.6%; allow 5%
+    assert abs(est - exact) / exact < 0.05
+    # merge is partitioning-independent
+    est2 = hll_count_distinct(ds.repartition(3), "v", p=12)
+    assert est == est2
+
+
+def test_exact_quantiles_duckdb_semantics():
+    from anonymization_ray.extras.stats import exact_quantiles
+
+    vals = [5.0, 1.0, 3.0, 2.0, 4.0]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64()),
+                                 "i": pa.array(range(5), pa.int64())}))
+    t = exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0], id_col="i")
+    assert t.column("value").to_pylist() == [1.0, 2.0, 3.0, 5.0, 5.0]
