@@ -165,10 +165,18 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     verify_threshold: float | None = 0.5,
+    max_bucket: int | None = 10_000,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs (a < b) from banded LSH buckets; when
     ``verify_threshold`` is set, pairs are verified with exact n-gram jaccard
-    inside the bucket group."""
+    inside the bucket group.
+
+    ``max_bucket`` is the skew valve: a bucket of D near-identical documents
+    yields D^2 join rows in ONE partition (exact duplicates share every
+    band). Buckets above the cap are dropped from pair generation — run
+    ``exact_dedup`` first, which owns exact-duplicate collapse; the cap only
+    ever fires on pathological exact-dup clusters, far above any genuine
+    near-dup neighborhood. ``None`` disables."""
     rows_per_band = num_perm // bands
     # the (id, text) projection feeds signature computation AND both
     # verification joins — materialize the narrow slice once instead of
@@ -197,6 +205,38 @@ def minhash_lsh_pairs(
         )
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
+
+    if max_bucket is not None:
+        # bucket-size census over a folded (band, bucket) key with the
+        # no-groupby exact counter; oversized keys broadcast as a filter.
+        # The fold is a 64-bit mix (cross-band collisions ~2^-64 — and a
+        # collision can only DROP a bucket conservatively, never emit a
+        # wrong pair: verification below is exact)
+        _GOLD = np.int64(-0x61C8864680B583EB)
+
+        def _fold(b: pa.Table) -> pa.Array:
+            band = b.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+            bkt = b.column("bucket").to_numpy(zero_copy_only=False)
+            return pa.array(bkt * _GOLD + band, pa.int64())
+
+        banded = banded.materialize()
+        from .stats import exact_value_counts
+
+        keyed = banded.map_batches(
+            lambda b: pa.table({"_fk": _fold(b)}), batch_format="pyarrow"
+        )
+        totals = exact_value_counts(keyed, "_fk")
+        big = totals.map_batches(
+            lambda b: b.filter(pc.greater(b.column("n"), max_bucket)).select(["_fk"]),
+            batch_format="pyarrow",
+        ).take_all()
+        if big:
+            bad = pa.array(sorted({r["_fk"] for r in big}), pa.int64())
+
+            def _drop_big(b: pa.Table) -> pa.Table:
+                return b.filter(pc.invert(pc.is_in(_fold(b), value_set=bad)))
+
+            banded = banded.map_batches(_drop_big, batch_format="pyarrow")
 
     # candidate pairs via a self-join on (band, bucket) — a vectorized hash
     # join, NOT a per-bucket Python UDF (bucket count is O(corpus), so

@@ -104,11 +104,11 @@ def hll_count_distinct(ds: rd.Dataset, col: str, *, p: int = 12) -> int:
     return int(round(est))
 
 
-def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10) -> rd.Dataset:
-    """Exact top-k values by count, deterministic ties (count desc, value
-    asc). Per-block partial counts are Arrow-native; exact totals come from
-    a range sort over the (value, partial) stream + boundary-carry segment
-    sums — the per-value total never rides a Ray groupby."""
+def exact_value_counts(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Exact per-value counts at ANY cardinality without a Ray groupby:
+    Arrow-native per-block partial counts (C group_by), one range sort of
+    the narrow (value, partial) stream, per-block segment sums, boundary
+    carries (``util.combine_sorted_partials``). Returns Dataset[(col, n)]."""
 
     def _partial(batch: pa.Table) -> pa.Table:
         g = pa.table({col: batch.column(col).combine_chunks()}).group_by([col]).aggregate(
@@ -126,5 +126,10 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10) -> rd.Dataset:
         return g.select([col, "n_sum"]).rename_columns([col, "n"])
 
     seg_refs = [_segsum.remote(r) for r in refs]
-    totals = combine_sorted_partials(seg_refs, col, "n")
-    return totals.sort(["n", col], descending=[True, False]).limit(k)
+    return combine_sorted_partials(seg_refs, col, "n")
+
+
+def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10) -> rd.Dataset:
+    """Exact top-k values by count, deterministic ties (count desc, value
+    asc)."""
+    return exact_value_counts(ds, col).sort(["n", col], descending=[True, False]).limit(k)

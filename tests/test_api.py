@@ -109,6 +109,25 @@ def test_jsonld_03_invalid_config_content():
     )
 
 
+def test_jsonld_13_through_api_document_level():
+    # full surface: url -> SOyA parse -> anonymize -> write_jsonld; the
+    # serialized document re-parses to the golden's triple set (P/R 1.0 on
+    # the deterministic object-generalization case)
+    from anonymization_ray.sources.jsonld import (
+        normalize_triples,
+        parse_jsonld,
+        triple_precision_recall,
+    )
+
+    req = load(LD_IN, "13-generalization-address")
+    got_doc = handle_jsonld_request(req, fetch=FETCH)
+    want = golden(LD_OUT, "13-generalization-address")
+    gset = normalize_triples(parse_jsonld(got_doc))
+    wset = normalize_triples(parse_jsonld(want))
+    p, r = triple_precision_recall(gset, wset)
+    assert p == 1.0 and r == 1.0
+
+
 def test_jsonld_04_flat_data_on_jsonld_endpoint():
     # non-JSON-LD data -> empty model; only the kpi node (k=1) survives
     got = handle_jsonld_request(load(LD_IN, "04-no-json-ld"), fetch=FETCH)

@@ -278,3 +278,25 @@ def test_exact_quantiles_duckdb_semantics():
                                  "i": pa.array(range(5), pa.int64())}))
     t = exact_quantiles(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0], id_col="i")
     assert t.column("value").to_pylist() == [1.0, 2.0, 3.0, 5.0, 5.0]
+
+
+def test_minhash_skew_valve_caps_giant_buckets():
+    # 120 identical docs share every band -> one giant bucket per band;
+    # the cap drops them from pair generation (exact_dedup owns exact dups)
+    # while planted near-dups elsewhere are still found
+    texts = [f"unique words number {i} with some shared filler tokens here ok" for i in range(12)]
+    texts += [t + " tail" for t in texts[:3]]  # near-dups of 0-2
+    texts += ["the same exact giant cluster document body repeated"] * 120
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})).repartition(6)
+    capped = minhash_lsh_pairs(ds, "text", "doc_id", bands=32, verify_threshold=0.5,
+                               max_bucket=50).to_pandas()
+    s = set(map(tuple, capped[["id_a", "id_b"]].values.tolist()))
+    for i in range(3):
+        assert (i, 12 + i) in s  # near-dups survive the valve
+    giant = [p for p in s if p[0] >= 15 and p[1] >= 15]
+    assert giant == []  # giant-cluster pairs dropped, not exploded
+    # without the cap the giant cluster explodes into 120*119/2 pairs
+    uncapped = minhash_lsh_pairs(ds, "text", "doc_id", bands=32, verify_threshold=0.5,
+                                 max_bucket=None).to_pandas()
+    assert len(uncapped) >= 120 * 119 // 2
