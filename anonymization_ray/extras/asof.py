@@ -1,0 +1,147 @@
+"""Distributed AS-OF join — a custom operator Ray Data lacks.
+
+``asof_join(left, right)``: for every left row (key, t), attach the right
+row of the same key with the greatest t_r <= t (inclusive), or nulls.
+
+Composition (no per-key UDF, documented partitioning assumption: one range
+sort co-locates and orders both streams):
+
+1. tag the two streams (right side orders BEFORE left at equal time, making
+   equal-time matches visible) and union them
+2. ONE range sort by (key, time, side)
+3. per-block vectorized last-right-position scan: segment-encoded cummax
+   (position + segment id x stride) finds, for every left row, the latest
+   preceding right row within its key segment — O(n) per block, no loops
+4. block-boundary carry: a key spanning blocks passes its latest right row
+   through the same adjacent-block carry chain used by
+   ``util.combine_sorted_partials`` (driver sees one edge row per block).
+
+Matches DuckDB's ``ASOF LEFT JOIN`` semantics (oracle-checked); right-side
+(key, time) pairs must be unique for a deterministic result — same
+requirement DuckDB imposes for a well-defined ASOF answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..util import coalesce_blocks
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    time_col: str,
+    right_cols: list[str],
+    left_cols: list[str],
+) -> rd.Dataset:
+    """Returns Dataset[left_cols + key + time + right_cols] (right_cols
+    null where no right row precedes)."""
+
+    # right payload columns need concrete types for the union — probe schema
+    r_schema = right.schema()
+    r_types = {c: r_schema.base_schema.field(c).type for c in right_cols}
+    l_schema = left.schema()
+    l_types = {c: l_schema.base_schema.field(c).type for c in left_cols}
+
+    def _tag_l(b: pa.Table) -> pa.Table:
+        cols = {c: b.column(c).combine_chunks() for c in left_cols}
+        cols[key_col] = b.column(key_col).combine_chunks()
+        cols[time_col] = b.column(time_col).combine_chunks()
+        cols["_side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        for c in right_cols:
+            cols[f"_r_{c}"] = pa.nulls(b.num_rows, r_types[c])
+        return pa.table(cols)
+
+    def _tag_r(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {c: pa.nulls(n, l_types[c]) for c in left_cols}
+        cols[key_col] = b.column(key_col).combine_chunks()
+        cols[time_col] = b.column(time_col).combine_chunks()
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        for c in right_cols:
+            cols[f"_r_{c}"] = b.column(c).combine_chunks()
+        return pa.table(cols)
+
+    lt = left.map_batches(_tag_l, batch_format="pyarrow")
+    rt = right.map_batches(_tag_r, batch_format="pyarrow")
+    s = coalesce_blocks(lt.union(rt).materialize()).sort(
+        [key_col, time_col, "_side"]
+    ).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _edges(t: pa.Table):
+        """(first_key, last_key, latest-right-row-values-of-last-key or None)."""
+        if t.num_rows == 0:
+            return None
+        kv = t.column(key_col)
+        first, last = kv[0].as_py(), kv[-1].as_py()
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        keys = kv.to_numpy(zero_copy_only=False)
+        cand = np.nonzero((keys == last) & (side == 0))[0]
+        vals = None
+        if cand.size:
+            i = int(cand[-1])
+            vals = tuple(t.column(f"_r_{c}")[i].as_py() for c in right_cols)
+        return (first, last, vals)
+
+    edges = ray.get([_edges.remote(r) for r in refs])
+    refs = [r for r, e in zip(refs, edges) if e is not None]
+    edges = [e for e in edges if e is not None]
+    carry_in: list[tuple | None] = [None] * len(refs)
+    carry_key, carry_vals = None, None
+    for b, (fk, lk, rv) in enumerate(edges):
+        carry_in[b] = carry_vals if carry_key == fk else None
+        if rv is not None:
+            # block holds a right row for its last key: that's the carry
+            carry_key, carry_vals = lk, rv
+        elif lk == fk and carry_key == lk:
+            pass  # single-key block, no right rows: carry passes through
+        else:
+            carry_key, carry_vals = lk, None
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry) -> pa.Table:
+        n = t.num_rows
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        side = t.column("_side").to_numpy(zero_copy_only=False)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = keys[1:] != keys[:-1]
+        seg = np.cumsum(new) - 1  # segment id per row
+        stride = np.int64(n + 1)
+        pos1 = np.where(side == 0, np.arange(n, dtype=np.int64) + 1, 0)
+        enc = seg.astype(np.int64) * stride + pos1
+        run = np.maximum.accumulate(enc)
+        same_seg = (run // stride) == seg
+        last_pos = np.where(same_seg, run % stride, 0) - 1  # -1 = none in block
+        is_left = side == 1
+        li = np.nonzero(is_left)[0]
+        out_cols = {}
+        for c in left_cols + [key_col, time_col]:
+            out_cols[c] = t.column(c).take(pa.array(li, pa.int64()))
+        first_seg_left = is_left & (seg == 0)
+        for ci, c in enumerate(right_cols):
+            src = t.column(f"_r_{c}")
+            lp = last_pos[li]
+            have = lp >= 0
+            taken = src.take(pa.array(np.where(have, lp, 0), pa.int64()))
+            vals = pc.if_else(pa.array(have), taken, pa.nulls(len(li), src.type))
+            if carry is not None:
+                # first-segment left rows with no in-block right row inherit
+                # the boundary carry
+                use_carry = pa.array((~have) & first_seg_left[li])
+                vals = pc.if_else(use_carry, pa.scalar(carry[ci], src.type), vals)
+            out_cols[c] = vals
+        return pa.table(out_cols)
+
+    return rd.from_arrow_refs(
+        [_scan.remote(refs[b], carry_in[b]) for b in range(len(refs))]
+    )

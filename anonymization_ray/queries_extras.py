@@ -741,6 +741,44 @@ EXTRAS_REGISTRY.update(
 )
 
 
+def q_events_asof(sf_dir: str):
+    """AS-OF join (custom operator): each even-id event matched to the
+    latest odd-id event of the same user at or before its timestamp — one
+    co-sort of both streams + per-block carry scan (extras/asof.py).
+    (user_id, ts) pairs are unique in this corpus, so the answer is
+    deterministic (the same precondition DuckDB ASOF needs)."""
+    from .extras.asof import asof_join
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _parity(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), want)
+            return b.filter(m)
+
+        return f
+
+    left = ev.map_batches(_parity(0), batch_format="pyarrow").drop_columns(["value"])
+    right = ev.map_batches(_parity(1), batch_format="pyarrow").rename_columns(
+        {"event_id": "r_event_id", "value": "r_value"}
+    )
+    out = asof_join(
+        left, right, key_col="user_id", time_col="ts",
+        right_cols=["r_event_id", "r_value"], left_cols=["event_id"],
+    )
+    return out.select_columns(["event_id", "user_id", "r_event_id", "r_value"])
+
+
+SQL_EVENTS_ASOF = """
+SELECT l.event_id, l.user_id, r.event_id AS r_event_id, r.value AS r_value
+FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+EXTRAS_REGISTRY.update({"events_asof_join": QueryDef(q_events_asof, SQL_EVENTS_ASOF)})
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
 

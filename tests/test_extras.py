@@ -300,3 +300,32 @@ def test_minhash_skew_valve_caps_giant_buckets():
     uncapped = minhash_lsh_pairs(ds, "text", "doc_id", bands=32, verify_threshold=0.5,
                                  max_bucket=None).to_pandas()
     assert len(uncapped) >= 120 * 119 // 2
+
+
+def test_asof_join_matches_pandas_merge_asof():
+    import pandas as pd
+    from anonymization_ray.extras.asof import asof_join
+
+    rng = np.random.Generator(np.random.Philox(key=41))
+    nl, nr = 4000, 2500
+    ldf = pd.DataFrame({
+        "lid": np.arange(nl),
+        "k": rng.integers(0, 37, nl),
+        "t": rng.integers(0, 50_000, nl),
+    })
+    rdf = pd.DataFrame({"k": rng.integers(0, 37, nr), "t": rng.integers(0, 50_000, nr)})
+    rdf = rdf.drop_duplicates(["k", "t"]).reset_index(drop=True)
+    rdf["rv"] = rng.random(len(rdf)).round(4)
+    left = rd.from_arrow(pa.Table.from_pandas(ldf, preserve_index=False)).repartition(7)
+    right = rd.from_arrow(pa.Table.from_pandas(rdf, preserve_index=False)).repartition(5)
+    got = (
+        asof_join(left, right, key_col="k", time_col="t", right_cols=["rv"], left_cols=["lid"])
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(ldf.sort_values("t"), rdf.sort_values("t"), on="t", by="k",
+                      direction="backward")
+        .sort_values("lid").reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert ((got["rv"].isna() & want["rv"].isna()) | (got["rv"] == want["rv"])).all()
