@@ -165,7 +165,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     verify_threshold: float | None = 0.5,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
 ) -> rd.Dataset:
     """Candidate near-duplicate pairs (a < b) from banded LSH buckets; when
     ``verify_threshold`` is set, pairs are verified with exact n-gram jaccard
@@ -176,7 +176,9 @@ def minhash_lsh_pairs(
     band). Buckets above the cap are dropped from pair generation — run
     ``exact_dedup`` first, which owns exact-duplicate collapse; the cap only
     ever fires on pathological exact-dup clusters, far above any genuine
-    near-dup neighborhood. ``None`` disables."""
+    near-dup neighborhood. The census costs one extra narrow sort of the
+    banded stream, so it is opt-in: enable (e.g. 10_000) on crawls that have
+    NOT been exact-deduped first; ``None`` (default) skips it."""
     rows_per_band = num_perm // bands
     # the (id, text) projection feeds signature computation AND both
     # verification joins — materialize the narrow slice once instead of
