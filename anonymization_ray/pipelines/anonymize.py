@@ -175,7 +175,6 @@ def anonymize_table(
             if calculate_kpi:
                 # nrBuckets for randomization = g for this attribute's k
                 from ..config import calculate_num_buckets
-                from ..stages.codecs import CODECS
 
                 k_attr = counts.get(a.attribute, 0)
                 result.attribute_info.append(

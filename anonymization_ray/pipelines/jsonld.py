@@ -23,7 +23,6 @@ from ..config import (
     RANDOMIZATION,
     AnonymizationConfig,
 )
-from ..stages.codecs import CODECS, kind_for_datatype
 from .anonymize import anonymize_table
 from .flat import _parse_value
 

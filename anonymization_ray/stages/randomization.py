@@ -39,9 +39,9 @@ import ray
 import ray.data
 
 from ..config import calculate_num_buckets
-from ..rng import RETRY_ROUNDS, attribute_seed, gaussian_rounds, uniform_rounds
+from ..rng import attribute_seed, gaussian_rounds, uniform_rounds
 from ..util import chunked_ranges, default_num_partitions, hash_join, sorted_column
-from .codecs import CODECS, DATE, DATETIME, NUMERIC
+from .codecs import CODECS, DATE, NUMERIC
 
 
 def _trunc_div(a: np.ndarray, b: int) -> np.ndarray:
