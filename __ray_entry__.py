@@ -4,9 +4,10 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 (or in ``anonymization_ray``) calls ``ray.init``/``ray.shutdown``.
 
 - ``entry()`` — flagship pipeline on /root/testdata/sf0.001
-- ``queries()`` — one callable per implemented operator (SURVEY.md §2)
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query (omitted only for
-  seeded-RNG outputs, which get rows-only checks)
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+  §2.6): 49 entries
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (43 exact oracles;
+  omitted only for seeded-RNG / sketch outputs, which get rows-only checks)
 """
 
 from __future__ import annotations
