@@ -39,6 +39,24 @@ def token_counts(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     return ds.map_batches(_count, batch_format="pyarrow")
 
 
+BPE_SPLIT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, n_bpe): BPE-style pre-tokenization count — letter runs, digit
+    runs, and individual punctuation as separate tokens (the GPT-2
+    pre-tokenizer shape restricted to an RE2 subset shared with the SQL
+    oracle). Vectorized Arrow regex count; no Python per row."""
+
+    def _count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column(text_col), BPE_SPLIT)
+        return pa.table(
+            {id_col: batch.column(id_col).combine_chunks(), "n_bpe": pc.cast(n, pa.int64())}
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow")
+
+
 def quality_scores(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     """(id, n_chars, n_tokens, stopword_ratio, alpha_ratio) quality signals.
 

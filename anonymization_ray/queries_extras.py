@@ -260,6 +260,19 @@ FROM documents
 """
 
 
+def q_text_bpe_tokens(sf_dir: str):
+    """BPE-style pre-tokenizer counts (letter/digit runs + punctuation)."""
+    from .extras.textstats import bpe_token_counts
+
+    return bpe_token_counts(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+SQL_TEXT_BPE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+FROM documents
+"""
+
 def q_text_quality(sf_dir: str):
     from .extras.textstats import quality_scores
 
@@ -545,6 +558,7 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, None),
     "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),
+    "text_bpe_tokens": QueryDef(q_text_bpe_tokens, SQL_TEXT_BPE),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
     "text_langid": QueryDef(q_text_langid, None),
     "text_fingerprint": QueryDef(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
