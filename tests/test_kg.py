@@ -125,6 +125,23 @@ def test_kg_pipeline_and_resume(tmp_path):
     assert m["inputs"] == [SF] and m["rows"] > 0
 
 
+def test_kg_pipeline_with_distributed_canonicalization(monkeypatch):
+    # the flagship pipeline must produce identical triples when the
+    # distributed min-label contraction replaces the driver union-find
+    import anonymization_ray.kg.pipeline as pl
+    from anonymization_ray.kg.canonicalize import canonicalize_components as cc
+
+    base = kg_pipeline(SF, anonymize=True).triples.to_pandas()
+    monkeypatch.setattr(
+        pl, "canonicalize_components", lambda e: cc(e, force_distributed=True)
+    )
+    dist = kg_pipeline(SF, anonymize=True).triples.to_pandas()
+    cols = ["subj", "pred", "obj", "obj_kind"]
+    a = base[cols].sort_values(cols).reset_index(drop=True)
+    b = dist[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_checkpointed_extraction_resume(tmp_path):
     from anonymization_ray.kg import kg_pipeline_checkpointed
     from anonymization_ray.kg.pages import synthesize_pages
