@@ -210,8 +210,16 @@ def measure_hw_ceiling(
     return round(statistics.median(ratios), 3)
 
 
+SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+
+
 def run_scaling() -> dict:
-    """Same job, fresh process per parallelism level (8 then 32 CPUs)."""
+    """Same job, fresh process per parallelism level, legs INTERLEAVED
+    (8,32,8,32,...) with the per-leg minimum reported: the sandbox's
+    co-tenant noise hits a 32-wide run ~3x harder than an 8-wide one (spare
+    cores absorb the neighbor at low width), so a single unlucky wide leg
+    understates the ratio badly — min-of-trials is the least-interference
+    estimator. Raw trials are included for honesty."""
     prep = subprocess.run(
         [sys.executable, __file__, "--prepare-scaling"],
         capture_output=True,
@@ -220,23 +228,25 @@ def run_scaling() -> dict:
     )
     if prep.returncode != 0:
         raise RuntimeError(f"scaling input prep failed: {prep.stderr[-2000:]}")
-    results = []
-    for n in (8, 32):
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(n)
-        p = subprocess.run(
-            [sys.executable, __file__, "--scaling-child", str(n)],
-            capture_output=True,
-            text=True,
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
-        try:
-            results.append(json.loads(line))
-        except json.JSONDecodeError:
-            raise RuntimeError(f"scaling child failed: {p.stderr[-2000:]}")
-    low, high = results
+    trials: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(SCALING_TRIALS):
+        for n in (8, 32):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(n)
+            p = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", str(n)],
+                capture_output=True,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = p.stdout.strip().splitlines()[-1] if p.stdout.strip() else "{}"
+            try:
+                trials[n].append(json.loads(line))
+            except json.JSONDecodeError:
+                raise RuntimeError(f"scaling child failed: {p.stderr[-2000:]}")
+    low = min(trials[8], key=lambda r: r["sec"])
+    high = min(trials[32], key=lambda r: r["sec"])
     speedup = low["sec"] / high["sec"] if high["sec"] else 0.0
     efficiency = speedup / (high["num_cpus"] / low["num_cpus"])
     hw_ceiling = measure_hw_ceiling(low["num_cpus"], high["num_cpus"])
@@ -263,6 +273,9 @@ def run_scaling() -> dict:
         "efficiency_normalized": round(min(1.0, efficiency / hw_ceiling), 3)
         if hw_ceiling
         else None,
+        "trials_sec": {
+            str(n): [r["sec"] for r in trials[n]] for n in (8, 32)
+        },
     }
 
 
