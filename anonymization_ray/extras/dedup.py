@@ -109,13 +109,16 @@ def exact_dedup(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
         h = pd.util.hash_array(txt.astype(object)).astype(np.int64)
         return pa.table({"content_hash": pa.array(h), id_col: batch.column(id_col).combine_chunks()})
 
+    from ..util import min_per_key
+
     hashed = ds.map_batches(_hash, batch_format="pyarrow")
-    kept = hashed.groupby("content_hash").min(id_col)
-
-    def _rename(batch: pa.Table) -> pa.Table:
-        return pa.table({id_col: batch.column(f"min({id_col})")})
-
-    return kept.map_batches(_rename, batch_format="pyarrow")
+    # nearly every hash is its own group at crawl scale — a Ray per-group
+    # aggregate pays ~8-10s per 500k groups; min_per_key is the sort +
+    # boundary-scan shape (same as kg/fingerprint.dedup_pages_exact)
+    kept = min_per_key(hashed, "content_hash", id_col)
+    return kept.map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow"
+    )
 
 
 def minhash_signatures(
@@ -243,7 +246,7 @@ def minhash_lsh_pairs(
     # candidate pairs via a self-join on (band, bucket) — a vectorized hash
     # join, NOT a per-bucket Python UDF (bucket count is O(corpus), so
     # per-group calls would dominate wall time)
-    from ..util import default_num_partitions, hash_join
+    from ..util import default_num_partitions, distinct_rows, hash_join
 
     nparts = max(2, default_num_partitions() // 2)
     left = banded.rename_columns({id_col: "id_a"})
@@ -257,7 +260,9 @@ def minhash_lsh_pairs(
         return batch.filter(m).select(["id_a", "id_b"])
 
     pairs = cand.map_batches(_ordered, batch_format="pyarrow")
-    uniq = pairs.groupby(["id_a", "id_b"]).count().drop_columns(["count()"])
+    # pair cardinality is the pipeline's largest intermediate — dedup by
+    # sort + boundary scan, never a pair-cardinality Ray groupby
+    uniq = distinct_rows(pairs, ["id_a", "id_b"])
     if verify_threshold is None:
         return uniq
 
@@ -272,25 +277,29 @@ def minhash_lsh_pairs(
     joined = hash_join(joined, tb, on="id_b", join_type="inner", num_partitions=nparts)
 
     def _verify(batch: pa.Table, thr=verify_threshold, k=shingle_k) -> pa.Table:
-        a_ids = batch.column("id_a").to_pylist()
-        b_ids = batch.column("id_b").to_pylist()
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "id_a": batch.column("id_a").combine_chunks(),
+                    "id_b": batch.column("id_b").combine_chunks(),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        # both sides' shingle hashes in ONE vectorized kernel pass per side;
+        # per-pair work is two np.unique sorts + one sorted-array merge
+        # (np.intersect1d) — no Python-level set building over shingles
         a_txt = batch.column("text_a").to_pylist()
         b_txt = batch.column("text_b").to_pylist()
-        cache: dict = {}
-
-        def sset(doc_id, text):
-            s = cache.get(doc_id)
-            if s is None:
-                s = set(_shingle_hashes(text or "", k).tolist())
-                cache[doc_id] = s
-            return s
-
-        ja = np.empty(batch.num_rows)
-        for i in range(batch.num_rows):
-            sa = sset(a_ids[i], a_txt[i])
-            sb = sset(b_ids[i], b_txt[i])
-            u = len(sa | sb)
-            ja[i] = (len(sa & sb) / u) if u else 1.0
+        ha, oa = shingle_hash_batch(a_txt, k)
+        hb, ob = shingle_hash_batch(b_txt, k)
+        ja = np.empty(n)
+        for i in range(n):
+            sa = np.unique(ha[oa[i] : oa[i + 1]])
+            sb = np.unique(hb[ob[i] : ob[i + 1]])
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            u = sa.size + sb.size - inter
+            ja[i] = (inter / u) if u else 1.0
         out = pa.table(
             {
                 "id_a": batch.column("id_a").combine_chunks(),
@@ -375,34 +384,41 @@ def simhash_dup_pairs(
 
     banded = sigs.map_batches(_bands, batch_format="pyarrow")
 
-    def _pairs(group: pa.Table, mh=max_hamming) -> pa.Table:
-        ids = group.column(id_col).to_pylist()
-        sims = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
-        a_out, b_out, d_out = [], [], []
-        for i in range(len(ids)):
-            x = sims[i] ^ sims[i + 1 :]
-            if not len(x):
-                continue
-            # vectorized popcount: xor words -> bytes -> unpackbits sum
-            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-            for off in np.nonzero(ham <= mh)[0]:
-                j = i + 1 + off
-                a, b = sorted((ids[i], ids[j]))
-                a_out.append(a)
-                b_out.append(b)
-                d_out.append(int(ham[off]))
-        return pa.table(
+    # pair generation via a banded SELF-JOIN (the minhash_lsh_pairs shape),
+    # not a per-bucket map_groups — bucket count is O(corpus), so per-group
+    # Python dominates at crawl scale. Both sides carry the full signature;
+    # the hamming filter is one vectorized xor -> unpackbits popcount.
+    from ..util import default_num_partitions, distinct_rows
+
+    nparts = max(2, default_num_partitions() // 2)
+    left = banded.rename_columns({id_col: "id_a", "simhash": "sim_a"})
+    right = banded.rename_columns({id_col: "id_b", "simhash": "sim_b"})
+    cand = left.join(right, join_type="inner", num_partitions=nparts, on=("band", "bucket"))
+
+    def _ham(batch: pa.Table, mh=max_hamming) -> pa.Table:
+        t = batch.filter(pc.less(batch.column("id_a"), batch.column("id_b")))
+        sa = t.column("sim_a").to_numpy(zero_copy_only=False).view(np.uint64)
+        sb = t.column("sim_b").to_numpy(zero_copy_only=False).view(np.uint64)
+        x = sa ^ sb
+        ham = (
+            np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+            if len(x)
+            else np.empty(0, dtype=np.int64)
+        )
+        out = pa.table(
             {
-                "id_a": pa.array(a_out),
-                "id_b": pa.array(b_out),
-                "hamming": pa.array(d_out, pa.int32()),
+                "id_a": t.column("id_a").combine_chunks(),
+                "id_b": t.column("id_b").combine_chunks(),
+                "hamming": pa.array(ham.astype(np.int32), pa.int32()),
             }
         )
+        return out.filter(pc.less_equal(out.column("hamming"), mh))
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pyarrow")
-    return pairs.groupby(["id_a", "id_b"]).min("hamming").rename_columns(
-        {"min(hamming)": "hamming"}
-    )
+    pairs = cand.map_batches(_ham, batch_format="pyarrow")
+    # (id_a, id_b) determines hamming (xor of the two signatures), so a
+    # 3-column distinct == per-pair dedup — sort + boundary scan, no
+    # pair-cardinality groupby
+    return distinct_rows(pairs, ["id_a", "id_b", "hamming"])
 
 
 def embedding_dup_pairs(
@@ -504,7 +520,7 @@ def embedding_dup_pairs_lsh(
     false positives impossible — only recall is probabilistic. Same scale
     shape as ``minhash_lsh_pairs`` (banded self-join, no per-bucket UDF)."""
     from ..extras.similarity import _hyperplanes
-    from ..util import default_num_partitions, hash_join
+    from ..util import default_num_partitions, distinct_rows, hash_join
 
     ds = ds.select_columns([id_col, vec_col]).materialize()
 
@@ -537,11 +553,10 @@ def embedding_dup_pairs_lsh(
         m = pc.less(batch.column("id_a"), batch.column("id_b"))
         return batch.filter(m).select(["id_a", "id_b"])
 
-    uniq = (
-        cand.map_batches(_ordered, batch_format="pyarrow")
-        .groupby(["id_a", "id_b"])
-        .count()
-        .drop_columns(["count()"])
+    # candidate-pair dedup by sort + boundary scan (not a pair-cardinality
+    # Ray groupby — see util.distinct_rows)
+    uniq = distinct_rows(
+        cand.map_batches(_ordered, batch_format="pyarrow"), ["id_a", "id_b"]
     )
 
     # exact verification: attach both vectors by hash join (packed to binary

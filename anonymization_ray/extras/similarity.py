@@ -163,7 +163,7 @@ def lsh_ann_join(
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..util import default_num_partitions, hash_join, topk_per_key
+    from ..util import default_num_partitions, distinct_rows, hash_join, topk_per_key
 
     ds = ds.select_columns([id_col, vec_col]).materialize()
 
@@ -196,11 +196,10 @@ def lsh_ann_join(
         m = pc.invert(pc.equal(batch.column("query_id"), batch.column("cand_id")))
         return batch.filter(m).select(["query_id", "cand_id"])
 
-    uniq = (
-        cand.map_batches(_directed, batch_format="pyarrow")
-        .groupby(["query_id", "cand_id"])
-        .count()
-        .drop_columns(["count()"])
+    # candidate-pair dedup by sort + boundary scan (not a pair-cardinality
+    # Ray groupby — see util.distinct_rows)
+    uniq = distinct_rows(
+        cand.map_batches(_directed, batch_format="pyarrow"), ["query_id", "cand_id"]
     )
 
     def _pack(batch: pa.Table) -> pa.Table:

@@ -215,6 +215,51 @@ def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Da
     return ray.data.from_arrow_refs(out_refs)
 
 
+def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
+    """DISTINCT over ``cols`` WITHOUT a per-group aggregate.
+
+    Candidate-pair dedup is the largest intermediate in the LSH pipelines
+    (every shared band emits the pair again); ``groupby(cols).count()`` at
+    pair cardinality pays the per-group Python cost ``min_per_key`` was built
+    to avoid. Same shape instead: one range sort by ``cols``, then a
+    vectorized per-block scan keeping rows that differ from their predecessor
+    on ANY column; block boundaries compare against the previous block's last
+    row (single-row metadata, no data exchange)."""
+    s = coalesce_blocks(ds.select_columns(cols).materialize()).sort(cols).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _last_row(t: pa.Table):
+        return t.slice(t.num_rows - 1, 1) if t.num_rows else None
+
+    lasts = ray.get([_last_row.remote(r) for r in refs])
+    refs = [r for r, le in zip(refs, lasts) if le is not None]
+    lasts = [le for le in lasts if le is not None]
+
+    @ray.remote(num_cpus=0.5)
+    def _first_per_combo(t: pa.Table, prev_last: pa.Table | None) -> pa.Table:
+        n = t.num_rows
+        keep = np.zeros(n, dtype=bool)
+        same_first = prev_last is not None
+        for c in cols:
+            col = t.column(c).combine_chunks()
+            if n > 1:
+                neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+                keep[1:] |= pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+            if same_first:
+                same_first = col[0].as_py() == prev_last.column(c)[0].as_py()
+        keep[0] = not same_first
+        return t.filter(pa.array(keep))
+
+    out_refs = [
+        _first_per_combo.remote(refs[i], lasts[i - 1] if i > 0 else None)
+        for i in range(len(refs))
+    ]
+    if not out_refs:
+        return s  # empty, correct schema
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def combine_sorted_partials(
     part_refs: list, key_col: str, val_col: str
 ) -> ray.data.Dataset:
