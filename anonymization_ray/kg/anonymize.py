@@ -233,8 +233,16 @@ def skolemize(triples: rd.Dataset, cols: tuple[str, ...] = ("subj",)) -> rd.Data
             need_np = need.to_numpy(zero_copy_only=False)
             vals = col.to_numpy(zero_copy_only=False)
             out = vals.copy()
-            for i in np.nonzero(need_np)[0]:
-                out[i] = "urn:skolem:" + hashlib.md5(vals[i].encode()).hexdigest()[:12]
+            rows = np.nonzero(need_np)[0]
+            # md5 only over DISTINCT flagged values (typically a small
+            # vocabulary), then a vectorized searchsorted map-back — no
+            # per-row hashing of repeated literals
+            uniq, inv = np.unique(vals[rows].astype(object), return_inverse=True)
+            digests = np.array(
+                ["urn:skolem:" + hashlib.md5(u.encode()).hexdigest()[:12] for u in uniq],
+                dtype=object,
+            )
+            out[rows] = digests[inv]
             idx = batch.column_names.index(c)
             batch = batch.set_column(idx, c, pa.array(out, pa.string()))
         return batch

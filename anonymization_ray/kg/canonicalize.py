@@ -209,19 +209,25 @@ def canonicalize_components(
     """
     if not force_distributed:
         # two-stage dedup: vectorized per-block dedup collapses the hot-key
-        # occurrence stream before anything reaches the driver; the stream to
-        # the driver is capped — overflow falls through to the distributed path
-        local = edges.map_batches(_local_dedup, batch_format="pyarrow")
-        seen: set[tuple[str, str]] = set()
-        overflow = False
-        for b in local.iter_batches(batch_format="pyarrow"):
-            seen.update(
-                zip(b.column("edge_a").to_pylist(), b.column("edge_b").to_pylist())
-            )
-            if len(seen) > driver_edge_limit:
-                overflow = True
-                break
-        if not overflow:
+        # occurrence stream before anything reaches the driver. The deduped
+        # blocks materialize IN PARALLEL (no serial iter_batches pull through
+        # the driver — that stream was a measured ~2s serial-floor item at
+        # any cluster width); the driver only concats the already-tiny
+        # tables and finishes the dedup with one Arrow C++ group_by. The
+        # per-block-deduped row count is a conservative cap proxy (upper
+        # bound on the distinct count) — overflow falls through to the
+        # distributed path.
+        local = edges.map_batches(_local_dedup, batch_format="pyarrow").materialize()
+        if local.count() <= driver_edge_limit:
+            import ray
+
+            tables = [tb for tb in ray.get(local.to_arrow_refs()) if tb.num_rows]
+            seen: set[tuple[str, str]] = set()
+            if tables:
+                t = pa.concat_tables(tables).group_by(["edge_a", "edge_b"]).aggregate([])
+                seen = set(
+                    zip(t.column("edge_a").to_pylist(), t.column("edge_b").to_pylist())
+                )
             return _driver_union_find(seen)
     return canonicalize_components_distributed(edges, max_rounds=max_rounds)
 

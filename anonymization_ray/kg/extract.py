@@ -15,8 +15,6 @@ star; the reference has no extraction stage of its own.
 
 from __future__ import annotations
 
-import re
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -42,57 +40,80 @@ def extract_text(pages: rd.Dataset, out_col: str = "text_extracted") -> rd.Datas
     return pages.map_batches(_extract, batch_format="pyarrow")
 
 
+_MENTION_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("obj_kind", pa.string()),
+    ]
+)
+
+
 class MentionExtractor:
-    """Actor-pool callable: compiled patterns live for the actor's lifetime
-    (once per worker, not once per batch)."""
+    """Actor-pool callable; the analog of a warm NER/gazetteer model.
+
+    Multi-match extraction stays fully vectorized: pages are split on the
+    fact-element opener (``pc.split_pattern`` on ``<li ``) so every fact
+    lands in its own fragment, then ONE ``pc.extract_regex`` per pattern
+    runs over the flattened fragment array (RE2, C++); page urls follow via
+    ``list_parent_indices``. No per-page Python — this stage bounds
+    ``kg_docs_per_sec`` at crawl scale."""
 
     CUSTOMER_FACT = (
-        r'<li data-e="customer"><b>(Customer#\d+)</b> maintains an account '
-        r"balance of <span>([^<]*)</span> and is based in <i>([^<]+)</i>\.</li>"
+        r'^data-e="customer"><b>(?P<c>Customer#\d+)</b> maintains an account '
+        r"balance of <span>(?P<b>[^<]*)</span> and is based in <i>(?P<n>[^<]+)</i>\.</li>"
     )
-    NATION_FACT = r'<li data-e="nation"><i>([^<]+)</i> is part of <i>([^<]+)</i>\.</li>'
+    NATION_FACT = r'^data-e="nation"><i>(?P<a>[^<]+)</i> is part of <i>(?P<r>[^<]+)</i>\.</li>'
 
-    def __init__(self) -> None:
-        self._cust = re.compile(self.CUSTOMER_FACT)
-        self._nation = re.compile(self.NATION_FACT)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        htmls = batch.column("html").to_pylist()
-        out_url: list[str] = []
-        out_s: list[str] = []
-        out_p: list[str] = []
-        out_o: list[str] = []
-        out_k: list[str] = []
-        for url, html in zip(urls, htmls):
-            h = html.decode("utf-8") if isinstance(html, (bytes, bytearray)) else html
-            for cust, bal, nat in self._cust.findall(h):
-                if bal:
-                    out_url.append(url)
-                    out_s.append(cust)
-                    out_p.append("hasAccountBalance")
-                    out_o.append(bal)
-                    out_k.append("double")
-                out_url.append(url)
-                out_s.append(cust)
-                out_p.append("basedIn")
-                out_o.append(nat)
-                out_k.append("mention")
-            for nat, reg in self._nation.findall(h):
-                out_url.append(url)
-                out_s.append(nat)
-                out_p.append("partOf")
-                out_o.append(reg)
-                out_k.append("mention")
+    @staticmethod
+    def _rows(urls, subj, obj, pred: str, kind: str) -> pa.Table:
+        n = len(subj)
         return pa.table(
             {
-                "url": pa.array(out_url, pa.string()),
-                "subj": pa.array(out_s, pa.string()),
-                "pred": pa.array(out_p, pa.string()),
-                "obj": pa.array(out_o, pa.string()),
-                "obj_kind": pa.array(out_k, pa.string()),
+                "url": urls,
+                "subj": subj,
+                "pred": pa.array([pred] * n, pa.string()),
+                "obj": obj,
+                "obj_kind": pa.array([kind] * n, pa.string()),
             }
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        html = pc.cast(batch.column("html"), pa.string())
+        frags = pc.split_pattern(html, "<li ")
+        flat = pc.list_flatten(frags).combine_chunks()
+        page_urls = batch.column("url").combine_chunks().take(
+            pc.list_parent_indices(frags)
+        )
+        tables: list[pa.Table] = []
+
+        cust = pc.extract_regex(flat, self.CUSTOMER_FACT)
+        cmask = pc.is_valid(cust)
+        cs, cu = cust.filter(cmask), page_urls.filter(cmask)
+        if len(cs):
+            subj = pc.struct_field(cs, "c")
+            bal = pc.struct_field(cs, "b")
+            has_bal = pc.not_equal(bal, "")
+            tables.append(
+                self._rows(
+                    cu.filter(has_bal), subj.filter(has_bal), bal.filter(has_bal),
+                    "hasAccountBalance", "double",
+                )
+            )
+            tables.append(self._rows(cu, subj, pc.struct_field(cs, "n"), "basedIn", "mention"))
+
+        nat = pc.extract_regex(flat, self.NATION_FACT)
+        nmask = pc.is_valid(nat)
+        ns, nu = nat.filter(nmask), page_urls.filter(nmask)
+        if len(ns):
+            tables.append(
+                self._rows(nu, pc.struct_field(ns, "a"), pc.struct_field(ns, "r"), "partOf", "mention")
+            )
+        if not tables:
+            return _MENTION_SCHEMA.empty_table()
+        return pa.concat_tables(tables).cast(_MENTION_SCHEMA)
 
 
 def extract_mentions(
