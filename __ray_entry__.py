@@ -5,9 +5,10 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 
 - ``entry()`` — flagship pipeline on /root/testdata/sf0.001
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
-  §2.6): 49 entries
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query (43 exact oracles;
-  omitted only for seeded-RNG / sketch outputs, which get rows-only checks)
+  §2.6): 50 entries
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (45 exact oracles;
+  omitted only for seeded-RNG / sketch / heuristic outputs, which get
+  rows-only checks)
 """
 
 from __future__ import annotations

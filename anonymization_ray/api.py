@@ -164,6 +164,10 @@ def handle_flat_request(payload: dict, *, fetch) -> dict:
         return body
 
     try:
+        # java_compat: endpoint requests are request-scale by definition, so
+        # the byte-exact reference replication (Java-LCG randomization draws
+        # + HashMap-order tie-breaks) is the default here; the distributed
+        # engine pipelines keep the partition-independent Philox stream
         return anonymize_flat_request(
             data,
             local_cfg,
@@ -171,6 +175,8 @@ def handle_flat_request(payload: dict, *, fetch) -> dict:
             calculate_kpi=bool(payload.get("calculateKpi", True)),
             include_original_data=include_original,
             use_adjusted_attributes=use_adjusted,
+            java_compat=True,
+            prefix=prefix,
         )
     except RequestModelError as e:
         return _problem(400, "Invalid request model", str(e), FLAT_INSTANCE)
@@ -228,5 +234,6 @@ def handle_jsonld_request(payload: dict, *, fetch) -> dict:
         calculate_kpi=calculate_kpi,
         include_original_data=include_original,
         use_adjusted_attributes=use_adjusted,
+        java_compat=True,  # endpoint requests are request-scale; see flat path
     )
     return write_jsonld(triples, context=(data.get("@context") if isinstance(data, dict) else None))

@@ -29,7 +29,7 @@ GENERALIZATION = "generalization"
 RANDOMIZATION = "randomization"
 METHODS = (MASKING, GENERALIZATION, RANDOMIZATION)
 
-PRIMITIVE_DATATYPES = ("integer", "double", "float", "date", "dateTime", "string")
+PRIMITIVE_DATATYPES = ("integer", "double", "float", "decimal", "date", "dateTime", "string")
 
 MASK_VALUE = "*****"  # reference Masking.java:23, GeneralizationObject.java:48
 

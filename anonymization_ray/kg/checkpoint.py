@@ -61,6 +61,18 @@ class _CkptExtractLinker:
 
         self._el = ExtractLinker(alias_ref, emit_url=False)
 
+    _OUT_SCHEMA = pa.schema(
+        [
+            ("subj", pa.string()),
+            ("pred", pa.string()),
+            ("obj", pa.string()),
+            ("obj_kind", pa.string()),
+            ("edge_a", pa.string()),
+            ("edge_b", pa.string()),
+            ("shard", pa.string()),
+        ]
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         paths = batch.column("path")
         parts = []
@@ -72,7 +84,11 @@ class _CkptExtractLinker:
                     "shard", pa.array([_shard_name(pval)] * t.num_rows, pa.string())
                 )
             )
-        return pa.concat_tables(parts) if parts else pa.table({})
+        if not parts:
+            # keep the output schema on empty batches — zero-column tables
+            # break write_parquet/concat schema unification
+            return self._OUT_SCHEMA.empty_table()
+        return pa.concat_tables(parts).cast(self._OUT_SCHEMA)
 
 
 def extract_link_checkpointed(
@@ -105,13 +121,28 @@ def extract_link_checkpointed(
         fresh = False
         if os.path.exists(mp):
             try:
-                m = json.load(open(mp))
+                with open(mp) as fh:
+                    m = json.load(fh)
                 fresh = m.get("config_hash") == cfg_hash and m.get("source") == f
                 if fresh:
                     metrics[shard] = m.get("metrics", {})
             except (json.JSONDecodeError, OSError):
                 fresh = False
         (skipped if fresh else todo).append(f)
+
+    # reconcile orphans: a checkpoint shard whose SOURCE file disappeared
+    # (removed/renamed between runs) must not contaminate the stage read —
+    # drop its partition dir and manifest (the "stable under adding/removing
+    # other files" invariant)
+    live = {_shard_name(f) for f in files}
+    for sdir in _glob.glob(os.path.join(stage_dir, "shard=*")):
+        shard = os.path.basename(sdir).split("=", 1)[1]
+        if shard not in live:
+            shutil.rmtree(sdir, ignore_errors=True)
+            try:
+                os.remove(_manifest_path(ckpt_dir, shard))
+            except OSError:
+                pass
 
     if todo:
         if concurrency is None:

@@ -98,12 +98,19 @@ def anonymize_table(
     use_adjusted_attributes: bool = True,
     object_layout: dict[str, tuple[str | None, list[str]]] | None = None,
     num_partitions: int | None = None,
+    java_compat: bool = False,
 ) -> AnonymizeResult:
     """Anonymize one object type's wide table.
 
     ``object_layout`` maps an object-valued attribute name to
     ``(presence_col, [level_cols lowest-first])`` — the flattened form of the
     reference's nested objects (e.g. the ``adresse`` struct).
+
+    ``java_compat=True`` (conformance mode, request-scale): sort ties break
+    in the reference's HashMap iteration order via per-attribute
+    ``__jrank_<attr>`` columns (built by the flat pipeline from
+    ``javacompat.java_entry_rank``) and randomization replays the exact
+    ``java.util.Random(seed)`` stream — byte-exact vs the reference goldens.
     """
     attrs = config.for_type(object_type)
     object_layout = object_layout or {}
@@ -130,6 +137,13 @@ def anonymize_table(
     gen_cols: list[str] = []
     rand_attrs: list[RandomizedAttr] = []
 
+    schema_names = set(ds.schema().names)
+
+    def _tie_id(attr: str) -> str:
+        """Java-order tie-break column when present (conformance mode)."""
+        jc = f"__jrank_{attr}"
+        return jc if java_compat and jc in schema_names else id_col
+
     # --- per-attribute anonymizers --------------------------------------
     for a in attrs:
         if a.method == MASKING:
@@ -149,7 +163,8 @@ def anonymize_table(
                 )
         elif a.method == GENERALIZATION:
             ds, gres = generalize_column(
-                ds, a.attribute, id_col, num_attrs=n, kind=kind_for_datatype(a.datatype)
+                ds, a.attribute, _tie_id(a.attribute), num_attrs=n,
+                kind=kind_for_datatype(a.datatype),
             )
             result.buckets[a.attribute] = gres
             gen_cols.append(gres.out_col)
@@ -162,12 +177,13 @@ def anonymize_table(
             ds = randomize_column(
                 ds,
                 a.attribute,
-                id_col,
+                _tie_id(a.attribute),
                 num_attrs=n,
                 kind=kind,
                 seed=seed,
                 object_type=object_type,
                 num_partitions=num_partitions,
+                rng_mode="java_lcg" if java_compat else "philox",
             )
             rand_attrs.append(
                 RandomizedAttr(a.attribute, f"{a.attribute}_randomized", kind)

@@ -60,7 +60,7 @@ def validate_request(
 def _parse_value(v, datatype: str):
     if v is None:
         return None
-    if datatype in ("double", "float", "integer"):
+    if datatype in ("double", "float", "integer", "decimal"):
         return float(v)
     if datatype == "date":
         return datetime.date.fromisoformat(str(v))
@@ -69,7 +69,7 @@ def _parse_value(v, datatype: str):
 
 def _fmt(value, ac) -> str:
     if ac is not None and not ac.is_object:
-        if ac.datatype in ("double", "float", "integer"):
+        if ac.datatype in ("double", "float", "integer", "decimal"):
             return repr(float(value))
         if ac.datatype == "date":
             return value.isoformat() if hasattr(value, "isoformat") else str(value)
@@ -100,9 +100,19 @@ def _normalize_rows(rows: list[dict]) -> list[tuple[int, list[str], dict]]:
 
 
 def _build_type_table(
-    members: list[tuple[int, dict]], attrs_cfg: list
+    members: list[tuple[int, dict]],
+    attrs_cfg: list,
+    *,
+    java_compat: bool = False,
+    prefix: str = "",
 ) -> tuple[pa.Table, dict]:
-    """member rows of one type -> wide Arrow table + object layout."""
+    """member rows of one type -> wide Arrow table + object layout.
+
+    ``java_compat``: add per-attribute ``__jrank_<attr>`` columns — the
+    reference's HashMap iteration rank of each row's resource URI
+    (``<prefix>object<counter>``, FaltJsonService.java:45) over the
+    attribute's non-null rows — used as the sort tie-break so equal values
+    order exactly as the reference's entry stream does."""
     cfg_by_attr = {a.attribute: a for a in attrs_cfg}
     recs = []
     for counter, attrs in members:
@@ -128,7 +138,7 @@ def _build_type_table(
     for k in keys:
         vals = [r.get(k) for r in recs]
         ac = cfg_by_attr.get(k)
-        if ac is not None and not ac.is_object and ac.datatype in ("double", "float", "integer"):
+        if ac is not None and not ac.is_object and ac.datatype in ("double", "float", "integer", "decimal"):
             arrays[k] = pa.array(vals, pa.float64())
         elif ac is not None and not ac.is_object and ac.datatype == "date":
             arrays[k] = pa.array(vals, pa.date32())
@@ -138,6 +148,22 @@ def _build_type_table(
             arrays[k] = pa.array(
                 [None if v is None else str(v) for v in vals], pa.string()
             )
+    if java_compat:
+        from ..javacompat import java_entry_rank
+
+        for a in attrs_cfg:
+            if a.is_object or a.method not in (GENERALIZATION, RANDOMIZATION):
+                continue
+            idxs = [i for i, r in enumerate(recs) if r.get(a.attribute) is not None]
+            if not idxs:
+                continue
+            uris = [f"{prefix}object{recs[i]['counter']}" for i in idxs]
+            ranks = java_entry_rank(uris, full_count=len(recs))
+            colv: list[int | None] = [None] * len(recs)
+            for pos, i in enumerate(idxs):
+                colv[i] = int(ranks[pos])
+            arrays[f"__jrank_{a.attribute}"] = pa.array(colv, pa.int64())
+
     layout = {
         a.attribute: (
             f"{a.attribute}__present",
@@ -157,8 +183,15 @@ def anonymize_flat_request(
     calculate_kpi: bool = True,
     include_original_data: bool = False,
     use_adjusted_attributes: bool = True,
+    java_compat: bool = False,
+    prefix: str = "",
 ) -> dict:
-    """Full flat-JSON request -> {"data": [...], "kpis": {...}}."""
+    """Full flat-JSON request -> {"data": [...], "kpis": {...}}.
+
+    ``java_compat=True``: byte-exact reference replication — Java-LCG
+    randomization draws + HashMap-order sort tie-breaks (see javacompat);
+    request-scale only. The engine default stays the partition-independent
+    Philox stream."""
     validate_request(
         use_adjusted_attributes=use_adjusted_attributes,
         include_original_data=include_original_data,
@@ -188,7 +221,9 @@ def anonymize_flat_request(
             if calculate_kpi:
                 kpis[f"kpi{object_type}"] = {"k-Anonymity": 0}
             continue
-        table, layout = _build_type_table(members, attrs_cfg)
+        table, layout = _build_type_table(
+            members, attrs_cfg, java_compat=java_compat, prefix=prefix
+        )
         res = anonymize_table(
             rd.from_arrow(table),
             config,
@@ -199,6 +234,7 @@ def anonymize_flat_request(
             include_original=include_original_data,
             use_adjusted_attributes=use_adjusted_attributes,
             object_layout=layout,
+            java_compat=java_compat,
         )
         result_rows = res.data.to_pandas().sort_values("counter").to_dict("records")
         bounds = {

@@ -46,8 +46,12 @@ def anonymize_jsonld_request(
     calculate_kpi: bool = True,
     include_original_data: bool = False,
     use_adjusted_attributes: bool = True,
+    java_compat: bool = False,
 ) -> pa.Table:
-    """JSON-LD document -> anonymized triple table (subj, pred, obj, obj_kind)."""
+    """JSON-LD document -> anonymized triple table (subj, pred, obj, obj_kind).
+
+    ``java_compat``: byte-exact reference replication (Java-LCG draws +
+    HashMap-order tie-breaks over the subject IRIs; see javacompat)."""
     from ..sources.jsonld import parse_jsonld
 
     t = parse_jsonld(doc)
@@ -104,7 +108,7 @@ def anonymize_jsonld_request(
             vals = [r.get(kname) for r in recs]
             ac = cfg_by_attr.get(kname)
             if ac is not None and not ac.is_object and ac.datatype in (
-                "double", "float", "integer"
+                "double", "float", "integer", "decimal"
             ):
                 arrays[kname] = pa.array(vals, pa.float64())
             elif ac is not None and not ac.is_object and ac.datatype == "date":
@@ -115,6 +119,36 @@ def anonymize_jsonld_request(
                 arrays[kname] = pa.array(
                     [None if v is None else str(v) for v in vals], pa.string()
                 )
+        if java_compat:
+            from ..javacompat import java_entry_rank
+
+            # Jena hashes the EXPANDED resource IRI — expand compact
+            # prefix:local subjects through the document's @context
+            ctx = doc.get("@context") if isinstance(doc, dict) else None
+            ctx = ctx if isinstance(ctx, dict) else {}
+
+            def _expand(term: str) -> str:
+                if ":" in term and not term.startswith(("http://", "https://", "urn:")):
+                    pfx, rest = term.split(":", 1)
+                    base = ctx.get(pfx)
+                    if isinstance(base, str):
+                        return base + rest
+                return term
+
+            for a in attrs_cfg:
+                if a.is_object or a.method not in (GENERALIZATION, RANDOMIZATION):
+                    continue
+                idxs = [i for i, r in enumerate(recs) if r.get(a.attribute) is not None]
+                if not idxs:
+                    continue
+                ranks = java_entry_rank(
+                    [_expand(recs[i]["subj"]) for i in idxs], full_count=len(recs)
+                )
+                colv: list[int | None] = [None] * len(recs)
+                for pos, i in enumerate(idxs):
+                    colv[i] = int(ranks[pos])
+                arrays[f"__jrank_{a.attribute}"] = pa.array(colv, pa.int64())
+
         layout = {
             a.attribute: (
                 f"{a.attribute}__present",
@@ -133,6 +167,7 @@ def anonymize_jsonld_request(
             include_original=include_original_data,
             use_adjusted_attributes=use_adjusted_attributes,
             object_layout=layout,
+            java_compat=java_compat,
         )
         result = res.data.to_pandas().sort_values("subj").to_dict("records")
 

@@ -234,12 +234,29 @@ SELECT query_id, vec_id FROM ranked WHERE rn <= 10
 
 
 def q_ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed ANN (approximate; rows-only — recall vs brute force is
-    asserted in tests)."""
+    """LSH-bucketed ANN gated on deterministic recall: over the planted-twin
+    corpus (each base vector has an exact cosine-1.0 copy at id+1e6, which
+    hyperplane LSH buckets with the query in EVERY table), the twin must
+    appear in each query's LSH top-10. Returns a 1-row scoreboard
+    (kg_text_invariant style) so the probabilistic operator gets a real
+    oracle — a recall regression flips the flag and hash-mismatches.
+    (On unstructured random embeddings LSH top-k recall is inherently low —
+    that behavior is characterized rows-only in tests, not gated here.)"""
     from .extras.similarity import lsh_topk, load_query_vectors
 
+    corpus = _planted_embeddings(sf_dir)
     q, qids = load_query_vectors(sf_dir, n=5)
-    return lsh_topk(load(sf_dir, "embeddings", ["vec_id", "embedding"]), q, qids, k=10)
+    hits = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_topk(corpus, q, qids, k=10).take_all()
+    }
+    found = sum(1 for qid in qids if (qid, qid + DUP_OFFSET) in hits)
+    return pa.table(
+        {"twin_recall_ok": pa.array([int(found == len(qids))], pa.int64())}
+    )
+
+
+SQL_ANN_LSH_RECALL = "SELECT CAST(1 AS BIGINT) AS twin_recall_ok"
 
 
 # --------------------------------------------------------------------------
@@ -556,7 +573,7 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "dedup_embedding_pairs": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": QueryDef(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
-    "ann_lsh_topk": QueryDef(q_ann_lsh_topk, None),
+    "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_RECALL),
     "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),
     "text_bpe_tokens": QueryDef(q_text_bpe_tokens, SQL_TEXT_BPE),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),

@@ -224,7 +224,7 @@ def parse_soya_config(doc: str | dict) -> AnonymizationConfig:
             AttributeConfig(
                 object_type=extract_value_from_url(obj_iri),
                 attribute=extract_value_from_url(nid),
-                datatype=dt_local if dt_local in PRIMITIVE_RANGE_LOCALS | {"string"} else dt_local,
+                datatype=dt_local,
                 method=method,
                 attribute_order=order,
                 object_iri=obj_iri,

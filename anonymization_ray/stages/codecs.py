@@ -25,7 +25,7 @@ DATETIME = "dateTime"
 
 
 def kind_for_datatype(datatype: str) -> str:
-    if datatype in ("integer", "double", "float"):
+    if datatype in ("integer", "double", "float", "decimal"):
         return NUMERIC
     if datatype == "date":
         return DATE

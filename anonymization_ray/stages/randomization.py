@@ -237,8 +237,17 @@ def randomize_column(
     object_type: str = "",
     out_col: str | None = None,
     num_partitions: int | None = None,
+    rng_mode: str = "philox",
 ) -> ray.data.Dataset:
-    """Add ``<col>_randomized`` (native type, null where input null)."""
+    """Add ``<col>_randomized`` (native type, null where input null).
+
+    ``rng_mode="philox"`` (default): counter-based stream keyed per
+    (seed, type, attribute), byte-identical at any parallelism.
+    ``rng_mode="java_lcg"``: byte-exact replication of the reference's
+    sequential ``java.util.Random(seed)`` draws (conformance mode) — gathers
+    the sorted narrow column on the driver, so REQUEST-scale inputs only;
+    the caller is responsible for a Java-order ``id_col`` tie-break
+    (``javacompat.java_entry_rank``)."""
     codec = CODECS[kind]
     out = out_col or f"{col}_randomized"
 
@@ -258,6 +267,28 @@ def randomize_column(
     w = k // g
     if w == k:
         w = k - 1
+
+    if rng_mode == "java_lcg":
+        from ..javacompat import randomize_sorted_java
+
+        tbl = pa.concat_tables(ray.get(list(sc.refs)))
+        v = tbl.column(sc.value_col).to_numpy(zero_copy_only=False)
+        out_vals = randomize_sorted_java(kind, np.asarray(v), w, seed)
+        if kind == NUMERIC:
+            out_arr = pa.array(out_vals, pa.float64())
+        else:
+            out_arr = codec.from_numeric(np.asarray(out_vals).astype(np.int64))
+        rand_ds = ray.data.from_arrow(
+            pa.table({id_col: tbl.column(sc.id_col).combine_chunks(), out: out_arr})
+        )
+        if out == col:
+            ds = ds.drop_columns([col])
+        if num_partitions is None:
+            num_partitions = max(2, min(default_num_partitions(), k // 50_000 + 1))
+        return hash_join(
+            ds, rand_ds, on=id_col, join_type="left_outer", num_partitions=num_partitions
+        )
+
     ends = sc.values_at_ranks([0, k - 1])
     vmin, vmax = float(ends[0]), float(ends[k - 1])
     key = attribute_seed(seed, object_type, col)

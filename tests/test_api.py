@@ -21,9 +21,13 @@ LD_IN = "/root/reference/pytest/01_input_json_ld"
 LD_OUT = "/root/reference/pytest/01_output_json_ld"
 
 CONFIG_URL = "https://soya.ownyourdata.eu/AnonymisationDemo"
+CONFIG_URL2 = "https://soya.ownyourdata.eu/AnonymisationDemo2"
 
 with open(os.path.join(FIXDIR, "anonymisation_demo_soya.jsonld")) as _f:
-    FETCH = static_fetcher({CONFIG_URL: _f.read()})
+    _DEMO = _f.read()
+with open(os.path.join(FIXDIR, "anonymisation_demo2_soya.jsonld")) as _f:
+    _DEMO2 = _f.read()
+FETCH = static_fetcher({CONFIG_URL: _DEMO, CONFIG_URL2: _DEMO2})
 
 
 def load(indir, name):
@@ -109,23 +113,36 @@ def test_jsonld_03_invalid_config_content():
     )
 
 
-def test_jsonld_13_through_api_document_level():
+@pytest.mark.parametrize(
+    "name",
+    [
+        "11-maksing",
+        "12-generalization",
+        "13-generalization-address",
+        "14-randomization",
+        "15-multiple-attributes",
+        "16-multiple-objects",
+        "17-use-original-attributes",
+    ],
+)
+def test_jsonld_through_api_document_level(name):
     # full surface: url -> SOyA parse -> anonymize -> write_jsonld; the
-    # serialized document re-parses to the golden's triple set (P/R 1.0 on
-    # the deterministic object-generalization case)
+    # serialized document re-parses to the golden's triple set at P/R 1.0 —
+    # no exclusions: the endpoint runs java_compat, so randomized literals,
+    # tie orders and k-anonymity are byte-exact
     from anonymization_ray.sources.jsonld import (
         normalize_triples,
         parse_jsonld,
         triple_precision_recall,
     )
 
-    req = load(LD_IN, "13-generalization-address")
+    req = load(LD_IN, name)
     got_doc = handle_jsonld_request(req, fetch=FETCH)
-    want = golden(LD_OUT, "13-generalization-address")
+    want = golden(LD_OUT, name)
     gset = normalize_triples(parse_jsonld(got_doc))
     wset = normalize_triples(parse_jsonld(want))
     p, r = triple_precision_recall(gset, wset)
-    assert p == 1.0 and r == 1.0
+    assert p == 1.0 and r == 1.0, f"{name}: P={p:.4f} R={r:.4f}"
 
 
 def test_jsonld_04_flat_data_on_jsonld_endpoint():

@@ -3,8 +3,9 @@ BASELINE.json headline metric ("Triple P/R >= 0.95 vs reference").
 
 Both my output and the reference golden are normalized to (subj, pred, obj)
 sets (prefixes compacted, datatypes dropped, blank/skolem subjects excluded).
-Randomized predicates (and the RNG-dependent k-anonymity literal) are
-excluded on BOTH sides for the randomization cases.
+With java_compat mode (exact java.util.Random stream + HashMap tie order,
+javacompat.py) every case — including randomized literals and the
+RNG-dependent k-anonymity — holds P/R == 1.0 with NO exclusions.
 """
 
 import json
@@ -24,7 +25,7 @@ IN_DIR = "/root/reference/pytest/01_input_json_ld"
 OUT_DIR = "/root/reference/pytest/01_output_json_ld"
 
 
-def run_case(name, config):
+def run_case(name, config, java_compat=True):
     with open(f"{IN_DIR}/{name}.json") as f:
         req = json.load(f)
     with open(f"{OUT_DIR}/{name}.json") as f:
@@ -35,6 +36,7 @@ def run_case(name, config):
         seed=req.get("randomSeed", 0),
         include_original_data=req.get("includeOriginalData", False),
         use_adjusted_attributes=req.get("useAdjustedAttributes", True),
+        java_compat=java_compat,
     )
     want = parse_jsonld(golden)
     return got, want
@@ -53,24 +55,23 @@ def pr(got, want, exclude_preds=(), exclude_pred_contains=()):
 
 
 @pytest.mark.parametrize(
-    "name,config,excl,floor",
+    "name,config",
     [
-        ("11-maksing", REF_CONFIG, (), 1.0),
-        # 0.9993: two date-tied records swap adjacent buckets (the reference's
-        # tie order is arbitrary HashMap order; ours is deterministic)
-        ("12-generalization", REF_CONFIG, (), 0.999),
-        ("13-generalization-address", REF_CONFIG, (), 1.0),
-        # randomized values + RNG-dependent k-anonymity excluded both sides
-        ("14-randomization", REF_CONFIG, ("_randomized", "kanonymity"), 1.0),
-        ("15-multiple-attributes", REF_CONFIG, ("_randomized", "kanonymity"), 1.0),
-        ("16-multiple-objects", REF_CONFIG2, ("_randomized", "kanonymity"), 1.0),
+        ("11-maksing", REF_CONFIG),
+        ("12-generalization", REF_CONFIG),
+        ("13-generalization-address", REF_CONFIG),
+        ("14-randomization", REF_CONFIG),
+        ("15-multiple-attributes", REF_CONFIG),
+        ("16-multiple-objects", REF_CONFIG2),
     ],
 )
-def test_jsonld_triple_pr(name, config, excl, floor):
+def test_jsonld_triple_pr(name, config):
+    # NO exclusions: randomized literals, tie-straddling buckets and
+    # k-anonymity are byte-exact in java_compat mode
     got, want = run_case(name, config)
-    p, r = pr(got, want, exclude_pred_contains=excl)
-    assert p >= floor, f"{name}: precision {p:.4f}"
-    assert r >= floor, f"{name}: recall {r:.4f}"
+    p, r = pr(got, want)
+    assert p == 1.0, f"{name}: precision {p:.4f}"
+    assert r == 1.0, f"{name}: recall {r:.4f}"
 
 
 def test_jsonld_deterministic_cases_near_exact():
@@ -111,12 +112,6 @@ def test_write_jsonld_byte_stable():
 
 def test_jsonld_case_17_rename_pass():
     got, want = run_case("17-use-original-attributes", REF_CONFIG)
-    # randomized attrs keep their original names after the rename pass;
-    # exclude them (and RNG-dependent k-anonymity) on both sides
-    p, r = pr(
-        got, want,
-        exclude_preds=("longitude", "geburtsdatum"),
-        exclude_pred_contains=("kanonymity",),
-    )
-    assert p >= 0.999, f"precision {p:.4f}"
-    assert r >= 0.999, f"recall {r:.4f}"
+    p, r = pr(got, want)
+    assert p == 1.0, f"precision {p:.4f}"
+    assert r == 1.0, f"recall {r:.4f}"

@@ -101,3 +101,34 @@ def test_string_generalization_from_soya_rejected():
             node["rdfs:range"] = {"@id": "xsd:string"}
     with pytest.raises(ConfigError):
         parse_soya_config(doc)
+
+
+def test_decimal_ranged_attribute_classifies_numeric():
+    """A decimal-ranged gen/rand attribute must dispatch to the NUMERIC codec
+    end-to-end, not raise mid-pipeline (primitive-range set and the codec
+    table must agree)."""
+    from anonymization_ray.soya import PRIMITIVE_RANGE_LOCALS
+    from anonymization_ray.stages.codecs import NUMERIC, kind_for_datatype
+
+    assert "decimal" in PRIMITIVE_RANGE_LOCALS
+    assert kind_for_datatype("decimal") == NUMERIC
+
+    doc = load_fixture()
+    # rewrite gehalt's range to xsd:decimal — still primitive generalization
+    for node in doc["@graph"]:
+        rng = node.get("rdfs:range")
+        if node.get("@id", "").endswith("gehalt") and rng is not None:
+            node["rdfs:range"] = {"@id": "xsd:decimal"}
+    got = parse_soya_config(doc)
+    gehalt = [a for a in got.attributes if a.attribute == "gehalt"][0]
+    assert gehalt.datatype == "decimal"
+    assert not gehalt.is_object
+    from anonymization_ray.pipelines.flat import anonymize_flat_request
+
+    rows = [
+        {"type": "AnonymisationDemo", "ID": str(i), "gehalt": f"{100 + i}.5"}
+        for i in range(12)
+    ]
+    out = anonymize_flat_request(rows, got, seed=1)
+    assert len(out["data"]) == 12
+    assert all("gehalt_generalized" in r for r in out["data"])
