@@ -54,8 +54,11 @@ def kg_pipeline(
         from .fingerprint import dedup_pages_exact, page_fingerprints
 
         # pass 1: narrow fingerprint index (the dedup artifact, written with
-        # the graph); pass 2: the filtered page stream feeds extraction
-        fp = page_fingerprints(pages)
+        # the graph) — computed from a (url, text) PROJECTION so the parquet
+        # read skips the MB-scale html column entirely (projection pushdown
+        # into the read task); pass 2: the filtered (url, html) stream feeds
+        # extraction — the dedup filter itself only touches url
+        fp = page_fingerprints(pages.select_columns(["url", "text"]))
         if out_dir is not None:
             import os
             import shutil
@@ -64,14 +67,15 @@ def kg_pipeline(
             shutil.rmtree(fp_dir, ignore_errors=True)  # write_parquet appends
             fp.write_parquet(fp_dir)
             fp = rd.read_parquet(fp_dir)
-        pages = dedup_pages_exact(pages, fp)
-    # project html+url only into the fused extract+link actor pool (MB-scale
-    # html never rides further than this stage; mention rows link in-actor
-    # without an intermediate exchange)
+        pages = dedup_pages_exact(pages.select_columns(["url", "html"]), fp)
+    else:
+        pages = pages.select_columns(["url", "html"])
+    # MB-scale html never rides further than the fused extract+link actor
+    # pool; mention rows link in-actor without an intermediate exchange
     from .link import extract_and_link
 
     triples, edges = extract_and_link(
-        pages.select_columns(["url", "html"]),
+        pages,
         build_alias_index(sf_dir),
         concurrency=extractor_concurrency,
     )

@@ -52,6 +52,9 @@ def _consume(result) -> int:
     return result.num_rows if hasattr(result, "num_rows") else len(result)
 
 
+BENCH_TRIALS = int(os.environ.get("GRAFT_BENCH_TRIALS", "2"))
+
+
 def bench_queries(sf_dir: str) -> dict[str, float]:
     from anonymization_ray.queries import REGISTRY
 
@@ -69,11 +72,17 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "events_sessionize",
         "join_customer_geo",
     ]
+    # min over interleaved trial sweeps: co-tenant bursts on this sandbox
+    # degrade a single pass up to ~4x (measured); minutes-apart sweeps
+    # rarely share a burst, so per-query minima approximate the
+    # interference-free number (same estimator as --scaling)
     out: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        _consume(REGISTRY[name].fn(sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(max(1, BENCH_TRIALS)):
+        for name in names:
+            t0 = time.perf_counter()
+            _consume(REGISTRY[name].fn(sf_dir))
+            dt = round(time.perf_counter() - t0, 3)
+            out[name] = min(out.get(name, dt), dt)
     return out
 
 
@@ -100,6 +109,9 @@ def run_main() -> dict:
     _init_ray(NUM_CPUS)
     queries = bench_queries(SF_DIR)
     kg_sec, n_docs = kg_materialize_bench(SF_DIR)
+    for _ in range(max(0, BENCH_TRIALS - 1)):
+        s2, _ = kg_materialize_bench(SF_DIR)
+        kg_sec = min(kg_sec, s2)
     queries["kg_materialize"] = round(kg_sec, 3)
     total = round(sum(queries.values()), 3)
     return {
