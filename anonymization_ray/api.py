@@ -14,10 +14,11 @@ structured error body replicating ``GlobalExceptionHandler``:
   "Error creation Json output" (Jackson deserialization surfaces through
   handleMessageNotReadable, GlobalExceptionHandler.java:78-85)
 
-Configuration fetching is injectable (this engine has no HTTP client of its
-own): ``fetch(url) -> str`` returns the SOyA JSON-LD content or raises
-``OntologyFetchError``. ``static_fetcher`` builds one from a dict — tests
-vendor the demo overlay; production wires a real client here.
+Configuration fetching is injectable: ``fetch(url) -> str`` returns the SOyA
+JSON-LD content or raises ``OntologyFetchError``. ``static_fetcher`` builds
+one from a dict (tests vendor the demo overlay); ``http_fetcher`` is the
+live stdlib-urllib client with the reference's error semantics
+(ConfigurationService.java:72-101).
 """
 
 from __future__ import annotations
@@ -50,6 +51,34 @@ def static_fetcher(mapping: dict[str, str]):
         if url not in mapping:
             raise OntologyFetchError(url)
         return mapping[url]
+
+    return fetch
+
+
+def http_fetcher(timeout: float = 30.0):
+    """Live HTTP GET fetcher (stdlib urllib, no extra dependency) with the
+    reference's error semantics (``ConfigurationService.fetchStringContent``,
+    reference ConfigurationService.java:72-101): non-2xx status, empty body,
+    URI syntax errors and transport errors all surface as
+    ``OntologyFetchError`` — which the handlers map to the 404
+    "Error in ontology fetching or parsing" problem body."""
+    import urllib.error
+    import urllib.request
+
+    def fetch(url: str) -> str:
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as resp:
+                status = getattr(resp, "status", 200)
+                if not (200 <= status < 300):
+                    raise OntologyFetchError(url)
+                body = resp.read().decode("utf-8")
+        except OntologyFetchError:
+            raise
+        except (urllib.error.URLError, ValueError, OSError) as e:
+            raise OntologyFetchError(url) from e
+        if not body:
+            raise OntologyFetchError(url)
+        return body
 
     return fetch
 

@@ -232,6 +232,38 @@ def canonicalize_components(
     return canonicalize_components_distributed(edges, max_rounds=max_rounds)
 
 
+def alias_canonical_mapping(alias_index: dict) -> pa.Table:
+    """Corpus-independent canonical mapping straight from the alias
+    dictionary.
+
+    In this engine alias edges are emitted EXCLUSIVELY from the broadcast
+    alias dictionary's pre-walked chains (``link.MentionLinker`` never
+    derives edges from page content), so union-find over the full
+    dictionary's chains equals the stream-derived mapping restricted to
+    mentioned surface forms — the unmentioned extras are unused lookup
+    entries. Computing it on the driver (dimension-scale, instant) takes
+    canonicalization OFF the corpus critical path entirely: no edge rows in
+    the mention stream, no edge-filter scan of the materialized output, no
+    serial wait between extraction and mapping application.
+
+    The stream-derived path (``canonicalize_components`` over emitted edges)
+    remains for pipelines whose edges ARE corpus-derived (checkpointed runs,
+    co-occurrence linking); equality of the two mappings on mentioned forms
+    is tested."""
+    seen: set[tuple[str, str]] = set()
+    for k, hop in alias_index.items():
+        cur = k
+        for _ in range(8):  # chain-depth guard (same as the linker pre-walk)
+            nxt = alias_index.get(cur)
+            if nxt is None:
+                break
+            seen.add((cur, nxt))
+            cur = nxt
+            if nxt.startswith("urn:"):
+                break
+    return _driver_union_find(seen)
+
+
 def _driver_union_find(seen: set[tuple[str, str]]) -> pa.Table:
     """Exact union-find over the deduped dimension-scale edge set."""
     if seen:

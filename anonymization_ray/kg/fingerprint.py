@@ -26,6 +26,25 @@ from ..extras.dedup import _perm_params
 from ..util import hash_join
 
 
+def page_content_hashes(pages: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """(url, content_hash) only — the exact-dedup decision needs nothing
+    else. The near-dup signatures (64-perm minhash + simhash) dominate the
+    fingerprint kernel's cost, so pipelines that do not materialize the
+    fingerprint index artifact must not pay for them."""
+
+    def _ch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ch = pd.util.hash_array(np.array(texts, dtype=object)).astype(np.int64)
+        return pa.table(
+            {
+                "url": batch.column("url").combine_chunks(),
+                "content_hash": pa.array(ch, pa.int64()),
+            }
+        )
+
+    return pages.map_batches(_ch, batch_format="pyarrow")
+
+
 def page_fingerprints(pages: rd.Dataset, text_col: str = "text") -> rd.Dataset:
     """Narrow fingerprint index: (url, content_hash, page_minhash,
     page_simhash) — one row per page. Written alongside the graph as the

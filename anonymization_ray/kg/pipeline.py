@@ -13,9 +13,8 @@ from dataclasses import dataclass, field
 import ray.data as rd
 
 from .anonymize import TriplePredicateConfig, anonymize_triples, skolemize
-from .canonicalize import apply_canonical_mapping, canonicalize_components
-from .extract import extract_mentions, extract_text
-from .link import build_alias_index, link_mentions
+from .extract import extract_text
+from .link import build_alias_index
 from .materialize import materialize_triples
 from .pages import synthesize_pages
 
@@ -51,36 +50,47 @@ def kg_pipeline(
         extractor_concurrency = (max(2, cpus // 2), max(4, cpus))
     pages = pages if pages is not None else synthesize_pages(sf_dir)
     if dedup_pages:
-        from .fingerprint import dedup_pages_exact, page_fingerprints
+        from .fingerprint import dedup_pages_exact, page_content_hashes, page_fingerprints
 
-        # pass 1: narrow fingerprint index (the dedup artifact, written with
-        # the graph) — computed from a (url, text) PROJECTION so the parquet
-        # read skips the MB-scale html column entirely (projection pushdown
-        # into the read task); pass 2: the filtered (url, html) stream feeds
-        # extraction — the dedup filter itself only touches url
-        fp = page_fingerprints(pages.select_columns(["url", "text"]))
+        # pass 1: narrow dedup key — computed from a (url, text) PROJECTION
+        # so the parquet read skips the MB-scale html column (projection
+        # pushdown into the read task). The FULL fingerprint index (minhash +
+        # simhash near-dup signatures) is only computed when it is actually
+        # materialized as the out_dir artifact — the signatures dominate the
+        # kernel's cost and the exact-dedup decision never reads them.
+        # Pass 2: the filtered (url, html) stream feeds extraction — the
+        # dedup filter itself only touches url.
+        narrow = pages.select_columns(["url", "text"])
         if out_dir is not None:
             import os
             import shutil
 
+            fp = page_fingerprints(narrow)
             fp_dir = os.path.join(out_dir, "fingerprints")
             shutil.rmtree(fp_dir, ignore_errors=True)  # write_parquet appends
             fp.write_parquet(fp_dir)
             fp = rd.read_parquet(fp_dir)
+        else:
+            fp = page_content_hashes(narrow)
         pages = dedup_pages_exact(pages.select_columns(["url", "html"]), fp)
     else:
         pages = pages.select_columns(["url", "html"])
-    # MB-scale html never rides further than the fused extract+link actor
-    # pool; mention rows link in-actor without an intermediate exchange
-    from .link import extract_and_link
+    # MB-scale html never rides further than the fused actor pool. The
+    # canonical mapping here is corpus-independent (alias edges come only
+    # from the broadcast dictionary — canonicalize.alias_canonical_mapping),
+    # so extraction, linking AND the canonical rewrite fuse into one
+    # streaming pass: no edge channel, no separate mapping scan, union-find
+    # fully off the corpus critical path. Pipelines with corpus-derived
+    # edges (checkpointed runs) keep the edge-stream + canonicalize_components
+    # path.
+    from .canonicalize import alias_canonical_mapping
+    from .link import extract_link_canonical
 
-    triples, edges = extract_and_link(
-        pages,
-        build_alias_index(sf_dir),
-        concurrency=extractor_concurrency,
+    alias = build_alias_index(sf_dir)
+    mapping = alias_canonical_mapping(alias)
+    canon = extract_link_canonical(
+        pages, alias, mapping, concurrency=extractor_concurrency
     )
-    mapping = canonicalize_components(edges)
-    canon = apply_canonical_mapping(triples, mapping)
     canon = canon.materialize()  # reused by each per-predicate anonymizer pass
 
     gen_results: dict = {}

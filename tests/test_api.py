@@ -154,3 +154,47 @@ def test_jsonld_04_flat_data_on_jsonld_endpoint():
     assert node["@id"].endswith("kpiAnonymisationDemo")
     (kan,) = [v for k, v in node.items() if k.endswith("kanonymity")]
     assert kan["@value"] == "1"
+
+
+def test_http_fetcher_error_semantics(monkeypatch):
+    """Reference ConfigurationService.fetchStringContent semantics: non-2xx,
+    empty body, bad URI and transport failures all become OntologyFetchError
+    (-> the 404 ontology problem body) without an HTTP dependency."""
+    import io
+    import urllib.error
+    import urllib.request
+
+    from anonymization_ray.api import OntologyFetchError, http_fetcher
+
+    fetch = http_fetcher(timeout=1.0)
+
+    class _Resp(io.BytesIO):
+        def __init__(self, body, status=200):
+            super().__init__(body)
+            self.status = status
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    # happy path
+    monkeypatch.setattr(urllib.request, "urlopen", lambda u, timeout: _Resp(b'{"@graph": []}'))
+    assert fetch("https://example.org/cfg") == '{"@graph": []}'
+    # empty body
+    monkeypatch.setattr(urllib.request, "urlopen", lambda u, timeout: _Resp(b""))
+    with pytest.raises(OntologyFetchError):
+        fetch("https://example.org/empty")
+    # non-2xx
+    monkeypatch.setattr(urllib.request, "urlopen", lambda u, timeout: _Resp(b"x", status=503))
+    with pytest.raises(OntologyFetchError):
+        fetch("https://example.org/down")
+    # transport error
+    def _boom(u, timeout):
+        raise urllib.error.URLError("no route")
+    monkeypatch.setattr(urllib.request, "urlopen", _boom)
+    with pytest.raises(OntologyFetchError):
+        fetch("https://example.org/unreachable")
+    # URI syntax error (urlopen raises ValueError on unknown scheme)
+    monkeypatch.setattr(urllib.request, "urlopen", urllib.request.urlopen)
+    with pytest.raises(OntologyFetchError):
+        fetch("not a url")

@@ -125,17 +125,32 @@ def test_kg_pipeline_and_resume(tmp_path):
     assert m["inputs"] == [SF] and m["rows"] > 0
 
 
-def test_kg_pipeline_with_distributed_canonicalization(monkeypatch):
-    # the flagship pipeline must produce identical triples when the
-    # distributed min-label contraction replaces the driver union-find
-    import anonymization_ray.kg.pipeline as pl
-    from anonymization_ray.kg.canonicalize import canonicalize_components as cc
+def test_kg_pipeline_with_distributed_canonicalization():
+    # the flagship (fused, alias-derived mapping) pipeline must produce
+    # identical triples to the explicit edge-stream composition running the
+    # DISTRIBUTED min-label contraction — the two canonicalization paths and
+    # the two pipeline shapes all agree
+    from anonymization_ray.kg.anonymize import anonymize_triples, skolemize
+    from anonymization_ray.kg.canonicalize import (
+        apply_canonical_mapping,
+        canonicalize_components,
+    )
+    from anonymization_ray.kg.fingerprint import dedup_pages_exact, page_content_hashes
+    from anonymization_ray.kg.link import build_alias_index, extract_and_link
+    from anonymization_ray.kg.pages import synthesize_pages
+    from anonymization_ray.kg.pipeline import DEFAULT_TRIPLE_CONFIG
 
     base = kg_pipeline(SF, anonymize=True).triples.to_pandas()
-    monkeypatch.setattr(
-        pl, "canonicalize_components", lambda e: cc(e, force_distributed=True)
-    )
-    dist = kg_pipeline(SF, anonymize=True).triples.to_pandas()
+
+    pages = synthesize_pages(SF)
+    fp = page_content_hashes(pages.select_columns(["url", "text"]))
+    pages = dedup_pages_exact(pages.select_columns(["url", "html"]), fp)
+    triples, edges = extract_and_link(pages, build_alias_index(SF))
+    mapping = canonicalize_components(edges, force_distributed=True)
+    canon = apply_canonical_mapping(triples, mapping).materialize()
+    canon, _ = anonymize_triples(canon, DEFAULT_TRIPLE_CONFIG)
+    dist = skolemize(canon).to_pandas()
+
     cols = ["subj", "pred", "obj", "obj_kind"]
     a = base[cols].sort_values(cols).reset_index(drop=True)
     b = dist[cols].sort_values(cols).reset_index(drop=True)
@@ -195,3 +210,39 @@ def test_config_change_invalidates_manifests(tmp_path):
     assert len(r2["spo"]["written"]) == 2  # config changed -> full rewrite
     r3 = materialize_triples(t, out, num_partitions=2, config={"v": 2}, layouts=("spo",))
     assert r3["spo"]["written"] == []  # same config -> all skipped
+
+
+def test_alias_mapping_equals_stream_mapping(ray_session):
+    """The corpus-independent alias-derived mapping (used by the fused
+    kg_pipeline path) must agree with the stream-derived union-find on every
+    surface form the corpus actually mentions."""
+    from anonymization_ray.kg.canonicalize import (
+        alias_canonical_mapping,
+        canonicalize_components,
+    )
+    from anonymization_ray.kg.link import build_alias_index, extract_and_link
+    from anonymization_ray.kg.pages import synthesize_pages
+
+    sf = "/root/testdata/sf0.001"
+    alias = build_alias_index(sf)
+    am = alias_canonical_mapping(alias)
+    amap = dict(zip(am.column("node").to_pylist(), am.column("canonical").to_pylist()))
+
+    pages = synthesize_pages(sf).select_columns(["url", "html"])
+    triples, edges = extract_and_link(pages, alias)
+    sm = canonicalize_components(edges)
+    smap = dict(zip(sm.column("node").to_pylist(), sm.column("canonical").to_pylist()))
+
+    assert smap  # the corpus does mention alias forms
+    for node, canon in smap.items():
+        expect = amap.get(node)
+        if expect is None:
+            # rule-derived customer components (Customer#N <-> urn:cust:N):
+            # rewritten in-stream by the linker, never consulted through the
+            # mapping; identity entries are equivalent to absent lookups
+            if node.startswith("Customer#"):
+                assert canon == "urn:cust:" + node[len("Customer#"):]
+            else:
+                assert canon == node, node
+            continue
+        assert expect == canon, node
