@@ -603,3 +603,147 @@ def embedding_dup_pairs_lsh(
         return out.filter(pc.greater_equal(out.column("cosine"), threshold))
 
     return joined.map_batches(_verify, batch_format="pyarrow")
+
+
+def ngram_jaccard_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    max_shingle_df: int | None = None,
+) -> rd.Dataset:
+    """EXACT all-pairs word-k-shingle Jaccard >= ``threshold`` via an
+    inverted shingle index self-join — the no-sketch member of the dedup
+    family (minhash approximates this; here there are no candidate misses).
+
+    Shape at crawl scale: only (id, shingle_hash) rows ever shuffle (16 B),
+    the self-join runs hash-partitioned on the shingle hash, and every
+    per-key reduction (set sizes, pair intersection counts) is the sort +
+    boundary-scan primitive (``extras.stats.exact_value_counts``), never a
+    per-group Ray aggregate. Inherently quadratic in co-shingled docs — a
+    boilerplate shingle shared by h docs emits h^2 join rows; the opt-in
+    ``max_shingle_df`` valve drops shingles above a document frequency (an
+    explicit, logged deviation from exactness, the standard df-cut).
+
+    Pair keys fold to one int64 ((id_a << 32) | id_b): ids must fit 31 bits.
+    At >2^31 docs widen the fold to a (id_a, id_b) two-column sort — the
+    primitive is key-layout-agnostic.
+    """
+    from ..util import default_num_partitions, hash_join
+    from .stats import exact_value_counts
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column(text_col).to_pylist()
+        h, off = shingle_hash_batch(texts, shingle_k)
+        n = len(ids)
+        doc_idx = np.repeat(np.arange(n), np.diff(off))
+        if not len(doc_idx):
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "sh": pa.array([], pa.int64())}
+            )
+        # vectorized per-doc set dedup: one lexsort + boundary compare
+        order = np.lexsort((h, doc_idx))
+        hs, dx = h[order], doc_idx[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (dx[1:] != dx[:-1])
+        return pa.table(
+            {
+                id_col: pa.array(ids[dx[keep]], pa.int64()),
+                "sh": pa.array(hs[keep], pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(_sh, batch_format="pyarrow").materialize()  # reused 3x
+    if max_shingle_df is not None:
+        heavy = exact_value_counts(rows, "sh").filter(
+            expr=f"n > {int(max_shingle_df)}"
+        )
+        heavy_set = set(
+            heavy.select_columns(["sh"]).to_pandas()["sh"].tolist()
+        )  # df-heavy shingles are few by construction
+        if heavy_set:
+            import ray as _ray
+
+            heavy_ref = _ray.put(np.array(sorted(heavy_set), dtype=np.int64))
+
+            def _drop(batch: pa.Table, ref=heavy_ref) -> pa.Table:
+                hv = _ray.get(ref)
+                sh = batch.column("sh").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(hv, sh)
+                pos = np.clip(pos, 0, len(hv) - 1)
+                return batch.filter(pa.array(hv[pos] != sh))
+
+            rows = rows.map_batches(_drop, batch_format="pyarrow").materialize()
+    sizes = exact_value_counts(rows, id_col).materialize()  # (id, n) per doc
+
+    # clamp partitions for small inputs: empty join partitions materialize as
+    # schema-less blocks (known Ray join hazard) and aggregator actors hold
+    # CPUs they don't need
+    nparts = max(2, min(default_num_partitions() // 2, rows.count() // 2000 + 1))
+    left = rows.rename_columns({id_col: "id_a"})
+    right = rows.rename_columns({id_col: "id_b"})
+    cand = hash_join(left, right, on="sh", join_type="inner", num_partitions=nparts)
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        m = a < b
+        a, b = a[m], b[m]
+        return pa.table({"pair_key": pa.array((a << 32) | b, pa.int64())})
+
+    inter = exact_value_counts(
+        cand.map_batches(_fold, batch_format="pyarrow"), "pair_key"
+    )
+
+    def _unfold(batch: pa.Table) -> pa.Table:
+        k = batch.column("pair_key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": pa.array(k >> 32, pa.int64()),
+                "id_b": pa.array(k & 0xFFFFFFFF, pa.int64()),
+                "inter": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    pairs = inter.map_batches(_unfold, batch_format="pyarrow").materialize()
+    npairs = pairs.count()
+    if npairs == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    sa = sizes.rename_columns({id_col: "id_a", "n": "n_a"})
+    sb = sizes.rename_columns({id_col: "id_b", "n": "n_b"})
+    # clamp again by PAIR cardinality (empty join partitions are a schema
+    # hazard) and materialize between the two joins of the same renamed
+    # lineage (chained lazy joins over shared renames hit FieldRef collisions)
+    jparts = max(2, min(nparts, npairs // 2000 + 1))
+    pairs = hash_join(
+        pairs, sa, on="id_a", join_type="inner", num_partitions=jparts
+    ).materialize()
+    pairs = hash_join(pairs, sb, on="id_b", join_type="inner", num_partitions=jparts)
+
+    def _jac(batch: pa.Table, thr=threshold) -> pa.Table:
+        it = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        u = na + nb - it
+        ja = np.divide(it, u, out=np.ones_like(it), where=u > 0)
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a").combine_chunks(),
+                "id_b": batch.column("id_b").combine_chunks(),
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+
+    return pairs.map_batches(_jac, batch_format="pyarrow")

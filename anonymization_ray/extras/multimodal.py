@@ -257,3 +257,58 @@ def decode_media(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def attach_media_affine(
+    ds: rd.Dataset, id_col: str, *, width: int = 16, height: int = 16
+) -> rd.Dataset:
+    """Deterministic REAL PNG payloads with CLOSED-FORM pixels
+    (row-major ``pixel[j] = (id*31 + j*j) % 256``). Unlike the Philox corpus
+    above, the pixel statistics are SQL-expressible, so the whole
+    encode -> decode -> stats path gets a value-level DuckDB oracle instead
+    of a rows-only check."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        j2 = (np.arange(width * height, dtype=np.int64) ** 2) % 256
+        payloads = [
+            encode_png_gray(
+                ((int(i) * 31 + j2) % 256).astype(np.uint8).reshape(height, width)
+            )
+            for i in ids
+        ]
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+class MediaStatsDecoder:
+    """Actor-pool callable: REAL PNG decode (pure-python zlib path) ->
+    integer pixel statistics per payload. Same deployment shape as
+    ``MediaDecoder`` (codec state would load once per actor in __init__);
+    the MB-scale payload column is dropped after decode so only the narrow
+    stats stream travels on."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, sums = [], [], []
+        for p in batch.column("media").to_pylist():
+            px = decode_png_gray(p)
+            h, w = px.shape
+            widths.append(w)
+            heights.append(h)
+            sums.append(int(px.astype(np.int64).sum()))
+        out = batch.drop_columns(["media"])
+        out = out.append_column("width", pa.array(widths, pa.int64()))
+        out = out.append_column("height", pa.array(heights, pa.int64()))
+        return out.append_column("pixel_sum", pa.array(sums, pa.int64()))
+
+
+def decode_media_stats(
+    ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        MediaStatsDecoder,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -121,7 +121,12 @@ def exact_value_counts(ds: rd.Dataset, col: str) -> rd.Dataset:
     refs = s.to_arrow_refs()
 
     @ray.remote(num_cpus=0.5)
-    def _segsum(t: pa.Table) -> pa.Table:
+    def _segsum(t: pa.Table):
+        # empty join/shuffle partitions can surface as ZERO-COLUMN empty
+        # blocks (schema lost on empty concat) — drop them here; the
+        # boundary-carry combine skips None refs
+        if t.num_rows == 0 or col not in t.column_names:
+            return None
         g = t.group_by([col]).aggregate([("n", "sum")])
         return g.select([col, "n_sum"]).rename_columns([col, "n"])
 

@@ -205,6 +205,75 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.9
 """
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """EXACT all-pairs word-3-shingle Jaccard >= 0.5 over the perturbed
+    corpus — the no-sketch dedup baseline (minhash approximates this set;
+    here the inverted shingle-index self-join finds every qualifying pair).
+    Values carry the jaccard itself, so the oracle checks the similarity
+    numbers, not just pair membership."""
+    from .extras.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _corpus_with_dups(sf_dir), "text", "doc_id", threshold=0.5, shingle_k=3
+    )
+
+
+# the kernel gives texts shorter than k words ONE whole-text shingle
+# (shingle_hash_batch) — the oracle mirrors that branch
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET},
+         CASE WHEN strpos(text, ' ') > 0 THEN regexp_replace(text, ' \\S+$', '') ELSE text END
+  FROM documents
+),
+tok AS (SELECT id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+sh AS (SELECT DISTINCT id, s FROM (
+         SELECT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         FROM tok, unnest(generate_series(1, len(toks) - 2)) AS t(i)
+         WHERE len(toks) >= 3
+         UNION ALL
+         SELECT id, text AS s FROM tok WHERE len(toks) < 3
+       ) u),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+pair_inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
+               FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+FROM pair_inter
+JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+def q_multimodal_decode(sf_dir: str):
+    """Binary media columns end-to-end: attach REAL PNG payloads with
+    closed-form pixels to every document, decode them in the actor-pool
+    stage (pure-python zlib PNG path — no codec library), emit integer pixel
+    stats. The oracle recomputes the pixel closed form in SQL, so a value
+    match certifies the full encode -> binary column -> actor decode
+    roundtrip, not just row counts."""
+    from .extras.multimodal import attach_media_affine, decode_media_stats
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return decode_media_stats(attach_media_affine(docs, "doc_id"))
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       (SELECT CAST(sum((d.doc_id * 31 + t.i * t.i) % 256) AS BIGINT)
+        FROM unnest(range(256)) AS t(i)) AS pixel_sum
+FROM documents d
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -572,6 +641,8 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_pairs": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": QueryDef(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
+    "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_RECALL),
     "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),

@@ -272,8 +272,8 @@ def combine_sorted_partials(
     per-block fix-up tasks apply them — heavy rows never move."""
 
     @ray.remote(num_cpus=0.25)
-    def _edges(t: pa.Table):
-        if t.num_rows == 0:
+    def _edges(t):
+        if t is None or t.num_rows == 0:
             return None
         k = t.column(key_col)
         v = t.column(val_col)

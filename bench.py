@@ -9,8 +9,10 @@ and print ONE JSON line:
      "kg_docs_per_sec": ...}
 
 --scaling: run the headline KG pipeline twice in FRESH processes
-(num_cpus=8 then 32) on the same input and report both throughputs plus
-scaling efficiency (the sandbox stand-in for N- vs 4N-node clusters).
+(num_cpus=8 then 32 by default; GRAFT_SCALING_WIDTHS=4,16 etc. picks the N
+and 4N levels) on the same input and report both throughputs plus scaling
+efficiency (the sandbox stand-in for N- vs 4N-node clusters), bracketed by
+two same-width hardware probes (mixed-kernel and pure-memory-stream).
 """
 
 from __future__ import annotations
@@ -272,6 +274,14 @@ def measure_stream_ceiling(low: int = 8, high: int = 32, trials: int = 3) -> flo
 
 
 SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+# N and 4N parallelism levels for the two "cluster sizes". The default 8,32
+# is the driver's example; GRAFT_SCALING_WIDTHS=4,16 measures the same 4x
+# ratio BELOW the single-socket memory-bandwidth roof (~290k docs/s on this
+# box — the stream probe shows 8 concurrent streams already saturate the
+# bus), which is the regime a real N vs 4N NODE cluster operates in
+# (per-node bandwidth constant across cluster sizes).
+_W = os.environ.get("GRAFT_SCALING_WIDTHS", "8,32").split(",")
+SCALING_LOW, SCALING_HIGH = int(_W[0]), int(_W[1])
 
 
 def run_scaling() -> dict:
@@ -295,9 +305,9 @@ def run_scaling() -> dict:
         with open(os.path.join(SCALING_PAGES_DIR, f), "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    trials: dict[int, list[dict]] = {8: [], 32: []}
+    trials: dict[int, list[dict]] = {SCALING_LOW: [], SCALING_HIGH: []}
     for _ in range(SCALING_TRIALS):
-        for n in (8, 32):
+        for n in (SCALING_LOW, SCALING_HIGH):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(n)
             p = subprocess.run(
@@ -312,8 +322,8 @@ def run_scaling() -> dict:
                 trials[n].append(json.loads(line))
             except json.JSONDecodeError:
                 raise RuntimeError(f"scaling child failed: {p.stderr[-2000:]}")
-    low = min(trials[8], key=lambda r: r["sec"])
-    high = min(trials[32], key=lambda r: r["sec"])
+    low = min(trials[SCALING_LOW], key=lambda r: r["sec"])
+    high = min(trials[SCALING_HIGH], key=lambda r: r["sec"])
     speedup = low["sec"] / high["sec"] if high["sec"] else 0.0
     efficiency = speedup / (high["num_cpus"] / low["num_cpus"])
     hw_ceiling = measure_hw_ceiling(low["num_cpus"], high["num_cpus"])
@@ -351,7 +361,7 @@ def run_scaling() -> dict:
         if stream_ceiling
         else None,
         "trials_sec": {
-            str(n): [r["sec"] for r in trials[n]] for n in (8, 32)
+            str(n): [r["sec"] for r in trials[n]] for n in (SCALING_LOW, SCALING_HIGH)
         },
     }
 

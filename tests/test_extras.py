@@ -329,3 +329,28 @@ def test_asof_join_matches_pandas_merge_asof():
     )
     assert len(got) == len(want)
     assert ((got["rv"].isna() & want["rv"].isna()) | (got["rv"] == want["rv"])).all()
+
+
+def test_ngram_jaccard_exact_pairs_and_df_valve():
+    from anonymization_ray.extras.dedup import ngram_jaccard_pairs
+
+    ds = _docs_with_planted_dups()
+    # this corpus is mostly shared boilerplate (docs differ only in their
+    # docN shingles), so at 0.9 ONLY the planted near/exact dups qualify:
+    # (i, 20+i) for i<5, plus the exact copy (0, 25) and its transitive
+    # near-pair (20, 25)
+    pairs = ngram_jaccard_pairs(ds, "text", "doc_id", threshold=0.9).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(i, 20 + i) for i in range(5)} | {(0, 25), (20, 25)}
+    # exact dup pair must have jaccard exactly 1.0
+    j = pairs.set_index(["id_a", "id_b"])["jaccard"]
+    assert j[(0, 25)] == 1.0
+    assert j[(1, 21)] < 1.0  # near-dup, not exact
+
+    # df valve: every shingle here is shared by >= the dup fan-in; with a
+    # df cap of 1 all shingles drop and no pairs survive — the valve is an
+    # explicit exactness deviation, applied only when requested
+    none = ngram_jaccard_pairs(
+        ds, "text", "doc_id", threshold=0.5, max_shingle_df=1
+    ).to_pandas()
+    assert len(none) == 0
