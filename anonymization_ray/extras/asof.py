@@ -145,3 +145,91 @@ def asof_join(
     return rd.from_arrow_refs(
         [_scan.remote(refs[b], carry_in[b]) for b in range(len(refs))]
     )
+
+def interval_join(
+    points: rd.Dataset,
+    intervals: rd.Dataset,
+    *,
+    key_col: str,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    granule_us: int,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Distributed RANGE (interval-containment) join — the second temporal
+    join shape Ray Data lacks: every point row (key, ts) matched to every
+    interval row of the same key with ``start <= ts < end``.
+
+    Shape: time is cut into fixed granules; each point maps to exactly ONE
+    granule, each interval is REPLICATED to every granule it covers, and an
+    ordinary hash join on (key, granule) followed by the exact containment
+    filter yields each qualifying pair exactly once (the point's single
+    granule is covered by every interval that contains it) — no sort, no
+    per-key UDF, no dedup pass.
+
+    Partitioning assumption (documented per the custom-operator contract):
+    the replication factor is ceil(span / granule_us) + 1, so ``granule_us``
+    must be on the order of the TYPICAL interval span — a granule far below
+    the span explodes the build side, one far above it degrades the join to
+    a coarse time bucket with a heavy post-filter. Timestamps may be Arrow
+    timestamps (any unit) or integers; comparisons happen in int64 µs.
+    """
+
+    def _ts64(col: pa.ChunkedArray) -> np.ndarray:
+        a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_timestamp(a.type):
+            a = a.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            a = a.cast(pa.int64())
+        return a.to_numpy(zero_copy_only=False)
+
+    def _pgran(batch: pa.Table) -> pa.Table:
+        ts = _ts64(batch.column(ts_col))
+        batch = batch.set_column(
+            batch.column_names.index(ts_col), ts_col, pa.array(ts, pa.int64())
+        )
+        return batch.append_column("gran", pa.array(ts // granule_us, pa.int64()))
+
+    def _igran(batch: pa.Table) -> pa.Table:
+        s = _ts64(batch.column(start_col))
+        e = _ts64(batch.column(end_col))
+        ok = e > s  # empty/inverted intervals match nothing
+        batch = batch.filter(pa.array(ok))
+        s, e = s[ok], e[ok]
+        g0 = s // granule_us
+        g1 = (e - 1) // granule_us  # end exclusive
+        reps = (g1 - g0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        ramp = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        out = batch.take(pa.array(idx, pa.int64()))
+        out = out.set_column(
+            out.column_names.index(start_col), start_col, pa.array(s[idx], pa.int64())
+        )
+        out = out.set_column(
+            out.column_names.index(end_col), end_col, pa.array(e[idx], pa.int64())
+        )
+        return out.append_column("gran", pa.array(g0[idx] + ramp, pa.int64()))
+
+    p = points.map_batches(_pgran, batch_format="pyarrow")
+    iv = intervals.map_batches(_igran, batch_format="pyarrow")
+    if num_partitions is None:
+        from ..util import default_num_partitions
+
+        # clamp by probe count: empty join partitions are a schema hazard
+        n_iv = intervals.count()
+        num_partitions = max(2, min(default_num_partitions() // 2, n_iv // 2000 + 1))
+    joined = p.join(
+        iv, join_type="inner", num_partitions=num_partitions, on=(key_col, "gran")
+    )
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False)
+        s = batch.column(start_col).to_numpy(zero_copy_only=False)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False)
+        keep = (ts >= s) & (ts < e)
+        return batch.filter(pa.array(keep)).drop_columns(["gran"])
+
+    return joined.map_batches(_exact, batch_format="pyarrow")

@@ -881,6 +881,62 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 EXTRAS_REGISTRY.update({"events_asof_join": QueryDef(q_events_asof, SQL_EVENTS_ASOF)})
 
 
+_IV_SPAN_US = 3_600_000_000  # 1 h — interval span AND join granule
+
+
+def q_events_interval(sf_dir: str):
+    """RANGE (interval-containment) join (custom operator): each even-id
+    event matched to every odd-id event of the same user whose 1-hour
+    window [ts, ts+1h) contains it — granule-replicated hash join, no sort,
+    no per-key UDF (extras/asof.py interval_join). Granule == span, so the
+    build side replicates at most 2x."""
+    from .extras.asof import interval_join
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _parity(want: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = pc.equal(pc.bit_wise_and(b.column("event_id"), 1), want)
+            return b.filter(m)
+
+        return f
+
+    points = ev.map_batches(_parity(0), batch_format="pyarrow")
+
+    def _mk_iv(b: pa.Table) -> pa.Table:
+        b = _parity(1)(b)
+        ts = b.column("ts").combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "iv_event_id": b.column("event_id").combine_chunks(),
+                "user_id": b.column("user_id").combine_chunks(),
+                "start": ts,
+                "end": pc.add(ts, _IV_SPAN_US),
+            }
+        )
+
+    intervals = ev.map_batches(_mk_iv, batch_format="pyarrow")
+    out = interval_join(
+        points, intervals,
+        key_col="user_id", ts_col="ts", start_col="start", end_col="end",
+        granule_us=_IV_SPAN_US,
+    )
+    return out.select_columns(["event_id", "user_id", "iv_event_id"])
+
+
+SQL_EVENTS_INTERVAL = """
+SELECT l.event_id, l.user_id, r.event_id AS iv_event_id
+FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+ON l.user_id = r.user_id
+AND l.ts >= r.ts AND l.ts < r.ts + INTERVAL 1 HOUR
+"""
+
+EXTRAS_REGISTRY.update(
+    {"events_interval_join": QueryDef(q_events_interval, SQL_EVENTS_INTERVAL)}
+)
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
 

@@ -331,6 +331,41 @@ def test_asof_join_matches_pandas_merge_asof():
     assert ((got["rv"].isna() & want["rv"].isna()) | (got["rv"] == want["rv"])).all()
 
 
+def test_interval_join_matches_bruteforce():
+    import pandas as pd
+    from anonymization_ray.extras.asof import interval_join
+
+    rng = np.random.Generator(np.random.Philox(key=43))
+    npts, niv = 3000, 800
+    pdf = pd.DataFrame({
+        "pid": np.arange(npts),
+        "k": rng.integers(0, 29, npts),
+        "ts": rng.integers(0, 100_000, npts),
+    })
+    ivdf = pd.DataFrame({
+        "iid": np.arange(niv),
+        "k": rng.integers(0, 29, niv),
+        "start": rng.integers(0, 100_000, niv),
+    })
+    # spans from sub-granule to several granules (granule=1000) + some empty
+    ivdf["end"] = ivdf["start"] + rng.integers(-50, 3500, niv)
+    pts = rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False)).repartition(6)
+    ivs = rd.from_arrow(pa.Table.from_pandas(ivdf, preserve_index=False)).repartition(4)
+    got = (
+        interval_join(pts, ivs, key_col="k", ts_col="ts", start_col="start",
+                      end_col="end", granule_us=1000, num_partitions=4)
+        .to_pandas()[["pid", "iid"]]
+        .sort_values(["pid", "iid"]).reset_index(drop=True)
+    )
+    want = (
+        pdf.merge(ivdf, on="k")
+        .query("ts >= start and ts < end")[["pid", "iid"]]
+        .sort_values(["pid", "iid"]).reset_index(drop=True)
+    )
+    assert len(want) > 500  # the fixture actually exercises the join
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_ngram_jaccard_exact_pairs_and_df_valve():
     from anonymization_ray.extras.dedup import ngram_jaccard_pairs
 
