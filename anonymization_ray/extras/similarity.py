@@ -4,9 +4,14 @@
   broadcast; each batch does one float64 matmul and emits only its local
   top-k per query; a final tiny ``groupby(query).map_groups`` merges local
   winners — the corpus is never gathered.
-- ``lsh_topk``: the scale path — seeded random-hyperplane buckets; candidates
+- ``lsh_topk``: a scale path — seeded random-hyperplane buckets; candidates
   share >= 1 bucket with the query; exact rescoring of candidates only.
   Approximate (recall measured in tests), same output schema.
+- ``ivf_topk``: the other scale path — spherical-k-means coarse quantizer
+  (driver-trained on a hash-residue sample, broadcast), per-batch list
+  assignment, per-query nprobe-list pruning. ``nprobe == nlist`` degenerates
+  to exact brute force (the calibration oracle).
+- ``lsh_ann_join``: ANN when the query set IS the corpus — banded self-join.
 """
 
 from __future__ import annotations
@@ -55,8 +60,8 @@ def brute_force_topk(
             out_s.extend(s[order].tolist())
         return pa.table(
             {
-                "query_id": pa.array(out_q),
-                id_col: pa.array(out_i),
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_i, pa.int64()),
                 "cosine": pa.array(out_s, pa.float64()),
             }
         )
@@ -125,8 +130,8 @@ def lsh_topk(
             out_s.extend(s[order].tolist())
         return pa.table(
             {
-                "query_id": pa.array(out_q),
-                id_col: pa.array(out_i),
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_i, pa.int64()),
                 "cosine": pa.array(out_s, pa.float64()),
             }
         )
@@ -246,6 +251,129 @@ def lsh_ann_join(
 
     scored = joined.map_batches(_score, batch_format="pyarrow")
     return topk_per_key(scored, "query_id", "cosine", k, descending=True, tie_col=id_col)
+
+
+def kmeans_centroids(
+    sample: np.ndarray, nlist: int, *, iters: int = 10, seed: int = 11
+) -> np.ndarray:
+    """Deterministic spherical k-means (Lloyd) on a driver-side sample —
+    the coarse quantizer of an IVF index. Centroids are L2-normalized each
+    iteration so nearest-centroid == max cosine. Sample size is the usual
+    IVF training budget (~100-1000 vectors per list); the corpus itself is
+    never gathered."""
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    nlist = min(nlist, len(s))
+    rng = np.random.Generator(np.random.Philox(key=seed))
+    c = s[rng.choice(len(s), size=nlist, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(s @ c.T, axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                c[j] = s[m].mean(axis=0)
+        c = _normalize(c)
+    # stable order: lexicographic by coordinates, so the index is
+    # reproducible regardless of rng.choice's internal draw order
+    return c[np.lexsort(c.T[::-1])]
+
+
+def _sample_vectors(
+    ds: rd.Dataset, vec_col: str, id_col: str, target: int, total: int
+) -> np.ndarray:
+    """Deterministic spread sample: keep ids whose 64-bit hash falls in the
+    first ``target/total`` fraction — one streaming filter pass, no sort, no
+    driver gather beyond the ~target sampled rows."""
+    import pandas as pd
+
+    frac = min(1.0, target / max(total, 1))
+    cut = np.uint64(int(frac * 2**64)) if frac < 1.0 else np.uint64(2**64 - 1)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = pd.util.hash_array(np.ascontiguousarray(ids)) <= cut
+        return batch.filter(pa.array(keep)).select([vec_col])
+
+    rows = ds.map_batches(_f, batch_format="pyarrow").take_all()
+    return np.stack([r[vec_col] for r in rows]).astype(np.float64)
+
+
+def ivf_topk(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nlist: int = 32,
+    nprobe: int = 4,
+    train_size: int = 4096,
+    seed: int = 11,
+    exclude_self: bool = True,
+) -> rd.Dataset:
+    """IVF approximate top-k — the second ANN scale path alongside LSH.
+
+    Build: spherical-k-means centroids trained driver-side on a hash-residue
+    sample (tiny, broadcast with the query matrix); every corpus vector is
+    assigned its nearest-centroid ``list_id`` inside ``map_batches``. Probe:
+    each query scores ONLY vectors whose list is among its ``nprobe``
+    closest centroids — at scale the lists are parquet partitions and
+    non-probed lists are never read; here the pruning happens per batch with
+    one vectorized membership test. ``nprobe == nlist`` degenerates to exact
+    brute force (tested), which calibrates correctness of the machinery
+    independently of recall."""
+    q = np.asarray(queries, dtype=np.float64)
+    qids = np.asarray(query_ids)
+    total = ds.count()
+    cents = kmeans_centroids(
+        _sample_vectors(ds, vec_col, id_col, train_size, total),
+        nlist, seed=seed,
+    )
+    nlist = len(cents)
+    nprobe = min(nprobe, nlist)
+    qn = _normalize(q)
+    # per-query probe set: nprobe nearest centroids, as a (nq, nlist) bool mask
+    qcent = np.argsort(-(qn @ cents.T), axis=1, kind="stable")[:, :nprobe]
+    probe_mask = np.zeros((len(qids), nlist), dtype=bool)
+    np.put_along_axis(probe_mask, qcent, True, axis=1)
+
+    def _local(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        v = _normalize(
+            np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+        list_id = np.argmax(v @ cents.T, axis=1)  # the IVF assignment
+        out_q, out_i, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand_mask = probe_mask[qi][list_id]
+            if exclude_self:
+                cand_mask &= ids != qids[qi]
+            cand = np.nonzero(cand_mask)[0]
+            if not len(cand):
+                continue
+            s = v[cand] @ qn[qi]
+            order = np.lexsort((ids[cand], -s))[:k]
+            sel = cand[order]
+            out_q.extend([qids[qi]] * len(sel))
+            out_i.extend(ids[sel].tolist())
+            out_s.extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_i, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(_local, batch_format="pyarrow")
+
+    def _merge(group: pa.Table, kk=k) -> pa.Table:
+        s = group.column("cosine").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -s))[:kk]
+        return group.take(order)
+
+    return local.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
 
 
 def load_query_vectors(

@@ -328,6 +328,44 @@ def q_ann_lsh_topk(sf_dir: str):
 SQL_ANN_LSH_RECALL = "SELECT CAST(1 AS BIGINT) AS twin_recall_ok"
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN gated on deterministic recall (ann_lsh_topk style): the
+    planted cosine-1.0 twin shares its nearest coarse centroid with the
+    query by construction, so any nprobe >= 1 must surface it in the top-10.
+    One-row scoreboard; a recall regression hash-mismatches."""
+    from .extras.similarity import ivf_topk, load_query_vectors
+
+    corpus = _planted_embeddings(sf_dir)
+    q, qids = load_query_vectors(sf_dir, n=5)
+    hits = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(corpus, q, qids, k=10, nlist=16, nprobe=2).take_all()
+    }
+    found = sum(1 for qid in qids if (qid, qid + DUP_OFFSET) in hits)
+    return pa.table(
+        {"twin_recall_ok": pa.array([int(found == len(qids))], pa.int64())}
+    )
+
+
+SQL_ANN_IVF_RECALL = "SELECT CAST(1 AS BIGINT) AS twin_recall_ok"
+
+
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF with nprobe == nlist probes every list — mathematically identical
+    to exact brute force, so the full IVF machinery (hash-residue sampling,
+    spherical k-means, per-batch list assignment, probe-mask pruning,
+    distributed merge) is calibrated against the SAME hash-exact SQL oracle
+    as ann_cosine_topk."""
+    from .extras.similarity import ivf_topk, load_query_vectors
+
+    q, qids = load_query_vectors(sf_dir, n=5)
+    res = ivf_topk(
+        load(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        q, qids, k=10, nlist=16, nprobe=16,
+    )
+    return res.select_columns(["query_id", "vec_id"])
+
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -645,6 +683,8 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_RECALL),
+    "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_RECALL),
+    "ann_ivf_exact": QueryDef(q_ann_ivf_exact, SQL_ANN_TOPK),
     "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),
     "text_bpe_tokens": QueryDef(q_text_bpe_tokens, SQL_TEXT_BPE),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),

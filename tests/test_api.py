@@ -156,6 +156,47 @@ def test_jsonld_04_flat_data_on_jsonld_endpoint():
     assert kan["@value"] == "1"
 
 
+def test_http_fetcher_live_localhost_roundtrip():
+    """End-to-end over a REAL socket: the vendored demo overlay served by a
+    stdlib HTTP server on 127.0.0.1, fetched by http_fetcher at request time
+    (the reference's live GET, ConfigurationService.java:72-101) — the
+    masking case must produce byte-identical output to the static-fetch
+    golden path."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from anonymization_ray.api import http_fetcher
+
+    class _H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            if self.path == "/AnonymisationDemo":
+                body = _DEMO.encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), _H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        req = load(FLAT_IN, "11-maksing")
+        req["configurationUrl"] = (
+            f"http://127.0.0.1:{srv.server_port}/AnonymisationDemo"
+        )
+        got = handle_flat_request(req, fetch=http_fetcher(timeout=5.0))
+        assert got == golden(FLAT_OUT, "11-maksing")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_http_fetcher_error_semantics(monkeypatch):
     """Reference ConfigurationService.fetchStringContent semantics: non-2xx,
     empty body, bad URI and transport failures all become OntologyFetchError

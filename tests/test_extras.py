@@ -331,6 +331,59 @@ def test_asof_join_matches_pandas_merge_asof():
     assert ((got["rv"].isna() & want["rv"].isna()) | (got["rv"] == want["rv"])).all()
 
 
+def test_ivf_topk_full_probe_equals_brute_force():
+    """nprobe == nlist probes every inverted list, so the IVF machinery must
+    reproduce exact brute force bit-for-bit."""
+    import pyarrow.parquet as pq
+    from anonymization_ray.extras.similarity import ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(t).repartition(4)
+    q = np.stack(t.column("embedding").to_pylist()[:5])
+    qids = np.array(t.column("vec_id").to_pylist()[:5])
+    bf = (
+        brute_force_topk(ds, q, qids, k=10).to_pandas()
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk(ds, q, qids, k=10, nlist=8, nprobe=8).to_pandas()
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    )
+    import pandas as pd
+    pd.testing.assert_frame_equal(ivf, bf)
+
+
+def test_ivf_topk_pruned_recall():
+    """Small-nprobe IVF on near-uniform random embeddings: recall well above
+    random, and every query's planted twin (same direction => same nearest
+    centroid) is found even at nprobe=1."""
+    import pyarrow.parquet as pq
+    from anonymization_ray.extras.similarity import ivf_topk
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    base_ids = t.column("vec_id").to_pylist()
+    vecs = t.column("embedding").to_pylist()
+    twins = pa.table({
+        "vec_id": pa.array([i + 1_000_000 for i in base_ids[:5]], pa.int64()),
+        "embedding": pa.array([[x * 2.0 for x in v] for v in vecs[:5]],
+                              t.column("embedding").type),
+    })
+    ds = rd.from_arrow(pa.concat_tables([t.select(["vec_id", "embedding"]), twins])).repartition(4)
+    q = np.stack(vecs[:5])
+    qids = np.array(base_ids[:5])
+    got = ivf_topk(ds, q, qids, k=10, nlist=16, nprobe=1).to_pandas()
+    for qid in qids:
+        assert qid + 1_000_000 in set(got[got.query_id == qid]["vec_id"])
+    # pruned recall vs brute force stays far above the ~2% random floor
+    bf = brute_force_topk(ds, q, qids, k=10).to_pandas()
+    ap = ivf_topk(ds, q, qids, k=10, nlist=16, nprobe=4).to_pandas()
+    recalls = []
+    for qid in qids:
+        want = set(bf[bf.query_id == qid]["vec_id"])
+        recalls.append(len(want & set(ap[ap.query_id == qid]["vec_id"])) / len(want))
+    assert np.mean(recalls) >= 0.4
+
+
 def test_interval_join_matches_bruteforce():
     import pandas as pd
     from anonymization_ray.extras.asof import interval_join
