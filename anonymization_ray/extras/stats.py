@@ -138,3 +138,114 @@ def heavy_hitters(ds: rd.Dataset, col: str, k: int = 10) -> rd.Dataset:
     """Exact top-k values by count, deterministic ties (count desc, value
     asc)."""
     return exact_value_counts(ds, col).sort(["n", col], descending=[True, False]).limit(k)
+
+
+def group_quantiles(
+    ds: rd.Dataset, key_col: str, val_col: str, qs: list[float]
+) -> rd.Dataset:
+    """Exact per-key discrete quantiles (DuckDB ``quantile_disc``: element at
+    rank ceil(q*n)-1 of each key's sorted non-null values) WITHOUT a
+    per-group UDF — the output stays distributed, so this works at any key
+    cardinality (per-key quantile output is itself key-sized).
+
+    Shape: one range sort by (key, val); every key wholly inside a block is
+    solved there with one vectorized np.unique + fancy-index pass; the few
+    keys that SPAN block boundaries (at most 2 per block, identified from
+    single-row edge metadata on the driver) are re-gathered — only their
+    rows — into one small task. Skew caveat (documented): a single key's run
+    must fit one task's memory, the same bound any exact grouped quantile
+    has."""
+    from ..util import coalesce_blocks
+
+    qarr = np.asarray(sorted(qs), dtype=np.float64)
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        t = b.select([key_col, val_col])
+        return t.filter(valid_mask_np(t.column(val_col)))
+
+    def valid_mask_np(arr):
+        m = pc.is_valid(arr)
+        if pa.types.is_floating(arr.type):
+            m = pc.and_(m, pc.invert(pc.is_nan(arr)))
+        return m
+
+    s = (
+        coalesce_blocks(ds.map_batches(_narrow, batch_format="pyarrow").materialize())
+        .sort([key_col, val_col])
+        .materialize()
+    )
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _edge_keys(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col)
+        return k[0].as_py(), k[-1].as_py()
+
+    edges = ray.get([_edge_keys.remote(r) for r in refs])
+    refs = [r for r, e in zip(refs, edges) if e is not None]
+    edges = [e for e in edges if e is not None]
+    spanning: set = set()
+    for i in range(len(refs) - 1):
+        if edges[i][1] == edges[i + 1][0]:
+            spanning.add(edges[i][1])
+    span_list = sorted(spanning)
+
+    def _solve(keys: np.ndarray, vals: pa.Array) -> pa.Table:
+        """keys sorted; emit (key, q, value) for every key, vectorized."""
+        uniq, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+        nq = len(qarr)
+        # rank ceil(q*n)-1 clamped to [0, n-1], per (key, q)
+        n_rep = np.repeat(counts, nq)
+        ranks = np.ceil(np.tile(qarr, len(uniq)) * n_rep).astype(np.int64) - 1
+        ranks = np.clip(ranks, 0, n_rep - 1)
+        idx = np.repeat(starts, nq) + ranks
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(uniq, nq)),
+                "q": pa.array(np.tile(qarr, len(uniq)), pa.float64()),
+                "value": vals.take(pa.array(idx, pa.int64())),
+            }
+        )
+
+    @ray.remote(num_cpus=0.5)
+    def _inner(t: pa.Table, span) -> pa.Table:
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        keep = ~np.isin(keys, span) if len(span) else np.ones(len(keys), bool)
+        tt = t.filter(pa.array(keep))
+        if tt.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.column(key_col).type),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], t.column(val_col).type),
+                }
+            )
+        return _solve(
+            tt.column(key_col).to_numpy(zero_copy_only=False),
+            tt.column(val_col).combine_chunks(),
+        )
+
+    @ray.remote(num_cpus=0.5)
+    def _boundary(span, *tables) -> pa.Table:
+        parts = [
+            t.filter(pc.is_in(t.column(key_col), value_set=pa.array(span)))
+            for t in tables
+        ]
+        t = pa.concat_tables([p for p in parts if p.num_rows])
+        return _solve(
+            t.column(key_col).to_numpy(zero_copy_only=False),
+            t.column(val_col).combine_chunks(),
+        )
+
+    out_refs = [_inner.remote(r, np.asarray(span_list)) for r in refs]
+    if span_list:
+        # only blocks whose edge range touches a spanning key hold its rows
+        touching = [
+            r
+            for r, e in zip(refs, edges)
+            if any(e[0] <= sk <= e[1] for sk in span_list)
+        ]
+        out_refs.append(_boundary.remote(span_list, *touching))
+    return rd.from_arrow_refs(out_refs)

@@ -921,6 +921,37 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 EXTRAS_REGISTRY.update({"events_asof_join": QueryDef(q_events_asof, SQL_EVENTS_ASOF)})
 
 
+def q_join_anti_customers(sf_dir: str):
+    """Broadcast ANTI join: customers with no high-value (>300k) order. The
+    filtered orders side is distinct-reduced per block and broadcast once
+    (ray.put); the customer stream filters with one vectorized is_in — no
+    shuffle of either side (extras/joins.py). The filter is pushed into the
+    orders read path before the distinct reduce."""
+    from .extras.joins import semi_anti_join
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = load(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), 300000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    return semi_anti_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", anti=True
+    )
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+EXTRAS_REGISTRY.update(
+    {"join_anti_customers": QueryDef(q_join_anti_customers, SQL_JOIN_ANTI)}
+)
+
+
 _IV_SPAN_US = 3_600_000_000  # 1 h — interval span AND join granule
 
 
@@ -1039,12 +1070,32 @@ def q_stats_hll(sf_dir: str):
     return pa.table({"estimate": pa.array([n], pa.int64())})
 
 
+def q_stats_group_quantiles(sf_dir: str):
+    """Exact per-supplier price quartiles — the GROUPED quantile operator:
+    one (key, val) range sort, in-block vectorized solve for contained keys,
+    boundary-spanning keys re-gathered into one small task (extras/stats.py
+    group_quantiles). Output stays distributed (key-sized)."""
+    from .extras.stats import group_quantiles
+
+    ds = load(sf_dir, "lineitem", ["l_suppkey", "l_extendedprice"])
+    return group_quantiles(ds, "l_suppkey", "l_extendedprice", [0.25, 0.5, 0.75])
+
+
+# quantile_disc requires a CONSTANT q in DuckDB — one arm per quantile
+SQL_STATS_GROUP_Q = " UNION ALL ".join(
+    f"SELECT l_suppkey, {q} AS q, quantile_disc(l_extendedprice, {q}) AS value "
+    "FROM lineitem GROUP BY l_suppkey"
+    for q in (0.25, 0.5, 0.75)
+)
+
+
 EXTRAS_REGISTRY.update(
     {
         "stats_quantiles": QueryDef(q_stats_quantiles, SQL_STATS_QUANTILES),
         "stats_distinct": QueryDef(q_stats_distinct, SQL_STATS_DISTINCT),
         "stats_heavy_hitters": QueryDef(q_stats_heavy_hitters, SQL_STATS_HEAVY),
         "stats_hll_distinct": QueryDef(q_stats_hll, None),
+        "stats_group_quantiles": QueryDef(q_stats_group_quantiles, SQL_STATS_GROUP_Q),
     }
 )
 

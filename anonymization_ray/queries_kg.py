@@ -137,10 +137,49 @@ SELECT 'hasAccountBalance_' || (SELECT g - 1 FROM gk), 'rdfs:comment',
 """
 
 
+def q_kg_degree_topk(sf_dir: str):
+    """Graph analytics over the constructed KG: top-20 entities by total
+    degree (out-edges as subj + in-edges as iri obj). Endpoint stream ->
+    exact_value_counts (Arrow-native partials, sort, boundary carries — no
+    Ray groupby at entity cardinality) -> narrow sort + limit."""
+    import pyarrow.compute as pc
+
+    from .extras.stats import exact_value_counts
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _ends(b: pa.Table) -> pa.Table:
+        subj = pa.table({"entity": b.column("subj").combine_chunks()})
+        obj = pa.table(
+            {
+                "entity": b.filter(pc.equal(b.column("obj_kind"), "iri"))
+                .column("obj")
+                .combine_chunks()
+            }
+        )
+        return pa.concat_tables([subj, obj])
+
+    ends = tri.map_batches(_ends, batch_format="pyarrow")
+    deg = exact_value_counts(ends, "entity")
+    top = deg.sort(["n", "entity"], descending=[True, False]).limit(20)
+    return top.rename_columns({"n": "degree"})
+
+
+SQL_KG_DEGREE = f"""
+WITH canon AS ({SQL_KG_CANONICAL}),
+ends AS (SELECT subj AS entity FROM canon
+         UNION ALL SELECT obj FROM canon WHERE obj_kind = 'iri')
+SELECT entity, count(*) AS degree FROM ends GROUP BY entity
+ORDER BY degree DESC, entity LIMIT 20
+"""
+
+
 KG_REGISTRY: dict[str, QueryDef] = {
     "kg_text_extract": QueryDef(q_kg_text_extract, SQL_KG_TEXT),
     "kg_text_invariant": QueryDef(q_kg_text_invariant, SQL_KG_TEXT_INVARIANT),
     "kg_mention_triples": QueryDef(q_kg_mention_triples, SQL_KG_MENTIONS),
     "kg_canonical_triples": QueryDef(q_kg_canonical_triples, SQL_KG_CANONICAL),
     "kg_anonymized_triples": QueryDef(q_kg_anonymized_triples, SQL_KG_ANONYMIZED),
+    "kg_degree_topk": QueryDef(q_kg_degree_topk, SQL_KG_DEGREE),
 }

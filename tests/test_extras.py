@@ -384,6 +384,85 @@ def test_ivf_topk_pruned_recall():
     assert np.mean(recalls) >= 0.4
 
 
+def test_group_quantiles_matches_pandas():
+    """Randomized per-key quantiles vs pandas groupby.quantile(lower), with
+    few keys over many small blocks so key runs SPAN block boundaries (the
+    re-gather path), plus nulls/NaNs dropped."""
+    import pandas as pd
+    from anonymization_ray.extras.stats import group_quantiles
+
+    rng = np.random.Generator(np.random.Philox(key=77))
+    n = 20_000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 7, n),        # 7 keys, every one spans blocks
+        "v": rng.random(n).round(6),
+    })
+    df.loc[rng.choice(n, 300, replace=False), "v"] = np.nan
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(16)
+    qs = [0.25, 0.5, 0.75]
+    got = (
+        group_quantiles(ds, "k", "v", qs).to_pandas()
+        .sort_values(["k", "q"]).reset_index(drop=True)
+    )
+    want_rows = []
+    for k, g in df.dropna().groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        for q in qs:
+            want_rows.append((k, q, vals[max(0, int(np.ceil(q * len(vals))) - 1)]))
+    want = pd.DataFrame(want_rows, columns=["k", "q", "value"]).sort_values(
+        ["k", "q"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype({"k": "int64"}), want.astype({"k": "int64"}))
+
+
+def test_semi_anti_join_paths_agree():
+    """Broadcast and shuffle paths give identical membership results; null
+    keys never match (SQL IN semantics) and null left keys survive only
+    anti."""
+    import pandas as pd
+    from anonymization_ray.extras.joins import semi_anti_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, None, 6], pa.int64()),
+        "v": pa.array(list("abcdef")),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4, None, 7], pa.int64()),
+    })).repartition(2)
+
+    def run(anti, broadcast):
+        return (
+            semi_anti_join(left, right, on="k", right_on="rk",
+                           anti=anti, broadcast=broadcast)
+            .to_pandas().sort_values("v").reset_index(drop=True)
+        )
+
+    semi_b = run(False, True)
+    assert semi_b["v"].tolist() == ["b", "d"]
+    anti_b = run(True, True)
+    assert anti_b["v"].tolist() == ["a", "c", "e", "f"]  # null left key kept
+    pd.testing.assert_frame_equal(semi_b, run(False, False))
+    # Ray's native left_anti drops null left keys; the broadcast path follows
+    # SQL NOT EXISTS (null can't match => kept) — compare on non-null keys
+    anti_s = run(True, False)
+    assert set(anti_s["v"]) - {"e"} == {"a", "c", "f"}
+
+    # real-table agreement at sf: customers with no high-value order
+    import pyarrow.compute as pc
+    cust = rd.read_parquet(f"{SF}/customer.parquet", columns=["c_custkey"])
+    orders = rd.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 300000.0)),
+        batch_format="pyarrow",
+    )
+    a = sorted(r["c_custkey"] for r in semi_anti_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", anti=True).take_all())
+    b = sorted(r["c_custkey"] for r in semi_anti_join(
+        cust, orders, on="c_custkey", right_on="o_custkey", anti=True,
+        broadcast=False).take_all())
+    assert a == b and len(a) > 0
+
+
 def test_interval_join_matches_bruteforce():
     import pandas as pd
     from anonymization_ray.extras.asof import interval_join
