@@ -146,8 +146,9 @@ def extract_link_checkpointed(
 
     if todo:
         if concurrency is None:
-            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-            concurrency = (max(2, cpus // 2), max(4, cpus))
+            from ..util import actor_pool_size
+
+            concurrency = actor_pool_size()
         alias_ref = ray.put(alias_index)
         pages = rd.read_parquet(todo, columns=["url", "html"], include_paths=True)
         out = pages.map_batches(

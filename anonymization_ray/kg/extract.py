@@ -125,10 +125,9 @@ def extract_mentions(
     """Mention-level triples via the extractor actor pool. Small batches —
     pages carry MB-scale html; project html away right after this stage."""
     if concurrency is None:
-        import ray
+        from ..util import actor_pool_size
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(1, cpus // 4), max(4, cpus))
+        concurrency = actor_pool_size(divisor=4)
     return pages.map_batches(
         MentionExtractor,
         batch_format="pyarrow",

@@ -206,8 +206,9 @@ def link_mentions(
 ) -> tuple[rd.Dataset, rd.Dataset]:
     """Returns (linked_triples, alias_edges)."""
     if concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(2, cpus // 2), max(4, cpus))
+        from ..util import actor_pool_size
+
+        concurrency = actor_pool_size()
     alias_ref = ray.put(alias_index)
     out = mentions.map_batches(
         MentionLinker,
@@ -291,8 +292,9 @@ def extract_link_canonical(
     stream, no separate mapping rewrite). ``mapping`` is the Arrow
     (node, canonical) table from ``alias_canonical_mapping``."""
     if concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(2, cpus // 2), max(4, cpus))
+        from ..util import actor_pool_size
+
+        concurrency = actor_pool_size()
     alias_ref = ray.put(alias_index)
     mapping_ref = ray.put(mapping)
     return pages.map_batches(
@@ -318,8 +320,9 @@ def extract_and_link(
     stream — the pipeline discards it before canonicalization anyway, and at
     scale it is the widest column in the materialized intermediate."""
     if concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (max(2, cpus // 2), max(4, cpus))
+        from ..util import actor_pool_size
+
+        concurrency = actor_pool_size()
     alias_ref = ray.put(alias_index)
     out = pages.map_batches(
         ExtractLinker,

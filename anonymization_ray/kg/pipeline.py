@@ -42,12 +42,11 @@ def kg_pipeline(
     extractor_concurrency=None,
 ) -> KgRunResult:
     if extractor_concurrency is None:
-        import ray
+        from ..util import actor_pool_size
 
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        # min actors pre-started: the autoscaling ramp from 1 actor
-        # serializes the stage regardless of cluster size
-        extractor_concurrency = (max(2, cpus // 2), max(4, cpus))
+        # min actors pre-started (autoscaling from 1 serializes the stage)
+        # but never the full CPU count (narrow widths starve the read)
+        extractor_concurrency = actor_pool_size()
     pages = pages if pages is not None else synthesize_pages(sf_dir)
     if dedup_pages:
         from .fingerprint import dedup_pages_exact, page_content_hashes, page_fingerprints

@@ -425,3 +425,19 @@ def java_half(total: int) -> int:
     ``GeneralizationDateTime.java:42``)."""
     q, r = divmod(abs(total), 2)
     return q if total >= 0 else -q
+
+
+def actor_pool_size(divisor: int = 2) -> tuple[int, int]:
+    """(min, max) actors for a stateful ``map_batches`` pool.
+
+    Pre-start ``cpus // divisor`` actors — the autoscaling ramp from 1 actor
+    serializes the stage for ~10 s regardless of cluster size — but NEVER
+    let the pre-started minimum reserve EVERY CPU: at narrow widths a
+    full-reservation minimum starves the upstream read/filter tasks and the
+    whole pipeline crawls (measured: a 2-CPU run sat at ~2% worker
+    utilization for an hour). The cap ``cpus - 1`` always leaves one slot
+    for non-actor stages; max actors is the CPU count."""
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    lo = max(1, min(cpus - 1, max(2, cpus // divisor)))
+    hi = max(lo, cpus)
+    return lo, hi
