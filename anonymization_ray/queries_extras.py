@@ -1121,6 +1121,42 @@ SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
 WHERE (l_orderkey * 7 + l_linenumber) % 20 = 3
 """
 
+def q_sample_stratified(sf_dir: str):
+    """Deterministic STRATIFIED sample — exactly 3 customers per nation,
+    chosen by a MINSTD hash order (partition-independent and
+    SQL-expressible, so the oracle is exact). Per-key selection rides
+    ``util.topk_per_key`` (range sort + boundary carry, no per-group UDF):
+    at crawl scale this is 'n documents per domain', key cardinality
+    O(corpus)."""
+    from .util import topk_per_key
+
+    ds = load(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _h(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        hv = ((ck % 2147483647) * 48271) % 2147483647
+        return batch.append_column("hv", pa.array(hv, pa.int64()))
+
+    ranked = topk_per_key(
+        ds.map_batches(_h, batch_format="pyarrow"),
+        "c_nationkey", "hv", 3, descending=False, tie_col="c_custkey",
+    )
+    return ranked.select_columns(["c_custkey", "c_nationkey"])
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH h AS (SELECT c_custkey, c_nationkey,
+                  ((c_custkey % 2147483647) * 48271) % 2147483647 AS hv
+           FROM customer)
+SELECT c_custkey, c_nationkey FROM (
+  SELECT c_custkey, c_nationkey,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY hv, c_custkey) AS rn
+  FROM h) WHERE rn <= 3
+"""
+
 EXTRAS_REGISTRY.update(
-    {"sample_lineitem": QueryDef(q_sample_lineitem, SQL_SAMPLE_LINEITEM)}
+    {
+        "sample_lineitem": QueryDef(q_sample_lineitem, SQL_SAMPLE_LINEITEM),
+        "sample_stratified": QueryDef(q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    }
 )
