@@ -1,4 +1,6 @@
-"""Distributed AS-OF join — a custom operator Ray Data lacks.
+"""Distributed temporal joins — two custom operators Ray Data lacks:
+``asof_join`` (latest right row at-or-before each left row) and
+``interval_join`` (every interval containing each point).
 
 ``asof_join(left, right)``: for every left row (key, t), attach the right
 row of the same key with the greatest t_r <= t (inclusive), or nulls.

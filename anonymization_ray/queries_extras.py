@@ -1008,6 +1008,59 @@ EXTRAS_REGISTRY.update(
 )
 
 
+def q_events_sliding_count(sf_dir: str):
+    """SLIDING-window aggregate by composition: for every event, the number
+    of same-user events in the trailing hour (inclusive of itself). Each
+    event spawns the interval [ts, ts+1h) — an event's trailing window then
+    contains exactly the events whose intervals cover it — so the operator
+    is interval_join + the no-groupby exact_value_counts. No per-key UDF,
+    no window sort."""
+    from .extras.asof import interval_join
+    from .extras.stats import exact_value_counts
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _mk_iv(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b.column("user_id").combine_chunks(),
+                "start": ts,
+                "end": pc.add(ts, _IV_SPAN_US),
+            }
+        )
+
+    pairs = interval_join(
+        ev,
+        ev.map_batches(_mk_iv, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", start_col="start", end_col="end",
+        granule_us=_IV_SPAN_US,
+    )
+    counts = exact_value_counts(pairs.select_columns(["event_id"]), "event_id")
+    return counts.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "n_trailing_hour": pc.cast(b.column("n"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_SLIDING = """
+SELECT a.event_id, CAST(count(*) AS BIGINT) AS n_trailing_hour
+FROM events a JOIN events b
+ON a.user_id = b.user_id
+AND a.ts >= b.ts AND a.ts < b.ts + INTERVAL 1 HOUR
+GROUP BY a.event_id
+"""
+
+EXTRAS_REGISTRY.update(
+    {"events_sliding_count": QueryDef(q_events_sliding_count, SQL_EVENTS_SLIDING)}
+)
+
+
 _QS = (0.01, 0.25, 0.5, 0.75, 0.99)
 
 
