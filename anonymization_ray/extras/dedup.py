@@ -747,3 +747,64 @@ def ngram_jaccard_pairs(
         return out.filter(pc.greater_equal(out.column("jaccard"), thr))
 
     return pairs.map_batches(_jac, batch_format="pyarrow")
+
+
+def cluster_keepers(ids: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """Resolve duplicate PAIRS into per-document keepers: every document maps
+    to the minimum id of its connected component in the pair graph (itself
+    when it has no duplicate). This is the step that turns any pair-producing
+    dedup operator (minhash/simhash/embedding/ngram) into an actual dedup —
+    ``filter(doc_id == keeper_id)`` keeps one representative per cluster.
+
+    Scale shape: components via the KG min-label contraction
+    (``kg.canonicalize.canonicalize_components_distributed`` — O(log diameter)
+    node-sized joins over the PAIR graph only, which is tiny relative to the
+    corpus), then one corpus-sized union + ``min_per_key`` (a narrow
+    (int64,int64) sort + boundary scan) to fold in singleton documents —
+    never a vocabulary gather on the driver, never a per-group UDF.
+
+    Ids must be non-negative int64 (zero-padded decimal keys keep
+    lexicographic order == numeric order inside the string-keyed contraction).
+    """
+    from ..kg.canonicalize import canonicalize_components_distributed
+    from ..util import min_per_key
+
+    _W = 19  # max int64 decimal digits
+
+    def _to_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "edge_a": pc.utf8_lpad(pc.cast(b.column("id_a"), pa.string()), _W, "0"),
+                "edge_b": pc.utf8_lpad(pc.cast(b.column("id_b"), pa.string()), _W, "0"),
+            }
+        )
+
+    mapping = canonicalize_components_distributed(
+        pairs.map_batches(_to_edges, batch_format="pyarrow")
+    )
+
+    def _back(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b.column("node"), pa.int64()),
+                "keeper": pc.cast(b.column("canonical"), pa.int64()),
+            }
+        )
+
+    comp = mapping.map_batches(_back, batch_format="pyarrow")
+
+    def _ident(b: pa.Table) -> pa.Table:
+        i = pc.cast(b.column(id_col).combine_chunks(), pa.int64())
+        return pa.table({"node": i, "keeper": i})
+
+    ident = ids.select_columns([id_col]).map_batches(_ident, batch_format="pyarrow")
+    out = min_per_key(ident.union(comp), "node", "keeper")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                id_col: b.column("node").combine_chunks(),
+                "keeper_id": b.column("keeper").combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )

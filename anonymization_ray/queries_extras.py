@@ -65,9 +65,10 @@ def q_dedup_minhash(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
-# exact word-3-shingle jaccard >= 0.5 over the same perturbed corpus
-SQL_DEDUP_MINHASH = f"""
-WITH corpus AS (
+# shared CTE body: the perturbed corpus and its exact word-3-shingle
+# jaccard >= 0.5 duplicate pairs (the ground truth the bimodal corpus makes
+# LSH hit exactly) — used by both the pair oracle and the cluster oracle
+_SQL_DUP_CTES = f"""corpus AS (
   SELECT doc_id AS id, text FROM documents
   UNION ALL
   SELECT doc_id + {DUP_OFFSET},
@@ -80,10 +81,41 @@ sh AS (SELECT DISTINCT id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
        WHERE len(toks) >= 3),
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 pair_inter AS (SELECT a.id AS ia, b.id AS ib, count(*) AS inter
-               FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id)
-SELECT ia AS id_a, ib AS id_b FROM pair_inter
-JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
-WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+               FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY a.id, b.id),
+dup AS (SELECT ia AS id_a, ib AS id_b FROM pair_inter
+        JOIN sizes sa ON sa.id = ia JOIN sizes sb ON sb.id = ib
+        WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5)"""
+
+SQL_DEDUP_MINHASH = f"WITH {_SQL_DUP_CTES}\nSELECT id_a, id_b FROM dup"
+
+
+def q_dedup_cluster_keep(sf_dir: str):
+    """Full dedup resolution, not just pairs: minhash near-dup pairs ->
+    connected components (distributed min-label contraction) -> every doc
+    mapped to its cluster keeper (min id; itself when unique). The output is
+    what a training-data pipeline actually consumes — filter
+    doc_id == keeper_id keeps one representative per duplicate cluster."""
+    from .extras.dedup import cluster_keepers, minhash_lsh_pairs
+
+    corpus = _corpus_with_dups(sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", bands=32, verify_threshold=0.5
+    ).select_columns(["id_a", "id_b"])
+    return cluster_keepers(corpus, pairs, id_col="doc_id")
+
+
+# min reachable id per document over the exact-jaccard pair graph
+# (recursive closure is fine at oracle scale; the Ray side contracts)
+SQL_DEDUP_CLUSTER = f"""
+WITH RECURSIVE {_SQL_DUP_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+reach(id, r) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id
 """
 
 
@@ -676,6 +708,7 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_discount > 0.05
 EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QueryDef(q_dedup_minhash, SQL_DEDUP_MINHASH),
+    "dedup_cluster_keep": QueryDef(q_dedup_cluster_keep, SQL_DEDUP_CLUSTER),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_pairs": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": QueryDef(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
