@@ -756,17 +756,19 @@ def cluster_keepers(ids: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id") 
     dedup operator (minhash/simhash/embedding/ngram) into an actual dedup —
     ``filter(doc_id == keeper_id)`` keeps one representative per cluster.
 
-    Scale shape: components via the KG min-label contraction
-    (``kg.canonicalize.canonicalize_components_distributed`` — O(log diameter)
-    node-sized joins over the PAIR graph only, which is tiny relative to the
-    corpus), then one corpus-sized union + ``min_per_key`` (a narrow
-    (int64,int64) sort + boundary scan) to fold in singleton documents —
-    never a vocabulary gather on the driver, never a per-group UDF.
+    Scale shape: components via ``kg.canonicalize.canonicalize_components`` —
+    exact driver union-find while the deduped PAIR graph is small (pairs are
+    tiny relative to the corpus; the driver path costs ~2s at any width),
+    auto-switching to the distributed min-label contraction (O(log diameter)
+    node-sized joins) above its edge cap — then one corpus-sized union +
+    ``min_per_key`` (a narrow (int64,int64) sort + boundary scan) to fold in
+    singleton documents. Never a vocabulary gather on the driver, never a
+    per-group UDF.
 
     Ids must be non-negative int64 (zero-padded decimal keys keep
     lexicographic order == numeric order inside the string-keyed contraction).
     """
-    from ..kg.canonicalize import canonicalize_components_distributed
+    from ..kg.canonicalize import canonicalize_components
     from ..util import min_per_key
 
     _W = 19  # max int64 decimal digits
@@ -779,9 +781,7 @@ def cluster_keepers(ids: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id") 
             }
         )
 
-    mapping = canonicalize_components_distributed(
-        pairs.map_batches(_to_edges, batch_format="pyarrow")
-    )
+    mapping = canonicalize_components(pairs.map_batches(_to_edges, batch_format="pyarrow"))
 
     def _back(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -791,14 +791,17 @@ def cluster_keepers(ids: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id") 
             }
         )
 
-    comp = mapping.map_batches(_back, batch_format="pyarrow")
+    if isinstance(mapping, pa.Table):
+        comp = rd.from_arrow(_back(mapping)) if mapping.num_rows else None
+    else:
+        comp = mapping.map_batches(_back, batch_format="pyarrow")
 
     def _ident(b: pa.Table) -> pa.Table:
         i = pc.cast(b.column(id_col).combine_chunks(), pa.int64())
         return pa.table({"node": i, "keeper": i})
 
     ident = ids.select_columns([id_col]).map_batches(_ident, batch_format="pyarrow")
-    out = min_per_key(ident.union(comp), "node", "keeper")
+    out = min_per_key(ident if comp is None else ident.union(comp), "node", "keeper")
     return out.map_batches(
         lambda b: pa.table(
             {
