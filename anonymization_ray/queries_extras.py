@@ -454,11 +454,40 @@ FROM t
 
 
 def q_text_langid(sf_dir: str):
-    """Deterministic language-ID heuristic (rows-only; the synthetic lang
-    labels are not recoverable from the word-soup text)."""
+    """Deterministic language-ID heuristic. The heuristic itself (distinct
+    marker-word counts, argmax with the fixed en>de>fr>es tie order, 30%%
+    non-ascii charset gate) is exactly replicated in SQL — a value-level
+    oracle on the PREDICTION, independent of the corpus's decorative lang
+    labels."""
     from .extras.textstats import language_id
 
     return language_id(load(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+
+
+# exact replica of the marker heuristic: zh only via the charset gate (its
+# marker set is empty and all-zero ties resolve to en first)
+SQL_TEXT_LANGID = """
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(text) - length(regexp_replace(text, '[^[:ascii:]]', '', 'g')) AS n_nonascii,
+         list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tk
+  FROM documents),
+n AS (
+  SELECT doc_id, n_chars, n_nonascii,
+         len(list_filter(tk, x -> x IN ('the','and','is','of','to'))) AS n_en,
+         len(list_filter(tk, x -> x IN ('der','die','und','ist','das'))) AS n_de,
+         len(list_filter(tk, x -> x IN ('le','la','et','est','les'))) AS n_fr,
+         len(list_filter(tk, x -> x IN ('el','la','y','es','los'))) AS n_es
+  FROM t)
+SELECT doc_id,
+  CASE WHEN n_chars > 0 AND CAST(n_nonascii AS DOUBLE) / n_chars > 0.3 THEN 'zh'
+       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       WHEN n_fr >= n_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM n
+"""
 
 
 def q_text_fingerprint(sf_dir: str):
@@ -721,7 +750,7 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "text_tokens": QueryDef(q_text_tokens, SQL_TEXT_TOKENS),
     "text_bpe_tokens": QueryDef(q_text_bpe_tokens, SQL_TEXT_BPE),
     "text_quality": QueryDef(q_text_quality, SQL_TEXT_QUALITY),
-    "text_langid": QueryDef(q_text_langid, None),
+    "text_langid": QueryDef(q_text_langid, SQL_TEXT_LANGID),
     "text_fingerprint": QueryDef(q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "agg_pricing_summary": QueryDef(q_agg_pricing_summary, SQL_AGG_PRICING),
     "join_customer_geo": QueryDef(q_join_customer_geo, SQL_JOIN_GEO),
