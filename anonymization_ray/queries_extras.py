@@ -1177,12 +1177,24 @@ GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10
 
 
 def q_stats_hll(sf_dir: str):
-    """HyperLogLog distinct estimate (sketch — rows-only; relative error vs
-    exact is unit-tested)."""
-    from .extras.stats import hll_count_distinct
+    """HyperLogLog distinct estimate, gated on its theoretical error bound
+    (ann_lsh_topk style): the sketch is deterministic (fixed hash, registers
+    merged by max), so |est/exact - 1| <= 5x the standard HLL error
+    1.04/sqrt(m) is a stable invariant — the 1-row scoreboard gives the
+    sketch a real oracle; an estimator regression flips the flag and
+    hash-mismatches. The raw estimate's distribution is characterized in
+    unit tests."""
+    from .extras.stats import count_distinct_exact, hll_count_distinct
 
-    n = hll_count_distinct(load(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey")
-    return pa.table({"estimate": pa.array([n], pa.int64())})
+    ds = load(sf_dir, "lineitem", ["l_orderkey"])
+    n = hll_count_distinct(ds, "l_orderkey")
+    exact = count_distinct_exact(ds, "l_orderkey")
+    bound = 5 * 1.04 / (1 << 6)  # p=12 -> m=4096, sqrt(m)=64
+    ok = int(abs(n / exact - 1.0) <= bound) if exact else 1
+    return pa.table({"hll_within_bound": pa.array([ok], pa.int64())})
+
+
+SQL_STATS_HLL = "SELECT CAST(1 AS BIGINT) AS hll_within_bound"
 
 
 def q_stats_group_quantiles(sf_dir: str):
@@ -1209,7 +1221,7 @@ EXTRAS_REGISTRY.update(
         "stats_quantiles": QueryDef(q_stats_quantiles, SQL_STATS_QUANTILES),
         "stats_distinct": QueryDef(q_stats_distinct, SQL_STATS_DISTINCT),
         "stats_heavy_hitters": QueryDef(q_stats_heavy_hitters, SQL_STATS_HEAVY),
-        "stats_hll_distinct": QueryDef(q_stats_hll, None),
+        "stats_hll_distinct": QueryDef(q_stats_hll, SQL_STATS_HLL),
         "stats_group_quantiles": QueryDef(q_stats_group_quantiles, SQL_STATS_GROUP_Q),
     }
 )
