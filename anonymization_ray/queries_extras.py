@@ -119,6 +119,42 @@ SELECT id AS doc_id, min(r) AS keeper_id FROM reach GROUP BY id
 """
 
 
+def q_corpus_clean(sf_dir: str):
+    """Flagship training-data prep composite: token-count quality gate ->
+    minhash near-dup pairs among survivors -> cluster keepers -> loser
+    anti-filter. Output: kept (doc_id, n_tokens). Fully SQL-expressible, so
+    the whole composition is value-level oracle-checked end to end."""
+    from .extras.cleanse import clean_corpus
+
+    return clean_corpus(_corpus_with_dups(sf_dir), "text", "doc_id", min_tokens=30)
+
+
+# same composition in SQL: gate -> both-survivor dup pairs -> component
+# closure over survivors -> keep min-id representatives
+SQL_CORPUS_CLEAN = f"""
+WITH RECURSIVE {_SQL_DUP_CTES},
+q AS (SELECT id, CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM corpus),
+surv AS (SELECT id, n_tokens FROM q WHERE n_tokens >= 30),
+sedges AS (
+  SELECT d.id_a AS a, d.id_b AS b FROM dup d
+  JOIN surv sa ON sa.id = d.id_a JOIN surv sb ON sb.id = d.id_b
+  UNION ALL
+  SELECT d.id_b, d.id_a FROM dup d
+  JOIN surv sa ON sa.id = d.id_a JOIN surv sb ON sb.id = d.id_b
+),
+reach(id, r) AS (
+  SELECT id, id FROM surv
+  UNION
+  SELECT e.a, reach.r FROM sedges e JOIN reach ON reach.id = e.b
+)
+SELECT s.id AS doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens
+FROM surv s JOIN (SELECT id, min(r) AS keeper FROM reach GROUP BY id) k
+ON s.id = k.id AND s.id = k.keeper
+"""
+
+
 def q_dedup_simhash(sf_dir: str):
     """SimHash near-dup pairs. 4x16-bit banding is LOSSLESS for hamming <= 3
     (pigeonhole: 3 flipped bits cannot touch all 4 bands), so the output is
@@ -738,6 +774,7 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "dedup_exact": QueryDef(q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_minhash_pairs": QueryDef(q_dedup_minhash, SQL_DEDUP_MINHASH),
     "dedup_cluster_keep": QueryDef(q_dedup_cluster_keep, SQL_DEDUP_CLUSTER),
+    "corpus_clean": QueryDef(q_corpus_clean, SQL_CORPUS_CLEAN),
     "dedup_simhash_pairs": QueryDef(q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_pairs": QueryDef(q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_embedding_lsh": QueryDef(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),

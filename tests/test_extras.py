@@ -521,3 +521,43 @@ def test_ngram_jaccard_exact_pairs_and_df_valve():
         ds, "text", "doc_id", threshold=0.5, max_shingle_df=1
     ).to_pandas()
     assert len(none) == 0
+
+
+def test_cluster_keepers_transitive_chains():
+    # chains A-B, B-C, C-D must all resolve to min(A) even though no direct
+    # pair links the endpoints — the oracle corpus only plants size-2
+    # clusters, so transitivity is covered here. Both component paths
+    # (driver union-find and distributed contraction) must agree.
+    from anonymization_ray.extras.dedup import cluster_keepers
+
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(10)), pa.int64())}))
+    # components: {0,1,2,3} (chain), {5,7} (pair), singletons 4,6,8,9
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 3, 7], pa.int64()),
+                "id_b": pa.array([0, 1, 2, 5], pa.int64()),
+            }
+        )
+    )
+    expect = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8, 9: 9}
+    got = {
+        r["doc_id"]: r["keeper_id"]
+        for r in cluster_keepers(ids, pairs, id_col="doc_id").take_all()
+    }
+    assert got == expect
+
+
+def test_clean_corpus_gate_and_dedup():
+    from anonymization_ray.extras.cleanse import clean_corpus
+
+    # per-doc unique vocabulary so unrelated docs share no shingles
+    texts = [" ".join(f"w{i}x{j}" for j in range(44)) for i in range(8)]
+    texts += [t + " tail" for t in texts[:3]]  # near-dups of 0-2 (45 tokens)
+    texts += ["short text"]  # fails the min_tokens gate
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}))
+    out = clean_corpus(ds, "text", "doc_id", min_tokens=30).to_pandas()
+    kept = sorted(out["doc_id"])
+    assert kept == list(range(8))  # dups 8-10 dropped, short doc 11 gated
+    assert (out.set_index("doc_id")["n_tokens"].loc[list(range(8))] == 44).all()
