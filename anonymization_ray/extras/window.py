@@ -1,0 +1,135 @@
+"""Per-key window analytics (row_number / lag / running sum) — the SQL
+window-function family, computed WITHOUT a per-group UDF.
+
+Shape: one range sort by (key, order, id), then a per-block vectorized scan.
+Per-row window state entering each block (the running row count / sum / last
+order value of the block's first key) is reconstructed from per-block
+SUMMARIES chained on the driver — one tiny dict per block, never row data —
+the same adjacent-block carry chain as ``extras.asof``. Only the last key of
+a sorted block can continue into the next, so the carry is a single
+(key, n, sum, last_order) tuple per block boundary.
+
+Running sums are over integer units (the caller scales floats, e.g. cents)
+so the result is exact and order-stable — float window sums are not
+bit-reproducible across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _i64(col) -> np.ndarray:
+    a = col.to_numpy(zero_copy_only=False)
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64)
+
+
+def per_key_window(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """Returns (id, key, rn, lag_us, cum_val): per-key row_number ordered by
+    (order, id), microsecond delta to the previous row of the same key (null
+    on each key's first row), and the per-key running sum of ``val_col``
+    (int64 — pre-scale floats)."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, id_col, val_col]).materialize()
+        )
+        .sort([key_col, order_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        o = _i64(t.column(order_col))
+        v = _i64(t.column(val_col))
+        last = k[-1]
+        brk = np.nonzero(k != last)[0]
+        start = int(brk[-1]) + 1 if brk.size else 0
+        return {
+            "first": k[0],
+            "last": last,
+            "n_last": len(k) - start,
+            "sum_last": int(v[start:].sum()),
+            "last_order": int(o[-1]),
+            "whole": start == 0,
+        }
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, m in zip(refs, summaries) if m is not None]
+    summaries = [m for m in summaries if m is not None]
+
+    # chain block summaries: carry entering block b = running state of the
+    # trailing key run across blocks < b (None when b starts a new key)
+    carries: list[tuple | None] = []
+    run_key, run_n, run_sum, run_last = None, 0, 0, 0
+    for m in summaries:
+        carries.append(
+            (run_key, run_n, run_sum, run_last)
+            if run_key is not None and m["first"] == run_key
+            else None
+        )
+        if m["whole"] and m["last"] == run_key:
+            run_n += m["n_last"]
+            run_sum += m["sum_last"]
+            run_last = m["last_order"]
+        else:
+            run_key, run_n, run_sum, run_last = (
+                m["last"], m["n_last"], m["sum_last"], m["last_order"],
+            )
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        o = _i64(t.column(order_col))
+        v = _i64(t.column(val_col))
+        n = len(k)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True  # segment machinery; the carry offsets segment 0
+        new_key[1:] = k[1:] != k[:-1]
+        cont = carry is not None and k[0] == carry[0]
+        seg_id = np.cumsum(new_key) - 1
+        seg_starts = np.nonzero(new_key)[0]
+        start_of_seg = seg_starts[seg_id]
+        rn = np.arange(n, dtype=np.int64) - start_of_seg + 1
+        cv = np.cumsum(v)
+        cum = cv - (cv[start_of_seg] - v[start_of_seg])
+        lag = np.empty(n, dtype=np.int64)
+        lag[1:] = o[:-1]
+        lag[0] = carry[3] if cont else 0
+        valid = rn > 1
+        if cont:
+            head = seg_id == 0
+            rn[head] += carry[1]
+            cum[head] += carry[2]
+            valid[0] = True
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks(),
+                key_col: t.column(key_col).combine_chunks(),
+                "rn": pa.array(rn, pa.int64()),
+                "lag_us": pa.array(
+                    np.where(valid, o - lag, 0), pa.int64(), mask=~valid
+                ),
+                "cum_val": pa.array(cum, pa.int64()),
+            }
+        )
+
+    out_refs = [_scan.remote(r, c) for r, c in zip(refs, carries)]
+    return rd.from_arrow_refs(out_refs)

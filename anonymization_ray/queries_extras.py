@@ -1107,6 +1107,49 @@ EXTRAS_REGISTRY.update(
 )
 
 
+def q_events_window(sf_dir: str):
+    """SQL window-function family per user (row_number, lag delta, running
+    sum) via one range sort + per-block scans with a driver-chained carry —
+    extras/window.py. Running sum in integer cents (identical
+    floor(v*100+0.5) formula on both sides) so float order-dependence can't
+    break the value hash."""
+    from .extras.window import per_key_window
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "user_id": b.column("user_id").combine_chunks(),
+                "ts": b.column("ts").combine_chunks(),
+                "cents": cents,
+            }
+        )
+
+    out = per_key_window(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "cents",
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "user_id", "rn", "lag_us", "cum_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_id, user_id,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  epoch_us(ts) - epoch_us(lag(ts) OVER w) AS lag_us,
+  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_events_sliding_count(sf_dir: str):
     """SLIDING-window aggregate by composition: for every event, the number
     of same-user events in the trailing hour (inclusive of itself). Each
@@ -1156,7 +1199,8 @@ GROUP BY a.event_id
 """
 
 EXTRAS_REGISTRY.update(
-    {"events_sliding_count": QueryDef(q_events_sliding_count, SQL_EVENTS_SLIDING)}
+    {"events_sliding_count": QueryDef(q_events_sliding_count, SQL_EVENTS_SLIDING),
+     "events_window_funcs": QueryDef(q_events_window, SQL_EVENTS_WINDOW)}
 )
 
 

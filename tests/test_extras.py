@@ -561,3 +561,37 @@ def test_clean_corpus_gate_and_dedup():
     kept = sorted(out["doc_id"])
     assert kept == list(range(8))  # dups 8-10 dropped, short doc 11 gated
     assert (out.set_index("doc_id")["n_tokens"].loc[list(range(8))] == 44).all()
+
+
+def test_per_key_window_carry_across_blocks():
+    # one hot key spanning several sorted blocks exercises the driver-chained
+    # carry (rn / running-sum offsets and the lag halo at block boundaries)
+    from anonymization_ray.extras.window import per_key_window
+    import pandas as pd
+
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": np.where(np.arange(n) % 10 < 8, 1, np.arange(n) % 10),
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta((np.arange(n) * 7919) % 100000, unit="s"),
+            "cents": ((np.arange(n) * 37) % 1000).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        per_key_window(ds, "user_id", "ts", "event_id", "cents")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    g = exp.groupby("user_id", sort=False)
+    exp["rn"] = g.cumcount() + 1
+    exp["lag_us"] = (exp["ts"] - g["ts"].shift(1)).dt.total_seconds() * 1e6
+    exp["cum_val"] = g["cents"].cumsum()
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert (got["rn"].to_numpy() == exp["rn"].to_numpy()).all()
+    assert (got["cum_val"].to_numpy() == exp["cum_val"].to_numpy()).all()
+    lg, le = got["lag_us"].to_numpy(dtype=float), exp["lag_us"].to_numpy(dtype=float)
+    assert ((np.isnan(lg) & np.isnan(le)) | (lg == le)).all()
