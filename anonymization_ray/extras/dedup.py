@@ -749,7 +749,13 @@ def ngram_jaccard_pairs(
     return pairs.map_batches(_jac, batch_format="pyarrow")
 
 
-def cluster_keepers(ids: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+def cluster_keepers(
+    ids: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+    *,
+    force_distributed: bool = False,
+) -> rd.Dataset:
     """Resolve duplicate PAIRS into per-document keepers: every document maps
     to the minimum id of its connected component in the pair graph (itself
     when it has no duplicate). This is the step that turns any pair-producing
@@ -781,7 +787,10 @@ def cluster_keepers(ids: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id") 
             }
         )
 
-    mapping = canonicalize_components(pairs.map_batches(_to_edges, batch_format="pyarrow"))
+    mapping = canonicalize_components(
+        pairs.map_batches(_to_edges, batch_format="pyarrow"),
+        force_distributed=force_distributed,
+    )
 
     def _back(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -595,3 +595,30 @@ def test_per_key_window_carry_across_blocks():
     assert (got["cum_val"].to_numpy() == exp["cum_val"].to_numpy()).all()
     lg, le = got["lag_us"].to_numpy(dtype=float), exp["lag_us"].to_numpy(dtype=float)
     assert ((np.isnan(lg) & np.isnan(le)) | (lg == le)).all()
+
+
+def test_cluster_keepers_distributed_path_agrees():
+    # the zero-padded int64 key encoding must survive the distributed
+    # min-label contraction identically to the driver union-find
+    from anonymization_ray.extras.dedup import cluster_keepers
+
+    ids = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(10)), pa.int64())}))
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, 2, 3, 7], pa.int64()),
+                "id_b": pa.array([0, 1, 2, 5], pa.int64()),
+            }
+        )
+    )
+    drv = {
+        r["doc_id"]: r["keeper_id"]
+        for r in cluster_keepers(ids, pairs, id_col="doc_id").take_all()
+    }
+    dist = {
+        r["doc_id"]: r["keeper_id"]
+        for r in cluster_keepers(
+            ids, pairs, id_col="doc_id", force_distributed=True
+        ).take_all()
+    }
+    assert drv == dist == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8, 9: 9}
