@@ -5,8 +5,8 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 
 - ``entry()`` — flagship pipeline on /root/testdata/sf0.001
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
-  §2.6): 63 entries
-- ``oracle_sql()`` — DuckDB-equivalent SQL per query (60 exact oracles;
+  §2.6): 64 entries
+- ``oracle_sql()`` — DuckDB-equivalent SQL per query (61 exact oracles;
   omitted only for seeded-RNG / sketch / heuristic outputs, which get
   rows-only checks)
 """

@@ -1107,6 +1107,55 @@ EXTRAS_REGISTRY.update(
 )
 
 
+def q_corpus_pack(sf_dir: str):
+    """Sequence packing for LLM pretraining: docs hash-assigned to 4 training
+    shards (MINSTD, partition-independent), each shard greedily packed in
+    doc-id order into 512-token bins (extras/pack.py). The oracle replays the
+    inherently-sequential greedy rule as a recursive CTE."""
+    from .extras.pack import pack_sequences
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _len(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(b.column("text"), r"\S+"), pa.int64()
+                ),
+            }
+        )
+
+    return pack_sequences(
+        docs.map_batches(_len, batch_format="pyarrow"),
+        "doc_id", "n_tokens", budget=512, num_shards=4,
+    )
+
+
+SQL_CORPUS_PACK = """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS len,
+         ((doc_id % 2147483647) * 48271) % 2147483647 % 4 AS shard
+  FROM documents),
+o AS (SELECT doc_id, len, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d),
+r(shard, rn, doc_id, bin, fill, pos) AS (
+  SELECT shard, rn, doc_id, CAST(0 AS BIGINT), len, CAST(0 AS BIGINT)
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT n.shard, n.rn, n.doc_id,
+         CASE WHEN r.fill + n.len <= 512 THEN r.bin ELSE r.bin + 1 END,
+         CASE WHEN r.fill + n.len <= 512 THEN r.fill + n.len ELSE n.len END,
+         CASE WHEN r.fill + n.len <= 512 THEN r.pos + 1 ELSE CAST(0 AS BIGINT) END
+  FROM r JOIN o n ON n.shard = r.shard AND n.rn = r.rn + 1
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin, pos FROM r
+"""
+
+
 def q_events_window(sf_dir: str):
     """SQL window-function family per user (row_number, lag delta, running
     sum) via one range sort + per-block scans with a driver-chained carry —
@@ -1200,7 +1249,8 @@ GROUP BY a.event_id
 
 EXTRAS_REGISTRY.update(
     {"events_sliding_count": QueryDef(q_events_sliding_count, SQL_EVENTS_SLIDING),
-     "events_window_funcs": QueryDef(q_events_window, SQL_EVENTS_WINDOW)}
+     "events_window_funcs": QueryDef(q_events_window, SQL_EVENTS_WINDOW),
+     "corpus_pack": QueryDef(q_corpus_pack, SQL_CORPUS_PACK)}
 )
 
 

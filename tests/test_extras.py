@@ -622,3 +622,25 @@ def test_cluster_keepers_distributed_path_agrees():
         ).take_all()
     }
     assert drv == dist == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 6, 7: 5, 8: 8, 9: 9}
+
+
+def test_pack_sequences_greedy_edges():
+    from anonymization_ray.extras.pack import pack_sequences
+
+    # single shard; lens: exact fit, overflow start, oversized doc alone
+    lens = [300, 212, 100, 600, 512, 1]
+    ids = [10, 20, 30, 40, 50, 60]
+    ds = rd.from_arrow(
+        pa.table({"i": pa.array(ids, pa.int64()), "L": pa.array(lens, pa.int64())})
+    )
+    out = (
+        pack_sequences(ds, "i", "L", budget=512, num_shards=1)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # 300+212 = 512 exact fit -> bin 0; 100 opens bin 1; 600 oversized alone
+    # in bin 2; 512 exactly fills bin 3; 1 opens bin 4
+    assert out["bin"].tolist() == [0, 0, 1, 2, 3, 4]
+    assert out["pos"].tolist() == [0, 1, 0, 0, 0, 0]
+    assert (out["shard"] == 0).all()
