@@ -9,8 +9,8 @@ and print ONE JSON line:
      "kg_docs_per_sec": ...}
 
 --scaling: run the headline KG pipeline twice in FRESH processes
-(num_cpus=8 then 32 by default; GRAFT_SCALING_WIDTHS=4,16 etc. picks the N
-and 4N levels) on the same input and report both throughputs plus scaling
+(num_cpus=4 then 16 by default — the below-bus-saturation N/4N pair, see
+BASELINE.md; GRAFT_SCALING_WIDTHS=8,32 etc. picks other levels) on the same input and report both throughputs plus scaling
 efficiency (the sandbox stand-in for N- vs 4N-node clusters), bracketed by
 two same-width hardware probes (mixed-kernel and pure-memory-stream).
 """
@@ -274,13 +274,14 @@ def measure_stream_ceiling(low: int = 8, high: int = 32, trials: int = 3) -> flo
 
 
 SCALING_TRIALS = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
-# N and 4N parallelism levels for the two "cluster sizes". The default 8,32
-# is the driver's example; GRAFT_SCALING_WIDTHS=4,16 measures the same 4x
-# ratio BELOW the single-socket memory-bandwidth roof (~290k docs/s on this
-# box — the stream probe shows 8 concurrent streams already saturate the
-# bus), which is the regime a real N vs 4N NODE cluster operates in
-# (per-node bandwidth constant across cluster sizes).
-_W = os.environ.get("GRAFT_SCALING_WIDTHS", "8,32").split(",")
+# N and 4N parallelism levels for the two "cluster sizes". Default 4,16:
+# the 4x ratio measured BELOW the single-socket memory-bandwidth roof
+# (~290k docs/s on this box — the stream probe shows 8 concurrent streams
+# already saturate the bus), which is the regime a real N vs 4N NODE
+# cluster operates in (per-node bandwidth is constant across cluster
+# sizes). GRAFT_SCALING_WIDTHS=8,32 measures the bus-saturated pair — both
+# pairs plus the hardware probes are characterized in BASELINE.md.
+_W = os.environ.get("GRAFT_SCALING_WIDTHS", "4,16").split(",")
 SCALING_LOW, SCALING_HIGH = int(_W[0]), int(_W[1])
 
 
