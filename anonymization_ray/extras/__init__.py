@@ -9,3 +9,8 @@ from .dedup import (  # noqa: F401
 )
 from .similarity import brute_force_topk, lsh_topk  # noqa: F401
 from .textstats import token_counts, quality_scores, language_id, fingerprints  # noqa: F401
+from .dedup import cluster_keepers  # noqa: F401
+from .cleanse import clean_corpus  # noqa: F401
+from .window import per_key_window  # noqa: F401
+from .pack import pack_sequences  # noqa: F401
+from .asof import asof_join, interval_join  # noqa: F401
