@@ -29,6 +29,8 @@ from .stages.generalization import generalize_column
 from .stages.generalization_object import generalize_object_column
 from .stages.kpi import equivalence_classes, k_anonymity
 from .stages.masking import mask_column
+from .rng import attribute_seed64
+from .sqlrng import sql_rand_numeric
 from .stages.randomization import randomize_column, window_noise_scale
 
 
@@ -274,14 +276,26 @@ SELECT t.c_custkey, d.noise_scale FROM customer t LEFT JOIN d ON d.id = t.c_cust
 
 
 def q_rand_numeric_acctbal(sf_dir: str):
-    """A4 full randomization (seeded Philox — rows-only check; bounds and
-    determinism are covered by tests and q_rand_window_scale)."""
+    """A4 full SEEDED randomization, value-hash exact: the splitmix rng_mode
+    draws from a SplitMix64 counter stream keyed by global sorted rank (same
+    partition-independence as the default Philox mode), which the SQL oracle
+    replicates bit-for-bit with HUGEINT mod-2^64 arithmetic (sqlrng.py)."""
     ds = load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
     out = randomize_column(
         ds, "c_acctbal", "c_custkey", num_attrs=1, kind="numeric", seed=1234,
-        object_type="customer",
+        object_type="customer", rng_mode="splitmix",
     )
     return out.select_columns(["c_custkey", "c_acctbal_randomized"])
+
+
+SQL_RAND_NUMERIC = sql_rand_numeric(
+    "customer",
+    "c_custkey",
+    "c_acctbal",
+    _sql_gk("k", 1),
+    attribute_seed64(1234, "customer", "c_acctbal"),
+    "c_acctbal_randomized",
+)
 
 
 def q_kpi_classes(sf_dir: str):
@@ -509,7 +523,7 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
     "gen_date_buckets": QueryDef(q_gen_date_buckets, SQL_GEN_DATE_BUCKETS),
     "gen_object_geo": QueryDef(q_gen_object_geo, SQL_GEN_OBJECT),
     "rand_window_scale": QueryDef(q_rand_window_scale, SQL_RAND_WINDOW),
-    "rand_numeric_acctbal": QueryDef(q_rand_numeric_acctbal, None),
+    "rand_numeric_acctbal": QueryDef(q_rand_numeric_acctbal, SQL_RAND_NUMERIC),
     "kpi_classes": QueryDef(q_kpi_classes, SQL_KPI_CLASSES),
     "kpi_k_anonymity": QueryDef(q_kpi_k_anonymity, SQL_KPI_K_ANONYMITY),
     "anonymize_customer": QueryDef(q_anonymize_customer, SQL_ANONYMIZE_CUSTOMER),

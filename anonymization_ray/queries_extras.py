@@ -832,14 +832,22 @@ def q_gen_datetime_buckets(sf_dir: str):
 
 
 def q_rand_datetime_events(sf_dir: str):
-    """A4 dateTime randomization (gaussian whole-second noise; rows-only)."""
+    """A4 dateTime randomization (gaussian whole-second noise), value-hash
+    exact via the SplitMix64 rng_mode + sqlrng oracle; the output is projected
+    to epoch millis BIGINT so both engines hash identical integer columns."""
     from .stages.randomization import randomize_column
 
     ds = load(sf_dir, "events", ["event_id", "ts"])
     out = randomize_column(
-        ds, "ts", "event_id", num_attrs=1, kind="dateTime", seed=1234, object_type="events"
+        ds, "ts", "event_id", num_attrs=1, kind="dateTime", seed=1234, object_type="events",
+        rng_mode="splitmix",
     )
-    return out.select_columns(["event_id", "ts_randomized"])
+
+    def _to_ms(b: pa.Table) -> pa.Table:
+        ms = pc.cast(pc.cast(b.column("ts_randomized"), pa.timestamp("ms")), pa.int64())
+        return pa.table({"event_id": b.column("event_id"), "ts_randomized_ms": ms})
+
+    return out.map_batches(_to_ms, batch_format="pyarrow")
 
 
 def q_pivot_roundtrip(sf_dir: str):
@@ -888,6 +896,9 @@ FROM bkts LEFT JOIN bvals bmin ON bmin.p = bkts.bucket
 """
 
 from .queries import _sql_gk as _gk  # noqa: E402
+from .rng import attribute_seed64 as _seed64  # noqa: E402
+from .sqlrng import sql_rand_date as _sql_rand_date  # noqa: E402
+from .sqlrng import sql_rand_datetime as _sql_rand_datetime  # noqa: E402
 
 EXTRAS_REGISTRY.update(
     {
@@ -897,7 +908,13 @@ EXTRAS_REGISTRY.update(
         "gen_datetime_buckets": QueryDef(
             q_gen_datetime_buckets, SQL_GEN_DATETIME_BUCKETS.format(g=_gk("k", 1))
         ),
-        "rand_datetime_events": QueryDef(q_rand_datetime_events, None),
+        "rand_datetime_events": QueryDef(
+            q_rand_datetime_events,
+            _sql_rand_datetime(
+                "events", "event_id", "ts", _gk("k", 1),
+                _seed64(1234, "events", "ts"), "ts_randomized_ms",
+            ),
+        ),
         "pivot_triples_roundtrip": QueryDef(q_pivot_roundtrip, SQL_PIVOT_ROUNDTRIP),
     }
 )
@@ -962,22 +979,34 @@ SQL_RAND_DATE_WINDOW = (
 
 def q_rand_date_orders(sf_dir: str):
     """A4 date randomization end-to-end (RandomizationDate.java:40-58:
-    gaussian whole-day noise, reflected into [min, max]; seeded — rows-only;
-    day-unit window scale is the exact oracle above)."""
+    gaussian whole-day noise, reflected into [min, max]) — value-hash exact
+    via the SplitMix64 rng_mode + sqlrng oracle; projected to epoch-day
+    BIGINT so both engines hash identical integer columns."""
     from .stages.randomization import randomize_column
 
     ds = load(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
     out = randomize_column(
         ds, "o_orderdate", "o_orderkey", num_attrs=1, kind="date", seed=1234,
-        object_type="orders",
+        object_type="orders", rng_mode="splitmix",
     )
-    return out.select_columns(["o_orderkey", "o_orderdate_randomized"])
+
+    def _to_day(b: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(b.column("o_orderdate_randomized"), pa.int32()), pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"), "o_orderdate_randomized_day": day})
+
+    return out.map_batches(_to_day, batch_format="pyarrow")
 
 
 EXTRAS_REGISTRY.update(
     {
         "rand_date_window_scale": QueryDef(q_rand_date_window_scale, SQL_RAND_DATE_WINDOW),
-        "rand_date_orders": QueryDef(q_rand_date_orders, None),
+        "rand_date_orders": QueryDef(
+            q_rand_date_orders,
+            _sql_rand_date(
+                "orders", "o_orderkey", "o_orderdate", _gk("k", 1),
+                _seed64(1234, "orders", "o_orderdate"), "o_orderdate_randomized_day",
+            ),
+        ),
     }
 )
 

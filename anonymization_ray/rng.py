@@ -40,6 +40,61 @@ def attribute_seed(request_seed: int, object_type: str, attribute: str) -> int:
     return int.from_bytes(h[:16], "little")
 
 
+def attribute_seed64(request_seed: int, object_type: str, attribute: str) -> int:
+    """Low 64 bits of :func:`attribute_seed` — the key for the SplitMix64
+    stream (the SQL oracle needs a key that fits mod-2^64 arithmetic)."""
+    return attribute_seed(request_seed, object_type, attribute) & 0xFFFFFFFFFFFFFFFF
+
+
+# SplitMix64 (Steele/Lea/Flood, public domain reference constants) used as a
+# pure counter RNG: draw(ctr) = finalize(key + ctr * GOLDEN_GAMMA) mod 2^64.
+# Same partition-independence as the Philox path (a draw depends only on its
+# global counter), but the finalizer is 3 multiply/xorshift steps — exactly
+# expressible in DuckDB SQL with HUGEINT mod-2^64 arithmetic, which makes the
+# full randomized output value-hash checkable against a SQL oracle.
+SM64_GAMMA = 0x9E3779B97F4A7C15
+_SM64_M1 = 0xBF58476D1CE4E5B9
+_SM64_M2 = 0x94D049BB133111EB
+
+
+def _sm64_mix(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64 array (wrapping arithmetic)."""
+    z = (x ^ (x >> np.uint64(30))) * np.uint64(_SM64_M1)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(_SM64_M2)
+    return z ^ (z >> np.uint64(31))
+
+
+def sm_rank_uniforms(key64: int, start_rank: int, count: int) -> np.ndarray:
+    """(count, DRAWS_PER_RANK) uniforms — SplitMix64 counter stream.
+
+    Element (i, j) uses counter (start_rank + i) * DRAWS_PER_RANK + j, so any
+    split of ranks across tasks yields byte-identical values (same layout
+    contract as :func:`rank_uniforms`)."""
+    ranks = np.arange(start_rank, start_rank + count, dtype=np.uint64)
+    ctr = ranks[:, None] * np.uint64(DRAWS_PER_RANK) + np.arange(
+        DRAWS_PER_RANK, dtype=np.uint64
+    )
+    with np.errstate(over="ignore"):
+        z = _sm64_mix(np.uint64(key64) + ctr * np.uint64(SM64_GAMMA))
+    return (z >> np.uint64(11)).astype(np.float64) * (1.0 / 9007199254740992.0)
+
+
+def sm_uniform_rounds(key64: int, start_rank: int, count: int) -> np.ndarray:
+    """(count, RETRY_ROUNDS) U(0,1) — SplitMix64 counter stream, even lanes."""
+    return sm_rank_uniforms(key64, start_rank, count)[:, 0::2]
+
+
+def sm_gaussian_rounds(key64: int, start_rank: int, count: int) -> np.ndarray:
+    """(count, RETRY_ROUNDS) N(0,1) via Box-Muller over SplitMix64 pairs.
+
+    Formula written to match the SQL oracle operation-for-operation:
+    sqrt(-2*ln(max(u1, 1e-300))) * cos(2*pi*u2)."""
+    u = sm_rank_uniforms(key64, start_rank, count)
+    u1 = np.maximum(u[:, 0::2], 1e-300)
+    u2 = u[:, 1::2]
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
 def rank_uniforms(key: int, start_rank: int, count: int) -> np.ndarray:
     """(count, DRAWS_PER_RANK) uniforms for global ranks [start_rank, start_rank+count)."""
     bg = np.random.Philox(key=key)

@@ -39,7 +39,14 @@ import ray
 import ray.data
 
 from ..config import calculate_num_buckets
-from ..rng import attribute_seed, gaussian_rounds, uniform_rounds
+from ..rng import (
+    attribute_seed,
+    attribute_seed64,
+    gaussian_rounds,
+    sm_gaussian_rounds,
+    sm_uniform_rounds,
+    uniform_rounds,
+)
 from ..util import chunked_ranges, default_num_partitions, hash_join, sorted_column
 from .codecs import CODECS, DATE, NUMERIC
 
@@ -60,17 +67,24 @@ def randomize_ranks_np(
     k: int,
     vmin: float,
     vmax: float,
+    rng_mode: str = "philox",
 ) -> np.ndarray:
     """Randomize global sorted ranks [start, stop); ``v_all`` covers global
-    ranks [halo_start, halo_start+len) ⊇ [start-w, stop+w+1) ∩ [0, k)."""
+    ranks [halo_start, halo_start+len) ⊇ [start-w, stop+w+1) ∩ [0, k).
+
+    ``rng_mode="splitmix"`` draws from the SplitMix64 counter stream (SQL-
+    oracle-exact; date rounding is Java ``Math.round`` = floor(x+0.5), which
+    DuckDB can replicate bit-for-bit); ``"philox"`` keeps the original
+    Philox stream (np.rint date rounding)."""
     n = stop - start
     idx = np.arange(start, stop, dtype=np.int64)
     v = v_all[idx - halo_start].astype(np.float64)
     dist = window_noise_scale_np(v_all, halo_start, start, stop, w, k)
 
     codec = CODECS[kind]
+    sm = rng_mode == "splitmix"
     if kind == NUMERIC:
-        u = uniform_rounds(key, start, n)  # (n, RETRY_ROUNDS)
+        u = (sm_uniform_rounds if sm else uniform_rounds)(key, start, n)  # (n, RETRY_ROUNDS)
         noise = u * dist[:, None]
         cand = v[:, None] + noise
         out_hi = (cand > vmax) | (cand < vmin)
@@ -79,9 +93,10 @@ def randomize_ranks_np(
         out = _first_ok(cand, ok, fallback=np.clip(v, vmin, vmax))
         return out
 
-    z = gaussian_rounds(key, start, n)
+    z = (sm_gaussian_rounds if sm else gaussian_rounds)(key, start, n)
     if kind == DATE:
-        noise = np.rint(z * dist[:, None])  # days
+        zd = z * dist[:, None]
+        noise = np.floor(zd + 0.5) if sm else np.rint(zd)  # days
         base, lo, hi = v, vmin, vmax
         scale_back = 1
     else:  # DATETIME: values in millis, noise in whole seconds
@@ -212,11 +227,14 @@ def _randomize_block(
     k: int,
     vmin: float,
     vmax: float,
+    rng_mode: str,
     *halo_tables: pa.Table,
 ) -> pa.Table:
     tbl = pa.concat_tables(halo_tables)
     v_all = tbl.column(value_col).to_numpy(zero_copy_only=False)
-    out_vals = randomize_ranks_np(kind, key, v_all, halo_start, start, stop, w, k, vmin, vmax)
+    out_vals = randomize_ranks_np(
+        kind, key, v_all, halo_start, start, stop, w, k, vmin, vmax, rng_mode
+    )
     ids = tbl.column(id_col).slice(start - halo_start, stop - start)
     codec = CODECS[kind]
     if kind == NUMERIC:
@@ -243,6 +261,10 @@ def randomize_column(
 
     ``rng_mode="philox"`` (default): counter-based stream keyed per
     (seed, type, attribute), byte-identical at any parallelism.
+    ``rng_mode="splitmix"``: same counter-keyed partition independence, but
+    the generator (SplitMix64) and every downstream float op are exactly
+    expressible in DuckDB SQL — use when the output must be value-hash
+    checkable against a SQL oracle.
     ``rng_mode="java_lcg"``: byte-exact replication of the reference's
     sequential ``java.util.Random(seed)`` draws (conformance mode) — gathers
     the sorted narrow column on the driver, so REQUEST-scale inputs only;
@@ -291,7 +313,10 @@ def randomize_column(
 
     ends = sc.values_at_ranks([0, k - 1])
     vmin, vmax = float(ends[0]), float(ends[k - 1])
-    key = attribute_seed(seed, object_type, col)
+    if rng_mode == "splitmix":
+        key = attribute_seed64(seed, object_type, col)
+    else:
+        key = attribute_seed(seed, object_type, col)
 
     out_refs = []
     for start, stop in chunked_ranges(sc.offsets):
@@ -312,6 +337,7 @@ def randomize_column(
                 k,
                 vmin,
                 vmax,
+                rng_mode,
                 *halo,
             )
         )

@@ -173,6 +173,61 @@ def test_randomization_date_kind():
     assert got_days.min() >= days.min() and got_days.max() <= days.max()
 
 
+def test_splitmix_rng_sql_parity_and_partition_independence():
+    """The splitmix rng_mode's draws must match the DuckDB mod-2^64 chain
+    bit-for-bit (that equality is what upgrades the seeded randomization
+    queries from rows-only to value-hash oracles), and stay invariant under
+    task splits like the Philox path."""
+    import duckdb
+
+    from anonymization_ray.rng import sm_rank_uniforms
+    from anonymization_ray.sqlrng import _sm64_chain
+
+    key = 0xDEADBEEF12345678
+    u = sm_rank_uniforms(key, 0, 40)  # (40, 32)
+    # split invariance: ranks [7, 29) drawn alone are the same rows
+    assert np.array_equal(u[7:29], sm_rank_uniforms(key, 7, 22))
+    # SQL parity over every (rank, lane) element
+    chain = _sm64_chain("sm", "base", "rnk, lane", {"u": "rnk * 32 + lane"}, key)
+    sql = f"""
+WITH base AS (SELECT r.range AS rnk, l.range AS lane FROM range(40) r, range(32) l),
+{chain}
+SELECT u FROM smu ORDER BY rnk, lane
+"""
+    got = duckdb.sql(sql).fetchnumpy()["u"].reshape(40, 32)
+    assert np.array_equal(got, u)
+
+
+def test_randomization_splitmix_mode_bounds_and_determinism():
+    n = 400
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-50, 50, n)
+    vals[rng.random(n) < 0.05] = np.nan
+    tbl = pa.table({"id": pa.array(range(n), pa.int64()), "v": pa.array(vals, pa.float64())})
+
+    def run(parts):
+        return (
+            randomize_column(rd.from_arrow(tbl).repartition(parts), "v", "id",
+                             num_attrs=1, kind="numeric", seed=42, object_type="T",
+                             rng_mode="splitmix")
+            .to_pandas().sort_values("id")["v_randomized"].to_numpy()
+        )
+
+    a, b = run(2), run(11)
+    assert np.array_equal(np.isnan(a), np.isnan(vals))
+    assert np.array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+    nn = vals[~np.isnan(vals)]
+    assert a[~np.isnan(a)].min() >= nn.min() - 1e-9
+    assert a[~np.isnan(a)].max() <= nn.max() + 1e-9
+    # distinct stream from the Philox mode (same seed)
+    p = (
+        randomize_column(rd.from_arrow(tbl).repartition(2), "v", "id",
+                         num_attrs=1, kind="numeric", seed=42, object_type="T")
+        .to_pandas().sort_values("id")["v_randomized"].to_numpy()
+    )
+    assert not np.array_equal(a[~np.isnan(a)], p[~np.isnan(p)])
+
+
 def test_object_generalization_level_walk():
     n = 120
     states = np.array(["A", "B", "C"])[np.arange(n) % 3]
