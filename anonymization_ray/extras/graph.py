@@ -1,0 +1,209 @@
+"""Distributed graph analytics over edge Datasets (PageRank, triangles).
+
+Graph algorithms are the natural consumers of a constructed KG (the reference
+stops at serializing triples; a 100 TB KG is built to be *queried*). Both
+operators here follow the repo's scale rules: per-key aggregation is NEVER a
+Ray groupby at node/edge cardinality — partial Arrow aggregates + one range
+sort + boundary carries (``util.combine_sorted_partials``) — and the joins
+are hash-partitioned with partition counts clamped for small inputs.
+
+PageRank uses INTEGER arithmetic end-to-end (ranks are millionths): every
+operation (floor-div contribution split, 85/15 damping) is exactly
+reproducible in SQL BIGINT math, so the iterative result is value-hash
+checkable against an unrolled DuckDB oracle — no cross-engine float-sum
+ordering hazard. Semantics (documented variant): r0 = SCALE;
+r_{t+1}(v) = (15*SCALE)//100 + (85 * sum_{(u,v) in E} r_t(u)//outdeg(u))//100;
+dangling-node mass is not redistributed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..util import (
+    combine_sorted_partials,
+    default_num_partitions,
+    distinct_rows,
+    hash_join,
+)
+
+PR_SCALE = 1_000_000  # integer rank units; bounds: sum <= n_nodes * SCALE
+
+
+def sum_per_key(ds: rd.Dataset, key_col: str, val_col: str) -> rd.Dataset:
+    """Exact int64 sum per key at ANY cardinality without a Ray groupby
+    (the weighted-sum sibling of ``extras.stats.exact_value_counts``)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    key_col: batch.column(key_col).combine_chunks(),
+                    val_col: batch.column(val_col).combine_chunks(),
+                }
+            )
+            .group_by([key_col])
+            .aggregate([(val_col, "sum")])
+        )
+        return g.rename_columns([key_col, val_col])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").materialize()
+    s = partials.sort([key_col]).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.5)
+    def _segsum(t: pa.Table):
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return None
+        g = t.group_by([key_col]).aggregate([(val_col, "sum")])
+        return g.select([key_col, f"{val_col}_sum"]).rename_columns([key_col, val_col])
+
+    return combine_sorted_partials([_segsum.remote(r) for r in refs], key_col, val_col)
+
+
+def _clamp_parts(n_rows: int) -> int:
+    return max(2, min(default_num_partitions(), n_rows // 2000 + 1))
+
+
+def pagerank_int(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 3,
+    scale: int = PR_SCALE,
+) -> rd.Dataset:
+    """Integer PageRank over a (src, dst) edge Dataset -> Dataset[(node, rank)].
+
+    Per iteration: one edge-sized hash join (attach r_t to each edge's src),
+    one sort-based ``sum_per_key`` over dst, one node-sized left join — the
+    canonical distributed-PageRank cost profile. Node-sized intermediates are
+    materialized between iterations (tiny next to the edge stream). With
+    scale=1e6 the damped sums stay under int64 even at 1e9 nodes."""
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+    m = edges.count()
+    nparts = _clamp_parts(m)
+
+    # out-degree once, attached to the edge stream for the whole run
+    deg = sum_per_key(
+        edges.map_batches(
+            lambda b: pa.table(
+                {src_col: b.column(src_col), "one": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        src_col,
+        "one",
+    ).rename_columns({"one": "outdeg"})
+    edges_d = hash_join(edges, deg, on=src_col, join_type="inner", num_partitions=nparts)
+    edges_d = edges_d.materialize()
+
+    nodes = distinct_rows(
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column(src_col).combine_chunks()}),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda b: pa.table({"node": b.column(dst_col).combine_chunks()}),
+                batch_format="pyarrow",
+            )
+        ),
+        ["node"],
+    ).materialize()
+    n_nodes = nodes.count()
+    node_parts = _clamp_parts(n_nodes)
+    base = (15 * scale) // 100
+
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("rank", pa.array(np.full(b.num_rows, scale, np.int64))),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iterations):
+        joined = hash_join(
+            edges_d,
+            ranks.rename_columns({"node": src_col}),
+            on=src_col,
+            join_type="inner",
+            num_partitions=nparts,
+        )
+        contrib = joined.map_batches(
+            lambda b: pa.table(
+                {
+                    dst_col: b.column(dst_col).combine_chunks(),
+                    "c": pa.array(
+                        b.column("rank").to_numpy(zero_copy_only=False)
+                        // b.column("outdeg").to_numpy(zero_copy_only=False)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = sum_per_key(contrib, dst_col, "c").rename_columns({dst_col: "node", "c": "s"})
+        nxt = hash_join(nodes, sums, on="node", join_type="left_outer", num_partitions=node_parts)
+
+        def _damp(b: pa.Table) -> pa.Table:
+            s = (
+                pc.fill_null(pc.cast(b.column("s"), pa.int64()), 0)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            r = base + (85 * s) // 100
+            return pa.table({"node": b.column("node").combine_chunks(), "rank": pa.array(r)})
+
+        ranks = nxt.map_batches(_damp, batch_format="pyarrow").materialize()
+    return ranks
+
+
+def triangle_count(
+    edges: rd.Dataset, *, a_col: str = "a", b_col: str = "b"
+) -> rd.Dataset:
+    """Count triangles in an undirected simple graph -> 1-row Dataset[{triangles}].
+
+    ``edges`` must be canonical unique undirected pairs with a < b (int64 ids
+    < 2^31; endpoint pairs are folded into one int64 key for the closure
+    join, a single-column hash join instead of a composite key). Join plan:
+    wedges = edges ⋈ edges on (b == a'), then closure against the folded edge
+    set — each triangle x<y<z is counted exactly once via (x,y)+(y,z)+(x,z).
+    Wedge cardinality is sum of deg_in*deg_out per mid node; at crawl scale
+    orient by (degree, id) before calling to bound it O(E^1.5)."""
+    edges = edges.select_columns([a_col, b_col]).materialize()
+    nparts = _clamp_parts(edges.count())
+
+    def _fold(b: pa.Table) -> pa.Table:
+        key = (
+            b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64) << np.int64(32)
+        ) | b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ek": pa.array(key)})
+
+    edge_keys = edges.map_batches(_fold, batch_format="pyarrow")
+
+    wedges = hash_join(
+        edges.rename_columns({a_col: "x", b_col: "mid"}),
+        edges.rename_columns({a_col: "mid", b_col: "z"}).materialize(),
+        on="mid",
+        join_type="inner",
+        num_partitions=nparts,
+    )
+
+    def _wedge_key(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = b.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ek": pa.array((x << np.int64(32)) | z)})
+
+    closures = hash_join(
+        wedges.map_batches(_wedge_key, batch_format="pyarrow"),
+        edge_keys.map_batches(
+            lambda b: b.append_column("hit", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow",
+        ).materialize(),
+        on="ek",
+        join_type="inner",
+        num_partitions=nparts,
+    )
+    n = closures.count()
+    return rd.from_arrow(pa.table({"triangles": pa.array([n], pa.int64())}))

@@ -1447,3 +1447,42 @@ EXTRAS_REGISTRY.update(
         "sample_stratified": QueryDef(q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     }
 )
+
+
+def q_graph_triangles(sf_dir: str):
+    """Triangle count on the co-supplier graph (suppliers sharing an order).
+
+    Edge build is a self-join on l_orderkey (pairs-per-order is bounded by
+    order size, so the blowup is constant-factor at any corpus scale), then
+    folded-key dedup; the count itself is extras.graph.triangle_count's
+    wedge-join + closure plan. Exact SQL oracle (id-oriented triangles)."""
+    from .extras.graph import triangle_count
+    from .util import distinct_rows, hash_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    left = li.rename_columns({"l_suppkey": "a"}).materialize()
+    right = li.rename_columns({"l_suppkey": "b"}).materialize()
+    paired = hash_join(left, right, on="l_orderkey", join_type="inner")
+
+    def _orient(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("a"), b.column("b"))
+        t = b.filter(m)
+        return pa.table({"a": t.column("a").combine_chunks(), "b": t.column("b").combine_chunks()})
+
+    edges = distinct_rows(paired.map_batches(_orient, batch_format="pyarrow"), ["a", "b"])
+    return triangle_count(edges)
+
+
+SQL_GRAPH_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey)
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+              JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+EXTRAS_REGISTRY.update(
+    {"graph_triangles": QueryDef(q_graph_triangles, SQL_GRAPH_TRIANGLES)}
+)

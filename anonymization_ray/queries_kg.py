@@ -175,6 +175,60 @@ ORDER BY degree DESC, entity LIMIT 20
 """
 
 
+def q_kg_pagerank(sf_dir: str):
+    """Integer PageRank over the constructed KG's iri edges (extras/graph.py):
+    3 damped iterations in exact int64 millionth-units — every floor-div and
+    85/15 damping step is replicated in the unrolled SQL oracle, so the
+    ITERATIVE fixpoint math itself is value-hash gated, not just row counts.
+    Top-25 entities by (rank desc, node)."""
+    import pyarrow.compute as pc
+
+    from .extras.graph import pagerank_int
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("obj_kind"), "iri"))
+        return pa.table(
+            {"src": t.column("subj").combine_chunks(), "dst": t.column("obj").combine_chunks()}
+        )
+
+    ranks = pagerank_int(tri.map_batches(_edges, batch_format="pyarrow"), iterations=3)
+    top = ranks.sort(["rank", "node"], descending=[True, False]).limit(25)
+    return top.rename_columns({"rank": "pr"})
+
+
+def _sql_pagerank_unrolled(iterations: int = 3, scale: int = 1_000_000) -> str:
+    base = (15 * scale) // 100
+    ctes = [
+        f"canon AS ({SQL_KG_CANONICAL})",
+        "edges AS (SELECT subj AS src, obj AS dst FROM canon WHERE obj_kind = 'iri')",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS node, sum(r{i-1}.r // deg.d) AS s "
+            f"FROM edges e JOIN deg ON deg.src = e.src "
+            f"JOIN r{i-1} ON r{i-1}.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST({base} + (85 * COALESCE(s{i}.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS pr FROM r{iterations} ORDER BY r DESC, node LIMIT 25"
+    )
+
+
+SQL_KG_PAGERANK = _sql_pagerank_unrolled()
+
+
 KG_REGISTRY: dict[str, QueryDef] = {
     "kg_text_extract": QueryDef(q_kg_text_extract, SQL_KG_TEXT),
     "kg_text_invariant": QueryDef(q_kg_text_invariant, SQL_KG_TEXT_INVARIANT),
@@ -182,4 +236,5 @@ KG_REGISTRY: dict[str, QueryDef] = {
     "kg_canonical_triples": QueryDef(q_kg_canonical_triples, SQL_KG_CANONICAL),
     "kg_anonymized_triples": QueryDef(q_kg_anonymized_triples, SQL_KG_ANONYMIZED),
     "kg_degree_topk": QueryDef(q_kg_degree_topk, SQL_KG_DEGREE),
+    "kg_pagerank": QueryDef(q_kg_pagerank, SQL_KG_PAGERANK),
 }

@@ -644,3 +644,81 @@ def test_pack_sequences_greedy_edges():
     assert out["bin"].tolist() == [0, 0, 1, 2, 3, 4]
     assert out["pos"].tolist() == [0, 1, 0, 0, 0, 0]
     assert (out["shard"] == 0).all()
+
+
+def test_sum_per_key_matches_pandas():
+    from anonymization_ray.extras.graph import sum_per_key
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    keys = rng.integers(0, 800, n)
+    vals = rng.integers(-50, 50, n)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ).repartition(7)
+    got = sum_per_key(ds, "k", "v").to_pandas().sort_values("k").reset_index(drop=True)
+    import pandas as pd
+
+    want = (
+        pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)["v"].sum()
+        .sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+
+
+def test_pagerank_int_matches_numpy_reference():
+    """Distributed integer PageRank == the sequential integer recurrence on a
+    random sparse digraph (exact int equality — that's the point of the
+    integer formulation)."""
+    from anonymization_ray.extras.graph import PR_SCALE, pagerank_int
+
+    rng = np.random.default_rng(4)
+    n, m = 60, 300
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(5)
+    got = (
+        pagerank_int(edges, iterations=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    outdeg = {u: 0 for u in nodes}
+    for u in src:
+        outdeg[u] += 1
+    r = {u: PR_SCALE for u in nodes}
+    base = (15 * PR_SCALE) // 100
+    for _ in range(3):
+        s = {u: 0 for u in nodes}
+        for u, v in zip(src, dst):
+            s[v] += r[u] // outdeg[u]
+        r = {u: base + (85 * s[u]) // 100 for u in nodes}
+    want = {int(u): int(r[u]) for u in nodes}
+    assert len(got) == len(nodes)
+    assert {int(a): int(b) for a, b in zip(got["node"], got["rank"])} == want
+
+
+def test_triangle_count_sparse_matches_bruteforce():
+    from itertools import combinations
+
+    from anonymization_ray.extras.graph import triangle_count
+
+    rng = np.random.default_rng(11)
+    n = 40
+    pairs = [(a, b) for a, b in combinations(range(n), 2) if rng.random() < 0.15]
+    adj = set(pairs)
+    want = sum(
+        1
+        for x, y, z in combinations(range(n), 3)
+        if (x, y) in adj and (y, z) in adj and (x, z) in adj
+    )
+    a = np.array([p[0] for p in pairs], np.int64)
+    b = np.array([p[1] for p in pairs], np.int64)
+    edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(4)
+    got = triangle_count(edges).to_pandas()["triangles"].iloc[0]
+    assert want > 0 and int(got) == want
