@@ -1486,3 +1486,43 @@ FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
 EXTRAS_REGISTRY.update(
     {"graph_triangles": QueryDef(q_graph_triangles, SQL_GRAPH_TRIANGLES)}
 )
+
+
+BM25_QUERY_TERMS = ["dup", "hash"]
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 top-10 retrieval over the documents corpus (extras/retrieval.py):
+    inverted-index postings in one vectorized pass, query-term prefilter (the
+    corpus never shuffles), integer-scaled scoring summed per doc with the
+    sort+carry sum_per_key. The integer formulation makes the full ranking
+    value-hash exact against the SQL oracle."""
+    from .extras.retrieval import bm25_topk
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, BM25_QUERY_TERMS, k=10)
+
+
+SQL_BM25_TOPK = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+        FROM corpus),
+tok2 AS (SELECT * FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+tf AS (SELECT t.term, t.doc_id, count(*) AS tf FROM tok2 t JOIN q USING(term)
+       GROUP BY t.term, t.doc_id),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+nl AS (SELECT (SELECT count(*) FROM dl) AS n, (SELECT sum(dl) FROM dl) AS l),
+idf AS (SELECT term,
+               CAST(floor(1000000 * ln(1.0 + (nl.n - df.df + 0.5) / (df.df + 0.5))) AS BIGINT) AS w
+        FROM df, nl),
+contrib AS (SELECT tf.doc_id,
+                   (idf.w * 2200 * tf.tf) //
+                   (1000 * tf.tf + (1200 * (250 + (750 * dl.dl * nl.n) // nl.l)) // 1000) AS c
+            FROM tf JOIN idf USING(term) JOIN dl USING(doc_id), nl),
+s AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM s ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+EXTRAS_REGISTRY.update({"bm25_topk": QueryDef(q_bm25_topk, SQL_BM25_TOPK)})

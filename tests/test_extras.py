@@ -722,3 +722,44 @@ def test_triangle_count_sparse_matches_bruteforce():
     edges = rd.from_arrow(pa.table({"a": pa.array(a), "b": pa.array(b)})).repartition(4)
     got = triangle_count(edges).to_pandas()["triangles"].iloc[0]
     assert want > 0 and int(got) == want
+
+
+def test_bm25_postings_and_ranking():
+    """Postings match a per-doc Python tokenize; integer BM25 ranks by the
+    float reference ordering on a planted corpus (rare term dominates)."""
+    from collections import Counter
+
+    from anonymization_ray.extras.retrieval import bm25_topk, build_postings
+
+    texts = [
+        "needle haystack common words common words",
+        "needle needle haystack common",
+        "common words only here today",
+        "haystack haystack common words here",
+        "needle alone",
+    ]
+    ids = list(range(len(texts)))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})).repartition(2)
+
+    got = build_postings(ds, "text", "doc_id").to_pandas()
+    for i, t in enumerate(texts):
+        want = Counter(t.lower().split())
+        sub = got[got.doc_id == i]
+        assert dict(zip(sub.term, sub.tf)) == dict(want)
+        assert (sub.dl == len(t.split())).all()
+
+    top = bm25_topk(ds, ["needle"], k=3).to_pandas()
+    # float BM25 (Lucene idf) reference ordering
+    import math as m
+
+    n, L = 5, sum(len(t.split()) for t in texts)
+    df = 3
+    idf = m.log(1 + (n - df + 0.5) / (df + 0.5))
+    def score(i):
+        tf = texts[i].split().count("needle")
+        dl = len(texts[i].split())
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n / L))
+    want_order = sorted((i for i in ids if "needle" in texts[i].split()),
+                        key=lambda i: (-score(i), i))[:3]
+    assert top["doc_id"].tolist() == want_order
+    assert (top["score"] > 0).all()
