@@ -162,3 +162,67 @@ def fingerprints(
         )
 
     return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+def repetition_stats(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, n_bigrams, n_distinct, n_dup): within-document word-bigram
+    repetition — the Gopher-style "fraction of duplicate n-grams" quality
+    gate in exact integer form (n_dup = n_bigrams - n_distinct; the consumer
+    divides). Docs with fewer than two tokens emit no row (no bigrams).
+
+    All Arrow C kernels per batch: regex split → flatten with parent
+    indices → adjacent-pair join (``binary_join_element_wise``) masked to
+    same-document positions → within-batch ``group_by`` for total and
+    distinct counts. A document never spans batches, so per-batch grouping
+    is exact; nothing shuffles and the stage streams at input-byte rate.
+    """
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        ids = batch.column(id_col).combine_chunks()
+        if len(flat) < 2:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        d = parent.to_numpy(zero_copy_only=False)
+        same = pa.array(d[:-1] == d[1:])
+        a = flat.slice(0, len(flat) - 1).filter(same)
+        b = flat.slice(1).filter(same)
+        bg = pc.binary_join_element_wise(a, b, " ")
+        doc = pa.array(d[:-1][d[:-1] == d[1:]], pa.int64())
+        t = pa.table({"doc": doc, "bg": bg})
+        tot = t.group_by(["doc"]).aggregate([([], "count_all")])
+        dis = (
+            t.group_by(["doc", "bg"])
+            .aggregate([])
+            .group_by(["doc"])
+            .aggregate([([], "count_all")])
+        )
+        j = tot.rename_columns(["doc", "n_bigrams"]).join(
+            dis.rename_columns(["doc", "n_distinct"]), keys=["doc"]
+        )
+        n_bg = pc.cast(j.column("n_bigrams"), pa.int64())
+        n_di = pc.cast(j.column("n_distinct"), pa.int64())
+        return pa.table(
+            {
+                id_col: ids.take(j.column("doc")),
+                "n_bigrams": n_bg,
+                "n_distinct": n_di,
+                "n_dup": pc.subtract(n_bg, n_di),
+            }
+        )
+
+    return ds.map_batches(_rep, batch_format="pyarrow")

@@ -1526,3 +1526,78 @@ SELECT doc_id, CAST(score AS BIGINT) AS score FROM s ORDER BY score DESC, doc_id
 """
 
 EXTRAS_REGISTRY.update({"bm25_topk": QueryDef(q_bm25_topk, SQL_BM25_TOPK)})
+
+
+# rules for the registry query: the email PII rule (exercises the scrubber
+# plumbing) plus two rules that actually fire on the synthetic corpus
+REDACT_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("name", r"\bcustomer\b", "<NAME>"),
+    ("tool", r"\bspark\b", "<TOOL>"),
+]
+
+
+def q_text_redact(sf_dir: str):
+    """PII / pattern redaction over documents (extras/redact.py): sequential
+    RE2 count+replace kernels in one streaming map_batches pass — the
+    unstructured-text sibling of the reference's Masking stage. Returns
+    every doc's redacted text and the number of replacements performed."""
+    from .extras.redact import redact_text
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return redact_text(ds, REDACT_RULES)
+
+
+def _sql_redact_chain(rules) -> str:
+    steps = ["s0 AS (SELECT doc_id, text AS t, CAST(0 AS BIGINT) AS n FROM documents)"]
+    for i, (_name, pat, repl) in enumerate(rules, start=1):
+        steps.append(
+            f"s{i} AS (SELECT doc_id, regexp_replace(t, '{pat}', '{repl}', 'g') AS t, "
+            f"n + len(regexp_extract_all(t, '{pat}')) AS n FROM s{i - 1})"
+        )
+    last = f"s{len(rules)}"
+    return (
+        "WITH "
+        + ",\n".join(steps)
+        + f"\nSELECT doc_id, t AS text_redacted, n AS n_redactions FROM {last}"
+    )
+
+
+SQL_TEXT_REDACT = _sql_redact_chain(REDACT_RULES)
+
+EXTRAS_REGISTRY.update({"text_redact": QueryDef(q_text_redact, SQL_TEXT_REDACT)})
+
+
+def q_text_repetition(sf_dir: str):
+    """Within-doc duplicate-bigram stats (Gopher repetition quality gate) —
+    extras/textstats.repetition_stats, exact integer counts per document."""
+    from .extras.textstats import repetition_stats
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(ds, "text", "doc_id")
+
+
+SQL_TEXT_REPETITION = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+bg AS (SELECT doc_id,
+              term || ' ' || lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+       FROM tok),
+bg2 AS (SELECT * FROM bg WHERE bigram IS NOT NULL)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       count(DISTINCT bigram) AS n_distinct,
+       count(*) - count(DISTINCT bigram) AS n_dup
+FROM bg2 GROUP BY doc_id
+"""
+
+EXTRAS_REGISTRY.update(
+    {"text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION)}
+)

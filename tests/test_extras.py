@@ -763,3 +763,55 @@ def test_bm25_postings_and_ranking():
                         key=lambda i: (-score(i), i))[:3]
     assert top["doc_id"].tolist() == want_order
     assert (top["score"] > 0).all()
+
+
+def test_repetition_stats_counts():
+    """Exact bigram totals/distincts per doc; <2-token docs emit no row;
+    counts are case-insensitive and whitespace-normalized."""
+    from anonymization_ray.extras.textstats import repetition_stats
+
+    texts = [
+        "the cat sat the cat sat",  # bigrams: the-cat, cat-sat, sat-the, the-cat, cat-sat -> 5 total, 3 distinct
+        "a b a b a",  # a-b, b-a, a-b, b-a -> 4 total, 2 distinct
+        "one",  # no bigrams
+        "  Mixed   CASE mixed case ",  # mixed-case, case-mixed, mixed-case -> 3 total, 2 distinct
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    ).repartition(2)
+    got = (
+        repetition_stats(ds, "text", "doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [0, 1, 3]
+    assert got.n_bigrams.tolist() == [5, 4, 3]
+    assert got.n_distinct.tolist() == [3, 2, 2]
+    assert got.n_dup.tolist() == [2, 2, 1]
+
+
+def test_redact_text_pii_rules():
+    """Planted PII of every default-rule kind is scrubbed; counts equal the
+    number of replacements; clean text passes through byte-identical."""
+    from anonymization_ray.extras.redact import PII_RULES, redact_text
+
+    texts = [
+        "contact john.doe+spam@example.co.uk or jane@x.io today",
+        "ssn 123-45-6789 leaked next to phone +1 (650) 555-0199",
+        "server at 192.168.0.1 and 10.0.0.255 responded",
+        "nothing sensitive in this sentence at all",
+        "call 0043 1 5320444 now",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    ).repartition(2)
+    got = (
+        redact_text(ds, PII_RULES).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.text_redacted[0] == "contact <EMAIL> or <EMAIL> today"
+    assert got.text_redacted[1] == "ssn <SSN> leaked next to phone <PHONE>"
+    assert got.text_redacted[2] == "server at <IP> and <IP> responded"
+    assert got.text_redacted[3] == texts[3]
+    assert got.text_redacted[4] == "call <PHONE> now"
+    assert got.n_redactions.tolist() == [2, 2, 2, 0, 1]
