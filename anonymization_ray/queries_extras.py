@@ -1601,3 +1601,60 @@ FROM bg2 GROUP BY doc_id
 EXTRAS_REGISTRY.update(
     {"text_repetition": QueryDef(q_text_repetition, SQL_TEXT_REPETITION)}
 )
+
+
+# benchmark-membership rule for the decontamination query: every 89th doc
+# plays the held-out eval suite; the corpus under test is everything else
+DECON_BENCH_MOD = 89
+DECON_N = 3
+
+
+def q_text_decontaminate(sf_dir: str):
+    """Benchmark decontamination (extras/decontaminate.py): the distinct
+    word-trigram set of the small benchmark slice is broadcast once via
+    ray.put; an actor-pool scan flags every other document sharing a trigram
+    with it, with exact matched-occurrence counts."""
+    from .extras.decontaminate import decontaminate, ngram_set
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _split(bench: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % DECON_BENCH_MOD) == 0
+            return batch.filter(pa.array(m if bench else ~m))
+
+        return _f
+
+    bench_grams = ngram_set(
+        docs.map_batches(_split(True), batch_format="pyarrow"), "text", DECON_N
+    )
+    corpus = docs.map_batches(_split(False), batch_format="pyarrow")
+    return decontaminate(corpus, bench_grams, n=DECON_N)
+
+
+SQL_TEXT_DECONTAMINATE = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+ng AS (SELECT doc_id,
+              term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS ngram
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ng2 AS (SELECT * FROM ng WHERE ngram IS NOT NULL),
+bench AS (SELECT DISTINCT ngram FROM ng2 WHERE doc_id % {DECON_BENCH_MOD} = 0)
+SELECT doc_id, count(*) AS n_hits
+FROM ng2
+WHERE doc_id % {DECON_BENCH_MOD} <> 0
+  AND ngram IN (SELECT ngram FROM bench)
+GROUP BY doc_id
+"""
+
+EXTRAS_REGISTRY.update(
+    {"text_decontaminate": QueryDef(q_text_decontaminate, SQL_TEXT_DECONTAMINATE)}
+)

@@ -815,3 +815,45 @@ def test_redact_text_pii_rules():
     assert got.text_redacted[3] == texts[3]
     assert got.text_redacted[4] == "call <PHONE> now"
     assert got.n_redactions.tolist() == [2, 2, 2, 0, 1]
+
+
+def test_decontaminate_trigram_hits():
+    """Docs sharing a trigram with the benchmark set are flagged with exact
+    occurrence counts; clean docs emit no row; n-grams never span docs."""
+    from anonymization_ray.extras.decontaminate import decontaminate, ngram_set
+
+    bench = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0], pa.int64()),
+                "text": ["the quick brown fox jumps"],
+            }
+        )
+    )
+    corpus = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [
+                    # "the quick brown" + "quick brown fox" -> 2 hits
+                    "see the quick brown fox run",
+                    # same trigram twice -> counts occurrences, not distinct
+                    "brown fox jumps and brown fox jumps",
+                    "totally unrelated words here",
+                    # case/whitespace normalization matches
+                    "  THE   Quick BROWN  fox  ",
+                ],
+            }
+        )
+    ).repartition(2)
+    grams = ngram_set(bench, "text", 3)
+    assert len(grams) == 3  # quick-brown-fox window of a 5-token doc
+    got = (
+        decontaminate(corpus, grams, n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [1, 2, 4]
+    # doc1: "the quick brown","quick brown fox" = 2; doc2: "brown fox jumps" x2
+    assert got.n_hits.tolist() == [2, 2, 2]
