@@ -1,0 +1,137 @@
+"""Deterministic corpus shuffle and train/val/test split assignment.
+
+Training pipelines need a REPRODUCIBLE global shuffle (epoch ordering must
+not depend on partitioning, executor count, or which worker ran first) and a
+stable per-document split assignment that never moves a document between
+train and eval when the corpus is re-sharded. Ray Data's ``random_shuffle``
+is neither (seeded per-run, not per-row); both ops here key every decision on
+a SplitMix64 hash of the document id alone, so the result is a pure function
+of the data — and bit-replicable in SQL (``sql_sm64_chain`` builds the same
+finalizer out of HUGEINT mod-2^64 primitives), which makes both operators
+value-hash-exact against DuckDB oracles.
+
+Shapes at scale:
+
+- ``split_assign`` is a stateless one-pass ``map_batches`` (integer threshold
+  compare on the hash — no floats anywhere), streams at input rate;
+- ``deterministic_shuffle`` is ONE narrow global sort over ``(hash, id)``
+  (the canonical all-to-all a training shuffle genuinely requires) followed
+  by zero-copy per-block position stamping: block row-counts come from
+  metadata-sized summaries, the prefix-sum runs on the driver over
+  #blocks integers, and each block writes ``offset + arange`` — no second
+  shuffle, no driver row materialization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..rng import SM64_GAMMA, _SM64_M1, _SM64_M2, _sm64_mix
+from ..sqlrng import _mul64, _xsh
+
+
+def sm64_key(ids: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Order-scrambling uint64 key: SplitMix64 finalizer of ``id + salt + 1``
+    (the +1 keeps id 0 off the weak all-zero input)."""
+    x = (ids.astype(np.uint64) + np.uint64(salt + 1)) * np.uint64(SM64_GAMMA)
+    return _sm64_mix(x)
+
+
+def sql_sm64_chain(table: str, id_col: str, salt: int = 0) -> str:
+    """CTE chain computing :func:`sm64_key` exactly in DuckDB: ``h0..h3``
+    stages (one per finalizer step, so expressions never nest) ending in a
+    relation ``(..., h)`` with ``h`` the HUGEINT hash in [0, 2^64)."""
+    return f"""
+h0 AS (SELECT *, {_mul64(f"CAST({id_col} AS HUGEINT) + {salt + 1}", SM64_GAMMA)} AS z FROM {table}),
+h1 AS (SELECT * EXCLUDE (z), {_mul64(_xsh("z", 30), _SM64_M1)} AS z FROM h0),
+h2 AS (SELECT * EXCLUDE (z), {_mul64(_xsh("z", 27), _SM64_M2)} AS z FROM h1),
+h3 AS (SELECT * EXCLUDE (z), {_xsh("z", 31)} AS h FROM h2)"""
+
+
+def split_assign(
+    ds: rd.Dataset,
+    id_col: str,
+    fractions: dict[str, float],
+    *,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Dataset[(id_col, split)] — stable hash-based assignment into named
+    splits with the given fractions (must sum to 1). Thresholds are integer
+    (``floor(cum_fraction * 2^64)``) so the compare is exact and the SQL
+    oracle replicates it without any float."""
+    names = list(fractions)
+    cum, edges = 0.0, []
+    for n in names[:-1]:
+        cum += fractions[n]
+        edges.append(np.uint64(int(cum * 2**64)))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = sm64_key(ids, salt)
+        out = np.full(len(h), names[-1], dtype=object)
+        prev = np.zeros(len(h), dtype=bool)
+        for name, edge in zip(names, edges):
+            m = (h < edge) & ~prev
+            out[m] = name
+            prev |= m
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "split": pa.array(out, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def deterministic_shuffle(
+    ds: rd.Dataset, id_col: str, *, salt: int = 0
+) -> rd.Dataset:
+    """Dataset[(id_col, pos)] — the global shuffle ORDER as a position
+    column: ``pos`` is the 1-based rank of ``(sm64_key(id), id)``. Consumers
+    sort/range-partition by ``pos`` to read the corpus in shuffled order;
+    the mapping is a pure function of the ids, identical at any parallelism.
+    """
+    from ..util import coalesce_blocks
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "hkey": pa.array(sm64_key(ids, salt), pa.uint64()),
+            }
+        )
+
+    keyed = (
+        ds.select_columns([id_col])
+        .map_batches(_key, batch_format="pyarrow")
+        .materialize()
+    )
+    s = coalesce_blocks(keyed).sort(["hkey", id_col]).materialize()
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    @ray.remote(num_cpus=0.25)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks(),
+                "pos": pa.array(
+                    np.arange(1, t.num_rows + 1, dtype=np.int64) + off, pa.int64()
+                ),
+            }
+        )
+
+    return rd.from_arrow_refs(
+        [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )

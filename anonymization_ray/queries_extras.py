@@ -1658,3 +1658,95 @@ GROUP BY doc_id
 EXTRAS_REGISTRY.update(
     {"text_decontaminate": QueryDef(q_text_decontaminate, SQL_TEXT_DECONTAMINATE)}
 )
+
+
+# --------------------------------------------------------------------------
+# corpus ordering / split / chunking (training-prep family)
+# --------------------------------------------------------------------------
+
+SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SALT = 7
+SHUFFLE_SALT = 0
+CHUNK_SIZE = 64
+
+
+def q_corpus_shuffle(sf_dir: str):
+    """Reproducible global shuffle order (extras/shuffle.py): pos = rank of
+    (SplitMix64(doc_id), doc_id) — one narrow sort + metadata-prefix-sum
+    position stamping; identical at any parallelism."""
+    from .extras.shuffle import deterministic_shuffle
+
+    return deterministic_shuffle(
+        load(sf_dir, "documents", ["doc_id"]), "doc_id", salt=SHUFFLE_SALT
+    )
+
+
+def _sql_corpus_shuffle() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain("(SELECT doc_id FROM documents)", "doc_id", SHUFFLE_SALT)
+    return (
+        f"WITH {chain}\n"
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos FROM h3"
+    )
+
+
+def q_corpus_split(sf_dir: str):
+    """Stable hash-based train/val/test assignment (extras/shuffle.py):
+    integer-threshold compare on SplitMix64(doc_id) — a document never moves
+    between splits when the corpus is re-sharded or grown elsewhere."""
+    from .extras.shuffle import split_assign
+
+    return split_assign(
+        load(sf_dir, "documents", ["doc_id"]), "doc_id", SPLIT_FRACTIONS, salt=SPLIT_SALT
+    )
+
+
+def _sql_corpus_split() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    names = list(SPLIT_FRACTIONS)
+    cum, whens = 0.0, []
+    for n in names[:-1]:
+        cum += SPLIT_FRACTIONS[n]
+        whens.append(f"WHEN h < {int(cum * 2**64)} THEN '{n}'")
+    chain = sql_sm64_chain("(SELECT doc_id FROM documents)", "doc_id", SPLIT_SALT)
+    return (
+        f"WITH {chain}\n"
+        f"SELECT doc_id, CASE {' '.join(whens)} ELSE '{names[-1]}' END AS split FROM h3"
+    )
+
+
+def q_text_chunks(sf_dir: str):
+    """Context-length chunking (extras/chunk.py): non-overlapping 64-token
+    windows with reassembled chunk text, all Arrow kernels, no shuffle."""
+    from .extras.chunk import chunk_documents
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, size=CHUNK_SIZE)
+
+
+SQL_TEXT_CHUNKS = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+)
+SELECT doc_id,
+       CAST((pos - 1) // {CHUNK_SIZE} AS BIGINT) AS chunk_id,
+       count(*) AS n_tokens,
+       string_agg(term, ' ' ORDER BY pos) AS chunk_text
+FROM tok GROUP BY doc_id, chunk_id
+"""
+
+EXTRAS_REGISTRY.update(
+    {
+        "corpus_shuffle": QueryDef(q_corpus_shuffle, _sql_corpus_shuffle()),
+        "corpus_split": QueryDef(q_corpus_split, _sql_corpus_split()),
+        "text_chunks": QueryDef(q_text_chunks, SQL_TEXT_CHUNKS),
+    }
+)

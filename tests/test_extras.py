@@ -857,3 +857,75 @@ def test_decontaminate_trigram_hits():
     assert got.doc_id.tolist() == [1, 2, 4]
     # doc1: "the quick brown","quick brown fox" = 2; doc2: "brown fox jumps" x2
     assert got.n_hits.tolist() == [2, 2, 2]
+
+
+def test_deterministic_shuffle_is_partition_invariant_bijection():
+    from anonymization_ray.extras.shuffle import deterministic_shuffle
+
+    ids = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    a = (
+        deterministic_shuffle(rd.from_arrow(ids), "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        deterministic_shuffle(rd.from_arrow(ids).repartition(7), "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.pos.tolist() == b.pos.tolist()  # pure function of ids
+    assert sorted(a.pos) == list(range(1, 201))  # bijection onto 1..N
+    assert a.pos.tolist() != list(range(1, 201))  # actually shuffled
+    # a different salt produces a different order
+    c = deterministic_shuffle(rd.from_arrow(ids), "doc_id", salt=1).to_pandas()
+    c = c.sort_values("doc_id").reset_index(drop=True)
+    assert c.pos.tolist() != a.pos.tolist()
+
+
+def test_split_assign_stable_and_proportional():
+    from anonymization_ray.extras.shuffle import split_assign
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    ids = pa.table({"doc_id": pa.array(range(5000), pa.int64())})
+    a = (
+        split_assign(rd.from_arrow(ids), "doc_id", fr, salt=7)
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    counts = a.value_counts()
+    assert 0.77 < counts["train"] / 5000 < 0.83
+    assert 0.07 < counts["val"] / 5000 < 0.13
+    # growing the corpus never moves an existing doc between splits
+    ids2 = pa.table({"doc_id": pa.array(range(8000), pa.int64())})
+    b = (
+        split_assign(rd.from_arrow(ids2).repartition(5), "doc_id", fr, salt=7)
+        .to_pandas().set_index("doc_id")["split"]
+    )
+    assert (b.loc[a.index] == a).all()
+
+
+def test_chunk_documents_windows():
+    from anonymization_ray.extras.chunk import chunk_documents
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a b c d e f g",  # 7 tokens
+                "x y",  # fits in one chunk
+                "",  # no tokens -> no row
+            ],
+        }
+    )
+    # non-overlapping size 3: doc1 -> [a b c][d e f][g]
+    got = (
+        chunk_documents(rd.from_arrow(t).repartition(2), size=3)
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [1, 1, 1, 2]
+    assert got.chunk_text.tolist() == ["a b c", "d e f", "g", "x y"]
+    assert got.n_tokens.tolist() == [3, 3, 1, 2]
+    # stride 2 < size 3: windows [a b c][c d e][e f g] — last window reaches
+    # the end, no degenerate tail
+    ov = (
+        chunk_documents(rd.from_arrow(t), size=3, stride=2)
+        .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    )
+    assert ov[ov.doc_id == 1].chunk_text.tolist() == ["a b c", "c d e", "e f g"]
