@@ -18,5 +18,5 @@ from .graph import pagerank_int, triangle_count, sum_per_key  # noqa: F401
 from .retrieval import build_postings, bm25_topk  # noqa: F401
 from .redact import redact_text, PII_RULES  # noqa: F401
 from .decontaminate import decontaminate, ngram_set  # noqa: F401
-from .shuffle import deterministic_shuffle, split_assign  # noqa: F401
+from .shuffle import deterministic_shuffle, split_assign, mixture_sample  # noqa: F401
 from .chunk import chunk_documents  # noqa: F401

@@ -820,3 +820,136 @@ def cluster_keepers(
         ),
         batch_format="pyarrow",
     )
+
+
+def duplicate_span_stats(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    pos_bits: int = 20,
+) -> rd.Dataset:
+    """CROSS-document duplicate n-gram spans (exact-substring dedup at
+    n-gram granularity, Lee et al. 2022 "Deduplicating Training Data"
+    style): per document, the total word-n-gram count and how many of its
+    n-gram occurrences are duplicates of an occurrence seen EARLIER in the
+    corpus order (earlier = smaller (doc_id, position)). The first
+    occurrence anywhere is never a duplicate — summing ``n_dup`` gives
+    exactly the corpus's removable span mass.
+
+    Scale shape (no Ray groupby at gram cardinality, which is ~tokens):
+    ONE global sort of (ngram, doc_id·2^pos_bits + pos); within a sorted
+    block an occurrence is a duplicate iff it equals its predecessor's
+    gram, and across blocks iff it equals the previous block's LAST gram —
+    a driver-side carry of one string per block. Per-doc totals leave each
+    block as packed partial sums (``n_grams·2^32 + n_dup`` — addition
+    distributes over the packing) and combine through the repo's
+    sort+boundary-carry ``sum_per_key``; heavy rows move exactly once.
+
+    Positions must fit ``pos_bits`` (docs longer than 2^pos_bits tokens
+    need a bigger packing) and per-doc token counts must stay under 2^32.
+    """
+    import ray
+
+    from ..util import coalesce_blocks
+    from .graph import sum_per_key
+
+    shift = np.int64(1) << np.int64(pos_bits)
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        g, d = _ngram_occurrences(batch, text_col, n)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(g) == 0:
+            return pa.table(
+                {"ngram": pa.array([], pa.string()), "packed": pa.array([], pa.int64())}
+            )
+        # position within doc: run-relative arange over the contiguous doc runs
+        starts = np.nonzero(np.concatenate([[True], d[1:] != d[:-1]]))[0]
+        run_id = np.cumsum(np.concatenate([[True], d[1:] != d[:-1]])) - 1
+        pos = np.arange(len(d), dtype=np.int64) - starts[run_id]
+        if pos.max() >= shift:
+            raise ValueError(f"document exceeds 2^{pos_bits} tokens; raise pos_bits")
+        return pa.table(
+            {"ngram": g, "packed": pa.array(ids[d] * shift + pos, pa.int64())}
+        )
+
+    occ = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(_grams, batch_format="pyarrow")
+        .materialize()
+    )
+    s = coalesce_blocks(occ).sort(["ngram", "packed"]).materialize()
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _last_gram(t: pa.Table):
+        return t.column("ngram")[-1].as_py() if t.num_rows else None
+
+    lasts = ray.get([_last_gram.remote(r) for r in refs])
+    carries: list[str | None] = []
+    prev = None
+    for r, lg in zip(refs, lasts):
+        carries.append(prev)
+        if lg is not None:
+            prev = lg
+
+    pack32 = np.int64(1) << np.int64(32)
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "v": pa.array([], pa.int64())}
+            )
+        g = t.column("ngram").combine_chunks()
+        doc = t.column("packed").to_numpy(zero_copy_only=False) // shift
+        dup = np.empty(t.num_rows, dtype=bool)
+        dup[1:] = pc.equal(g.slice(1), g.slice(0, t.num_rows - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        dup[0] = carry is not None and g[0].as_py() == carry
+        uniq, inv = np.unique(doc, return_inverse=True)
+        tot = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        dupc = np.bincount(inv, weights=dup, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(uniq, pa.int64()),
+                "v": pa.array(tot * pack32 + dupc, pa.int64()),
+            }
+        )
+
+    partials = rd.from_arrow_refs([_scan.remote(r, c) for r, c in zip(refs, carries)])
+    summed = sum_per_key(partials, id_col, "v")
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "n_grams": pa.array(v // pack32, pa.int64()),
+                "n_dup": pa.array(v % pack32, pa.int64()),
+            }
+        )
+
+    return summed.map_batches(_unpack, batch_format="pyarrow")
+
+
+def _ngram_occurrences(
+    batch: pa.Table, text_col: str, n: int
+) -> tuple[pa.Array, np.ndarray]:
+    """Flat word n-grams + their row indices (shared tokenizer semantics:
+    trim/lower/whitespace split, empties dropped)."""
+    txt = batch.column(text_col).combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parent = parent.filter(keep)
+    d = parent.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) < n:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    same = d[: len(d) - n + 1] == d[n - 1 :]
+    parts = [flat.slice(i, len(flat) - n + 1).filter(pa.array(same)) for i in range(n)]
+    return pc.binary_join_element_wise(*parts, " "), d[: len(d) - n + 1][same]

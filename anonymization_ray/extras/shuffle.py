@@ -135,3 +135,50 @@ def deterministic_shuffle(
     return rd.from_arrow_refs(
         [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+def mixture_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    *,
+    default: float = 1.0,
+    salt: int = 11,
+) -> rd.Dataset:
+    """Dataset[(id_col, key_col, copy_idx)] — deterministic per-source
+    mixture weighting (epoch composition): a document whose source has
+    weight ``w`` appears ``floor(w)`` times plus one more iff
+    ``sm64_key(id, salt) < frac(w)·2^64``. Up-sampling (w>1), down-sampling
+    (w<1) and dropping (w=0) all fall out; the expansion is a stateless
+    streaming fan-out (``np.repeat`` per batch, no shuffle) and a pure
+    function of (id, source), so re-sharding or re-running never changes
+    the epoch's composition. Thresholds are precomputed integers — the SQL
+    oracle replicates the draw with no float arithmetic."""
+    plan = {
+        k: (int(np.floor(w)), np.uint64(int((w - np.floor(w)) * 2**64)))
+        for k, w in weights.items()
+    }
+    dflt = (int(np.floor(default)), np.uint64(int((default - np.floor(default)) * 2**64)))
+
+    def _expand(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        src = batch.column(key_col).to_pylist()
+        h = sm64_key(ids, salt)
+        base = np.fromiter((plan.get(s, dflt)[0] for s in src), np.int64, len(src))
+        thr = np.fromiter((plan.get(s, dflt)[1] for s in src), np.uint64, len(src))
+        cnt = base + (h < thr)
+        keep = cnt > 0
+        cnt = cnt[keep]
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        copy_idx = np.arange(off[-1], dtype=np.int64) - np.repeat(off[:-1], cnt)
+        take = pa.array(np.repeat(np.nonzero(keep)[0], cnt), pa.int64())
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks().take(take),
+                key_col: batch.column(key_col).combine_chunks().take(take),
+                "copy_idx": pa.array(copy_idx, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_expand, batch_format="pyarrow")

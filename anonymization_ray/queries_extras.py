@@ -1750,3 +1750,85 @@ EXTRAS_REGISTRY.update(
         "text_chunks": QueryDef(q_text_chunks, SQL_TEXT_CHUNKS),
     }
 )
+
+
+MIX_WEIGHTS = {"src0": 2.0, "src1": 2.5, "src2": 0.5, "src3": 0.0}
+MIX_DEFAULT = 1.0
+MIX_SALT = 11
+SPAN_N = 5
+
+
+def q_corpus_mix(sf_dir: str):
+    """Deterministic mixture weighting (extras/shuffle.mixture_sample):
+    per-source up/down-sampling by integer-threshold hash draw; stateless
+    streaming fan-out, pure function of (doc_id, source)."""
+    from .extras.shuffle import mixture_sample
+
+    ds = load(sf_dir, "documents", ["doc_id", "source"])
+    return mixture_sample(
+        ds, "source", MIX_WEIGHTS, "doc_id", default=MIX_DEFAULT, salt=MIX_SALT
+    )
+
+
+def _sql_corpus_mix() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    base_w, thr_w = [], []
+    for s, w in MIX_WEIGHTS.items():
+        base_w.append(f"WHEN '{s}' THEN {int(np.floor(w))}")
+        thr_w.append(f"WHEN '{s}' THEN {int((w - np.floor(w)) * 2**64)}")
+    dflt_b = int(np.floor(MIX_DEFAULT))
+    dflt_t = int((MIX_DEFAULT - np.floor(MIX_DEFAULT)) * 2**64)
+    chain = sql_sm64_chain(
+        "(SELECT doc_id, source FROM documents)", "doc_id", MIX_SALT
+    )
+    return f"""WITH {chain},
+c AS (SELECT doc_id, source,
+        CASE source {' '.join(base_w)} ELSE {dflt_b} END
+      + CASE WHEN h < (CASE source {' '.join(thr_w)} ELSE {dflt_t} END) THEN 1 ELSE 0 END AS cnt
+      FROM h3)
+SELECT doc_id, source, CAST(unnest(range(cnt)) AS BIGINT) AS copy_idx FROM c"""
+
+
+def q_text_dup_spans(sf_dir: str):
+    """Cross-document duplicate n-gram spans (extras/dedup.duplicate_span_stats):
+    per doc, total 5-grams and how many occurrences duplicate an earlier
+    (doc_id, pos) occurrence anywhere in the corpus — the exact-substring
+    dedup accounting, via one (ngram, packed) sort + boundary-carried scan."""
+    from .extras.dedup import duplicate_span_stats
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_span_stats(ds, "text", "doc_id", n=SPAN_N)
+
+
+def _sql_text_dup_spans() -> str:
+    lead = " || ' ' || ".join(
+        ["term"] + [f"lead(term,{i}) OVER w" for i in range(1, SPAN_N)]
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(arr) AS term,
+         generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+ng AS (SELECT doc_id, pos, {lead} AS ngram
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ng2 AS (SELECT * FROM ng WHERE ngram IS NOT NULL),
+m AS (SELECT *, min(doc_id * 1048576 + pos) OVER (PARTITION BY ngram) AS fk FROM ng2)
+SELECT doc_id,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN doc_id * 1048576 + pos <> fk THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM m GROUP BY doc_id
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "corpus_mix": QueryDef(q_corpus_mix, _sql_corpus_mix()),
+        "text_dup_spans": QueryDef(q_text_dup_spans, _sql_text_dup_spans()),
+    }
+)

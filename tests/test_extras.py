@@ -929,3 +929,71 @@ def test_chunk_documents_windows():
         .to_pandas().sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
     )
     assert ov[ov.doc_id == 1].chunk_text.tolist() == ["a b c", "c d e", "e f g"]
+
+
+def test_mixture_sample_weights_and_determinism():
+    from anonymization_ray.extras.shuffle import mixture_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4000), pa.int64()),
+            "source": pa.array(
+                ["a", "b", "c", "d"] * 1000, pa.string()
+            ),
+        }
+    )
+    w = {"a": 3.0, "b": 0.5, "c": 0.0}  # d takes the default 1.0
+    got = (
+        mixture_sample(rd.from_arrow(t), "source", w, "doc_id", default=1.0)
+        .to_pandas()
+    )
+    by = got.groupby("source").size()
+    assert by["a"] == 3000  # integral weight: exactly floor(w) copies each
+    assert "c" not in by.index  # weight 0 drops the source entirely
+    assert by["d"] == 1000
+    assert 350 < by["b"] < 650  # ~half kept by hash threshold
+    # copy_idx enumerates copies 0..cnt-1
+    a_copies = got[got.source == "a"].groupby("doc_id").copy_idx.apply(sorted)
+    assert all(c == [0, 1, 2] for c in a_copies)
+    # pure function of (id, source): re-sharding changes nothing
+    got2 = (
+        mixture_sample(
+            rd.from_arrow(t).repartition(7), "source", w, "doc_id", default=1.0
+        )
+        .to_pandas()
+    )
+    key = ["doc_id", "source", "copy_idx"]
+    assert (
+        got.sort_values(key).reset_index(drop=True)[key]
+        .equals(got2.sort_values(key).reset_index(drop=True)[key])
+    )
+
+
+def test_duplicate_span_stats_first_occurrence_wins():
+    from anonymization_ray.extras.dedup import duplicate_span_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "a b c d e",        # grams: "a b c", "b c d", "c d e" — all first
+                "a b c x y z",      # "a b c" dups doc1; others new
+                "a b c d e f",      # "a b c","b c d","c d e" dup; "d e f" new
+            ],
+        }
+    )
+    got = (
+        duplicate_span_stats(rd.from_arrow(t).repartition(3), "text", "doc_id", n=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.doc_id.tolist() == [1, 2, 3]
+    assert got.n_grams.tolist() == [3, 4, 4]
+    assert got.n_dup.tolist() == [0, 1, 3]
+    # within-doc repeats beyond the first occurrence also count
+    t2 = pa.table(
+        {"doc_id": pa.array([7], pa.int64()), "text": ["p q r p q r p q r"]}
+    )
+    one = duplicate_span_stats(rd.from_arrow(t2), "text", "doc_id", n=3).to_pandas()
+    # grams: pqr qrp rpq pqr qrp rpq pqr -> 7 total, 3 distinct firsts, 4 dups
+    assert one.n_grams.tolist() == [7]
+    assert one.n_dup.tolist() == [4]
