@@ -238,3 +238,76 @@ KG_REGISTRY: dict[str, QueryDef] = {
     "kg_degree_topk": QueryDef(q_kg_degree_topk, SQL_KG_DEGREE),
     "kg_pagerank": QueryDef(q_kg_pagerank, SQL_KG_PAGERANK),
 }
+
+
+def q_kg_star_join(sf_dir: str):
+    """Star query over the constructed KG (the SPO-index read pattern a
+    triple store exists for): for every entity, resolve the 2-hop path
+    subj -[basedIn]-> nation -[partOf]-> region together with the subj's
+    hasAccountBalance literal. Shape: the two entity-cardinality arms
+    (balance, basedIn) meet in ONE hash join on subj; the nation->region
+    hop is dimension-scale and becomes a broadcast dict lookup inside the
+    join's output scan — never a second shuffle. Balances are integer
+    cents (identical floor(x*100+0.5) on both sides) for value-hash
+    exactness."""
+    import pyarrow.compute as pc
+
+    from .kg.pipeline import kg_pipeline
+    from .util import hash_join
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.materialize()
+
+    def _arm(pred: str, val: str):
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("pred"), pred))
+            return pa.table(
+                {
+                    "subj": t.column("subj").combine_chunks(),
+                    val: t.column("obj").combine_chunks(),
+                }
+            )
+
+        return _f
+
+    bal = tri.map_batches(_arm("hasAccountBalance", "balval"), batch_format="pyarrow")
+    geo = tri.map_batches(_arm("basedIn", "nation"), batch_format="pyarrow")
+    part = tri.map_batches(_arm("partOf", "region"), batch_format="pyarrow").take_all()
+    region_of = {r["subj"]: r["region"] for r in part}
+
+    n = bal.count()
+    joined = hash_join(
+        bal, geo, on="subj", join_type="inner",
+        num_partitions=max(2, min(8, n // 2000 + 1)),
+    )
+
+    def _out(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(pc.cast(b.column("balval"), pa.float64()), 100.0), 0.5)
+            ),
+            pa.int64(),
+        )
+        nat = b.column("nation").to_pylist()
+        return pa.table(
+            {
+                "subj": b.column("subj").combine_chunks(),
+                "region": pa.array([region_of.get(x) for x in nat], pa.string()),
+                "balance_cents": cents,
+            }
+        )
+
+    return joined.map_batches(_out, batch_format="pyarrow")
+
+
+SQL_KG_STAR = f"""
+WITH canon AS ({SQL_KG_CANONICAL})
+SELECT b.subj AS subj,
+       p.obj AS region,
+       CAST(floor(CAST(b.obj AS DOUBLE) * 100 + 0.5) AS BIGINT) AS balance_cents
+FROM canon b
+JOIN canon g ON g.subj = b.subj AND g.pred = 'basedIn'
+JOIN canon p ON p.subj = g.obj AND p.pred = 'partOf'
+WHERE b.pred = 'hasAccountBalance'
+"""
+
+KG_REGISTRY.update({"kg_star_join": QueryDef(q_kg_star_join, SQL_KG_STAR)})
