@@ -271,8 +271,14 @@ def q_kg_star_join(sf_dir: str):
 
     bal = tri.map_batches(_arm("hasAccountBalance", "balval"), batch_format="pyarrow")
     geo = tri.map_batches(_arm("basedIn", "nation"), batch_format="pyarrow")
+    import numpy as np
+
     part = tri.map_batches(_arm("partOf", "region"), batch_format="pyarrow").take_all()
-    region_of = {r["subj"]: r["region"] for r in part}
+    # sorted key/value arrays for a vectorized searchsorted lookup per batch
+    pk = np.array([r["subj"] for r in part])
+    pv = np.array([r["region"] for r in part])
+    order = np.argsort(pk)
+    pk, pv = pk[order], pv[order]
 
     n = bal.count()
     joined = hash_join(
@@ -287,11 +293,16 @@ def q_kg_star_join(sf_dir: str):
             ),
             pa.int64(),
         )
-        nat = b.column("nation").to_pylist()
+        nat = b.column("nation").to_numpy(zero_copy_only=False)
+        if len(pk):
+            idx = np.clip(np.searchsorted(pk, nat), 0, len(pk) - 1)
+            region = np.where(pk[idx] == nat, pv[idx], None)
+        else:
+            region = np.full(len(nat), None, dtype=object)
         return pa.table(
             {
                 "subj": b.column("subj").combine_chunks(),
-                "region": pa.array([region_of.get(x) for x in nat], pa.string()),
+                "region": pa.array(region, pa.string()),
                 "balance_cents": cents,
             }
         )
