@@ -163,10 +163,13 @@ def mixture_sample(
 
     def _expand(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        src = batch.column(key_col).to_pylist()
+        src = batch.column(key_col).to_numpy(zero_copy_only=False)
         h = sm64_key(ids, salt)
-        base = np.fromiter((plan.get(s, dflt)[0] for s in src), np.int64, len(src))
-        thr = np.fromiter((plan.get(s, dflt)[1] for s in src), np.uint64, len(src))
+        # per-UNIQUE-source Python only (source cardinality is tiny), then
+        # a vectorized gather back to row granularity
+        uniq, inv = np.unique(src, return_inverse=True)
+        base = np.array([plan.get(s, dflt)[0] for s in uniq], np.int64)[inv]
+        thr = np.array([plan.get(s, dflt)[1] for s in uniq], np.uint64)[inv]
         cnt = base + (h < thr)
         keep = cnt > 0
         cnt = cnt[keep]
