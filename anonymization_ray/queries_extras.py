@@ -1832,3 +1832,62 @@ EXTRAS_REGISTRY.update(
         "text_dup_spans": QueryDef(q_text_dup_spans, _sql_text_dup_spans()),
     }
 )
+
+
+QG_QUANTILE = 0.25
+
+
+def q_corpus_quality_gate(sf_dir: str):
+    """Global-statistic-gated filter (the FineWeb/Gopher 'drop the worst
+    quartile' shape): exact p25 of per-doc token counts is computed by the
+    narrow-sort quantile machinery, returned to the driver as ONE scalar,
+    and broadcast into a streaming filter — docs must clear the token
+    threshold AND be majority-alphabetic (integer cross-multiplication, no
+    float compare). Two passes over a NARROW stats projection; the text
+    column is read once."""
+    from .extras.stats import exact_quantiles
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").combine_chunks(),
+                "n_tokens": pc.cast(pc.count_substring_regex(txt, r"\S+"), pa.int64()),
+                "n_alpha": pc.cast(pc.count_substring_regex(txt, r"[A-Za-z]"), pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(txt), pa.int64()),
+            }
+        )
+
+    stats = docs.map_batches(_stats, batch_format="pyarrow").materialize()
+    qt = exact_quantiles(stats, "n_tokens", [QG_QUANTILE], id_col="doc_id")
+    thr = int(qt.column("value")[0].as_py())
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch.column("n_tokens"), thr),
+            pc.greater_equal(
+                pc.multiply(batch.column("n_alpha"), 2), batch.column("n_chars")
+            ),
+        )
+        return batch.filter(keep).select(["doc_id", "n_tokens"])
+
+    return stats.map_batches(_gate, batch_format="pyarrow")
+
+
+SQL_CORPUS_QUALITY_GATE = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents),
+t AS (SELECT quantile_disc(n_tokens, {QG_QUANTILE}) AS thr FROM s)
+SELECT doc_id, n_tokens FROM s, t
+WHERE n_tokens >= thr AND 2 * n_alpha >= n_chars
+"""
+
+EXTRAS_REGISTRY.update(
+    {"corpus_quality_gate": QueryDef(q_corpus_quality_gate, SQL_CORPUS_QUALITY_GATE)}
+)
