@@ -1,0 +1,154 @@
+"""Property-based tests (hypothesis) for the corpus-prep operators.
+
+Each operator is checked against a naive Python reference on randomized
+small corpora — the invariants are the ones the SQL oracles can't state
+directly (reconstruction, partition-of-ids, bound-consistency), and the
+generators deliberately produce the awkward shapes: empty docs, repeated
+tokens, single-token docs, multi-block datasets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+WORDS = ["a", "b", "cc", "dd", "e"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ds(texts: list[str], nparts: int = 2) -> rd.Dataset:
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+    )
+    return rd.from_arrow(t).repartition(nparts)
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_chunks_reconstruct_normalized_tokens(texts):
+    """Concatenating a doc's non-overlapping chunks in chunk_id order gives
+    exactly its normalized token stream; every chunk but the last is full."""
+    from anonymization_ray.extras.chunk import chunk_documents
+
+    got = chunk_documents(_ds(texts), size=3).to_pandas()
+    if got.empty:
+        # all-empty corpora produce zero rows (and Ray may drop the schema
+        # on fully-empty outputs — a Ray-internal quirk, not operator state)
+        assert all(not t.strip() for t in texts)
+        return
+    for i, txt in enumerate(texts):
+        toks = [w for w in txt.lower().strip().split() if w]
+        mine = got[got.doc_id == i].sort_values("chunk_id")
+        assert " ".join(mine.chunk_text) == " ".join(toks)
+        sizes = mine.n_tokens.tolist()
+        assert all(s == 3 for s in sizes[:-1])
+        if toks:
+            assert 1 <= sizes[-1] <= 3
+        else:
+            assert sizes == []
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_repetition_stats_match_python(texts):
+    from anonymization_ray.extras.textstats import repetition_stats
+
+    df = repetition_stats(_ds(texts), "text", "doc_id").to_pandas()
+    if df.empty:
+        assert all(len(t.split()) < 2 for t in texts)
+        return
+    got = df.set_index("doc_id")
+    for i, txt in enumerate(texts):
+        toks = [w for w in txt.lower().strip().split() if w]
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        if not bigrams:
+            assert i not in got.index
+            continue
+        assert got.loc[i, "n_bigrams"] == len(bigrams)
+        assert got.loc[i, "n_distinct"] == len(set(bigrams))
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy)
+def test_duplicate_spans_match_python(texts):
+    """n_dup per doc equals the brute-force 'not the first (doc,pos)
+    occurrence of this n-gram in corpus order' count."""
+    from anonymization_ray.extras.dedup import duplicate_span_stats
+
+    n = 2
+    df = duplicate_span_stats(_ds(texts, 3), "text", "doc_id", n=n).to_pandas()
+    if df.empty:
+        assert all(len(t.split()) < n for t in texts)
+        return
+    got = df.set_index("doc_id")
+    seen: set[str] = set()
+    for i, txt in enumerate(texts):
+        toks = [w for w in txt.lower().strip().split() if w]
+        grams = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        dups = 0
+        for g in grams:
+            if g in seen:
+                dups += 1
+            seen.add(g)
+        if not grams:
+            assert i not in got.index
+            continue
+        assert got.loc[i, "n_grams"] == len(grams)
+        assert got.loc[i, "n_dup"] == dups
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(min_value=1, max_value=300), st.integers(min_value=0, max_value=99))
+def test_split_assign_partitions_ids(n_ids, salt):
+    """Every id gets exactly one split; fractions of 1.0 never drop an id."""
+    from anonymization_ray.extras.shuffle import split_assign
+
+    ids = pa.table({"doc_id": pa.array(range(n_ids), pa.int64())})
+    got = split_assign(
+        rd.from_arrow(ids).repartition(2),
+        "doc_id",
+        {"x": 0.5, "y": 0.25, "z": 0.25},
+        salt=salt,
+    ).to_pandas()
+    assert len(got) == n_ids
+    assert sorted(got.doc_id) == list(range(n_ids))
+    assert set(got.split) <= {"x", "y", "z"}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.floats(min_value=0.0, max_value=3.0, allow_nan=False),
+        min_size=1,
+    ),
+    st.integers(min_value=0, max_value=99),
+)
+def test_mixture_sample_copy_counts_bounded(weights, salt):
+    """Each doc appears floor(w) or ceil(w) times; copy_idx enumerates."""
+    from anonymization_ray.extras.shuffle import mixture_sample
+
+    srcs = ["s0", "s1", "s2"] * 20
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(srcs)), pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+        }
+    )
+    got = mixture_sample(
+        rd.from_arrow(t).repartition(2), "source", weights, "doc_id", salt=salt
+    ).to_pandas()
+    counts = got.groupby("doc_id").size()
+    for doc, src in enumerate(srcs):
+        w = weights.get(src, 1.0)
+        c = int(counts.get(doc, 0))
+        assert int(np.floor(w)) <= c <= int(np.ceil(w))
+        if c:
+            assert sorted(got[got.doc_id == doc].copy_idx) == list(range(c))
