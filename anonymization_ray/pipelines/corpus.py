@@ -1,0 +1,163 @@
+"""End-to-end training-corpus preparation — the engine's operators composed
+into the pipeline a pre-training data team actually runs:
+
+    quality gate + near-dup cluster dedup   (extras.cleanse.clean_corpus)
+    -> benchmark decontamination            (extras.decontaminate)
+    -> train-split selection                (extras.shuffle hash threshold)
+    -> context-length chunking              (extras.chunk)
+    -> token-budget sequence packing        (extras.pack)
+    -> sharded parquet + manifest
+
+Every decision is a pure function of the data (SplitMix64 / MINSTD keys, min
+id per cluster), so re-running the pipeline reproduces the corpus bit-for-bit
+at any parallelism — the property the per-stage oracles check individually
+and `tests/test_corpus_pipeline.py` checks for the composition.
+
+Scale shape: the big stream is filtered EARLY (gate first, then the
+broadcast anti-filters for dedup losers / contaminated ids — both small
+fractions of a real crawl), the only all-to-alls are the ones the semantics
+require (minhash band self-join inside clean_corpus, the final pack join),
+and the output is partitioned parquet (one directory per shard) so a resumed
+run can skip finished shards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def prepare_training_corpus(
+    docs: rd.Dataset,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    bench_mod: int = 89,
+    decon_n: int = 3,
+    train_fraction: float = 0.9,
+    split_salt: int = 7,
+    chunk_size: int = 64,
+    pack_budget: int = 256,
+    num_shards: int = 8,
+) -> dict:
+    """Run the full prep pipeline over ``docs`` (id, text); write packed
+    chunks to ``out_dir`` partitioned by shard and a ``manifest.json`` with
+    per-stage counts. Returns the manifest dict.
+
+    Documents with ``id % bench_mod == 0`` play the held-out benchmark: they
+    are excluded from training AND any other document sharing a
+    ``decon_n``-gram with them is dropped (decontamination)."""
+    from ..extras.chunk import chunk_documents
+    from ..extras.cleanse import clean_corpus
+    from ..extras.decontaminate import decontaminate, ngram_set
+    from ..extras.joins import semi_anti_join
+    from ..extras.pack import pack_sequences
+    from ..extras.shuffle import sm64_key
+    from ..util import hash_join
+
+    docs = docs.select_columns([id_col, text_col]).materialize()
+    n_input = docs.count()
+
+    # benchmark slice out, eval set's n-grams broadcast for decontamination
+    def _is_bench(bench: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            m = (ids % bench_mod) == 0
+            return b.filter(pa.array(m if bench else ~m))
+
+        return _f
+
+    bench_grams = ngram_set(
+        docs.map_batches(_is_bench(True), batch_format="pyarrow"), text_col, decon_n
+    )
+    corpus = docs.map_batches(_is_bench(False), batch_format="pyarrow")
+
+    # gate + near-dup cluster keepers -> (id, n_tokens); re-attach text
+    kept = clean_corpus(corpus, text_col, id_col, min_tokens=min_tokens)
+    kept_docs = semi_anti_join(corpus, kept, on=id_col).materialize()
+    n_kept = kept_docs.count()
+
+    contaminated = decontaminate(kept_docs, bench_grams, text_col=text_col,
+                                 id_col=id_col, n=decon_n)
+    clean = semi_anti_join(kept_docs, contaminated, on=id_col, anti=True)
+    n_clean = clean.count()
+
+    # train-split selection inline (same hash/threshold as split_assign)
+    edge = np.uint64(int(train_fraction * 2**64))
+
+    def _train(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(sm64_key(ids, split_salt) < edge))
+
+    train = clean.map_batches(_train, batch_format="pyarrow")
+
+    chunks = chunk_documents(
+        train, text_col=text_col, id_col=id_col, size=chunk_size
+    ).materialize()
+    n_chunks = chunks.count()
+
+    # pack on a synthetic per-chunk key (doc, chunk) -> one int64
+    ckey = 1 << 20
+
+    def _keyed(b: pa.Table) -> pa.Table:
+        d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("chunk_id").to_numpy(zero_copy_only=False)
+        t = b.append_column("chunk_key", pa.array(d * ckey + c, pa.int64()))
+        return t
+
+    keyed = chunks.map_batches(_keyed, batch_format="pyarrow").materialize()
+    bins = pack_sequences(
+        keyed, "chunk_key", "n_tokens", budget=pack_budget, num_shards=num_shards
+    )
+    packed = hash_join(
+        keyed, bins.select_columns(["chunk_key", "shard", "bin", "pos"]),
+        on="chunk_key", join_type="inner",
+        num_partitions=max(2, min(8, n_chunks // 2000 + 1)),
+    ).drop_columns(["chunk_key"])
+
+    os.makedirs(out_dir, exist_ok=True)
+    data_dir = os.path.join(out_dir, "data")
+    if os.path.exists(data_dir):
+        import shutil
+
+        shutil.rmtree(data_dir)  # write_parquet APPENDS into existing dirs
+    packed = packed.materialize()
+    n_packed = packed.count()
+    n_tokens = int(
+        packed.map_batches(
+            lambda b: pa.table(
+                {"s": pa.array([pc.sum(b.column("n_tokens")).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+    )
+    packed.write_parquet(data_dir, partition_cols=["shard"])
+
+    manifest = {
+        "input_docs": n_input,
+        "kept_after_gate_and_dedup": n_kept,
+        "kept_after_decontamination": n_clean,
+        "train_chunks": n_chunks,
+        "packed_rows": n_packed,
+        "packed_tokens": n_tokens,
+        "config": {
+            "min_tokens": min_tokens,
+            "bench_mod": bench_mod,
+            "decon_n": decon_n,
+            "train_fraction": train_fraction,
+            "split_salt": split_salt,
+            "chunk_size": chunk_size,
+            "pack_budget": pack_budget,
+            "num_shards": num_shards,
+        },
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

@@ -1,0 +1,64 @@
+"""End-to-end training-corpus preparation: invariants + determinism."""
+
+import glob
+import json
+
+import pyarrow.parquet as pq
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(tmp, salt=7):
+    from anonymization_ray.pipelines.corpus import prepare_training_corpus
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return prepare_training_corpus(
+        docs,
+        str(tmp),
+        min_tokens=10,
+        chunk_size=16,
+        pack_budget=64,
+        num_shards=4,
+        split_salt=salt,
+    )
+
+
+def test_corpus_pipeline_invariants(tmp_path):
+    out = tmp_path / "corpus"
+    m = _run(out)
+    # manifest counts are monotone down the funnel
+    assert m["input_docs"] >= m["kept_after_gate_and_dedup"] >= m["kept_after_decontamination"]
+    assert m["packed_rows"] == m["train_chunks"] or m["packed_rows"] <= m["train_chunks"]
+    assert m["packed_rows"] > 0
+
+    files = glob.glob(str(out / "data" / "shard=*" / "*.parquet"))
+    assert files
+    t = pq.read_table(files[0])
+    got = rd.read_parquet(str(out / "data")).to_pandas()
+    assert len(got) == m["packed_rows"]
+
+    # benchmark docs excluded; every chunk respects the size; bins respect
+    # the budget; positions enumerate within each bin
+    assert not (got.doc_id % 89 == 0).any()
+    assert (got.n_tokens <= 16).all()
+    bins = got.groupby(["shard", "bin"])
+    assert (bins.n_tokens.sum() <= 64).all()
+    for (_, _), grp in bins:
+        assert sorted(grp.pos) == list(range(len(grp)))
+
+    # manifest round-trips
+    with open(out / "manifest.json") as fh:
+        assert json.load(fh)["packed_rows"] == m["packed_rows"]
+
+
+def test_corpus_pipeline_deterministic(tmp_path):
+    a = _run(tmp_path / "a")
+    b = _run(tmp_path / "b")
+    assert a == b
+    da = rd.read_parquet(str(tmp_path / "a" / "data")).to_pandas()
+    db = rd.read_parquet(str(tmp_path / "b" / "data")).to_pandas()
+    key = ["doc_id", "chunk_id"]
+    da = da.sort_values(key).reset_index(drop=True)
+    db = db.sort_values(key).reset_index(drop=True)
+    assert da.equals(db)
