@@ -6,6 +6,10 @@
 Runs the full KG-construction + anonymization pipeline and writes the sorted
 SPO/POS triple layouts with lineage manifests (resumable: re-running skips
 finished partitions).
+
+`--mode prepare-corpus` runs the training-corpus prep pipeline instead
+(gate + cluster dedup -> decontaminate -> split -> chunk -> pack) and writes
+sharded packed parquet + manifest.json under --out-dir.
 """
 
 from __future__ import annotations
@@ -30,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only used when Ray is not already initialised")
+    p.add_argument("--mode", choices=["kg", "prepare-corpus"], default="kg")
+    p.add_argument("--chunk-size", type=int, default=64)
+    p.add_argument("--pack-budget", type=int, default=256)
+    p.add_argument("--num-shards", type=int, default=8)
     args = p.parse_args(argv)
 
     import ray
@@ -48,6 +56,25 @@ def main(argv: list[str] | None = None) -> int:
     from anonymization_ray.kg.pipeline import kg_pipeline
 
     t0 = time.perf_counter()
+    if args.mode == "prepare-corpus":
+        import os
+
+        from anonymization_ray.pipelines.corpus import prepare_training_corpus
+
+        docs = rd.read_parquet(
+            os.path.join(args.sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        manifest = prepare_training_corpus(
+            docs,
+            args.out_dir,
+            chunk_size=args.chunk_size,
+            pack_budget=args.pack_budget,
+            num_shards=args.num_shards,
+        )
+        print(json.dumps({"sec": round(time.perf_counter() - t0, 2), **manifest}))
+        ray.shutdown()
+        return 0
     if args.checkpoint_dir:
         if not args.pages_parquet:
             p.error("--checkpoint-dir requires --pages-parquet")
