@@ -17,8 +17,12 @@ Scale shape: the big stream is filtered EARLY (gate first, then the
 broadcast anti-filters for dedup losers / contaminated ids — both small
 fractions of a real crawl), the only all-to-alls are the ones the semantics
 require (minhash band self-join inside clean_corpus, the final pack join),
-and the output is partitioned parquet (one directory per shard) so a resumed
-run can skip finished shards.
+and the output is partitioned parquet (one directory per shard) — the unit
+an orchestrator retries or consumers read independently. (The prep run
+itself is all-or-nothing per invocation: upstream decisions — dedup
+clusters, contamination — are global, so partial outputs are cleared and
+rewritten; mid-pipeline checkpointing lives in ``kg/checkpoint.py`` where
+per-input-shard state is actually local.)
 """
 
 from __future__ import annotations
