@@ -175,7 +175,10 @@ def interval_join(
     must be on the order of the TYPICAL interval span — a granule far below
     the span explodes the build side, one far above it degrades the join to
     a coarse time bucket with a heavy post-filter. Timestamps may be Arrow
-    timestamps (any unit) or integers; comparisons happen in int64 µs.
+    timestamps (any unit) or integers; comparisons happen in int64 µs — and
+    the OUTPUT carries ``ts_col``/``start_col``/``end_col`` in that int64-µs
+    form (the join's canonical representation), not the caller's original
+    timestamp types.
     """
 
     def _ts64(col: pa.ChunkedArray) -> np.ndarray:

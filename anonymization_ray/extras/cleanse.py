@@ -56,7 +56,10 @@ def clean_corpus(
     pairs = minhash_lsh_pairs(
         surv, text_col, id_col, bands=bands, verify_threshold=verify_threshold
     ).select_columns(["id_a", "id_b"])
-    keep = cluster_keepers(surv, pairs, id_col=id_col)
+    # materialized: both the loser extraction and (on the fallback path) the
+    # keeper extraction read it — without this the corpus-sized keeper
+    # lineage would execute twice
+    keep = cluster_keepers(surv, pairs, id_col=id_col).materialize()
 
     losers = keep.filter(
         expr=f"{id_col} != keeper_id"

@@ -36,33 +36,10 @@ import ray.data as rd
 from ..util import actor_pool_size
 
 
-def _ngram_flat(
-    batch: pa.Table, text_col: str, n: int
-) -> tuple[pa.Array, np.ndarray]:
-    """All word n-grams of a batch as one flat string array plus the row
-    index each n-gram belongs to. Tokenization (trim/lower/split on runs of
-    whitespace, empty tokens dropped) matches the repetition-stats kernel
-    and the SQL oracles byte-for-byte."""
-    txt = batch.column(text_col).combine_chunks()
-    toks = pc.split_pattern_regex(
-        pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
-    )
-    flat = pc.list_flatten(toks)
-    parent = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, "")
-    flat = flat.filter(keep)
-    parent = parent.filter(keep)
-    d = parent.to_numpy(zero_copy_only=False)
-    if len(flat) < n:
-        return pa.array([], pa.string()), np.array([], np.int64)
-    # a position starts an n-gram iff all n tokens share its document
-    same = d[: len(d) - n + 1] == d[n - 1 :]
-    parts = [
-        flat.slice(i, len(flat) - n + 1).filter(pa.array(same))
-        for i in range(n)
-    ]
-    grams = pc.binary_join_element_wise(*parts, " ")
-    return grams, d[: len(d) - n + 1][same]
+# the ONE n-gram kernel (tokenizer + shifted-slice same-doc join) is shared
+# with the duplicate-span operator so the SQL-oracle tokenization contract
+# can never drift between the two
+from .dedup import _ngram_occurrences as _ngram_flat  # noqa: E402
 
 
 def ngram_set(ds: rd.Dataset, text_col: str = "text", n: int = 3) -> pa.Array:
@@ -75,10 +52,20 @@ def ngram_set(ds: rd.Dataset, text_col: str = "text", n: int = 3) -> pa.Array:
         g, _ = _ngram_flat(batch, text_col, n)
         return pa.table({"ngram": pc.unique(g)})
 
-    parts = ds.map_batches(_grams, batch_format="pyarrow").take_all()
-    if not parts:
+    # stay in Arrow end-to-end: gather block refs, concat, one final unique
+    # (row-dict take_all would build a Python dict per distinct n-gram)
+    tables = [
+        t
+        for t in ray.get(
+            ds.map_batches(_grams, batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    if not tables:
         return pa.array([], pa.string())
-    return pc.unique(pa.array([r["ngram"] for r in parts], pa.string()))
+    return pc.unique(pa.concat_tables(tables).column("ngram").combine_chunks())
 
 
 class _Decontaminator:

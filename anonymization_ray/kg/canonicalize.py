@@ -251,13 +251,16 @@ def alias_canonical_mapping(alias_index: dict) -> pa.Table:
     co-occurrence linking); equality of the two mappings on mentioned forms
     is tested."""
     seen: set[tuple[str, str]] = set()
-    for k, hop in alias_index.items():
+    for k in alias_index:
         cur = k
         for _ in range(8):  # chain-depth guard (same as the linker pre-walk)
             nxt = alias_index.get(cur)
             if nxt is None:
                 break
-            seen.add((cur, nxt))
+            edge = (cur, nxt)
+            if edge in seen:  # tail already walked from an earlier start
+                break
+            seen.add(edge)
             cur = nxt
             if nxt.startswith("urn:"):
                 break

@@ -85,22 +85,30 @@ def prepare_training_corpus(
 
     # gate + near-dup cluster keepers -> (id, n_tokens); re-attach text
     kept = clean_corpus(corpus, text_col, id_col, min_tokens=min_tokens)
-    kept_docs = semi_anti_join(corpus, kept, on=id_col).materialize()
+    # keepers are MOST of the corpus — never a broadcast side; shuffle semi
+    kept_docs = semi_anti_join(corpus, kept, on=id_col, broadcast=False).materialize()
     n_kept = kept_docs.count()
 
     contaminated = decontaminate(kept_docs, bench_grams, text_col=text_col,
                                  id_col=id_col, n=decon_n)
-    clean = semi_anti_join(kept_docs, contaminated, on=id_col, anti=True)
+    # contaminated ids ARE a small set — the broadcast anti-filter is right
+    clean = semi_anti_join(
+        kept_docs, contaminated, on=id_col, anti=True
+    ).materialize()
     n_clean = clean.count()
 
-    # train-split selection inline (same hash/threshold as split_assign)
-    edge = np.uint64(int(train_fraction * 2**64))
+    # train-split selection inline (same hash/threshold as split_assign);
+    # fraction >= 1 keeps everything (2^64 overflows uint64 — no threshold)
+    if train_fraction >= 1.0:
+        train = clean
+    else:
+        edge = np.uint64(int(train_fraction * 2**64))
 
-    def _train(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(sm64_key(ids, split_salt) < edge))
+        def _train(b: pa.Table) -> pa.Table:
+            ids = b.column(id_col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(sm64_key(ids, split_salt) < edge))
 
-    train = clean.map_batches(_train, batch_format="pyarrow")
+        train = clean.map_batches(_train, batch_format="pyarrow")
 
     chunks = chunk_documents(
         train, text_col=text_col, id_col=id_col, size=chunk_size

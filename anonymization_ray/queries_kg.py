@@ -294,18 +294,24 @@ def q_kg_star_join(sf_dir: str):
             pa.int64(),
         )
         nat = b.column("nation").to_numpy(zero_copy_only=False)
+        # INNER-join semantics on the partOf hop (matches the SQL oracle):
+        # a nation with no partOf triple drops its customers' rows
         if len(pk):
             idx = np.clip(np.searchsorted(pk, nat), 0, len(pk) - 1)
-            region = np.where(pk[idx] == nat, pv[idx], None)
+            hit = pk[idx] == nat
         else:
-            region = np.full(len(nat), None, dtype=object)
-        return pa.table(
+            idx = np.zeros(len(nat), np.int64)
+            hit = np.zeros(len(nat), bool)
+        t = pa.table(
             {
                 "subj": b.column("subj").combine_chunks(),
-                "region": pa.array(region, pa.string()),
+                "region": pa.array(
+                    np.where(hit, pv[idx] if len(pk) else "", ""), pa.string()
+                ),
                 "balance_cents": cents,
             }
         )
+        return t.filter(pa.array(hit))
 
     return joined.map_batches(_out, batch_format="pyarrow")
 

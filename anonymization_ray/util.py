@@ -218,6 +218,11 @@ def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Da
 def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     """DISTINCT over ``cols`` WITHOUT a per-group aggregate.
 
+    ``cols`` values must be NON-NULL: Ray's sort raises on null keys before
+    any scan runs, and null-equality semantics are deliberately not defined
+    here (every in-repo caller deduplicates generated ids/band keys, which
+    are never null).
+
     Candidate-pair dedup is the largest intermediate in the LSH pipelines
     (every shared band emits the pair again); ``groupby(cols).count()`` at
     pair cardinality pays the per-group Python cost ``min_per_key`` was built
