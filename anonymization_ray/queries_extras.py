@@ -1891,3 +1891,34 @@ WHERE n_tokens >= thr AND 2 * n_alpha >= n_chars
 EXTRAS_REGISTRY.update(
     {"corpus_quality_gate": QueryDef(q_corpus_quality_gate, SQL_CORPUS_QUALITY_GATE)}
 )
+
+
+def q_dedup_semantic(sf_dir: str):
+    """Semantic dedup (SemDeDup shape): embedding-cosine near-dup PAIRS
+    (distributed block-pair join, exact) resolved into per-vector cluster
+    keepers — min vec_id of each connected component in the similarity
+    graph, itself for singletons. filter(vec_id == keeper_id) is the dedup."""
+    from .extras.dedup import cluster_keepers, embedding_dup_pairs
+
+    emb = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.45
+    ).select_columns(["id_a", "id_b"])
+    return cluster_keepers(emb.select_columns(["vec_id"]), pairs, id_col="vec_id")
+
+
+SQL_DEDUP_SEMANTIC = f"""
+WITH RECURSIVE dup AS ({SQL_DEDUP_EMBEDDING}),
+edges AS (SELECT id_a AS a, id_b AS b FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+)
+SELECT id AS vec_id, min(r) AS keeper_id FROM reach GROUP BY id
+"""
+
+EXTRAS_REGISTRY.update(
+    {"dedup_semantic": QueryDef(q_dedup_semantic, SQL_DEDUP_SEMANTIC)}
+)
