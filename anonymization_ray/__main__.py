@@ -38,6 +38,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chunk-size", type=int, default=64)
     p.add_argument("--pack-budget", type=int, default=256)
     p.add_argument("--num-shards", type=int, default=8)
+    p.add_argument("--decon-n", type=int, default=3,
+                   help="decontamination n-gram size; raise it on small-"
+                        "vocabulary corpora where short grams over-match")
     args = p.parse_args(argv)
 
     import ray
@@ -71,6 +74,7 @@ def main(argv: list[str] | None = None) -> int:
             chunk_size=args.chunk_size,
             pack_budget=args.pack_budget,
             num_shards=args.num_shards,
+            decon_n=args.decon_n,
         )
         print(json.dumps({"sec": round(time.perf_counter() - t0, 2), **manifest}))
         ray.shutdown()

@@ -20,3 +20,5 @@ from .redact import redact_text, PII_RULES  # noqa: F401
 from .decontaminate import decontaminate, ngram_set  # noqa: F401
 from .shuffle import deterministic_shuffle, split_assign, mixture_sample  # noqa: F401
 from .chunk import chunk_documents  # noqa: F401
+from .dedup import duplicate_span_stats  # noqa: F401
+from .textstats import repetition_stats  # noqa: F401
