@@ -1,0 +1,74 @@
+"""JSONL documents source: newline-delimited JSON crawl dumps -> documents
+schema (doc_id, text, lang, source).
+
+``ray.data.read_json`` handles .jsonl natively (one task per file, Arrow
+conversion inside the read); this wrapper only normalizes heterogeneous
+field names and fills defaults so any downstream operator sees the same
+documents schema the parquet tables carry. Missing doc ids are derived
+deterministically from a SplitMix64 hash of the text (stable across runs
+and partitionings — never a row counter, which would depend on block
+layout)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_ALIASES = {
+    "doc_id": ("doc_id", "id", "docid"),
+    "text": ("text", "content", "body", "raw_content"),
+    "lang": ("lang", "language"),
+    "source": ("source", "subset", "pile_set_name", "domain"),
+}
+
+
+def read_jsonl_documents(paths: str | list[str]) -> rd.Dataset:
+    """JSONL file(s)/dir -> Dataset[(doc_id, text, lang, source)]."""
+    from ..extras.shuffle import sm64_key
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        cols = {c.lower(): c for c in batch.column_names}
+
+        def pick(key: str):
+            for a in _ALIASES[key]:
+                if a in cols:
+                    return batch.column(cols[a])
+            return None
+
+        text = pick("text")
+        if text is None:
+            raise ValueError(
+                f"no text-like column in JSONL batch (have {batch.column_names})"
+            )
+        text = pa.compute.cast(text.combine_chunks(), pa.string())
+        ids = pick("doc_id")
+        if ids is not None:
+            ids = pa.compute.cast(ids.combine_chunks(), pa.int64())
+        else:
+            h = sm64_key(
+                pd.util.hash_array(text.to_numpy(zero_copy_only=False)).astype(
+                    np.int64
+                )
+            )
+            ids = pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
+
+        def str_or(key: str, default: str):
+            c = pick(key)
+            if c is None:
+                return pa.array([default] * len(batch), pa.string())
+            return pa.compute.fill_null(
+                pa.compute.cast(c.combine_chunks(), pa.string()), default
+            )
+
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": text,
+                "lang": str_or("lang", "und"),
+                "source": str_or("source", "jsonl"),
+            }
+        )
+
+    return rd.read_json(paths).map_batches(_norm, batch_format="pyarrow")

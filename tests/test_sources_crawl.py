@@ -1,0 +1,90 @@
+"""WARC and JSONL crawl sources -> the engine's canonical schemas."""
+
+import gzip
+import json
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _warc_record(url: str, date: str, body: bytes, rtype: str = "response") -> bytes:
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    payload = http if rtype == "response" else body
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _write_warc(path, gz=False):
+    blob = (
+        _warc_record("http://a.example/1", "2024-05-01T10:00:00Z", b"<html><p>alpha beta</p></html>")
+        + _warc_record("ignored", "2024-05-01T10:00:01Z", b"warcinfo stuff", rtype="warcinfo")
+        + _warc_record("http://b.example/2", "2024-05-02T11:30:00Z", b"<html><p>gamma</p></html>")
+    )
+    data = gzip.compress(blob) if gz else blob
+    with open(path, "wb") as fh:
+        fh.write(data)
+    return path
+
+
+def test_warc_parse_and_pages(tmp_path):
+    from anonymization_ray.sources.warc import parse_warc, read_warc
+
+    p = _write_warc(tmp_path / "a.warc")
+    recs = parse_warc(open(p, "rb").read())
+    assert [r["headers"]["warc-type"] for r in recs] == ["response", "warcinfo", "response"]
+
+    pages = read_warc(str(p)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert pages.url.tolist() == ["http://a.example/1", "http://b.example/2"]
+    # HTTP envelope stripped, raw body preserved byte-exactly
+    assert pages.html[0] == b"<html><p>alpha beta</p></html>"
+    assert str(pages.warc_ts[0]) == "2024-05-01 10:00:00"
+    assert set(pages.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+    # gzip member parses identically
+    pg = _write_warc(tmp_path / "b.warc.gz", gz=True)
+    pages_gz = read_warc(str(pg)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert pages_gz.url.tolist() == pages.url.tolist()
+    assert (pages_gz.html == pages.html).all()
+
+
+def test_warc_feeds_text_extraction(tmp_path):
+    """WARC pages run through the same extraction stage as parquet pages."""
+    from anonymization_ray.kg.extract import extract_text
+    from anonymization_ray.sources.warc import read_warc
+
+    p = _write_warc(tmp_path / "c.warc")
+    out = extract_text(read_warc(str(p))).to_pandas().sort_values("url")
+    assert out.text_extracted.tolist() == ["alpha beta", "gamma"]
+
+
+def test_jsonl_documents_normalization(tmp_path):
+    from anonymization_ray.sources.jsonl import read_jsonl_documents
+
+    p = tmp_path / "docs.jsonl"
+    rows = [
+        {"id": 7, "content": "hello world", "language": "en", "subset": "web"},
+        {"id": 8, "content": "hallo welt", "language": "de", "subset": "web"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    got = read_jsonl_documents(str(p)).to_pandas().sort_values("doc_id")
+    assert got.doc_id.tolist() == [7, 8]
+    assert got.text.tolist() == ["hello world", "hallo welt"]
+    assert got.lang.tolist() == ["en", "de"]
+    assert got.source.tolist() == ["web", "web"]
+
+    # missing ids: derived deterministically from text (stable across runs)
+    p2 = tmp_path / "noid.jsonl"
+    p2.write_text("\n".join(json.dumps({"text": t}) for t in ["aa bb", "cc dd"]))
+    a = read_jsonl_documents(str(p2)).to_pandas().sort_values("text")
+    b = read_jsonl_documents(str(p2)).to_pandas().sort_values("text")
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.doc_id.nunique() == 2
+    assert (a.doc_id >= 0).all()
+    assert a.lang.tolist() == ["und", "und"]
