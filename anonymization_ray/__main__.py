@@ -41,6 +41,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decon-n", type=int, default=3,
                    help="decontamination n-gram size; raise it on small-"
                         "vocabulary corpora where short grams over-match")
+    p.add_argument("--warc-dir", default=None,
+                   help="prepare-corpus: ingest WARC archive(s) instead of "
+                        "the sf documents table (url-hash doc ids, extracted text)")
     args = p.parse_args(argv)
 
     import ray
@@ -64,10 +67,15 @@ def main(argv: list[str] | None = None) -> int:
 
         from anonymization_ray.pipelines.corpus import prepare_training_corpus
 
-        docs = rd.read_parquet(
-            os.path.join(args.sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"],
-        )
+        if args.warc_dir:
+            from anonymization_ray.pipelines.corpus import documents_from_warc
+
+            docs = documents_from_warc(args.warc_dir)
+        else:
+            docs = rd.read_parquet(
+                os.path.join(args.sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+            )
         manifest = prepare_training_corpus(
             docs,
             args.out_dir,

@@ -53,10 +53,11 @@ def semi_anti_join(
             batch_format="pyarrow",
         )
         blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
-        if blocks:
-            keys = pc.unique(pa.concat_tables(blocks).column(right_on).combine_chunks())
-        else:
-            keys = pa.array([], type=right.schema().field(right_on).type)
+        if not blocks:
+            # empty right side: anti keeps everything, semi keeps nothing
+            # (avoids type fishing on a possibly schema-less empty dataset)
+            return left if anti else left.limit(0)
+        keys = pc.unique(pa.concat_tables(blocks).column(right_on).combine_chunks())
         if len(keys) > BROADCAST_KEY_CAP:
             raise ValueError(
                 f"{len(keys)} distinct keys exceeds the broadcast cap "

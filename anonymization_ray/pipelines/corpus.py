@@ -173,3 +173,34 @@ def prepare_training_corpus(
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def documents_from_warc(warc_paths: str | list) -> rd.Dataset:
+    """WARC archives -> (doc_id, text) ready for :func:`prepare_training_corpus`:
+    pages via the pure-python WARC source, text via the byte-identical
+    extraction stage, doc ids as the SplitMix64 hash of the url (stable
+    across runs and partitionings, like every other decision key here)."""
+    import pandas as pd
+
+    from ..extras.shuffle import sm64_key
+    from ..kg.extract import extract_text
+    from ..sources.warc import read_warc
+
+    pages = extract_text(read_warc(warc_paths))
+
+    def _docs(b: pa.Table) -> pa.Table:
+        urls = b.column("url").combine_chunks()
+        h = sm64_key(
+            pd.util.hash_array(urls.to_numpy(zero_copy_only=False)).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64()),
+                "text": pc.fill_null(
+                    pc.cast(b.column("text_extracted").combine_chunks(), pa.string()),
+                    "",
+                ),
+            }
+        )
+
+    return pages.map_batches(_docs, batch_format="pyarrow")

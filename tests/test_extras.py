@@ -997,3 +997,20 @@ def test_duplicate_span_stats_first_occurrence_wins():
     # grams: pqr qrp rpq pqr qrp rpq pqr -> 7 total, 3 distinct firsts, 4 dups
     assert one.n_grams.tolist() == [7]
     assert one.n_dup.tolist() == [4]
+
+
+def test_semi_anti_join_empty_right():
+    """Empty right side: anti keeps every left row, semi keeps none —
+    regression test for the schema-less empty-dataset path."""
+    from anonymization_ray.extras.joins import semi_anti_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": ["a", "b", "c"]})
+    )
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())})).filter(
+        lambda r: False
+    )
+    kept = semi_anti_join(left, empty, on="k", anti=True).to_pandas()
+    assert sorted(kept.k) == [1, 2, 3]
+    none = semi_anti_join(left, empty, on="k").to_pandas()
+    assert len(none) == 0
