@@ -88,3 +88,14 @@ def test_jsonl_documents_normalization(tmp_path):
     assert a.doc_id.nunique() == 2
     assert (a.doc_id >= 0).all()
     assert a.lang.tolist() == ["und", "und"]
+
+
+def test_documents_from_warc_stable_ids(tmp_path):
+    from anonymization_ray.pipelines.corpus import documents_from_warc
+
+    p = _write_warc(tmp_path / "d.warc")
+    a = documents_from_warc(str(p)).to_pandas().sort_values("text").reset_index(drop=True)
+    b = documents_from_warc(str(p)).to_pandas().sort_values("text").reset_index(drop=True)
+    assert a.text.tolist() == ["alpha beta", "gamma"]
+    assert a.doc_id.tolist() == b.doc_id.tolist()  # url-hash ids, run-stable
+    assert (a.doc_id >= 0).all() and a.doc_id.nunique() == 2
