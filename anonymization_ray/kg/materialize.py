@@ -153,3 +153,26 @@ def materialize_triples(
 
 def read_layout(out_dir: str, layout: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(out_dir, layout))
+
+
+def read_pred(out_dir: str, pred: str) -> rd.Dataset:
+    """Index-aware read of one predicate from the POS layout: the layout is
+    sorted by (pred, obj, subj) inside hash partitions, so parquet row-group
+    statistics are tight on ``pred`` and the pushed-down filter prunes
+    row groups before any byte leaves storage — the triple-store access
+    path the POS layout exists for."""
+    import pyarrow.dataset as pads
+
+    return rd.read_parquet(
+        os.path.join(out_dir, "pos"), filter=pads.field("pred") == pred
+    )
+
+
+def read_subject(out_dir: str, subj: str) -> rd.Dataset:
+    """Index-aware read of one subject's triples from the SPO layout (sorted
+    by (subj, pred, obj)): row-group pruning on ``subj``."""
+    import pyarrow.dataset as pads
+
+    return rd.read_parquet(
+        os.path.join(out_dir, "spo"), filter=pads.field("subj") == subj
+    )

@@ -145,6 +145,10 @@ def test_mixture_sample_copy_counts_bounded(weights, salt):
     got = mixture_sample(
         rd.from_arrow(t).repartition(2), "source", weights, "doc_id", salt=salt
     ).to_pandas()
+    if got.empty:
+        # valid only when every source's floor(w) is 0 (all docs may drop)
+        assert all(int(np.floor(weights.get(s, 1.0))) == 0 for s in set(srcs))
+        return
     counts = got.groupby("doc_id").size()
     for doc, src in enumerate(srcs):
         w = weights.get(src, 1.0)

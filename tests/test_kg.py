@@ -246,3 +246,34 @@ def test_alias_mapping_equals_stream_mapping(ray_session):
                 assert canon == node, node
             continue
         assert expect == canon, node
+
+
+def test_layout_pushdown_reads(tmp_path):
+    """read_pred/read_subject over the materialized layouts return exactly
+    the full-scan-filtered triples (pushdown correctness)."""
+    from anonymization_ray.kg.materialize import (
+        materialize_triples,
+        read_layout,
+        read_pred,
+        read_subject,
+    )
+    from anonymization_ray.kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(SF, anonymize=False).triples
+    out = str(tmp_path / "kg")
+    materialize_triples(tri, out, num_partitions=4)
+
+    full = read_layout(out, "pos").to_pandas()
+    want = full[full.pred == "basedIn"].drop(columns=["part"])
+    got = read_pred(out, "basedIn").to_pandas().drop(columns=["part"])
+    key = ["subj", "pred", "obj"]
+    assert (
+        got.sort_values(key).reset_index(drop=True)[key]
+        .equals(want.sort_values(key).reset_index(drop=True)[key])
+    )
+
+    s = full.subj.iloc[0]
+    want_s = full[full.subj == s]
+    got_s = read_subject(out, s).to_pandas()
+    assert len(got_s) == len(want_s)
+    assert set(got_s.pred) == set(want_s.pred)
