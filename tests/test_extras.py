@@ -1014,3 +1014,24 @@ def test_semi_anti_join_empty_right():
     assert sorted(kept.k) == [1, 2, 3]
     none = semi_anti_join(left, empty, on="k").to_pandas()
     assert len(none) == 0
+
+
+def test_normalize_text_kernels():
+    from anonymization_ray.extras.textstats import normalize_text
+
+    texts = [
+        "Café   du\tmonde\r\n",  # combining accent -> NFC, ws collapse
+        "ok already",
+        "ctrl\x00chars\x07here",
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": texts})
+    )
+    got = normalize_text(ds, "text", "doc_id").to_pandas().sort_values("doc_id")
+    want0 = "Café du monde"  # COMPOSED e-acute: NFC must compose the input
+    assert [s.encode("unicode_escape") for s in got.text_norm] == [
+        want0.encode("unicode_escape"),
+        b"ok already",
+        b"ctrlcharshere",
+    ]
+    assert got.changed.tolist() == [1, 0, 1]
