@@ -156,3 +156,31 @@ def test_mixture_sample_copy_counts_bounded(weights, salt):
         assert int(np.floor(w)) <= c <= int(np.ceil(w))
         if c:
             assert sorted(got[got.doc_id == doc].copy_idx) == list(range(c))
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy, st.sampled_from(["a", "cc", "e"]))
+def test_redact_counts_match_python_re(texts, word):
+    """Sequential count+replace semantics equal a Python re reference for
+    word rules; RE2 and re agree on these patterns."""
+    import re
+
+    from anonymization_ray.extras.redact import redact_text
+
+    rules = [("w", rf"\b{word}\b", "<W>"), ("pair", r"<W> <W>", "<WW>")]
+    got = (
+        redact_text(_ds(texts), rules)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    if got.empty:
+        assert not texts or all(t == "" for t in texts) or len(texts) == 0
+        return
+    for i, txt in enumerate(texts):
+        cur, total = txt, 0
+        for _name, pat, repl in rules:
+            total += len(re.findall(pat, cur))
+            cur = re.sub(pat, repl, cur)
+        assert got.text_redacted[i] == cur
+        assert got.n_redactions[i] == total
