@@ -134,6 +134,19 @@ def prepare_training_corpus(
         num_partitions=max(2, min(8, n_chunks // 2000 + 1)),
     ).drop_columns(["chunk_key"])
 
+    # epoch_order: deterministic shuffled READ order over bins — consumers
+    # sort by (epoch_order, shard, bin, pos) to stream the corpus in a
+    # reproducible random bin order without a second global sort here
+    def _epoch(b: pa.Table) -> pa.Table:
+        sh = b.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        bn = b.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sm64_key(sh * (1 << 32) + bn, split_salt + 1)
+        return b.append_column(
+            "epoch_order", pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
+        )
+
+    packed = packed.map_batches(_epoch, batch_format="pyarrow")
+
     os.makedirs(out_dir, exist_ok=True)
     data_dir = os.path.join(out_dir, "data")
     if os.path.exists(data_dir):

@@ -62,3 +62,16 @@ def test_corpus_pipeline_deterministic(tmp_path):
     da = da.sort_values(key).reset_index(drop=True)
     db = db.sort_values(key).reset_index(drop=True)
     assert da.equals(db)
+
+
+def test_epoch_order_is_per_bin_and_deterministic(tmp_path):
+    _run(tmp_path / "e")
+    got = rd.read_parquet(str(tmp_path / "e" / "data")).to_pandas()
+    assert "epoch_order" in got.columns
+    # one order value per (shard, bin); chunks of a bin stay contiguous
+    per_bin = got.groupby(["shard", "bin"]).epoch_order.nunique()
+    assert (per_bin == 1).all()
+    # and the order key actually scrambles bins (not monotone in bin id)
+    b0 = got[got.shard == got.shard.iloc[0]].drop_duplicates(["bin"])
+    if len(b0) > 2:
+        assert not b0.sort_values("bin").epoch_order.is_monotonic_increasing
