@@ -266,3 +266,93 @@ def normalize_text(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
         )
 
     return ds.map_batches(_norm, batch_format="pyarrow")
+
+
+def unigram_nll(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """(id, n_tokens, nll_micro): unigram language-model negative
+    log-likelihood per document — the CCNet-style perplexity quality filter
+    in cross-engine-exact integer form. A token with corpus count ``c`` out
+    of ``N`` total contributes ``floor(scale·(ln N − ln c))`` micro-nats;
+    the per-doc score is the INTEGER sum of token contributions, so
+    summation order can never change the value (float Σ then floor would
+    tie the result to each engine's reduction order).
+
+    Shape: corpus token counts via the sort+boundary-scan
+    ``exact_value_counts`` (never a Ray groupby at vocabulary cardinality),
+    gathered ONCE to sorted key/value arrays and broadcast via ``ray.put``;
+    scoring is a stateless second pass (searchsorted lookup + ``bincount``
+    per batch). At web scale the gather is the LM step — swap the exact
+    full-vocabulary table for a fixed top-V model with an OOV bucket (the
+    realistic deployment); the oracle pins the exact-vocabulary variant.
+    """
+    import ray
+
+    from .stats import exact_value_counts
+
+    def _tokens(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        return pa.table({"term": flat.filter(pc.not_equal(flat, ""))})
+
+    tok = ds.select_columns([id_col, text_col]).map_batches(
+        _tokens, batch_format="pyarrow"
+    )
+    counts = exact_value_counts(tok, "term").materialize()
+    parts = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    vocab = pa.concat_tables(parts)
+    terms = np.asarray(vocab.column("term").to_pylist())
+    cnts = vocab.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(terms)
+    terms, cnts = terms[order], cnts[order]
+    total = int(cnts.sum())
+    # per-term integer micro-nats, computed ONCE per distinct term
+    nll_term = np.floor(scale * (np.log(float(total)) - np.log(cnts.astype(np.float64)))).astype(np.int64)
+    ref = ray.put((terms, nll_term))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ts, nt = ray.get(ref)
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        d = parent.filter(keep).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).combine_chunks()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "nll_micro": pa.array([], pa.int64()),
+                }
+            )
+        w = flat.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ts, w)
+        np.clip(idx, 0, len(ts) - 1, out=idx)
+        # every token is in the vocabulary by construction (same corpus)
+        tok_nll = nt[idx]
+        n_rows = len(batch)
+        n_tok = np.bincount(d, minlength=n_rows)
+        nll = np.bincount(d, weights=tok_nll, minlength=n_rows).astype(np.int64)
+        nz = np.nonzero(n_tok)[0]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(nz, pa.int64())),
+                "n_tokens": pa.array(n_tok[nz], pa.int64()),
+                "nll_micro": pa.array(nll[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -1945,3 +1945,35 @@ FROM documents
 """
 
 EXTRAS_REGISTRY.update({"text_normalize": QueryDef(q_text_normalize, SQL_TEXT_NORMALIZE)})
+
+
+def q_text_unigram_nll(sf_dir: str):
+    """Unigram-LM perplexity scoring (extras/textstats.unigram_nll): corpus
+    token counts via sort+boundary-scan, broadcast once; per-doc score is an
+    order-independent INTEGER sum of floor(1e6*(ln N - ln c)) per token."""
+    from .extras.textstats import unigram_nll
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_nll(ds, "text", "doc_id")
+
+
+SQL_TEXT_UNIGRAM_NLL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(arr) AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CAST(floor(1000000.0 * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))) AS BIGINT)) AS BIGINT) AS nll_micro
+FROM tok JOIN cnt USING (term), tot
+GROUP BY doc_id
+"""
+
+EXTRAS_REGISTRY.update(
+    {"text_unigram_nll": QueryDef(q_text_unigram_nll, SQL_TEXT_UNIGRAM_NLL)}
+)
