@@ -22,3 +22,4 @@ from .shuffle import deterministic_shuffle, split_assign, mixture_sample  # noqa
 from .chunk import chunk_documents  # noqa: F401
 from .dedup import duplicate_span_stats  # noqa: F401
 from .textstats import repetition_stats  # noqa: F401
+from .textstats import normalize_text, unigram_nll  # noqa: F401
