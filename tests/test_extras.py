@@ -1035,3 +1035,26 @@ def test_normalize_text_kernels():
         b"ctrlcharshere",
     ]
     assert got.changed.tolist() == [1, 0, 1]
+
+
+def test_unigram_nll_matches_python():
+    import math
+
+    from anonymization_ray.extras.textstats import unigram_nll
+
+    texts = ["a a b", "b c", ""]
+    # corpus counts: a=2, b=2, c=1; N=5
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()), "text": texts})
+    ).repartition(2)
+    got = (
+        unigram_nll(ds, "text", "doc_id")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    def tok_nll(c, n=5):
+        return math.floor(1_000_000 * (math.log(float(n)) - math.log(float(c))))
+    want0 = 2 * tok_nll(2) + tok_nll(2)   # a a b
+    want1 = tok_nll(2) + tok_nll(1)       # b c
+    assert got.doc_id.tolist() == [0, 1]  # empty doc emits no row
+    assert got.n_tokens.tolist() == [3, 2]
+    assert got.nll_micro.tolist() == [want0, want1]
