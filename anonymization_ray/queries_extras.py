@@ -1977,3 +1977,50 @@ GROUP BY doc_id
 EXTRAS_REGISTRY.update(
     {"text_unigram_nll": QueryDef(q_text_unigram_nll, SQL_TEXT_UNIGRAM_NLL)}
 )
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Distributed top-k-per-key as a standalone relational operator
+    (util.topk_per_key): each customer's 3 highest-value orders — one range
+    sort + per-block within-key ranks with boundary carry, no per-group UDF
+    at customer cardinality. Prices in integer cents for hash-exactness."""
+    from .util import topk_per_key
+
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey").combine_chunks(),
+                "o_orderkey": b.column("o_orderkey").combine_chunks(),
+                "price_cents": cents,
+            }
+        )
+
+    narrow = ds.map_batches(_cents, batch_format="pyarrow")
+    return topk_per_key(
+        narrow, "o_custkey", "price_cents", 3, descending=True, tie_col="o_orderkey"
+    ).select_columns(["o_custkey", "o_orderkey", "price_cents"])
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+WITH c AS (SELECT o_custkey, o_orderkey,
+                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+           FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY price_cents DESC, o_orderkey) AS rn
+      FROM c)
+SELECT o_custkey, o_orderkey, price_cents FROM r WHERE rn <= 3
+"""
+
+EXTRAS_REGISTRY.update(
+    {
+        "top_orders_per_customer": QueryDef(
+            q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER
+        )
+    }
+)
