@@ -184,3 +184,31 @@ def test_redact_counts_match_python_re(texts, word):
             cur = re.sub(pat, repl, cur)
         assert got.text_redacted[i] == cur
         assert got.n_redactions[i] == total
+
+
+@settings(max_examples=10, deadline=None)
+@given(docs_strategy, docs_strategy)
+def test_decontaminate_matches_python(bench_texts, corpus_texts):
+    """Hit counts equal a brute-force Python n-gram reference."""
+    from anonymization_ray.extras.decontaminate import decontaminate, ngram_set
+
+    n = 2
+
+    def grams(txt):
+        toks = [w for w in txt.lower().strip().split() if w]
+        return [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+
+    bench_set = {g for t in bench_texts for g in grams(t)}
+    got = (
+        decontaminate(_ds(corpus_texts, 3), ngram_set(_ds(bench_texts), "text", n), n=n)
+        .to_pandas()
+    )
+    want = {
+        i: sum(g in bench_set for g in grams(t))
+        for i, t in enumerate(corpus_texts)
+        if sum(g in bench_set for g in grams(t)) > 0
+    }
+    if got.empty:
+        assert not want
+        return
+    assert dict(zip(got.doc_id, got.n_hits)) == want

@@ -99,3 +99,23 @@ def test_documents_from_warc_stable_ids(tmp_path):
     assert a.text.tolist() == ["alpha beta", "gamma"]
     assert a.doc_id.tolist() == b.doc_id.tolist()  # url-hash ids, run-stable
     assert (a.doc_id >= 0).all() and a.doc_id.nunique() == 2
+
+
+def test_warc_lf_only_and_truncated(tmp_path):
+    """LF-only header framing parses; a truncated trailing record is
+    dropped rather than crashing."""
+    from anonymization_ray.sources.warc import parse_warc
+
+    body = b"<html><p>x</p></html>"
+    http = b"HTTP/1.1 200 OK\n\n" + body
+    rec = (
+        f"WARC/1.1\nWARC-Type: response\nWARC-Target-URI: http://lf.example/\n"
+        f"WARC-Date: 2024-01-01T00:00:00Z\nContent-Length: {len(http)}\n\n"
+    ).encode() + http + b"\r\n\r\n"
+    recs = parse_warc(rec)
+    assert len(recs) == 1
+    assert recs[0]["headers"]["warc-target-uri"] == "http://lf.example/"
+    # truncated: header block never terminates
+    assert parse_warc(rec + b"WARC/1.0\nWARC-Type: response\nContent-Le") and True
+    got = parse_warc(rec + b"WARC/1.0\nWARC-Type: response\nContent-Le")
+    assert len(got) == 1  # the malformed tail is ignored
