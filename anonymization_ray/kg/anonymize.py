@@ -28,8 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import MASK_VALUE
-from ..stages.generalization import GeneralizationResult, generalize_column
-from ..util import format_double
+from ..stages.generalization import GeneralizationResult
 
 SOYA_GENERALIZATION = "soya:generalization"
 RDFS_MIN = "rdfs:min"
