@@ -308,14 +308,19 @@ def unigram_nll(
     )
     counts = exact_value_counts(tok, "term").materialize()
     parts = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
-    vocab = pa.concat_tables(parts)
-    terms = np.asarray(vocab.column("term").to_pylist())
-    cnts = vocab.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(terms)
-    terms, cnts = terms[order], cnts[order]
-    total = int(cnts.sum())
-    # per-term integer micro-nats, computed ONCE per distinct term
-    nll_term = np.floor(scale * (np.log(float(total)) - np.log(cnts.astype(np.float64)))).astype(np.int64)
+    if parts:
+        vocab = pa.concat_tables(parts)
+        terms = np.asarray(vocab.column("term").to_pylist())
+        cnts = vocab.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(terms)
+        terms, cnts = terms[order], cnts[order]
+        total = int(cnts.sum())
+        # per-term integer micro-nats, computed ONCE per distinct term
+        nll_term = np.floor(
+            scale * (np.log(float(total)) - np.log(cnts.astype(np.float64)))
+        ).astype(np.int64)
+    else:  # zero-token corpus: every doc emits no row downstream
+        terms, nll_term = np.array([], dtype=str), np.array([], np.int64)
     ref = ray.put((terms, nll_term))
 
     def _score(batch: pa.Table) -> pa.Table:

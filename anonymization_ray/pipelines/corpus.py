@@ -57,7 +57,8 @@ def prepare_training_corpus(
 
     Documents with ``id % bench_mod == 0`` play the held-out benchmark: they
     are excluded from training AND any other document sharing a
-    ``decon_n``-gram with them is dropped (decontamination)."""
+    ``decon_n``-gram with them is dropped (decontamination). ``bench_mod <= 0``
+    disables both (real ingestion where no eval suite lives in the corpus)."""
     from ..extras.chunk import chunk_documents
     from ..extras.cleanse import clean_corpus
     from ..extras.decontaminate import decontaminate, ngram_set
@@ -78,10 +79,14 @@ def prepare_training_corpus(
 
         return _f
 
-    bench_grams = ngram_set(
-        docs.map_batches(_is_bench(True), batch_format="pyarrow"), text_col, decon_n
-    )
-    corpus = docs.map_batches(_is_bench(False), batch_format="pyarrow")
+    if bench_mod > 0:
+        bench_grams = ngram_set(
+            docs.map_batches(_is_bench(True), batch_format="pyarrow"), text_col, decon_n
+        )
+        corpus = docs.map_batches(_is_bench(False), batch_format="pyarrow")
+    else:
+        bench_grams = None
+        corpus = docs
 
     # gate + near-dup cluster keepers -> (id, n_tokens); re-attach text
     kept = clean_corpus(corpus, text_col, id_col, min_tokens=min_tokens)
@@ -89,13 +94,16 @@ def prepare_training_corpus(
     kept_docs = semi_anti_join(corpus, kept, on=id_col, broadcast=False).materialize()
     n_kept = kept_docs.count()
 
-    contaminated = decontaminate(kept_docs, bench_grams, text_col=text_col,
-                                 id_col=id_col, n=decon_n)
-    # contaminated ids ARE a small set — the broadcast anti-filter is right
-    clean = semi_anti_join(
-        kept_docs, contaminated, on=id_col, anti=True
-    ).materialize()
-    n_clean = clean.count()
+    if bench_grams is not None:
+        contaminated = decontaminate(kept_docs, bench_grams, text_col=text_col,
+                                     id_col=id_col, n=decon_n)
+        # contaminated ids ARE a small set — the broadcast anti-filter is right
+        clean = semi_anti_join(
+            kept_docs, contaminated, on=id_col, anti=True
+        ).materialize()
+        n_clean = clean.count()
+    else:
+        clean, n_clean = kept_docs, n_kept
 
     # train-split selection inline (same hash/threshold as split_assign);
     # fraction >= 1 keeps everything (2^64 overflows uint64 — no threshold)
@@ -199,7 +207,40 @@ def documents_from_warc(warc_paths: str | list) -> rd.Dataset:
     from ..kg.extract import extract_text
     from ..sources.warc import read_warc
 
-    pages = extract_text(read_warc(warc_paths))
+    raw = read_warc(warc_paths)
+
+    # crawl payloads are arbitrary bytes — lossy-decode to valid UTF-8 so
+    # the extraction cast can never fail, and key each capture for the
+    # refetch dedup below (same url fetched twice is ubiquitous in WARC)
+    def _sanitize(b: pa.Table) -> pa.Table:
+        htmls = [
+            p.decode("utf-8", "replace").encode()
+            for p in b.column("html").to_pylist()
+        ]
+        ts = pc.fill_null(
+            pc.cast(b.column("warc_ts"), pa.timestamp("us")).cast(pa.int64()), 0
+        )
+        hh = pd.util.hash_array(np.array([p for p in htmls], object)).astype(np.int64)
+        return pa.table(
+            {
+                "url": b.column("url").combine_chunks(),
+                "warc_ts": b.column("warc_ts").combine_chunks(),
+                "html": pa.array(htmls, pa.binary()),
+                "text": b.column("text").combine_chunks(),
+                "lang": b.column("lang").combine_chunks(),
+                "ts_us": ts,
+                "hh": pa.array(hh, pa.int64()),
+            }
+        )
+
+    sane = raw.map_batches(_sanitize, batch_format="pyarrow")
+    # one capture per url — the earliest, payload-hash tie-broken so the
+    # choice never depends on partitioning; without this, refetched urls
+    # collide on doc_id and fan out in the pack join
+    from ..util import topk_per_key
+
+    first = topk_per_key(sane, "url", "ts_us", 1, descending=False, tie_col="hh")
+    pages = extract_text(first.drop_columns(["ts_us", "hh"]))
 
     def _docs(b: pa.Table) -> pa.Table:
         urls = b.column("url").combine_chunks()

@@ -45,7 +45,20 @@ def read_jsonl_documents(paths: str | list[str]) -> rd.Dataset:
         text = pa.compute.cast(text.combine_chunks(), pa.string())
         ids = pick("doc_id")
         if ids is not None:
-            ids = pa.compute.cast(ids.combine_chunks(), pa.int64())
+            ids = ids.combine_chunks()
+            try:
+                ids = pa.compute.cast(ids, pa.int64())
+            except pa.lib.ArrowInvalid:
+                # string ids (UUIDs/hashes) — derive stable int64 ids from
+                # the id STRING, same scheme as the missing-id path
+                h = sm64_key(
+                    pd.util.hash_array(
+                        pa.compute.cast(ids, pa.string()).to_numpy(
+                            zero_copy_only=False
+                        )
+                    ).astype(np.int64)
+                )
+                ids = pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
         else:
             h = sm64_key(
                 pd.util.hash_array(text.to_numpy(zero_copy_only=False)).astype(

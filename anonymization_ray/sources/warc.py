@@ -44,13 +44,15 @@ def parse_warc(data: bytes) -> list[dict]:
             pos += 2
         if pos >= n or not data.startswith(b"WARC/", pos):
             break
-        hdr_end = data.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:
-            hdr_end = data.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end == -1:
+        # header block ends at the EARLIEST blank line, whichever framing —
+        # searching CRLF-first globally would run past an LF-terminated
+        # header into the payload
+        i_crlf = data.find(b"\r\n\r\n", pos)
+        i_lf = data.find(b"\n\n", pos)
+        cands = [(i, s) for i, s in ((i_crlf, 4), (i_lf, 2)) if i != -1]
+        if not cands:
             break
+        hdr_end, sep = min(cands)
         headers: dict[str, str] = {}
         for line in data[pos:hdr_end].split(b"\n")[1:]:
             line = line.strip()
@@ -71,10 +73,14 @@ def _http_body(payload: bytes) -> bytes:
     """Strip the HTTP response envelope of a ``response`` record (payload =
     status line + headers + blank line + body)."""
     if payload[:5] in (b"HTTP/",):
-        for sep in (b"\r\n\r\n", b"\n\n"):
-            i = payload.find(sep)
-            if i != -1:
-                return payload[i + len(sep) :]
+        cands = [
+            (i, len(sep))
+            for sep in (b"\r\n\r\n", b"\n\n")
+            if (i := payload.find(sep)) != -1
+        ]
+        if cands:
+            i, w = min(cands)
+            return payload[i + w :]
     return payload
 
 
@@ -96,9 +102,14 @@ def warc_pages(files: rd.Dataset) -> rd.Dataset:
                 urls.append(h.get("warc-target-uri", ""))
                 tss.append(h.get("warc-date", "1970-01-01T00:00:00Z"))
                 htmls.append(_http_body(rec["payload"]))
+        # WARC 1.1 allows fractional seconds — strip them, and map any
+        # residual malformed date to null rather than failing the read
+        ts_str = pa.compute.replace_substring_regex(
+            pa.array(tss, pa.string()), r"\.\d+Z$", "Z"
+        )
         ts = pa.compute.cast(
             pa.compute.strptime(
-                pa.array(tss, pa.string()), format="%Y-%m-%dT%H:%M:%SZ", unit="us"
+                ts_str, format="%Y-%m-%dT%H:%M:%SZ", unit="us", error_is_null=True
             ),
             pa.timestamp("us"),
         )

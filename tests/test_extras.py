@@ -1058,3 +1058,13 @@ def test_unigram_nll_matches_python():
     assert got.doc_id.tolist() == [0, 1]  # empty doc emits no row
     assert got.n_tokens.tolist() == [3, 2]
     assert got.nll_micro.tolist() == [want0, want1]
+
+
+def test_unigram_nll_zero_token_corpus():
+    from anonymization_ray.extras.textstats import unigram_nll
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": ["   ", ""]})
+    )
+    got = unigram_nll(ds, "text", "doc_id").to_pandas()
+    assert len(got) == 0

@@ -115,7 +115,73 @@ def test_warc_lf_only_and_truncated(tmp_path):
     recs = parse_warc(rec)
     assert len(recs) == 1
     assert recs[0]["headers"]["warc-target-uri"] == "http://lf.example/"
+    # the LF-framed payload itself must be intact (not run past by a later
+    # CRLF-CRLF) and the LF HTTP envelope must strip to the exact body
+    from anonymization_ray.sources.warc import _http_body
+
+    assert recs[0]["payload"] == http
+    assert _http_body(recs[0]["payload"]) == body
     # truncated: header block never terminates
     assert parse_warc(rec + b"WARC/1.0\nWARC-Type: response\nContent-Le") and True
     got = parse_warc(rec + b"WARC/1.0\nWARC-Type: response\nContent-Le")
     assert len(got) == 1  # the malformed tail is ignored
+
+
+def test_warc_fractional_seconds_and_binary_payload(tmp_path):
+    """WARC 1.1 fractional-second dates parse; non-UTF-8 payloads survive
+    the documents bridge via lossy decode."""
+    from anonymization_ray.pipelines.corpus import documents_from_warc
+    from anonymization_ray.sources.warc import read_warc
+
+    body = b"<html><p>caf\xe9 latin1</p></html>"  # latin-1, invalid UTF-8
+    http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+    rec = (
+        f"WARC/1.1\r\nWARC-Type: response\r\n"
+        f"WARC-Target-URI: http://frac.example/\r\n"
+        f"WARC-Date: 2017-03-06T04:03:53.392Z\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode() + http + b"\r\n\r\n"
+    p = tmp_path / "f.warc"
+    p.write_bytes(rec)
+    pages = read_warc(str(p)).to_pandas()
+    assert str(pages.warc_ts[0]) == "2017-03-06 04:03:53"
+    docs = documents_from_warc(str(p)).to_pandas()
+    assert len(docs) == 1
+    assert "latin1" in docs.text[0]  # lossy decode, extraction succeeded
+
+
+def test_documents_from_warc_dedups_refetches(tmp_path):
+    """The same URL captured twice yields ONE document (earliest capture)."""
+    from anonymization_ray.pipelines.corpus import documents_from_warc
+
+    def rec(u, date, words):
+        body = ("<html><p>" + words + "</p></html>").encode()
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        return (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {u}\r\n"
+            f"WARC-Date: {date}\r\nContent-Length: {len(http)}\r\n\r\n"
+        ).encode() + http + b"\r\n\r\n"
+
+    p = tmp_path / "r.warc"
+    p.write_bytes(
+        rec("http://a.example/", "2024-01-02T00:00:00Z", "second fetch")
+        + rec("http://a.example/", "2024-01-01T00:00:00Z", "first fetch")
+        + rec("http://b.example/", "2024-01-01T00:00:00Z", "only fetch")
+    )
+    docs = documents_from_warc(str(p)).to_pandas().sort_values("text")
+    assert sorted(docs.text) == ["first fetch", "only fetch"]
+    assert docs.doc_id.nunique() == 2
+
+
+def test_jsonl_string_ids(tmp_path):
+    import json as _json
+
+    from anonymization_ray.sources.jsonl import read_jsonl_documents
+
+    p = tmp_path / "s.jsonl"
+    rows = [{"id": "doc-af83b2", "text": "aa"}, {"id": "doc-ffffff", "text": "bb"}]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    a = read_jsonl_documents(str(p)).to_pandas().sort_values("text")
+    b = read_jsonl_documents(str(p)).to_pandas().sort_values("text")
+    assert a.doc_id.tolist() == b.doc_id.tolist()  # stable derived ids
+    assert a.doc_id.nunique() == 2 and (a.doc_id >= 0).all()
