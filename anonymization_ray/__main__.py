@@ -41,10 +41,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--decon-n", type=int, default=3,
                    help="decontamination n-gram size; raise it on small-"
                         "vocabulary corpora where short grams over-match")
-    p.add_argument("--bench-mod", type=int, default=89,
+    p.add_argument("--bench-mod", type=int, default=None,
                    help="id modulus selecting the simulated held-out "
                         "benchmark slice; 0 disables the slice AND "
-                        "decontamination (real ingestion)")
+                        "decontamination. Defaults to 89 on the sf tables "
+                        "and 0 (no simulated benchmark) with --warc-dir")
     p.add_argument("--warc-dir", default=None,
                    help="prepare-corpus: ingest WARC archive(s) instead of "
                         "the sf documents table (url-hash doc ids, extracted text)")
@@ -87,7 +88,9 @@ def main(argv: list[str] | None = None) -> int:
             pack_budget=args.pack_budget,
             num_shards=args.num_shards,
             decon_n=args.decon_n,
-            bench_mod=args.bench_mod,
+            # real crawls carry no simulated benchmark slice by default
+            bench_mod=(0 if args.warc_dir else 89)
+            if args.bench_mod is None else args.bench_mod,
         )
         print(json.dumps({"sec": round(time.perf_counter() - t0, 2), **manifest}))
         ray.shutdown()

@@ -208,6 +208,12 @@ def documents_from_warc(warc_paths: str | list) -> rd.Dataset:
     from ..sources.warc import read_warc
 
     raw = read_warc(warc_paths)
+    # NOTE: the url dedup below ranks FULL rows, so payloads move through one
+    # all-to-all. That is the standard ingestion-time URL dedup; if archives
+    # are url-disjoint (typical crawl layout), run per-archive instead.
+    # NOTE: the url dedup below ranks FULL rows, so payloads move through one
+    # all-to-all. That is the standard ingestion-time URL dedup; if archives
+    # are url-disjoint (typical crawl layout), run per-archive instead.
 
     # crawl payloads are arbitrary bytes — lossy-decode to valid UTF-8 so
     # the extraction cast can never fail, and key each capture for the
@@ -217,8 +223,11 @@ def documents_from_warc(warc_paths: str | list) -> rd.Dataset:
             p.decode("utf-8", "replace").encode()
             for p in b.column("html").to_pylist()
         ]
+        # undated/malformed captures must LOSE the earliest-capture race,
+        # not win it — fill with +inf, not 0
         ts = pc.fill_null(
-            pc.cast(b.column("warc_ts"), pa.timestamp("us")).cast(pa.int64()), 0
+            pc.cast(b.column("warc_ts"), pa.timestamp("us")).cast(pa.int64()),
+            (1 << 63) - 1,
         )
         hh = pd.util.hash_array(np.array([p for p in htmls], object)).astype(np.int64)
         return pa.table(

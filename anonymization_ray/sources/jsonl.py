@@ -43,29 +43,27 @@ def read_jsonl_documents(paths: str | list[str]) -> rd.Dataset:
                 f"no text-like column in JSONL batch (have {batch.column_names})"
             )
         text = pa.compute.cast(text.combine_chunks(), pa.string())
+
+        def _hash_ids(strings: np.ndarray) -> np.ndarray:
+            h = sm64_key(pd.util.hash_array(strings).astype(np.int64))
+            return (h >> np.uint64(1)).astype(np.int64)
+
+        txt_np = text.to_numpy(zero_copy_only=False)
         ids = pick("doc_id")
-        if ids is not None:
-            ids = ids.combine_chunks()
-            try:
-                ids = pa.compute.cast(ids, pa.int64())
-            except pa.lib.ArrowInvalid:
-                # string ids (UUIDs/hashes) — derive stable int64 ids from
-                # the id STRING, same scheme as the missing-id path
-                h = sm64_key(
-                    pd.util.hash_array(
-                        pa.compute.cast(ids, pa.string()).to_numpy(
-                            zero_copy_only=False
-                        )
-                    ).astype(np.int64)
-                )
-                ids = pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
+        # the id STRATEGY is decided by the column's SCHEMA type, never by
+        # whether a particular batch happens to parse — per-batch fallback
+        # would make doc_ids depend on block layout
+        if ids is not None and pa.types.is_integer(ids.type):
+            ids = pa.compute.cast(ids.combine_chunks(), pa.int64())
+        elif ids is not None:
+            s = pa.compute.cast(ids.combine_chunks(), pa.string())
+            sv = s.to_numpy(zero_copy_only=False)
+            # null ids would all hash alike — those rows derive from text
+            null_mask = pa.compute.is_null(s).to_numpy(zero_copy_only=False)
+            derived = _hash_ids(np.where(null_mask, txt_np, sv))
+            ids = pa.array(derived, pa.int64())
         else:
-            h = sm64_key(
-                pd.util.hash_array(text.to_numpy(zero_copy_only=False)).astype(
-                    np.int64
-                )
-            )
-            ids = pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
+            ids = pa.array(_hash_ids(txt_np), pa.int64())
 
         def str_or(key: str, default: str):
             c = pick(key)

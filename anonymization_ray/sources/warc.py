@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import gzip
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -102,16 +103,32 @@ def warc_pages(files: rd.Dataset) -> rd.Dataset:
                 urls.append(h.get("warc-target-uri", ""))
                 tss.append(h.get("warc-date", "1970-01-01T00:00:00Z"))
                 htmls.append(_http_body(rec["payload"]))
-        # WARC 1.1 allows fractional seconds — strip them, and map any
-        # residual malformed date to null rather than failing the read
-        ts_str = pa.compute.replace_substring_regex(
-            pa.array(tss, pa.string()), r"\.\d+Z$", "Z"
-        )
-        ts = pa.compute.cast(
-            pa.compute.strptime(
+        # WARC 1.1 allows fractional seconds (Arrow strptime has no %f):
+        # parse whole seconds with the fraction stripped, re-attach the
+        # fraction as microseconds, and map malformed dates to null rather
+        # than failing the read
+        import pyarrow.compute as pc
+
+        raw_ts = pa.array(tss, pa.string())
+        ts_str = pc.replace_substring_regex(raw_ts, r"\.\d+Z$", "Z")
+        secs = pc.cast(
+            pc.strptime(
                 ts_str, format="%Y-%m-%dT%H:%M:%SZ", unit="us", error_is_null=True
             ),
-            pa.timestamp("us"),
+            pa.int64(),
+        )
+        frac = pc.struct_field(
+            pc.extract_regex(raw_ts, r"\.(?P<f>\d{1,6})\d*Z$"), "f"
+        )
+        width = pc.fill_null(pc.utf8_length(frac), 0)
+        digits = pc.cast(pc.fill_null(frac, "0"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        micros = digits * np.power(
+            10, 6 - width.to_numpy(zero_copy_only=False).astype(np.int64)
+        ).clip(1, 1_000_000)
+        ts = pc.cast(
+            pc.add(secs, pa.array(micros, pa.int64())), pa.timestamp("us")
         )
         return pa.table(
             {

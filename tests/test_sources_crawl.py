@@ -144,7 +144,7 @@ def test_warc_fractional_seconds_and_binary_payload(tmp_path):
     p = tmp_path / "f.warc"
     p.write_bytes(rec)
     pages = read_warc(str(p)).to_pandas()
-    assert str(pages.warc_ts[0]) == "2017-03-06 04:03:53"
+    assert str(pages.warc_ts[0]) == "2017-03-06 04:03:53.392000"  # frac kept
     docs = documents_from_warc(str(p)).to_pandas()
     assert len(docs) == 1
     assert "latin1" in docs.text[0]  # lossy decode, extraction succeeded
@@ -185,3 +185,27 @@ def test_jsonl_string_ids(tmp_path):
     b = read_jsonl_documents(str(p)).to_pandas().sort_values("text")
     assert a.doc_id.tolist() == b.doc_id.tolist()  # stable derived ids
     assert a.doc_id.nunique() == 2 and (a.doc_id >= 0).all()
+
+
+def test_jsonl_id_strategy_is_schema_level(tmp_path):
+    """Numeric-looking STRING ids are hashed (type decides, not parse
+    success), and null ids fall back to text-derived hashes — both
+    partition-independent."""
+    import json as _json
+
+    from anonymization_ray.sources.jsonl import read_jsonl_documents
+
+    p = tmp_path / "m.jsonl"
+    rows = [
+        {"id": "123", "text": "numeric-looking"},
+        {"id": None, "text": "first null"},
+        {"id": None, "text": "second null"},
+        {"id": "doc-x", "text": "opaque"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows))
+    got = read_jsonl_documents(str(p)).to_pandas().set_index("text")
+    # numeric string is NOT cast to 123 — strategy is by column type
+    assert got.loc["numeric-looking", "doc_id"] != 123
+    # null ids derive from text, so the two null-id docs stay distinct
+    assert got.loc["first null", "doc_id"] != got.loc["second null", "doc_id"]
+    assert got.doc_id.nunique() == 4
