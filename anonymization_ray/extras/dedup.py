@@ -870,6 +870,14 @@ def duplicate_span_stats(
         pos = np.arange(len(d), dtype=np.int64) - starts[run_id]
         if pos.max() >= shift:
             raise ValueError(f"document exceeds 2^{pos_bits} tokens; raise pos_bits")
+        # ids must fit the packing too — hashed 63-bit doc ids would wrap
+        # ids·2^pos_bits silently and corrupt the recovered doc/ordering
+        id_cap = np.int64(1) << np.int64(63 - pos_bits)
+        if ids.min() < 0 or ids.max() >= id_cap:
+            raise ValueError(
+                f"doc ids must be in [0, 2^{63 - pos_bits}) for pos_bits={pos_bits}; "
+                "re-key hashed ids or lower pos_bits"
+            )
         return pa.table(
             {"ngram": g, "packed": pa.array(ids[d] * shift + pos, pa.int64())}
         )

@@ -66,7 +66,9 @@ def split_assign(
     cum, edges = 0.0, []
     for n in names[:-1]:
         cum += fractions[n]
-        edges.append(np.uint64(int(cum * 2**64)))
+        # clamp: a cumulative fraction of 1.0 (e.g. a trailing 0-weight
+        # split) must mean "everything below", not a uint64 overflow
+        edges.append(np.uint64(min(int(cum * 2**64), 2**64 - 1)))
 
     def _assign(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)

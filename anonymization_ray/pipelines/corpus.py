@@ -123,13 +123,20 @@ def prepare_training_corpus(
     ).materialize()
     n_chunks = chunks.count()
 
-    # pack on a synthetic per-chunk key (doc, chunk) -> one int64
-    ckey = 1 << 20
+    # pack on a synthetic per-chunk key: a full-width SplitMix64 hash-combine
+    # of (doc_id, chunk_id). Arithmetic packing (doc_id * 2^k + chunk_id)
+    # silently wraps int64 when doc_ids are themselves 63-bit url hashes
+    # (documents_from_warc), colliding distinct chunks at the 2^(63-k)
+    # birthday bound; the hash-combine keeps the full 63 bits — the same
+    # 2^-63-per-pair identity contract doc_id already carries.
 
     def _keyed(b: pa.Table) -> pa.Table:
         d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        c = b.column("chunk_id").to_numpy(zero_copy_only=False)
-        t = b.append_column("chunk_key", pa.array(d * ckey + c, pa.int64()))
+        c = b.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        k = sm64_key(sm64_key(d, 13).astype(np.int64) + c)
+        t = b.append_column(
+            "chunk_key", pa.array((k >> np.uint64(1)).astype(np.int64), pa.int64())
+        )
         return t
 
     keyed = chunks.map_batches(_keyed, batch_format="pyarrow").materialize()
@@ -208,9 +215,6 @@ def documents_from_warc(warc_paths: str | list) -> rd.Dataset:
     from ..sources.warc import read_warc
 
     raw = read_warc(warc_paths)
-    # NOTE: the url dedup below ranks FULL rows, so payloads move through one
-    # all-to-all. That is the standard ingestion-time URL dedup; if archives
-    # are url-disjoint (typical crawl layout), run per-archive instead.
     # NOTE: the url dedup below ranks FULL rows, so payloads move through one
     # all-to-all. That is the standard ingestion-time URL dedup; if archives
     # are url-disjoint (typical crawl layout), run per-archive instead.

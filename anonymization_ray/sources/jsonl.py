@@ -54,7 +54,16 @@ def read_jsonl_documents(paths: str | list[str]) -> rd.Dataset:
         # whether a particular batch happens to parse — per-batch fallback
         # would make doc_ids depend on block layout
         if ids is not None and pa.types.is_integer(ids.type):
-            ids = pa.compute.cast(ids.combine_chunks(), pa.int64())
+            iv = pa.compute.cast(ids.combine_chunks(), pa.int64())
+            null_mask = pa.compute.is_null(iv).to_numpy(zero_copy_only=False)
+            if null_mask.any():
+                # same text-hash fallback as the string path — null ids must
+                # never leak as NaN into downstream integer key arithmetic
+                filled = pa.compute.fill_null(iv, 0).to_numpy(zero_copy_only=False)
+                iv = pa.array(
+                    np.where(null_mask, _hash_ids(txt_np), filled), pa.int64()
+                )
+            ids = iv
         elif ids is not None:
             s = pa.compute.cast(ids.combine_chunks(), pa.string())
             sv = s.to_numpy(zero_copy_only=False)

@@ -75,3 +75,34 @@ def test_epoch_order_is_per_bin_and_deterministic(tmp_path):
     b0 = got[got.shard == got.shard.iloc[0]].drop_duplicates(["bin"])
     if len(b0) > 2:
         assert not b0.sort_values("bin").epoch_order.is_monotonic_increasing
+
+
+def test_corpus_pipeline_hashed_63bit_doc_ids(tmp_path):
+    """WARC-path doc ids are 63-bit url hashes; the pack's chunk key must not
+    wrap/collide (the old doc_id*2^20+chunk_id packing kept only ~43 bits)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from anonymization_ray.pipelines.corpus import prepare_training_corpus
+
+    rng = np.random.Generator(np.random.Philox(key=5))
+    ids = np.unique(rng.integers(1 << 60, 1 << 62, size=40, dtype=np.int64))
+    texts = [f"doc {i} " + ("tok " * 40) for i in range(len(ids))]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+    m = prepare_training_corpus(
+        docs,
+        str(tmp_path / "c"),
+        min_tokens=5,
+        bench_mod=0,
+        train_fraction=1.0,
+        chunk_size=16,
+        pack_budget=64,
+        num_shards=4,
+    )
+    got = rd.read_parquet(str(tmp_path / "c" / "data")).to_pandas()
+    # no join fan-out: packed rows == chunks, each (doc, chunk) exactly once
+    assert m["packed_rows"] == m["train_chunks"] == len(got)
+    assert not got.duplicated(["doc_id", "chunk_id"]).any()
+    assert set(got.doc_id) == set(ids.tolist())

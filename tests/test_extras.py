@@ -1068,3 +1068,30 @@ def test_unigram_nll_zero_token_corpus():
     )
     got = unigram_nll(ds, "text", "doc_id").to_pandas()
     assert len(got) == 0
+
+
+def test_split_assign_degenerate_trailing_zero_fraction():
+    from anonymization_ray.extras.shuffle import split_assign
+
+    ids = pa.table({"doc_id": pa.array(list(range(50)), pa.int64())})
+    got = (
+        split_assign(rd.from_arrow(ids), "doc_id", {"train": 1.0, "val": 0.0}, salt=3)
+        .to_pandas()
+    )
+    assert (got["split"] == "train").all()
+
+
+def test_duplicate_span_stats_rejects_oversized_ids():
+    import pytest as _pytest
+
+    from anonymization_ray.extras.dedup import duplicate_span_stats
+
+    big = (1 << 62) + 5
+    t = pa.table(
+        {
+            "doc_id": pa.array([big], pa.int64()),
+            "text": ["a b c d e f g"],
+        }
+    )
+    with _pytest.raises(Exception, match="doc ids"):
+        duplicate_span_stats(rd.from_arrow(t), "text", "doc_id", n=3).to_pandas()

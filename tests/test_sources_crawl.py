@@ -209,3 +209,26 @@ def test_jsonl_id_strategy_is_schema_level(tmp_path):
     # null ids derive from text, so the two null-id docs stay distinct
     assert got.loc["first null", "doc_id"] != got.loc["second null", "doc_id"]
     assert got.doc_id.nunique() == 4
+
+
+def test_jsonl_integer_ids_null_fallback(tmp_path):
+    """Null entries in an INTEGER id column derive from the text hash (the
+    documented fallback), never surface as null/NaN downstream."""
+    import json as _json
+
+    from anonymization_ray.sources.jsonl import read_jsonl_documents
+
+    p = tmp_path / "intids.jsonl"
+    rows = [
+        {"id": 7, "text": "kept integer id"},
+        {"id": None, "text": "derived from text one"},
+        {"id": None, "text": "derived from text two"},
+    ]
+    p.write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+    got = read_jsonl_documents(str(p)).to_pandas().sort_values("text").reset_index(drop=True)
+    assert got.doc_id.notna().all()
+    assert 7 in set(got.doc_id)
+    # derived ids are deterministic and distinct per text
+    again = read_jsonl_documents(str(p)).to_pandas().sort_values("text").reset_index(drop=True)
+    assert got.doc_id.tolist() == again.doc_id.tolist()
+    assert got.doc_id.nunique() == 3
