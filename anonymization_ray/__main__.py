@@ -28,8 +28,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out-dir", required=True)
     p.add_argument("--num-partitions", type=int, default=16)
     p.add_argument("--checkpoint-dir", default=None,
-                   help="with --pages-parquet: per-input-shard extraction "
-                        "checkpoint (resumable mid-pipeline)")
+                   help="kg mode with --pages-parquet: per-input-shard "
+                        "extraction checkpoint; prepare-corpus mode: "
+                        "per-stage resume (loser/contamination/bin "
+                        "artifacts keyed by config hash)")
     p.add_argument("--no-anonymize", action="store_true")
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -91,6 +93,12 @@ def main(argv: list[str] | None = None) -> int:
             # real crawls carry no simulated benchmark slice by default
             bench_mod=(0 if args.warc_dir else 89)
             if args.bench_mod is None else args.bench_mod,
+            checkpoint_dir=args.checkpoint_dir,
+            input_key=args.warc_dir or args.sf_dir,
+            # WARC lineage is expensive to re-execute — snapshot it to
+            # pruned parquet so the prep pipeline's lazy re-scans are
+            # columnar reads, not archive re-parses
+            snapshot_input=bool(args.warc_dir),
         )
         print(json.dumps({"sec": round(time.perf_counter() - t0, 2), **manifest}))
         ray.shutdown()

@@ -183,10 +183,12 @@ def minhash_lsh_pairs(
     banded stream, so it is opt-in: enable (e.g. 10_000) on crawls that have
     NOT been exact-deduped first; ``None`` (default) skips it."""
     rows_per_band = num_perm // bands
-    # the (id, text) projection feeds signature computation AND both
-    # verification joins — materialize the narrow slice once instead of
-    # re-executing the upstream three times
-    ds = ds.select_columns([id_col, text_col]).materialize()
+    # the text stream stays LAZY: pinning (id, text) in the object store is
+    # a full-corpus spill at crawl scale. The signature kernel reads it once;
+    # verification re-reads only the candidate-id slice (below). Upstream
+    # lineage (a pruned parquet read + cheap vectorized stages) re-executes
+    # instead — columnar re-scan beats spill-write + spill-read of the text.
+    ds = ds.select_columns([id_col, text_col])
     sigs = minhash_signatures(ds, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k)
 
     def _bands(batch: pa.Table) -> pa.Table:
@@ -209,7 +211,10 @@ def minhash_lsh_pairs(
             }
         )
 
-    banded = sigs.map_batches(_bands, batch_format="pyarrow")
+    # the banded stream is read twice (both sides of the self-join): holding
+    # the NARROW (band, bucket, id) rows — ~20·bands B/doc vs KB-scale text —
+    # is what keeps the expensive signature kernel single-pass
+    banded = sigs.map_batches(_bands, batch_format="pyarrow").materialize()
 
     if max_bucket is not None:
         # bucket-size census over a folded (band, bucket) key with the
@@ -224,7 +229,6 @@ def minhash_lsh_pairs(
             bkt = b.column("bucket").to_numpy(zero_copy_only=False)
             return pa.array(bkt * _GOLD + band, pa.int64())
 
-        banded = banded.materialize()
         from .stats import exact_value_counts
 
         keyed = banded.map_batches(
@@ -266,15 +270,34 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return uniq
 
-    # exact jaccard verification: attach both texts by join, compute per pair
-    ta = ds.select_columns([id_col, text_col]).rename_columns(
-        {id_col: "id_a", text_col: "text_a"}
-    )
-    tb = ds.select_columns([id_col, text_col]).rename_columns(
-        {id_col: "id_b", text_col: "text_b"}
-    )
-    joined = hash_join(uniq, ta, on="id_a", join_type="inner", num_partitions=nparts)
-    joined = hash_join(joined, tb, on="id_b", join_type="inner", num_partitions=nparts)
+    # exact jaccard verification: the full text stream never joins — only
+    # CANDIDATE ids (small by LSH construction) get their text re-read. The
+    # semi join's broadcast path filters the lazy text stream in one
+    # vectorized is_in pass (no shuffle of the corpus); the materialized
+    # result is bounded by 2x the pair count.
+    from .joins import semi_anti_join
+
+    uniq = uniq.materialize()  # reused: id extraction + the pair-attach join
+
+    def _both_ids(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [
+                        b.column("id_a").combine_chunks(),
+                        b.column("id_b").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    cand_ids = uniq.map_batches(_both_ids, batch_format="pyarrow")
+    cand_texts = semi_anti_join(ds, cand_ids, on=id_col).materialize()
+    ta = cand_texts.rename_columns({id_col: "id_a", text_col: "text_a"})
+    tb = cand_texts.rename_columns({id_col: "id_b", text_col: "text_b"})
+    jparts = max(2, min(nparts, uniq.count() // 2000 + 1))
+    joined = hash_join(uniq, ta, on="id_a", join_type="inner", num_partitions=jparts)
+    joined = hash_join(joined, tb, on="id_b", join_type="inner", num_partitions=jparts)
 
     def _verify(batch: pa.Table, thr=verify_threshold, k=shingle_k) -> pa.Table:
         n = batch.num_rows
@@ -287,19 +310,35 @@ def minhash_lsh_pairs(
                 }
             )
         # both sides' shingle hashes in ONE vectorized kernel pass per side;
-        # per-pair work is two np.unique sorts + one sorted-array merge
-        # (np.intersect1d) — no Python-level set building over shingles
+        # per-pair set sizes and intersections come from TWO whole-batch
+        # lexsorts + boundary scans (no per-pair Python): dedup each side's
+        # (pair, hash) rows, then count adjacent duplicates of the combined
+        # sorted stream — a duplicate across sides IS an intersection hit
         a_txt = batch.column("text_a").to_pylist()
         b_txt = batch.column("text_b").to_pylist()
         ha, oa = shingle_hash_batch(a_txt, k)
         hb, ob = shingle_hash_batch(b_txt, k)
-        ja = np.empty(n)
-        for i in range(n):
-            sa = np.unique(ha[oa[i] : oa[i + 1]])
-            sb = np.unique(hb[ob[i] : ob[i + 1]])
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            u = sa.size + sb.size - inter
-            ja[i] = (inter / u) if u else 1.0
+
+        def _uniq_per_pair(h: np.ndarray, off: np.ndarray):
+            idx = np.repeat(np.arange(n), np.diff(off))
+            order = np.lexsort((h, idx))
+            hs, ix = h[order], idx[order]
+            keep = np.ones(len(hs), dtype=bool)
+            keep[1:] = (hs[1:] != hs[:-1]) | (ix[1:] != ix[:-1])
+            return hs[keep], ix[keep]
+
+        ua, ia = _uniq_per_pair(ha, oa)
+        ub, ib = _uniq_per_pair(hb, ob)
+        na = np.bincount(ia, minlength=n)
+        nb = np.bincount(ib, minlength=n)
+        ch = np.concatenate([ua, ub])
+        ci = np.concatenate([ia, ib])
+        order = np.lexsort((ch, ci))
+        hs, ix = ch[order], ci[order]
+        dup = (hs[1:] == hs[:-1]) & (ix[1:] == ix[:-1])
+        inter = np.bincount(ix[1:][dup], minlength=n)
+        u = na + nb - inter
+        ja = np.divide(inter, u, out=np.ones(n), where=u > 0)
         out = pa.table(
             {
                 "id_a": batch.column("id_a").combine_chunks(),
@@ -329,30 +368,83 @@ def _md5_64(tok: str) -> int:
 
 
 def simhash_signatures(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
-    """(id, simhash int64): sign-sum of token md5-64 bit vectors. Token
-    hashes are memoized per task (natural-language vocabularies are tiny
-    relative to token streams)."""
+    """(id, simhash int64): sign-sum of token md5-64 bit vectors.
+
+    Vectorized per batch: ONE ``pd.factorize`` over the flattened token
+    array (hash-based — no object-dtype sort), md5 only the unique
+    vocabulary (the md5 choice is what keeps the DuckDB oracle bit-exact),
+    then per-document bit votes with no per-document Python. A bit is set
+    iff strictly more than half the token occurrences have it
+    (votes = 2·Σbits − n_tokens > 0), identical to the sign-sum form.
+
+    Two vote paths, chosen by the dense-count footprint: when
+    ``vocab × docs`` fits, a per-(doc, word) ``np.bincount`` matrix times
+    the (vocab, 64) bit matrix — one BLAS matmul (counts < 2^53, so the
+    float64 product is exact); otherwise (doc, word) occurrence pairs are
+    deduped by lexsort + boundary scan and the bit matrix is reduced with
+    weighted ``np.add.reduceat`` in 16-bit slabs."""
+
+    _DENSE_CAP = 1 << 24  # vocab x docs cells (~128 MB float64 counts)
 
     def _sim(batch: pa.Table) -> pa.Table:
-        cache: dict[str, int] = {}
         texts = batch.column(text_col).to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
-                out[i] = 0
-                continue
-            hs = np.fromiter(
-                (cache.get(w) or cache.setdefault(w, _md5_64(w)) for w in toks),
-                dtype=np.uint64,
-                count=len(toks),
+        n = len(texts)
+        toks: list[list[str]] = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        out = np.zeros(n, dtype=np.uint64)
+        total = int(lens.sum())
+        nz = lens > 0
+        if total:
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for t in toks:
+                flat[pos : pos + len(t)] = t
+                pos += len(t)
+            codes, vocab = pd.factorize(flat)
+            vh = np.fromiter(
+                (_md5_64(w) for w in vocab), dtype=np.uint64, count=len(vocab)
             )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = (2 * bits - 1).sum(axis=0)
-            bits_on = (votes > 0).astype(np.uint64)
-            out[i] = np.left_shift(bits_on, np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            doc_idx = np.repeat(np.arange(n), lens)
+            V = len(vocab)
+            if V * n <= _DENSE_CAP:
+                counts = np.bincount(doc_idx * V + codes, minlength=n * V).reshape(
+                    n, V
+                )
+                bits = (
+                    (vh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)
+                ).astype(np.float64)
+                seg = counts.astype(np.float64) @ bits
+                votes_on = (2 * seg - lens[:, None]) > 0
+                packed = (
+                    np.packbits(votes_on, axis=1, bitorder="little")
+                    .view(np.uint64)
+                    .ravel()
+                )
+                out[:] = np.where(nz, packed, 0)
+            else:
+                order = np.lexsort((codes, doc_idx))
+                ds_, cs_ = doc_idx[order], codes[order]
+                newseg = np.ones(total, dtype=bool)
+                newseg[1:] = (ds_[1:] != ds_[:-1]) | (cs_[1:] != cs_[:-1])
+                ustart = np.nonzero(newseg)[0]
+                cnt = np.diff(np.append(ustart, total)).astype(np.int64)
+                ud, uc = ds_[ustart], cs_[ustart]
+                doc_first = np.ones(len(ud), dtype=bool)
+                doc_first[1:] = ud[1:] != ud[:-1]
+                idx = np.nonzero(doc_first)[0]
+                acc = np.zeros(len(idx), dtype=np.uint64)
+                nz_lens = lens[nz][:, None]
+                for b0 in range(0, 64, 16):
+                    shifts = np.arange(b0, b0 + 16, dtype=np.uint64)
+                    bits = ((vh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                        np.int64
+                    )
+                    w = bits[uc] * cnt[:, None]
+                    seg = np.add.reduceat(w, idx, axis=0)
+                    on = (2 * seg - nz_lens > 0).astype(np.uint64)
+                    acc |= (on << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+                out[nz] = acc
         return pa.table(
             {
                 id_col: batch.column(id_col).combine_chunks(),

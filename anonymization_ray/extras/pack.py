@@ -19,8 +19,8 @@ fits an open bin and nothing joins a bin already over budget).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _MINSTD_MOD = 2147483647
@@ -62,9 +62,9 @@ def pack_sequences(
         _assign, batch_format="pyarrow"
     )
 
-    def _pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        lens = g["len"].to_numpy()
+    def _pack(g: pa.Table) -> pa.Table:
+        g = g.take(pc.sort_indices(g.column(id_col)))
+        lens = g.column("len").to_numpy(zero_copy_only=False)
         n = len(lens)
         cum = np.cumsum(lens)
         bin_starts = [0]
@@ -82,13 +82,13 @@ def pack_sequences(
         starts = np.array(bin_starts, dtype=np.int64)
         bins = np.searchsorted(starts, np.arange(n), side="right") - 1
         pos = np.arange(n) - starts[bins]
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: g[id_col],
-                "shard": g["shard"],
-                "bin": bins,
-                "pos": pos,
+                id_col: g.column(id_col),
+                "shard": g.column("shard"),
+                "bin": pa.array(bins, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
             }
         )
 
-    return narrow.groupby("shard").map_groups(_pack, batch_format="pandas")
+    return narrow.groupby("shard").map_groups(_pack, batch_format="pyarrow")

@@ -1,7 +1,7 @@
 """End-to-end training-corpus preparation — the engine's operators composed
 into the pipeline a pre-training data team actually runs:
 
-    quality gate + near-dup cluster dedup   (extras.cleanse.clean_corpus)
+    quality gate + near-dup cluster dedup   (extras.cleanse.clean_corpus_decisions)
     -> benchmark decontamination            (extras.decontaminate)
     -> train-split selection                (extras.shuffle hash threshold)
     -> context-length chunking              (extras.chunk)
@@ -13,27 +13,89 @@ id per cluster), so re-running the pipeline reproduces the corpus bit-for-bit
 at any parallelism — the property the per-stage oracles check individually
 and `tests/test_corpus_pipeline.py` checks for the composition.
 
-Scale shape: the big stream is filtered EARLY (gate first, then the
-broadcast anti-filters for dedup losers / contaminated ids — both small
+Scale shape: the corpus TEXT never materializes in the object store. All
+decision stages are NARROW — loser ids, contaminated ids, per-chunk bin
+assignments — and the text stream stays lazy end-to-end: each consumer
+re-executes the pruned columnar read (gate and chunking are cheap vectorized
+kernels) instead of spill-writing and spill-reading the same corpus bytes
+through the object store. The big stream is filtered EARLY (gate first, then
+the broadcast anti-filters for dedup losers / contaminated ids — both small
 fractions of a real crawl), the only all-to-alls are the ones the semantics
-require (minhash band self-join inside clean_corpus, the final pack join),
-and the output is partitioned parquet (one directory per shard) — the unit
-an orchestrator retries or consumers read independently. (The prep run
-itself is all-or-nothing per invocation: upstream decisions — dedup
-clusters, contamination — are global, so partial outputs are cleared and
-rewritten; mid-pipeline checkpointing lives in ``kg/checkpoint.py`` where
-per-input-shard state is actually local.)
+require (minhash band self-join, the final pack join), and the output is
+partitioned parquet (one directory per shard).
+
+Resume: pass ``checkpoint_dir`` to checkpoint each decision stage (loser
+set, contamination set, bin assignments, final manifest) as a parquet
+artifact + JSON manifest keyed by the config hash — the same discipline as
+``kg/checkpoint.py``. A killed run re-uses every completed stage; because
+every stage is a pure function of (input, config), a resumed run is
+bit-identical to a fresh one. Expensive non-parquet inputs (WARC ingestion)
+snapshot to pruned parquet first (``snapshot_input=True``) so the lazy
+re-scans hit columnar storage, not the WARC parser.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+
+class _PrepCheckpoint:
+    """Per-stage resume: stage artifact parquet under ``<dir>/stage_<name>``
+    plus a manifest under ``<dir>/_manifests/<name>.json`` carrying the
+    config hash and stage metrics. ``load`` returns the manifest dict when
+    fresh (hash matches), else None; ``save`` (re)writes artifact+manifest.
+    With ``ckpt_dir=None`` every method is a no-op and the pipeline runs
+    exactly as before."""
+
+    def __init__(self, ckpt_dir: str | None, cfg_hash: str) -> None:
+        self.dir = ckpt_dir
+        self.hash = cfg_hash
+        if ckpt_dir:
+            os.makedirs(os.path.join(ckpt_dir, "_manifests"), exist_ok=True)
+
+    def _mpath(self, stage: str) -> str:
+        return os.path.join(self.dir, "_manifests", f"{stage}.json")
+
+    def artifact_dir(self, stage: str) -> str:
+        return os.path.join(self.dir, f"stage_{stage}")
+
+    def load(self, stage: str) -> dict | None:
+        if not self.dir:
+            return None
+        try:
+            with open(self._mpath(stage)) as fh:
+                m = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if m.get("config_hash") != self.hash:
+            return None
+        return m
+
+    def dataset(self, stage: str) -> rd.Dataset:
+        return rd.read_parquet(self.artifact_dir(stage))
+
+    def save(self, stage: str, ds: rd.Dataset | None, meta: dict) -> rd.Dataset | None:
+        """Write the stage artifact (when ``ds`` is given) and its manifest;
+        returns a read-back Dataset so downstream consumers scan the parquet
+        artifact instead of re-executing the stage lineage."""
+        if not self.dir:
+            return ds
+        out = None
+        if ds is not None:
+            adir = self.artifact_dir(stage)
+            shutil.rmtree(adir, ignore_errors=True)  # write_parquet appends
+            ds.write_parquet(adir)
+            out = rd.read_parquet(adir)
+        with open(self._mpath(stage), "w") as fh:
+            json.dump({"stage": stage, "config_hash": self.hash, "meta": meta}, fh)
+        return out
 
 
 def prepare_training_corpus(
@@ -50,6 +112,10 @@ def prepare_training_corpus(
     chunk_size: int = 64,
     pack_budget: int = 256,
     num_shards: int = 8,
+    broadcast_limit: int = 2_000_000,
+    checkpoint_dir: str | None = None,
+    input_key: str | None = None,
+    snapshot_input: bool = False,
 ) -> dict:
     """Run the full prep pipeline over ``docs`` (id, text); write packed
     chunks to ``out_dir`` partitioned by shard and a ``manifest.json`` with
@@ -58,19 +124,58 @@ def prepare_training_corpus(
     Documents with ``id % bench_mod == 0`` play the held-out benchmark: they
     are excluded from training AND any other document sharing a
     ``decon_n``-gram with them is dropped (decontamination). ``bench_mod <= 0``
-    disables both (real ingestion where no eval suite lives in the corpus)."""
+    disables both (real ingestion where no eval suite lives in the corpus).
+
+    ``checkpoint_dir`` enables per-stage resume (see module docstring);
+    ``input_key`` folds an input identity (e.g. the source path) into the
+    config hash so a different input invalidates the checkpoints;
+    ``snapshot_input=True`` writes the pruned (id, text) input to parquet
+    once up front and re-points ``docs`` at it — REQUIRED shape when the
+    input lineage is expensive to re-execute (WARC parse), wasteful for
+    inputs that are already pruned parquet reads."""
     from ..extras.chunk import chunk_documents
-    from ..extras.cleanse import clean_corpus
+    from ..extras.cleanse import clean_corpus_decisions
     from ..extras.decontaminate import decontaminate, ngram_set
     from ..extras.joins import semi_anti_join
     from ..extras.pack import pack_sequences
     from ..extras.shuffle import sm64_key
+    from ..kg.materialize import config_hash
     from ..util import hash_join
 
-    docs = docs.select_columns([id_col, text_col]).materialize()
-    n_input = docs.count()
+    config = {
+        "min_tokens": min_tokens,
+        "bench_mod": bench_mod,
+        "decon_n": decon_n,
+        "train_fraction": train_fraction,
+        "split_salt": split_salt,
+        "chunk_size": chunk_size,
+        "pack_budget": pack_budget,
+        "num_shards": num_shards,
+    }
+    cfg_hash = config_hash({"config": config, "input_key": input_key})
+    ck = _PrepCheckpoint(checkpoint_dir, cfg_hash)
 
-    # benchmark slice out, eval set's n-grams broadcast for decontamination
+    data_dir = os.path.join(out_dir, "data")
+    final = ck.load("final")
+    if final is not None and os.path.isdir(data_dir):
+        return final["meta"]
+
+    # the text stream stays LAZY — no object-store pin of the corpus text
+    docs = docs.select_columns([id_col, text_col])
+    if snapshot_input:
+        sdir = (
+            ck.artifact_dir("ingest")
+            if checkpoint_dir
+            else os.path.join(out_dir, "_ingest")
+        )
+        if ck.load("ingest") is None or not os.path.isdir(sdir):
+            shutil.rmtree(sdir, ignore_errors=True)
+            os.makedirs(os.path.dirname(sdir) or ".", exist_ok=True)
+            docs.write_parquet(sdir)
+            ck.save("ingest", None, {"dir": sdir})
+        docs = rd.read_parquet(sdir)
+
+    # --- stage: gate + near-dup cluster dedup -> NARROW loser id set -------
     def _is_bench(bench: bool):
         def _f(b: pa.Table) -> pa.Table:
             ids = b.column(id_col).to_numpy(zero_copy_only=False)
@@ -79,31 +184,91 @@ def prepare_training_corpus(
 
         return _f
 
-    if bench_mod > 0:
-        bench_grams = ngram_set(
-            docs.map_batches(_is_bench(True), batch_format="pyarrow"), text_col, decon_n
+    corpus = (
+        docs.map_batches(_is_bench(False), batch_format="pyarrow")
+        if bench_mod > 0
+        else docs
+    )
+
+    cl = ck.load("cleanse")
+    if cl is not None:
+        n_input, n_kept, n_losers = (
+            cl["meta"]["n_input"],
+            cl["meta"]["n_kept"],
+            cl["meta"]["n_losers"],
         )
-        corpus = docs.map_batches(_is_bench(False), batch_format="pyarrow")
+        losers = ck.dataset("cleanse") if n_losers else None
     else:
-        bench_grams = None
-        corpus = docs
+        n_input = docs.count()
+        kept, losers = clean_corpus_decisions(
+            corpus,
+            text_col,
+            id_col,
+            min_tokens=min_tokens,
+            broadcast_limit=broadcast_limit,
+        )
+        n_kept = kept.count()
+        n_losers = losers.count()
+        saved = ck.save(
+            "cleanse",
+            losers if n_losers else None,  # empty artifact dirs don't read back
+            {"n_input": n_input, "n_kept": n_kept, "n_losers": n_losers},
+        )
+        losers = saved if saved is not None else losers
 
-    # gate + near-dup cluster keepers -> (id, n_tokens); re-attach text
-    kept = clean_corpus(corpus, text_col, id_col, min_tokens=min_tokens)
-    # keepers are MOST of the corpus — never a broadcast side; shuffle semi
-    kept_docs = semi_anti_join(corpus, kept, on=id_col, broadcast=False).materialize()
-    n_kept = kept_docs.count()
+    # kept documents, recomputed lazily: gate inline (cheap vectorized token
+    # count) + broadcast anti-filter on the small loser set — never a
+    # corpus-sized join to re-attach the keep decision to the text
+    def _gate(b: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(b.column(text_col), r"\S+"), pa.int64())
+        return b.filter(pc.greater_equal(n, min_tokens))
 
-    if bench_grams is not None:
-        contaminated = decontaminate(kept_docs, bench_grams, text_col=text_col,
-                                     id_col=id_col, n=decon_n)
+    kept_stream = corpus.map_batches(_gate, batch_format="pyarrow")
+    if n_losers > 0:
+        kept_stream = semi_anti_join(
+            kept_stream,
+            losers,
+            on=id_col,
+            anti=True,
+            broadcast=n_losers <= broadcast_limit,
+        )
+
+    # --- stage: decontamination -> NARROW contaminated id set --------------
+    n_contam = 0
+    contaminated = None
+    if bench_mod > 0:
+        dc = ck.load("decon")
+        if dc is not None:
+            n_contam = dc["meta"]["n_contaminated"]
+            contaminated = ck.dataset("decon") if n_contam else None
+        else:
+            bench_grams = ngram_set(
+                docs.map_batches(_is_bench(True), batch_format="pyarrow"),
+                text_col,
+                decon_n,
+            )
+            contaminated = decontaminate(
+                kept_stream, bench_grams, text_col=text_col, id_col=id_col, n=decon_n
+            ).select_columns([id_col]).materialize()
+            n_contam = contaminated.count()
+            saved = ck.save(
+                "decon",
+                contaminated if n_contam else None,
+                {"n_contaminated": n_contam},
+            )
+            contaminated = saved if saved is not None else contaminated
+    n_clean = n_kept - n_contam
+
+    clean = kept_stream
+    if n_contam > 0:
         # contaminated ids ARE a small set — the broadcast anti-filter is right
         clean = semi_anti_join(
-            kept_docs, contaminated, on=id_col, anti=True
-        ).materialize()
-        n_clean = clean.count()
-    else:
-        clean, n_clean = kept_docs, n_kept
+            clean,
+            contaminated,
+            on=id_col,
+            anti=True,
+            broadcast=n_contam <= broadcast_limit,
+        )
 
     # train-split selection inline (same hash/threshold as split_assign);
     # fraction >= 1 keeps everything (2^64 overflows uint64 — no threshold)
@@ -118,31 +283,40 @@ def prepare_training_corpus(
 
         train = clean.map_batches(_train, batch_format="pyarrow")
 
-    chunks = chunk_documents(
-        train, text_col=text_col, id_col=id_col, size=chunk_size
-    ).materialize()
-    n_chunks = chunks.count()
-
-    # pack on a synthetic per-chunk key: a full-width SplitMix64 hash-combine
-    # of (doc_id, chunk_id). Arithmetic packing (doc_id * 2^k + chunk_id)
-    # silently wraps int64 when doc_ids are themselves 63-bit url hashes
-    # (documents_from_warc), colliding distinct chunks at the 2^(63-k)
-    # birthday bound; the hash-combine keeps the full 63 bits — the same
-    # 2^-63-per-pair identity contract doc_id already carries.
-
+    # --- stage: chunk + pack -> NARROW per-chunk bin assignment ------------
+    # chunked text stays lazy; pack on a synthetic per-chunk key: a
+    # full-width SplitMix64 hash-combine of (doc_id, chunk_id). Arithmetic
+    # packing (doc_id * 2^k + chunk_id) silently wraps int64 when doc_ids
+    # are themselves 63-bit url hashes (documents_from_warc), colliding
+    # distinct chunks at the 2^(63-k) birthday bound; the hash-combine keeps
+    # the full 63 bits — the same 2^-63-per-pair identity contract doc_id
+    # already carries.
     def _keyed(b: pa.Table) -> pa.Table:
         d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         c = b.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
         k = sm64_key(sm64_key(d, 13).astype(np.int64) + c)
-        t = b.append_column(
+        return b.append_column(
             "chunk_key", pa.array((k >> np.uint64(1)).astype(np.int64), pa.int64())
         )
-        return t
 
-    keyed = chunks.map_batches(_keyed, batch_format="pyarrow").materialize()
-    bins = pack_sequences(
-        keyed, "chunk_key", "n_tokens", budget=pack_budget, num_shards=num_shards
-    )
+    keyed = chunk_documents(
+        train, text_col=text_col, id_col=id_col, size=chunk_size
+    ).map_batches(_keyed, batch_format="pyarrow")
+
+    bn = ck.load("bins")
+    if bn is not None:
+        n_chunks = bn["meta"]["n_chunks"]
+        bins = ck.dataset("bins")
+    else:
+        # pack_sequences projects (chunk_key, n_tokens) internally — one
+        # narrow pass over the lazy chunk lineage, no text shuffle
+        bins = pack_sequences(
+            keyed, "chunk_key", "n_tokens", budget=pack_budget, num_shards=num_shards
+        ).materialize()
+        n_chunks = bins.count()
+        saved = ck.save("bins", bins, {"n_chunks": n_chunks})
+        bins = saved if saved is not None else bins
+
     packed = hash_join(
         keyed, bins.select_columns(["chunk_key", "shard", "bin", "pos"]),
         on="chunk_key", join_type="inner",
@@ -154,8 +328,8 @@ def prepare_training_corpus(
     # reproducible random bin order without a second global sort here
     def _epoch(b: pa.Table) -> pa.Table:
         sh = b.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
-        bn = b.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
-        h = sm64_key(sh * (1 << 32) + bn, split_salt + 1)
+        bn_ = b.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = sm64_key(sh * (1 << 32) + bn_, split_salt + 1)
         return b.append_column(
             "epoch_order", pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
         )
@@ -163,22 +337,15 @@ def prepare_training_corpus(
     packed = packed.map_batches(_epoch, batch_format="pyarrow")
 
     os.makedirs(out_dir, exist_ok=True)
-    data_dir = os.path.join(out_dir, "data")
     if os.path.exists(data_dir):
-        import shutil
-
         shutil.rmtree(data_dir)  # write_parquet APPENDS into existing dirs
-    packed = packed.materialize()
-    n_packed = packed.count()
-    n_tokens = int(
-        packed.map_batches(
-            lambda b: pa.table(
-                {"s": pa.array([pc.sum(b.column("n_tokens")).as_py() or 0], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        ).sum("s")
-    )
+    # stream straight to the partitioned sink — counts come from the written
+    # parquet's narrow column, never from materializing the text in the
+    # object store
     packed.write_parquet(data_dir, partition_cols=["shard"])
+    written = rd.read_parquet(data_dir, columns=["n_tokens"])
+    n_packed = written.count()
+    n_tokens = int(written.sum("n_tokens") or 0)
 
     manifest = {
         "input_docs": n_input,
@@ -187,19 +354,11 @@ def prepare_training_corpus(
         "train_chunks": n_chunks,
         "packed_rows": n_packed,
         "packed_tokens": n_tokens,
-        "config": {
-            "min_tokens": min_tokens,
-            "bench_mod": bench_mod,
-            "decon_n": decon_n,
-            "train_fraction": train_fraction,
-            "split_salt": split_salt,
-            "chunk_size": chunk_size,
-            "pack_budget": pack_budget,
-            "num_shards": num_shards,
-        },
+        "config": config,
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
+    ck.save("final", None, manifest)
     return manifest
 
 
@@ -207,7 +366,12 @@ def documents_from_warc(warc_paths: str | list) -> rd.Dataset:
     """WARC archives -> (doc_id, text) ready for :func:`prepare_training_corpus`:
     pages via the pure-python WARC source, text via the byte-identical
     extraction stage, doc ids as the SplitMix64 hash of the url (stable
-    across runs and partitionings, like every other decision key here)."""
+    across runs and partitionings, like every other decision key here).
+
+    The returned Dataset's lineage includes the WARC parser — pass
+    ``snapshot_input=True`` to ``prepare_training_corpus`` so the prep
+    pipeline's lazy re-scans read a pruned parquet snapshot instead of
+    re-parsing the archives."""
     import pandas as pd
 
     from ..extras.shuffle import sm64_key

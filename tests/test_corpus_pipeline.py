@@ -106,3 +106,83 @@ def test_corpus_pipeline_hashed_63bit_doc_ids(tmp_path):
     assert m["packed_rows"] == m["train_chunks"] == len(got)
     assert not got.duplicated(["doc_id", "chunk_id"]).any()
     assert set(got.doc_id) == set(ids.tolist())
+
+
+def _run_ckpt(tmp, ckpt, salt=7):
+    from anonymization_ray.pipelines.corpus import prepare_training_corpus
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    return prepare_training_corpus(
+        docs,
+        str(tmp),
+        min_tokens=10,
+        chunk_size=16,
+        pack_budget=64,
+        num_shards=4,
+        split_salt=salt,
+        checkpoint_dir=str(ckpt),
+        input_key="sf0.001-documents",
+    )
+
+
+def test_corpus_prep_checkpoint_resume_bit_identical(tmp_path, monkeypatch):
+    """A killed-and-rerun prep reuses completed stages and produces output
+    bit-identical to a fresh run."""
+    fresh = _run(tmp_path / "fresh")
+    m1 = _run_ckpt(tmp_path / "a", tmp_path / "ckpt")
+    assert m1 == fresh
+
+    # simulate a failure after the decision stages: final output gone
+    import shutil
+
+    shutil.rmtree(tmp_path / "a" / "data")
+    (tmp_path / "a" / "manifest.json").unlink()
+    import os
+    os.remove(tmp_path / "ckpt" / "_manifests" / "final.json")
+
+    # completed stages must NOT recompute — poison their entry points
+    import importlib
+
+    cleanse_mod = importlib.import_module("anonymization_ray.extras.cleanse")
+    decon_mod = importlib.import_module("anonymization_ray.extras.decontaminate")
+    pack_mod = importlib.import_module("anonymization_ray.extras.pack")
+
+    def _boom(*a, **k):
+        raise AssertionError("stage recomputed despite fresh checkpoint")
+
+    monkeypatch.setattr(cleanse_mod, "clean_corpus_decisions", _boom)
+    monkeypatch.setattr(decon_mod, "decontaminate", _boom)
+    monkeypatch.setattr(pack_mod, "pack_sequences", _boom)
+
+    m2 = _run_ckpt(tmp_path / "a", tmp_path / "ckpt")
+    assert m2 == m1
+    da = rd.read_parquet(str(tmp_path / "fresh" / "data")).to_pandas()
+    db = rd.read_parquet(str(tmp_path / "a" / "data")).to_pandas()
+    key = ["doc_id", "chunk_id"]
+    da = da.sort_values(key).reset_index(drop=True)
+    db = db.sort_values(key).reset_index(drop=True)[da.columns]
+    assert da.equals(db)
+
+
+def test_corpus_prep_checkpoint_final_short_circuit(tmp_path, monkeypatch):
+    """With the final manifest fresh and data present, a re-run touches
+    nothing at all."""
+    m1 = _run_ckpt(tmp_path / "o", tmp_path / "ck")
+    import importlib
+    chunk_mod = importlib.import_module("anonymization_ray.extras.chunk")
+
+    def _boom(*a, **k):
+        raise AssertionError("pipeline re-ran despite fresh final manifest")
+
+    monkeypatch.setattr(chunk_mod, "chunk_documents", _boom)
+    m2 = _run_ckpt(tmp_path / "o", tmp_path / "ck")
+    assert m2 == m1
+
+
+def test_corpus_prep_checkpoint_config_invalidation(tmp_path):
+    """A config change invalidates every stage: same checkpoint dir, new
+    salt — results equal a fresh run at the new salt."""
+    _run_ckpt(tmp_path / "x", tmp_path / "ck", salt=7)
+    m_new = _run_ckpt(tmp_path / "x", tmp_path / "ck", salt=8)
+    m_ref = _run(tmp_path / "ref", salt=8)
+    assert m_new == m_ref
