@@ -40,6 +40,7 @@ def kg_pipeline(
     out_dir: str | None = None,
     num_partitions: int = 16,
     extractor_concurrency=None,
+    materialize_canonical: bool | None = None,
 ) -> KgRunResult:
     if extractor_concurrency is None:
         from ..util import actor_pool_size
@@ -90,7 +91,25 @@ def kg_pipeline(
     canon = extract_link_canonical(
         pages, alias, mapping, concurrency=extractor_concurrency
     )
-    canon = canon.materialize()  # reused by each per-predicate anonymizer pass
+    # The canonical triple stream is the job's largest intermediate (at
+    # 100 TB of pages it dwarfs everything downstream), so pinning it in the
+    # object store is a spill-vs-recompute tradeoff gated on CONSUMER COUNT:
+    # anonymize_triples scans it once per configured predicate plus a final
+    # keep-pass, and materialize_triples sorts the (post-anonymize) stream
+    # twice (SPO + POS) — each un-materialized consumer re-runs the fused
+    # extract+link+canonicalize actor pass over the html corpus. With a
+    # single consumer (anonymize=False, out_dir=None) the materialize is
+    # pure spill cost and is skipped. Measured at sf0.1 (BASELINE.md round 4,
+    # "canonical-stream materialize gate"): multi-consumer materialize wins
+    # by ~the cost of one extra extraction pass per consumer; single-consumer
+    # skip avoids pinning the full stream for no reuse.
+    n_consumers = (len(DEFAULT_TRIPLE_CONFIG) + 1 if anonymize else 0) + (
+        2 if out_dir is not None else 0
+    )
+    if materialize_canonical is None:
+        materialize_canonical = n_consumers >= 2
+    if materialize_canonical:
+        canon = canon.materialize()
 
     gen_results: dict = {}
     if anonymize:

@@ -535,13 +535,54 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 }
 
 
+# Driver correctness runs sample a prefix of the registry (round 3 covered
+# the first 50 of 81). Entries the round-3 driver did NOT sample — all green
+# via tests/test_oracles.py — surface first so the round-4 driver gate
+# covers them; new round-4 operators are appended to this list as they land.
+_DRIVER_PRIORITY: list[str] = [
+    "ann_lsh_join_top1",
+    "rand_date_window_scale",
+    "rand_date_orders",
+    "events_asof_join",
+    "join_anti_customers",
+    "events_interval_join",
+    "events_sliding_count",
+    "events_window_funcs",
+    "corpus_pack",
+    "stats_quantiles",
+    "stats_distinct",
+    "stats_heavy_hitters",
+    "stats_hll_distinct",
+    "stats_group_quantiles",
+    "sample_lineitem",
+    "sample_stratified",
+    "graph_triangles",
+    "bm25_topk",
+    "text_redact",
+    "text_repetition",
+    "text_decontaminate",
+    "corpus_shuffle",
+    "corpus_split",
+    "text_chunks",
+    "corpus_mix",
+    "text_dup_spans",
+    "corpus_quality_gate",
+    "dedup_semantic",
+    "text_normalize",
+    "text_unigram_nll",
+    "top_orders_per_customer",
+]
+
+
 def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras import EXTRAS_REGISTRY
     from .queries_kg import KG_REGISTRY
 
-    out = dict(_BASE_REGISTRY)
-    out.update(KG_REGISTRY)
-    out.update(EXTRAS_REGISTRY)
+    merged = dict(_BASE_REGISTRY)
+    merged.update(KG_REGISTRY)
+    merged.update(EXTRAS_REGISTRY)
+    out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
+    out.update(merged)
     return out
 
 

@@ -232,3 +232,161 @@ def test_jsonl_integer_ids_null_fallback(tmp_path):
     again = read_jsonl_documents(str(p)).to_pandas().sort_values("text").reset_index(drop=True)
     assert got.doc_id.tolist() == again.doc_id.tolist()
     assert got.doc_id.nunique() == 3
+
+
+# ---------------------------------------------------------------------------
+# streaming / range-split reads (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _rss_kb() -> int:
+    with open("/proc/self/statm") as fh:
+        return int(fh.read().split()[1]) * 4  # resident pages -> KiB (4K pages)
+
+
+def test_warc_streaming_bounded_memory(tmp_path):
+    """A .warc.gz far larger than the parse buffer streams record-by-record
+    with bounded RSS: ~192 MB decompressed, peak incremental RSS well under
+    a tenth of that (the historical parser gunzipped the whole archive)."""
+    from anonymization_ray.sources.warc import iter_warc_records
+
+    p = tmp_path / "big.warc.gz"
+    body = b"ab" * 32768  # 64 KiB, compressible
+    n_rec = 3000
+    with gzip.open(p, "wb", compresslevel=1) as fh:
+        for i in range(n_rec):
+            fh.write(
+                _warc_record(f"http://big.example/{i}", "2024-05-01T10:00:00Z", body)
+            )
+    decompressed_mb = n_rec * 64 // 1024
+    assert decompressed_mb >= 180
+
+    fh = gzip.open(p, "rb")
+    base = _rss_kb()
+    peak = 0
+    count = 0
+    total_payload = 0
+    for off, rec in iter_warc_records(fh.read):
+        count += 1
+        total_payload += len(rec["payload"])
+        if count % 100 == 0:
+            peak = max(peak, _rss_kb() - base)
+    fh.close()
+    assert count == n_rec
+    assert total_payload > 180 * 1024 * 1024
+    assert peak < 50 * 1024, f"peak incremental RSS {peak} KiB not bounded"
+
+
+def test_warc_ranged_plain_matches_streaming(tmp_path):
+    """Uncompressed range-split read returns exactly the same pages as the
+    per-file streaming read, for every split size (records are never lost
+    or duplicated at range boundaries, including a record starting exactly
+    on a boundary)."""
+    from anonymization_ray.sources.warc import read_warc, read_warc_ranged
+
+    p = tmp_path / "multi.warc"
+    recs = b"".join(
+        _warc_record(
+            f"http://r.example/{i}",
+            "2024-05-01T10:00:00Z",
+            f"<html><p>doc {i} {'x' * (37 * (i % 11))}</p></html>".encode(),
+        )
+        for i in range(40)
+    )
+    p.write_bytes(recs)
+
+    want = read_warc(str(p)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(want) == 40
+    for target in (257, 1024, 4096, len(recs) + 10):
+        got = (
+            read_warc_ranged(str(p), target_bytes=target)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert got.url.tolist() == want.url.tolist(), f"target_bytes={target}"
+        assert (got.html == want.html).all()
+
+
+def test_warc_ranged_boundary_exact(tmp_path):
+    """A range boundary placed EXACTLY at a record start assigns the record
+    to the later range (no loss, no double-read)."""
+    from anonymization_ray.sources.warc import read_warc_ranged
+
+    r0 = _warc_record("http://x.example/0", "2024-05-01T10:00:00Z", b"<html><p>a</p></html>")
+    r1 = _warc_record("http://x.example/1", "2024-05-01T10:00:00Z", b"<html><p>b</p></html>")
+    r2 = _warc_record("http://x.example/2", "2024-05-01T10:00:00Z", b"<html><p>c</p></html>")
+    p = tmp_path / "exact.warc"
+    p.write_bytes(r0 + r1 + r2)
+    # target = len(r0): bounds at 0, len(r0), 2*len(r0)... r1 starts exactly
+    # at len(r0)
+    got = (
+        read_warc_ranged(str(p), target_bytes=len(r0))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got.url.tolist() == [f"http://x.example/{i}" for i in range(3)]
+
+
+def test_warc_ranged_gz_member_aligned(tmp_path):
+    """.warc.gz with one record per member (Common-Crawl convention) splits
+    at member offsets; every split size returns the same pages."""
+    from anonymization_ray.sources.warc import (
+        gzip_member_offsets,
+        read_warc,
+        read_warc_ranged,
+    )
+
+    p = tmp_path / "members.warc.gz"
+    with open(p, "wb") as fh:
+        for i in range(24):
+            fh.write(
+                gzip.compress(
+                    _warc_record(
+                        f"http://m.example/{i}",
+                        "2024-05-01T10:00:00Z",
+                        f"<html><p>member {i}</p></html>".encode(),
+                    )
+                )
+            )
+    offs, aligned = gzip_member_offsets(str(p))
+    assert aligned and len(offs) == 24 and offs[0] == 0
+
+    want = read_warc(str(p)).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(want) == 24
+    for target in (1, 300, 10**9):
+        got = (
+            read_warc_ranged(str(p), target_bytes=target)
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert got.url.tolist() == want.url.tolist(), f"target_bytes={target}"
+
+
+def test_warc_ranged_gz_unaligned_falls_back(tmp_path):
+    """A .warc.gz whose members do NOT each start a record (multi-record
+    member) is detected by the index pass and read as ONE whole-file range —
+    correctness over parallelism."""
+    from anonymization_ray.sources.warc import (
+        gzip_member_offsets,
+        read_warc_ranged,
+        warc_split_ranges,
+    )
+
+    r = b"".join(
+        _warc_record(f"http://u.example/{i}", "2024-05-01T10:00:00Z", b"<html><p>z</p></html>")
+        for i in range(4)
+    )
+    p = tmp_path / "unaligned.warc.gz"
+    cut = len(r) // 2 + 7  # NOT a record boundary (records are equal-sized)
+    with open(p, "wb") as fh:
+        fh.write(gzip.compress(r[:cut]))  # member split mid-record
+        fh.write(gzip.compress(r[cut:]))
+    offs, aligned = gzip_member_offsets(str(p))
+    assert len(offs) == 2 and not aligned
+    ranges = warc_split_ranges(str(p), target_bytes=1)
+    assert len(ranges) == 1  # fallback: single streaming range
+    got = read_warc_ranged(str(p), target_bytes=1).to_pandas()
+    assert sorted(got.url.tolist()) == [f"http://u.example/{i}" for i in range(4)]
