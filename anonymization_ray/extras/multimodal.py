@@ -15,8 +15,12 @@ What is REAL here (no external codecs needed):
 - ``MediaDecoder``: actor-pool stage (state in ``__init__``, payload dropped
   after decode, small batches for MB-scale payloads)
 
+Since round 4, BASELINE sequential grayscale JPEG also decodes FOR REAL —
+the numpy-only codec in ``extras/jpeg.py`` (canonical Huffman + matrix DCT);
+see that module for the closed-form oracle story.
+
 What is a STUB (clearly marked): decoding formats that require codecs absent
-from this container (JPEG entropy decode, audio, video frame-sampling) —
+from this container (progressive/color JPEG, audio, video frame-sampling) —
 ``MediaDecoder(fake=False)`` raises NotImplementedError for those;
 ``fake=True`` substitutes deterministic hash features so the plumbing is
 exercisable for any payload.
@@ -224,6 +228,13 @@ class MediaDecoder:
                 return self._png_features(decode_png_gray(payload))
             except NotImplementedError:
                 pass  # non-grayscale PNG falls through to the stub policy
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg_gray
+
+            try:
+                return self._png_features(decode_jpeg_gray(payload))
+            except NotImplementedError:
+                pass  # progressive/color JPEG falls through to the stub policy
         if not self._fake:
             raise NotImplementedError(
                 "decode for this media format requires a codec not present "
@@ -282,17 +293,50 @@ def attach_media_affine(
     return ds.map_batches(_attach, batch_format="pyarrow")
 
 
+def attach_media_jpeg_flat(
+    ds: rd.Dataset, id_col: str, *, width: int = 16, height: int = 16
+) -> rd.Dataset:
+    """Deterministic REAL JPEG payloads (baseline sequential grayscale,
+    encoded by ``extras/jpeg.py``) whose 8x8 blocks are each a FLAT gray
+    ``g_b = (id*37 + b*59) % 256`` (b = row-major block index). With the
+    codec's DC quantizer of 24 a flat block reconstructs EXACTLY to
+    ``clip(3*round((g-128)/3) + 128, 0, 255)`` — a closed form DuckDB can
+    recompute, so the lossy-codec decode path still gets a value-level
+    oracle (``multimodal_jpeg_stats``)."""
+    from .jpeg import encode_jpeg_gray
+
+    bh, bw = height // 8, width // 8
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for i in ids:
+            px = np.empty((height, width), dtype=np.uint8)
+            for b in range(bh * bw):
+                r, c = divmod(b, bw)
+                px[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = (
+                    int(i) * 37 + b * 59
+                ) % 256
+            payloads.append(encode_jpeg_gray(px))
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
 class MediaStatsDecoder:
-    """Actor-pool callable: REAL PNG decode (pure-python zlib path) ->
-    integer pixel statistics per payload. Same deployment shape as
-    ``MediaDecoder`` (codec state would load once per actor in __init__);
-    the MB-scale payload column is dropped after decode so only the narrow
-    stats stream travels on."""
+    """Actor-pool callable: REAL decode (pure-python zlib PNG path, or the
+    numpy-only baseline JPEG codec in ``extras/jpeg.py``, dispatched on the
+    payload magic) -> integer pixel statistics per payload. Same deployment
+    shape as ``MediaDecoder`` (codec state would load once per actor in
+    __init__); the MB-scale payload column is dropped after decode so only
+    the narrow stats stream travels on."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_gray
+
         widths, heights, sums = [], [], []
         for p in batch.column("media").to_pylist():
-            px = decode_png_gray(p)
+            px = decode_jpeg_gray(p) if p[:2] == b"\xff\xd8" else decode_png_gray(p)
             h, w = px.shape
             widths.append(w)
             heights.append(h)

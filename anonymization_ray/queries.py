@@ -571,6 +571,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_normalize",
     "text_unigram_nll",
     "top_orders_per_customer",
+    # round-4 additions
+    "multimodal_jpeg_stats",
 ]
 
 

@@ -342,6 +342,33 @@ FROM documents d
 """
 
 
+def q_multimodal_jpeg_stats(sf_dir: str):
+    """LOSSY codec end-to-end with a value-level oracle: attach REAL baseline
+    JPEG payloads (numpy-only codec, ``extras/jpeg.py``) whose 8x8 blocks are
+    flat grays ``(doc_id*37 + b*59) % 256``, decode them through the real
+    Huffman+IDCT path in the actor-pool stats stage, and compare pixel sums
+    against the closed-form reconstruction ``clip(3*round((g-128)/3)+128)``
+    recomputed in SQL (DC quantizer 24 => exact-thirds grid, so numpy
+    banker's rounding and SQL half-away ROUND agree — see the jpeg module
+    docstring)."""
+    from .extras.multimodal import attach_media_jpeg_flat, decode_media_stats
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return decode_media_stats(attach_media_jpeg_flat(docs, "doc_id"))
+
+
+SQL_MULTIMODAL_JPEG_STATS = """
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       (SELECT CAST(sum(64 * LEAST(255, GREATEST(0,
+                3 * ROUND(((d.doc_id * 37 + t.b * 59) % 256 - 128) / 3.0)
+                + 128))) AS BIGINT)
+        FROM unnest(range(4)) AS t(b)) AS pixel_sum
+FROM documents d
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search
 # --------------------------------------------------------------------------
@@ -780,6 +807,7 @@ EXTRAS_REGISTRY: dict[str, QueryDef] = {
     "dedup_embedding_lsh": QueryDef(q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "dedup_ngram_jaccard": QueryDef(q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "multimodal_decode": QueryDef(q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "multimodal_jpeg_stats": QueryDef(q_multimodal_jpeg_stats, SQL_MULTIMODAL_JPEG_STATS),
     "ann_cosine_topk": QueryDef(q_ann_topk, SQL_ANN_TOPK),
     "ann_lsh_topk": QueryDef(q_ann_lsh_topk, SQL_ANN_LSH_RECALL),
     "ann_ivf_topk": QueryDef(q_ann_ivf_topk, SQL_ANN_IVF_RECALL),

@@ -216,6 +216,80 @@ def test_png_roundtrip_and_header_probe():
     assert all(0.0 <= v <= 1.0 for f in feats["media_features"] for v in f)
 
 
+def test_jpeg_flat_blocks_decode_to_closed_form():
+    from anonymization_ray.extras.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    for doc_id in (0, 1, 7, 123456, 10**9 + 7):
+        px = np.empty((16, 16), dtype=np.uint8)
+        expected = np.empty((16, 16), dtype=np.int64)
+        for b in range(4):
+            r, c = divmod(b, 2)
+            g = (doc_id * 37 + b * 59) % 256
+            px[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = g
+            expected[r * 8:(r + 1) * 8, c * 8:(c + 1) * 8] = int(
+                np.clip(3 * round((g - 128) / 3) + 128, 0, 255)
+            )
+        out = decode_jpeg_gray(encode_jpeg_gray(px))
+        assert np.array_equal(out.astype(np.int64), expected)
+
+
+def test_jpeg_roundtrip_bounded_error_and_probe():
+    from anonymization_ray.extras.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from anonymization_ray.extras.multimodal import parse_image_header
+
+    # smooth content survives quantization with small error; shape preserved
+    y, x = np.mgrid[0:24, 0:32]
+    img = ((y * 5 + x * 3) % 256).astype(np.uint8)
+    payload = encode_jpeg_gray(img)
+    out = decode_jpeg_gray(payload)
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+    # the encoder's own output header-probes correctly
+    got = parse_image_header(payload)
+    assert (got["mime"], got["width"], got["height"]) == ("image/jpeg", 32, 24)
+
+
+def test_jpeg_progressive_and_color_still_gated():
+    from anonymization_ray.extras.jpeg import decode_jpeg_gray, encode_jpeg_gray
+    from anonymization_ray.extras.multimodal import MediaDecoder
+    import struct
+
+    # progressive (SOF2) trips the honest codec gate
+    sof2 = (b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 8, 8) + b"\x01\x01\x11\x00" + b"\xff\xd9")
+    with pytest.raises(NotImplementedError):
+        decode_jpeg_gray(sof2)
+    # fake=False MediaDecoder: baseline grayscale JPEG decodes FOR REAL,
+    # progressive falls through to the gate
+    dec = MediaDecoder(fake=False, feature_dim=4)
+    feats = dec._decode(encode_jpeg_gray(np.full((8, 8), 200, dtype=np.uint8)))
+    assert len(feats) == 4 and all(0.0 <= v <= 1.0 for v in feats)
+    with pytest.raises(NotImplementedError):
+        dec._decode(sof2)
+
+
+def test_jpeg_stats_stage_matches_closed_form():
+    from anonymization_ray.extras.multimodal import (
+        attach_media_jpeg_flat,
+        decode_media_stats,
+    )
+
+    ds = rd.from_arrow(pa.table({"item_id": pa.array(range(12), pa.int64())}))
+    df = (
+        decode_media_stats(attach_media_jpeg_flat(ds.repartition(3), "item_id"))
+        .to_pandas()
+        .sort_values("item_id")
+    )
+    assert "media" not in df.columns
+    for _, row in df.iterrows():
+        i = int(row["item_id"])
+        want = sum(
+            64 * int(np.clip(3 * round(((i * 37 + b * 59) % 256 - 128) / 3) + 128, 0, 255))
+            for b in range(4)
+        )
+        assert (row["width"], row["height"], row["pixel_sum"]) == (16, 16, want)
+
+
 def test_topk_per_key_matches_pandas():
     from anonymization_ray.util import topk_per_key
 
