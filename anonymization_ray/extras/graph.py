@@ -207,3 +207,57 @@ def triangle_count(
     )
     n = closures.count()
     return rd.from_arrow(pa.table({"triangles": pa.array([n], pa.int64())}))
+
+
+def bfs_hops(
+    edges: rd.Dataset,
+    seeds: list,
+    max_hops: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> rd.Dataset:
+    """Multi-source unweighted BFS -> Dataset[(node, dist)], dist = minimum
+    hop count from any seed (seeds at 0), nodes beyond ``max_hops`` absent.
+
+    Proper frontier BFS, not path enumeration: per hop, the frontier's node
+    set SEMI-joins the edge stream (broadcast ``pc.is_in`` scan — the edges
+    NEVER shuffle, the dominant cost at crawl scale), the neighbor set is
+    deduplicated with the sort-based ``distinct_rows``, and an ANTI join
+    against the visited node set (broadcast again — both sides of the probe
+    are node-bounded) ensures a node is expanded exactly once, so per-hop
+    cost is O(edges scanned + nodes) independent of how many paths reach a
+    node (the recursive-CTE oracle enumerates paths; this plan must not).
+    Frontiers and the visited set are node-bounded materializations; beyond
+    ``joins.BROADCAST_KEY_CAP`` frontier keys the semi/anti helper's shuffle
+    path takes over. Symmetrize ``edges`` for undirected reachability."""
+    from .joins import semi_anti_join
+
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    seed_tbl = pa.table(
+        {"node": pa.array(seeds), "dist": pa.array([0] * len(seeds), pa.int64())}
+    )
+    visited = rd.from_arrow(seed_tbl).materialize()
+    frontier = visited.select_columns(["node"]).materialize()
+
+    for d in range(1, max_hops + 1):
+        touched = semi_anti_join(edges, frontier, on=src_col, right_on="node")
+        cand = distinct_rows(
+            touched.map_batches(
+                lambda b: pa.table({"node": b.column(dst_col).combine_chunks()}),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+        )
+        new = semi_anti_join(cand, visited, on="node", anti=True).map_batches(
+            lambda b, dist=d: b.append_column(
+                "dist", pa.array(np.full(b.num_rows, dist, np.int64))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new.select_columns(["node"]).materialize()
+    return visited

@@ -361,3 +361,141 @@ def unigram_nll(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def dsir_logweights(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    target_val: str,
+    *,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """(id, n_tokens, logw_micro): DSIR-style importance weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling") in
+    cross-engine-exact integer form.
+
+    The target distribution is the subset of the corpus where
+    ``target_col == target_val`` (e.g. ``lang == 'en'`` stands in for the
+    high-quality target corpus); the raw distribution is the whole corpus.
+    Each token contributes the add-one-smoothed log-ratio
+
+        floor(scale * (ln(c_tgt+1) - ln(N_tgt+V) - ln(c_raw+1) + ln(N_raw+V)))
+
+    (V = raw vocabulary size), computed ONCE per distinct term and summed as
+    INTEGERS per document, so summation order can never change the value.
+    Selection = top-k by ``logw_micro`` (the paper resamples with Gumbel
+    noise; the deterministic rank is what an oracle can pin). The paper's
+    hashed-bigram feature space drops in by swapping the tokenizer for a
+    hashed-ngram kernel — the two-pass count/broadcast/score shape below is
+    feature-agnostic.
+
+    Shape: ONE tokenize pass feeds BOTH counts (the target counts are the
+    same stream filtered on the carried ``target_col``), each via the
+    sort+boundary-scan ``exact_value_counts`` — never a Ray groupby at
+    vocabulary cardinality; the per-term weight table is built once on the
+    driver (bounded by vocabulary, the same gather ``unigram_nll`` makes)
+    and broadcast via ``ray.put``; scoring is a stateless second pass."""
+    import ray
+
+    from .stats import exact_value_counts
+
+    def _tokens(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        is_tgt = pc.equal(batch.column(target_col), target_val)
+        is_tgt = pc.fill_null(is_tgt, False).combine_chunks()
+        return pa.table(
+            {
+                "term": flat.filter(keep),
+                "is_tgt": is_tgt.take(parent.filter(keep)),
+            }
+        )
+
+    tok = ds.select_columns([id_col, text_col, target_col]).map_batches(
+        _tokens, batch_format="pyarrow"
+    ).materialize()
+    raw_counts = exact_value_counts(tok.select_columns(["term"]), "term").materialize()
+    tgt_counts = exact_value_counts(
+        tok.filter(expr="is_tgt == True").select_columns(["term"]), "term"
+    )
+
+    def _gather(counts) -> tuple[np.ndarray, np.ndarray]:
+        parts = [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+        if not parts:
+            return np.array([], dtype=str), np.array([], np.int64)
+        t = pa.concat_tables(parts)
+        terms = np.asarray(t.column("term").to_pylist())
+        cnts = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(terms)
+        return terms[order], cnts[order]
+
+    r_terms, r_cnts = _gather(raw_counts)
+    t_terms, t_cnts = _gather(tgt_counts)
+    vocab = len(r_terms)
+    n_raw = int(r_cnts.sum())
+    n_tgt = int(t_cnts.sum())
+    # map target counts onto the raw vocabulary (raw is a superset: the
+    # target subset's tokens all appear in the whole-corpus stream)
+    ct = np.zeros(vocab, np.int64)
+    if len(t_terms):
+        pos = np.searchsorted(r_terms, t_terms)
+        ct[pos] = t_cnts
+    if vocab:
+        # identical term order to the SQL oracle's expression
+        w_term = np.floor(
+            scale
+            * (
+                np.log(ct.astype(np.float64) + 1.0)
+                - np.log(float(n_tgt + vocab))
+                - np.log(r_cnts.astype(np.float64) + 1.0)
+                + np.log(float(n_raw + vocab))
+            )
+        ).astype(np.int64)
+    else:
+        w_term = np.array([], np.int64)
+    ref = ray.put((r_terms, w_term))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ts, wt = ray.get(ref)
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        d = parent.filter(keep).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).combine_chunks()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "logw_micro": pa.array([], pa.int64()),
+                }
+            )
+        w = flat.to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(ts, w)
+        np.clip(idx, 0, len(ts) - 1, out=idx)
+        tok_w = wt[idx]
+        n_rows = len(batch)
+        n_tok = np.bincount(d, minlength=n_rows)
+        lw = np.bincount(d, weights=tok_w, minlength=n_rows).astype(np.int64)
+        nz = np.nonzero(n_tok)[0]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(nz, pa.int64())),
+                "n_tokens": pa.array(n_tok[nz], pa.int64()),
+                "logw_micro": pa.array(lw[nz], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow")

@@ -2052,3 +2052,93 @@ EXTRAS_REGISTRY.update(
         )
     }
 )
+
+
+def q_text_dsir(sf_dir: str):
+    """DSIR importance weighting (extras/textstats.dsir_logweights): add-one
+    smoothed unigram log-ratio between the lang='en' target subset and the
+    raw corpus, per-term integer micro-nat weights summed per document —
+    order-independent, so the iterative count/broadcast/score plan is
+    value-hash gated against the SQL replica."""
+    from .extras.textstats import dsir_logweights
+
+    ds = load(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_logweights(ds, "text", "doc_id", "lang", "en")
+
+
+SQL_TEXT_DSIR = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(arr) AS term
+  FROM (SELECT doc_id, lang,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+raw AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tgt AS (SELECT term, count(*) AS c FROM tok WHERE lang = 'en' GROUP BY term),
+nr AS (SELECT count(*) AS n FROM tok),
+nt AS (SELECT count(*) AS n FROM tok WHERE lang = 'en'),
+v AS (SELECT count(*) AS v FROM raw),
+w AS (SELECT raw.term,
+             CAST(floor(1000000.0 * (
+                 ln(CAST(COALESCE(tgt.c, 0) + 1 AS DOUBLE))
+               - ln(CAST(nt.n + v.v AS DOUBLE))
+               - ln(CAST(raw.c + 1 AS DOUBLE))
+               + ln(CAST(nr.n + v.v AS DOUBLE)))) AS BIGINT) AS w
+      FROM raw LEFT JOIN tgt USING (term), nr, nt, v)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(w.w) AS BIGINT) AS logw_micro
+FROM tok JOIN w USING (term)
+GROUP BY doc_id
+"""
+
+EXTRAS_REGISTRY.update({"text_dsir": QueryDef(q_text_dsir, SQL_TEXT_DSIR)})
+
+
+def q_graph_bfs_reach(sf_dir: str):
+    """Multi-hop reachability (extras/graph.bfs_hops): 3-hop BFS distances
+    from the minimum supplier over the bipartite supplier<->part graph drawn
+    from lineitem (part nodes offset by 1e7). Frontier BFS — per hop one
+    edge join + distinct + visited anti-probe, cost independent of path
+    multiplicity; the oracle's bounded recursive CTE enumerates paths and
+    takes min(dist), pinning the same fixpoint."""
+    from .extras.graph import bfs_hops
+    from .util import distinct_rows
+
+    PART_OFFSET = 10_000_000
+    li = load(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+
+    def _edges(b: pa.Table) -> pa.Table:
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) + PART_OFFSET
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, p])),
+                "dst": pa.array(np.concatenate([p, s])),
+            }
+        )
+
+    edges = distinct_rows(
+        li.map_batches(_edges, batch_format="pyarrow"), ["src", "dst"]
+    )
+    seed = int(load(sf_dir, "supplier", ["s_suppkey"]).min("s_suppkey"))
+    return bfs_hops(edges, [seed], 3)
+
+
+SQL_GRAPH_BFS_REACH = """
+WITH RECURSIVE bip AS (
+  SELECT DISTINCT l_suppkey AS s, l_partkey + 10000000 AS p FROM lineitem),
+edges AS (SELECT s AS src, p AS dst FROM bip UNION ALL SELECT p, s FROM bip),
+seed AS (SELECT min(s_suppkey) AS s FROM supplier),
+reach(node, dist) AS (
+  SELECT CAST(s AS BIGINT), 0 FROM seed
+  UNION ALL
+  SELECT e.dst, r.dist + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.dist < 3)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY node
+"""
+
+EXTRAS_REGISTRY.update(
+    {"graph_bfs_reach": QueryDef(q_graph_bfs_reach, SQL_GRAPH_BFS_REACH)}
+)

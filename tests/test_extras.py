@@ -1169,3 +1169,45 @@ def test_duplicate_span_stats_rejects_oversized_ids():
     )
     with _pytest.raises(Exception, match="doc ids"):
         duplicate_span_stats(rd.from_arrow(t), "text", "doc_id", n=3).to_pandas()
+
+
+def test_bfs_hops_frontier_semantics():
+    from anonymization_ray.extras.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus an unreachable 9-10 component; undirected
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (9, 10)]
+    src = [a for a, b in und] + [b for a, b in und]
+    dst = [b for a, b in und] + [a for a, b in und]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    got = bfs_hops(edges, [1], 3).to_pandas().set_index("node")["dist"].to_dict()
+    # max_hops bound: node 5 (dist 4) absent; other component absent
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # multi-seed takes the minimum distance over seeds
+    got2 = bfs_hops(edges, [1, 5], 3).to_pandas().set_index("node")["dist"].to_dict()
+    assert got2 == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_dsir_logweights_target_shift():
+    from anonymization_ray.extras.textstats import dsir_logweights
+
+    # target rows favour the token "good"; raw adds "bad"-heavy rows
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["good good", "good bad", "bad bad", "good"],
+            "lang": ["en", "en", "xx", "xx"],
+        }
+    )
+    got = (
+        dsir_logweights(rd.from_arrow(t), "text", "doc_id", "lang", "en")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert got.loc[1, "n_tokens"] == 2 and got.loc[3, "n_tokens"] == 2
+    # "good"-docs score strictly higher than "bad"-docs; same doc-length
+    assert got.loc[1, "logw_micro"] > got.loc[3, "logw_micro"]
+    # per-term weights are integers summed per doc: doc 4 = half of doc 1
+    assert got.loc[1, "logw_micro"] == 2 * got.loc[4, "logw_micro"]
