@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from .queries import QueryDef, _sql_gk
+from .queries import QueryDef, _sql_gk, load
 
 BASE = "https://example.org/doc/"
 
@@ -328,3 +328,86 @@ WHERE b.pred = 'hasAccountBalance'
 """
 
 KG_REGISTRY.update({"kg_star_join": QueryDef(q_kg_star_join, SQL_KG_STAR)})
+
+
+def q_kg_incremental_merge(sf_dir: str):
+    """Incremental ingest (kg/incremental.merge_delta): a base store built
+    from the even-custkey half of the customer graph absorbs a delta holding
+    the odd half PLUS re-ingested even rows — the merged SPO layout must be
+    the distinct union (set semantics; re-ingest is a no-op) while only the
+    delta's subject-hash partitions are rewritten. The oracle pins the full
+    merged triple set."""
+    import shutil
+    import tempfile
+
+    from .kg.incremental import merge_delta
+    from .kg.materialize import materialize_triples, read_layout
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def _triples(parity: int | None):
+        def _f(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if parity is not None:
+                b = b.filter(
+                    pc.equal(pc.bit_wise_and(b.column("c_custkey"), 1), parity)
+                )
+            def _combine(a):
+                return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+            subj = _combine(
+                pc.binary_join_element_wise(
+                    "urn:cust:", pc.cast(b.column("c_custkey"), pa.string()), ""
+                )
+            )
+            nat = _combine(
+                pc.binary_join_element_wise(
+                    "urn:nation:", pc.cast(b.column("c_nationkey"), pa.string()), ""
+                )
+            )
+            n = b.num_rows
+            return pa.table(
+                {
+                    "subj": pa.concat_arrays([subj] * 2),
+                    "pred": pa.array(["basedIn"] * n + ["inSegment"] * n),
+                    "obj": pa.concat_arrays(
+                        [nat, _combine(b.column("c_mktsegment").combine_chunks().cast(pa.string()))]
+                    ),
+                    "obj_kind": pa.array(["iri"] * n + ["string"] * n),
+                }
+            )
+
+        return _f
+
+    out = tempfile.mkdtemp(prefix="kg_incr_")
+    try:
+        base = cust.map_batches(_triples(0), batch_format="pyarrow")
+        materialize_triples(
+            base, out, num_partitions=8, config={"q": "kg_incremental_merge"}
+        )
+        # delta = the odd half + a re-ingested slice of the even half
+        delta = cust.map_batches(_triples(1), batch_format="pyarrow").union(
+            cust.limit(50).map_batches(_triples(0), batch_format="pyarrow")
+        )
+        merge_delta(out, delta, delta_input="crawl-delta")
+        merged = (
+            read_layout(out, "spo")
+            .select_columns(["subj", "pred", "obj", "obj_kind"])
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return merged
+
+
+SQL_KG_INCREMENTAL = """
+SELECT 'urn:cust:' || c_custkey AS subj, 'basedIn' AS pred,
+       'urn:nation:' || c_nationkey AS obj, 'iri' AS obj_kind FROM customer
+UNION ALL
+SELECT 'urn:cust:' || c_custkey, 'inSegment', c_mktsegment, 'string' FROM customer
+"""
+
+KG_REGISTRY.update(
+    {"kg_incremental_merge": QueryDef(q_kg_incremental_merge, SQL_KG_INCREMENTAL)}
+)

@@ -277,3 +277,62 @@ def test_layout_pushdown_reads(tmp_path):
     got_s = read_subject(out, s).to_pandas()
     assert len(got_s) == len(want_s)
     assert set(got_s.pred) == set(want_s.pred)
+
+
+def test_incremental_merge_touches_only_delta_partitions(tmp_path):
+    from anonymization_ray.kg.incremental import merge_delta, store_num_partitions
+    from anonymization_ray.kg.materialize import materialize_triples, read_layout
+
+    def tri(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows]),
+                    "pred": pa.array([r[1] for r in rows]),
+                    "obj": pa.array([r[2] for r in rows]),
+                    "obj_kind": pa.array(["iri"] * len(rows)),
+                }
+            )
+        )
+
+    base_rows = [(f"urn:e:{i}", "p", f"v{i}") for i in range(40)]
+    out = str(tmp_path / "store")
+    materialize_triples(tri(base_rows), out, num_partitions=8, config={"v": 1})
+    assert store_num_partitions(out) == 8
+
+    # delta: 3 genuinely new triples on ONE subject + 2 re-ingested dups
+    delta_rows = [("urn:e:7", "p", f"new{j}") for j in range(3)] + base_rows[:2]
+    pre_mtimes = {}
+    for p in range(8):
+        d = os.path.join(out, "spo", f"part={p}")
+        pre_mtimes[p] = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)) if os.path.isdir(d) else None
+
+    rep = merge_delta(out, tri(delta_rows), delta_input="crawl-2")
+    # merged set == distinct(base ∪ delta)
+    got = read_layout(out, "spo").to_pandas()
+    want = {(r[0], r[1], r[2]) for r in base_rows + delta_rows}
+    assert set(map(tuple, got[["subj", "pred", "obj"]].values)) == want
+    assert len(got) == len(want)
+
+    # only partitions holding delta subjects were rewritten
+    touched = set(rep["spo"]["touched"])
+    assert 0 < len(touched) < 8
+    for p in range(8):
+        d = os.path.join(out, "spo", f"part={p}")
+        post = max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)) if os.path.isdir(d) else None
+        if p not in touched and pre_mtimes[p] is not None:
+            assert post == pre_mtimes[p], f"untouched partition {p} was rewritten"
+
+    # lineage recorded on touched manifests only
+    for p in touched:
+        m = json.load(open(os.path.join(out, "_manifests", f"spo_part={p}.json")))
+        assert m["inputs"][-1] == "crawl-2"
+
+    # POS layout stays in lockstep with SPO
+    pos = read_layout(out, "pos").to_pandas()
+    assert set(map(tuple, pos[["subj", "pred", "obj"]].values)) == want
+
+    # idempotence: re-merging the same delta adds nothing
+    rep2 = merge_delta(out, tri(delta_rows), delta_input="crawl-2-retry")
+    got2 = read_layout(out, "spo").to_pandas()
+    assert len(got2) == len(want)
