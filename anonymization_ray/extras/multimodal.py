@@ -19,8 +19,14 @@ Since round 4, BASELINE sequential grayscale JPEG also decodes FOR REAL —
 the numpy-only codec in ``extras/jpeg.py`` (canonical Huffman + matrix DCT);
 see that module for the closed-form oracle story.
 
+Also REAL since round 4: mono 16-bit PCM WAV encode/decode
+(``encode_wav_pcm16`` / ``decode_wav_pcm16`` — RIFF chunk walk + numpy
+frombuffer, nothing but ``struct``) feeding the actor-pool audio statistics
+stage (``decode_audio_stats``).
+
 What is a STUB (clearly marked): decoding formats that require codecs absent
-from this container (progressive/color JPEG, audio, video frame-sampling) —
+from this container (progressive/color JPEG, compressed/multi-channel audio,
+video frame-sampling) —
 ``MediaDecoder(fake=False)`` raises NotImplementedError for those;
 ``fake=True`` substitutes deterministic hash features so the plumbing is
 exercisable for any payload.
@@ -179,7 +185,7 @@ def probe_media_meta(ds: rd.Dataset, *, payload_col: str = "media") -> rd.Datase
     def _probe(batch: pa.Table) -> pa.Table:
         metas = []
         for p in batch.column(payload_col).to_pylist():
-            m = parse_image_header(p or b"")
+            m = parse_image_header(p or b"") or parse_wav_header(p or b"")
             metas.append(
                 m or {"mime": "application/octet-stream", "width": 0, "height": 0, "duration_ms": 0}
             )
@@ -352,6 +358,112 @@ def decode_media_stats(
 ) -> rd.Dataset:
     return ds.map_batches(
         MediaStatsDecoder,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# --------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM16 — pure struct+numpy, no codec dependency
+# --------------------------------------------------------------------------
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal VALID mono 16-bit PCM WAV (RIFF + fmt + data chunks)."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode mono 16-bit PCM WAV -> (int16 samples, sample_rate). Chunk walk
+    over the RIFF container; compressed / non-16-bit / multi-channel WAV
+    raises NotImplementedError (honest gate, same policy as the image
+    codecs)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, codec, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            codec, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if codec is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if codec != 1 or channels != 1 or bits != 16:
+        raise NotImplementedError("only mono 16-bit PCM WAV decode")
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def parse_wav_header(payload: bytes) -> dict | None:
+    """(mime, duration_ms) from the RIFF header — metadata only, the data
+    chunk is sized but never copied."""
+    try:
+        samples, rate = decode_wav_pcm16(payload)
+    except (ValueError, NotImplementedError, struct.error):
+        return None
+    return {
+        "mime": "audio/wav",
+        "width": 0,
+        "height": 0,
+        "duration_ms": int(len(samples) * 1000 // rate) if rate else 0,
+    }
+
+
+def attach_media_wav(
+    ds: rd.Dataset, id_col: str, *, n_samples: int = 800, rate: int = 8000
+) -> rd.Dataset:
+    """Deterministic REAL WAV payloads with CLOSED-FORM samples
+    ``s[j] = ((id*13 + j*7) % 2001) - 1000`` (int16 range), so the whole
+    encode -> actor-decode -> stats path gets a value-level DuckDB oracle
+    (``multimodal_wav_stats``) like the PNG/JPEG corpora above."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(n_samples, dtype=np.int64)
+        payloads = [
+            encode_wav_pcm16(((int(i) * 13 + j * 7) % 2001 - 1000).astype(np.int16), rate)
+            for i in ids
+        ]
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+class MediaAudioStatsDecoder:
+    """Actor-pool callable: REAL WAV decode -> integer waveform statistics
+    (n_samples, sample_rate, duration_ms, sum_abs, zero crossings). Payload
+    dropped after decode; same deployment shape as the image stats stage."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, rates, durs, sabs, zcs = [], [], [], [], []
+        for p in batch.column("media").to_pylist():
+            samples, rate = decode_wav_pcm16(p)
+            s = samples.astype(np.int64)
+            ns.append(len(s))
+            rates.append(rate)
+            durs.append(int(len(s) * 1000 // rate) if rate else 0)
+            sabs.append(int(np.abs(s).sum()))
+            zcs.append(int(((s[:-1] < 0) != (s[1:] < 0)).sum()) if len(s) > 1 else 0)
+        out = batch.drop_columns(["media"])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
+        out = out.append_column("duration_ms", pa.array(durs, pa.int64()))
+        out = out.append_column("sum_abs", pa.array(sabs, pa.int64()))
+        return out.append_column("zero_crossings", pa.array(zcs, pa.int64()))
+
+
+def decode_audio_stats(
+    ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        MediaAudioStatsDecoder,
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -2142,3 +2142,35 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM reach GROUP BY node
 EXTRAS_REGISTRY.update(
     {"graph_bfs_reach": QueryDef(q_graph_bfs_reach, SQL_GRAPH_BFS_REACH)}
 )
+
+
+def q_multimodal_wav_stats(sf_dir: str):
+    """Audio end-to-end with a value-level oracle: attach REAL mono PCM16
+    WAV payloads (pure struct+numpy codec) with closed-form samples
+    ``s[j] = (doc_id*13 + j*7) % 2001 - 1000``, decode them through the
+    RIFF chunk walk in the actor-pool audio-stats stage, and compare the
+    integer waveform statistics (sum |s|, sign changes) against the same
+    closed form recomputed in SQL."""
+    from .extras.multimodal import attach_media_wav, decode_audio_stats
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return decode_audio_stats(attach_media_wav(docs, "doc_id"))
+
+
+SQL_MULTIMODAL_WAV_STATS = """
+SELECT d.doc_id,
+       CAST(800 AS BIGINT) AS n_samples,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(100 AS BIGINT) AS duration_ms,
+       (SELECT CAST(sum(abs((d.doc_id * 13 + t.j * 7) % 2001 - 1000)) AS BIGINT)
+        FROM unnest(range(800)) AS t(j)) AS sum_abs,
+       (SELECT CAST(sum(CASE WHEN ((d.doc_id * 13 + (t.j - 1) * 7) % 2001 - 1000 < 0)
+                              <> ((d.doc_id * 13 + t.j * 7) % 2001 - 1000 < 0)
+                         THEN 1 ELSE 0 END) AS BIGINT)
+        FROM unnest(range(1, 800)) AS t(j)) AS zero_crossings
+FROM documents d
+"""
+
+EXTRAS_REGISTRY.update(
+    {"multimodal_wav_stats": QueryDef(q_multimodal_wav_stats, SQL_MULTIMODAL_WAV_STATS)}
+)

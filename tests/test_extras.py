@@ -1211,3 +1211,40 @@ def test_dsir_logweights_target_shift():
     assert got.loc[1, "logw_micro"] > got.loc[3, "logw_micro"]
     # per-term weights are integers summed per doc: doc 4 = half of doc 1
     assert got.loc[1, "logw_micro"] == 2 * got.loc[4, "logw_micro"]
+
+
+def test_wav_roundtrip_probe_and_gates():
+    import numpy as np
+    import struct as _struct
+
+    from anonymization_ray.extras.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+        parse_wav_header,
+        probe_media_meta,
+    )
+
+    s = ((np.arange(123) * 91) % 4001 - 2000).astype(np.int16)
+    payload = encode_wav_pcm16(s, rate=16000)
+    back, rate = decode_wav_pcm16(payload)
+    assert rate == 16000 and np.array_equal(back, s)
+
+    meta = parse_wav_header(payload)
+    assert meta["mime"] == "audio/wav"
+    assert meta["duration_ms"] == 123 * 1000 // 16000
+
+    # probe stage dispatches WAV alongside the image formats
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "media": pa.array([payload], pa.binary())})
+    got = probe_media_meta(rd.from_arrow(t)).to_pandas()["media_meta"][0]
+    assert got["mime"] == "audio/wav"
+
+    # honest gate: stereo / non-PCM payloads refuse rather than fake
+    fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)  # 2 channels
+    body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    stereo = b"RIFF" + _struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(stereo)
+    assert parse_wav_header(stereo) is None
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFX1234")
