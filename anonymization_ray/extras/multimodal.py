@@ -22,11 +22,14 @@ see that module for the closed-form oracle story.
 Also REAL since round 4: mono 16-bit PCM WAV encode/decode
 (``encode_wav_pcm16`` / ``decode_wav_pcm16`` — RIFF chunk walk + numpy
 frombuffer, nothing but ``struct``) feeding the actor-pool audio statistics
-stage (``decode_audio_stats``).
+stage (``decode_audio_stats``); and monochrome Y4M (YUV4MPEG2) video
+encode/decode feeding the stride frame-sampling stage
+(``sample_video_frames``) — Y4M is the uncompressed interchange format of
+the ffmpeg/x264 toolchain, so the frame walk IS a complete decoder.
 
 What is a STUB (clearly marked): decoding formats that require codecs absent
 from this container (progressive/color JPEG, compressed/multi-channel audio,
-video frame-sampling) —
+compressed video H.26x/VP9/AV1 and chroma-subsampled Y4M) —
 ``MediaDecoder(fake=False)`` raises NotImplementedError for those;
 ``fake=True`` substitutes deterministic hash features so the plumbing is
 exercisable for any payload.
@@ -464,6 +467,130 @@ def decode_audio_stats(
 ) -> rd.Dataset:
     return ds.map_batches(
         MediaAudioStatsDecoder,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+# --------------------------------------------------------------------------
+# video: YUV4MPEG2 (Y4M) — real uncompressed video container (the format
+# ffmpeg/x264 pipelines exchange); text header + raw frame planes, so a
+# numpy frame walk IS a complete decoder. Monochrome (Cmono) frames here;
+# compressed video (H.26x/VP9/AV1) stays honestly gated.
+# --------------------------------------------------------------------------
+
+def encode_y4m_gray(frames: np.ndarray, *, fps: int = 25) -> bytes:
+    """Minimal VALID monochrome Y4M stream: (n, h, w) uint8 -> bytes."""
+    n, h, w = frames.shape
+    head = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 Cmono\n".encode()
+    parts = [head]
+    for f in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[f].astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m_gray(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode monochrome Y4M -> ((n, h, w) uint8 frames, fps). Chroma-
+    subsampled streams (C420 etc.) raise NotImplementedError — same honest
+    gate policy as the image/audio codecs."""
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    fps = 25
+    colorspace = "420"  # Y4M default when no C tag present
+    for tok in payload[:nl].decode("ascii", "replace").split()[1:]:
+        if tok[0] == "W":
+            w = int(tok[1:])
+        elif tok[0] == "H":
+            h = int(tok[1:])
+        elif tok[0] == "F":
+            fps = int(tok[1:].split(":")[0])
+        elif tok[0] == "C":
+            colorspace = tok[1:]
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if colorspace != "mono":
+        raise NotImplementedError("only monochrome (Cmono) Y4M decode")
+    frame_bytes = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed FRAME header")
+        start = fnl + 1
+        frames.append(
+            np.frombuffer(payload[start : start + frame_bytes], dtype=np.uint8).reshape(h, w)
+        )
+        pos = start + frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w), np.uint8), fps
+
+
+def attach_media_y4m(
+    ds: rd.Dataset,
+    id_col: str,
+    *,
+    n_frames: int = 12,
+    width: int = 16,
+    height: int = 16,
+) -> rd.Dataset:
+    """Deterministic REAL Y4M payloads with CLOSED-FORM pixels
+    ``frame[f][j] = (id*17 + f*29 + j*3) % 256`` (j row-major), giving the
+    encode -> frame-sample -> stats path a value-level DuckDB oracle
+    (``multimodal_video_stats``)."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.arange(n_frames, dtype=np.int64)[:, None]
+        j = np.arange(width * height, dtype=np.int64)[None, :]
+        payloads = [
+            encode_y4m_gray(
+                ((int(i) * 17 + f * 29 + j * 3) % 256)
+                .astype(np.uint8)
+                .reshape(n_frames, height, width)
+            )
+            for i in ids
+        ]
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+class VideoFrameSampler:
+    """Actor-pool callable: REAL Y4M decode -> stride frame-sampling ->
+    integer per-payload statistics (n_frames, fps, frames_sampled, pixel sum
+    over the sampled frames). The classic training-data video stage: decode
+    once per actor-held codec state, keep every k-th frame, drop the payload
+    so only the narrow feature stream travels on."""
+
+    def __init__(self, *, stride: int = 3) -> None:
+        self._stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nfs, fpss, nss, sums = [], [], [], []
+        for p in batch.column("media").to_pylist():
+            frames, fps = decode_y4m_gray(p)
+            sampled = frames[:: self._stride]
+            nfs.append(frames.shape[0])
+            fpss.append(fps)
+            nss.append(sampled.shape[0])
+            sums.append(int(sampled.astype(np.int64).sum()))
+        out = batch.drop_columns(["media"])
+        out = out.append_column("n_frames", pa.array(nfs, pa.int64()))
+        out = out.append_column("fps", pa.array(fpss, pa.int64()))
+        out = out.append_column("frames_sampled", pa.array(nss, pa.int64()))
+        return out.append_column("sampled_pixel_sum", pa.array(sums, pa.int64()))
+
+
+def sample_video_frames(
+    ds: rd.Dataset, *, stride: int = 3, concurrency=(1, 4), batch_size: int = 32
+) -> rd.Dataset:
+    return ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"stride": stride},
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -2174,3 +2174,35 @@ FROM documents d
 EXTRAS_REGISTRY.update(
     {"multimodal_wav_stats": QueryDef(q_multimodal_wav_stats, SQL_MULTIMODAL_WAV_STATS)}
 )
+
+
+def q_multimodal_video_stats(sf_dir: str):
+    """Video end-to-end with a value-level oracle: attach REAL monochrome
+    Y4M streams (12 frames of closed-form pixels
+    ``(doc_id*17 + f*29 + j*3) % 256``), decode + stride-sample every 3rd
+    frame in the actor-pool sampler, and compare the sampled-frame pixel
+    sums against the same closed form recomputed in SQL."""
+    from .extras.multimodal import attach_media_y4m, sample_video_frames
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return sample_video_frames(attach_media_y4m(docs, "doc_id"), stride=3)
+
+
+SQL_MULTIMODAL_VIDEO_STATS = """
+SELECT d.doc_id,
+       CAST(12 AS BIGINT) AS n_frames,
+       CAST(25 AS BIGINT) AS fps,
+       CAST(4 AS BIGINT) AS frames_sampled,
+       (SELECT CAST(sum((d.doc_id * 17 + f.f * 29 + j.j * 3) % 256) AS BIGINT)
+        FROM unnest(range(0, 12, 3)) AS f(f), unnest(range(256)) AS j(j))
+         AS sampled_pixel_sum
+FROM documents d
+"""
+
+EXTRAS_REGISTRY.update(
+    {
+        "multimodal_video_stats": QueryDef(
+            q_multimodal_video_stats, SQL_MULTIMODAL_VIDEO_STATS
+        )
+    }
+)

@@ -1248,3 +1248,34 @@ def test_wav_roundtrip_probe_and_gates():
     assert parse_wav_header(stereo) is None
     with pytest.raises(ValueError):
         decode_wav_pcm16(b"RIFX1234")
+
+
+def test_y4m_roundtrip_framesample_and_gates():
+    import numpy as np
+
+    from anonymization_ray.extras.multimodal import (
+        decode_y4m_gray,
+        encode_y4m_gray,
+        sample_video_frames,
+    )
+
+    frames = ((np.arange(5 * 8 * 8) * 7) % 256).astype(np.uint8).reshape(5, 8, 8)
+    payload = encode_y4m_gray(frames, fps=30)
+    back, fps = decode_y4m_gray(payload)
+    assert fps == 30 and np.array_equal(back, frames)
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "media": pa.array([payload], pa.binary())})
+    got = sample_video_frames(rd.from_arrow(t), stride=2).to_pandas().iloc[0]
+    assert got["n_frames"] == 5 and got["frames_sampled"] == 3
+    assert got["sampled_pixel_sum"] == int(frames[::2].astype(np.int64).sum())
+
+    # honest gate: chroma-subsampled stream refuses rather than fakes
+    c420 = b"YUV4MPEG2 W8 H8 F25:1 Ip A1:1 C420\n" + b"FRAME\n" + bytes(96)
+    with pytest.raises(NotImplementedError):
+        decode_y4m_gray(c420)
+    # default colorspace (no C tag) is 4:2:0 -> also gated
+    nodefault = b"YUV4MPEG2 W8 H8 F25:1\n" + b"FRAME\n" + bytes(96)
+    with pytest.raises(NotImplementedError):
+        decode_y4m_gray(nodefault)
+    with pytest.raises(ValueError):
+        decode_y4m_gray(b"MPEG4 blah")
