@@ -1,0 +1,114 @@
+"""Basic-graph-pattern matching over a triple Dataset — the SPARQL-shaped
+read path a triple store exists for (the reference serves its graph from
+Jena, whose query surface is BGPs; reference pytest queries are all
+single-property probes, SELECT-shaped: see `SURVEY.md §2.2`).
+
+A pattern is a (subj, pred, obj) string triple where elements starting with
+``?`` are variables and everything else is a constant, e.g.::
+
+    match_bgp(triples, [
+        ("?c", "basedIn", "?n"),
+        ("?n", "partOf", "urn:region:0"),
+        ("?c", "hasAccountBalance", "?b"),
+    ], select=["?c", "?n", "?b"])
+
+Execution shape (Ray-Data-first, no triple-store index server):
+
+- each pattern becomes ONE filtered projection of the triple stream
+  (vectorized ``pc.equal`` masks; constants prune early so an arm's binding
+  table is already variable-width-narrow when it leaves the scan);
+- arms join LEFT-DEEP in the given order on their shared variables via
+  Ray's hash-partitioned join (multi-key tuples supported). Order patterns
+  most-selective-first — the classic BGP planning rule — because the
+  intermediate binding table is the thing that must stay small; partition
+  counts are clamped for small inputs the same way the other join plans do;
+- a repeated variable inside one pattern (``(?x, p, ?x)``) becomes an
+  in-scan equality filter, never a join.
+
+At 100 TB the SPO/POS layouts make each arm's scan index-aware: a constant
+predicate reads only its row-group range of the POS layout
+(``materialize.read_pred``), a constant subject the SPO range — the caller
+passes whichever projection of the store it wants to scan.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..util import default_num_partitions
+
+_POS_COLS = ("subj", "pred", "obj")
+
+
+def _is_var(x: str) -> bool:
+    return x.startswith("?")
+
+
+def _arm(triples: rd.Dataset, pattern: tuple[str, str, str]) -> tuple[rd.Dataset, list[str]]:
+    """One pattern -> (bindings Dataset, its variable names)."""
+    consts = [(c, v) for c, v in zip(_POS_COLS, pattern) if not _is_var(v)]
+    out_vars: dict[str, str] = {}  # var name -> source col (first occurrence)
+    eq_pairs: list[tuple[str, str]] = []
+    for c, v in zip(_POS_COLS, pattern):
+        if _is_var(v):
+            if v in out_vars:
+                eq_pairs.append((out_vars[v], c))
+            else:
+                out_vars[v] = c
+
+    def _scan(b: pa.Table) -> pa.Table:
+        mask = None
+        for col, val in consts:
+            m = pc.equal(b.column(col), val)
+            mask = m if mask is None else pc.and_(mask, m)
+        for c1, c2 in eq_pairs:
+            m = pc.equal(b.column(c1), b.column(c2))
+            mask = m if mask is None else pc.and_(mask, m)
+        t = b.filter(pc.fill_null(mask, False)) if mask is not None else b
+        return pa.table(
+            {v: t.column(col).combine_chunks() for v, col in out_vars.items()}
+        )
+
+    return triples.map_batches(_scan, batch_format="pyarrow"), list(out_vars)
+
+
+def match_bgp(
+    triples: rd.Dataset,
+    patterns: list[tuple[str, str, str]],
+    *,
+    select: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Match a conjunction of triple patterns; returns one row per variable
+    binding (bag semantics, like SPARQL SELECT without DISTINCT). Joins run
+    left-deep in pattern order — put the most selective pattern first."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    nparts = num_partitions or max(2, min(default_num_partitions(), 8))
+
+    bound, bound_vars = _arm(triples, patterns[0])
+    for pat in patterns[1:]:
+        arm, arm_vars = _arm(triples, pat)
+        shared = [v for v in arm_vars if v in bound_vars]
+        if not shared:
+            raise ValueError(
+                f"pattern {pat} shares no variable with the bound set "
+                f"{bound_vars} — reorder patterns (cartesian products are "
+                "not supported)"
+            )
+        bound = bound.join(
+            arm.materialize(),
+            join_type="inner",
+            num_partitions=nparts,
+            on=tuple(shared),
+        )
+        bound_vars = bound_vars + [v for v in arm_vars if v not in bound_vars]
+    if select:
+        missing = [v for v in select if v not in bound_vars]
+        if missing:
+            raise ValueError(f"select variables {missing} not bound by any pattern")
+        bound = bound.select_columns(select)
+    # strip the '?' for writable/SQL-comparable column names
+    return bound.rename_columns({v: v.lstrip("?") for v in (select or bound_vars)})

@@ -411,3 +411,35 @@ SELECT 'urn:cust:' || c_custkey, 'inSegment', c_mktsegment, 'string' FROM custom
 KG_REGISTRY.update(
     {"kg_incremental_merge": QueryDef(q_kg_incremental_merge, SQL_KG_INCREMENTAL)}
 )
+
+
+def q_kg_bgp_query(sf_dir: str):
+    """SPARQL-shaped basic-graph-pattern SELECT over the constructed KG
+    (kg/bgp.match_bgp): customers based in a nation of region 0, with their
+    balances — three patterns joined left-deep, dimension-bound arm first.
+    Bag semantics; the oracle replays the same conjunction in SQL."""
+    from .kg.bgp import match_bgp
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.materialize()
+    return match_bgp(
+        tri,
+        [
+            ("?n", "partOf", "urn:region:0"),
+            ("?c", "basedIn", "?n"),
+            ("?c", "hasAccountBalance", "?b"),
+        ],
+        select=["?c", "?n", "?b"],
+    )
+
+
+SQL_KG_BGP = f"""
+WITH canon AS ({SQL_KG_CANONICAL})
+SELECT g.subj AS c, g.obj AS n, b.obj AS b
+FROM canon p
+JOIN canon g ON g.obj = p.subj AND g.pred = 'basedIn'
+JOIN canon b ON b.subj = g.subj AND b.pred = 'hasAccountBalance'
+WHERE p.pred = 'partOf' AND p.obj = 'urn:region:0'
+"""
+
+KG_REGISTRY.update({"kg_bgp_query": QueryDef(q_kg_bgp_query, SQL_KG_BGP)})

@@ -336,3 +336,37 @@ def test_incremental_merge_touches_only_delta_partitions(tmp_path):
     rep2 = merge_delta(out, tri(delta_rows), delta_input="crawl-2-retry")
     got2 = read_layout(out, "spo").to_pandas()
     assert len(got2) == len(want)
+
+
+def test_bgp_matcher_semantics():
+    from anonymization_ray.kg.bgp import match_bgp
+
+    tri = rd.from_arrow(
+        pa.table(
+            {
+                "subj": ["a", "a", "b", "b", "x", "x"],
+                "pred": ["knows", "age", "knows", "age", "knows", "self"],
+                "obj": ["b", "30", "a", "31", "x", "x"],
+            }
+        )
+    )
+    # two-pattern join on a shared variable
+    got = (
+        match_bgp(tri, [("?p", "knows", "?q"), ("?p", "age", "?v")], select=["?p", "?v"])
+        .to_pandas()
+        .sort_values("p")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, got.values)) == [("a", "30"), ("b", "31")]
+
+    # repeated variable inside one pattern = in-scan equality, no join
+    loops = match_bgp(tri, [("?s", "knows", "?s")]).to_pandas()
+    assert loops["s"].tolist() == ["x"]
+
+    # unbound select and disconnected pattern both refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not bound"):
+        match_bgp(tri, [("?p", "knows", "?q")], select=["?zz"])
+    with _pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(tri, [("?p", "knows", "?q"), ("?z", "age", "?w")])
