@@ -443,3 +443,30 @@ WHERE p.pred = 'partOf' AND p.obj = 'urn:region:0'
 """
 
 KG_REGISTRY.update({"kg_bgp_query": QueryDef(q_kg_bgp_query, SQL_KG_BGP)})
+
+
+def q_kg_ntriples_roundtrip(sf_dir: str):
+    """RDF interchange: dump the canonical graph as N-Triples (one line per
+    triple, content-hash-named part files) and parse it back — the read-back
+    rows must equal the original graph, which the canonical-triples oracle
+    pins value-exactly. Exercises IRI-ification, literal escaping and
+    datatype round-tripping on real pipeline output."""
+    import shutil
+    import tempfile
+
+    from .kg.ntriples import read_ntriples, write_ntriples
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+    out = tempfile.mkdtemp(prefix="kg_nt_")
+    try:
+        write_ntriples(tri.select_columns(["subj", "pred", "obj", "obj_kind"]), out)
+        back = read_ntriples(out).materialize()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
+KG_REGISTRY.update(
+    {"kg_ntriples_roundtrip": QueryDef(q_kg_ntriples_roundtrip, SQL_KG_CANONICAL)}
+)

@@ -370,3 +370,38 @@ def test_bgp_matcher_semantics():
         match_bgp(tri, [("?p", "knows", "?q")], select=["?zz"])
     with _pytest.raises(ValueError, match="shares no variable"):
         match_bgp(tri, [("?p", "knows", "?q"), ("?z", "age", "?w")])
+
+
+def test_ntriples_escaping_datatypes_and_idempotent_dump(tmp_path):
+    from anonymization_ray.kg.ntriples import (
+        parse_lines,
+        read_ntriples,
+        render_lines,
+        write_ntriples,
+    )
+
+    t = pa.table(
+        {
+            "subj": ["urn:e:1", "urn:e:1", "urn:e:2"],
+            "pred": ["label", "score", "linksTo"],
+            "obj": ['quo"te\\back\nnl\ttab', "12.5", "urn:e:1"],
+            "obj_kind": ["string", "double", "iri"],
+        }
+    )
+    lines = render_lines(t)
+    # spec escaping: the literal never contains a raw newline or quote
+    assert "\n" not in lines.column("line")[0].as_py()
+    back = parse_lines(lines, line_col="line")
+    assert back.equals(t)
+
+    # comments/blank lines are skipped on read
+    noisy = pa.table({"text": ["# header", ""] + lines.column("line").to_pylist()})
+    assert parse_lines(noisy).equals(t)
+
+    out = str(tmp_path / "nt")
+    write_ntriples(rd.from_arrow(t), out)
+    files1 = sorted(os.listdir(out))
+    write_ntriples(rd.from_arrow(t), out)  # re-run: same content hash names
+    assert sorted(os.listdir(out)) == files1
+    got = read_ntriples(out).to_pandas().sort_values(["subj", "pred"]).reset_index(drop=True)
+    assert len(got) == 3 and set(got["obj_kind"]) == {"string", "double", "iri"}
