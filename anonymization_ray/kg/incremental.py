@@ -144,3 +144,153 @@ def merge_delta(
             "untouched": [p for p in range(nparts) if p not in touched],
         }
     return report
+
+
+# --------------------------------------------------------------------------
+# incremental exact dedup: delta vs a persisted content-hash index
+# --------------------------------------------------------------------------
+
+def build_hash_index(
+    docs: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> int:
+    """Seed the dedup index: hash-partitioned parquet of content hashes
+    (one ``part=<i>/`` dir per hash bucket, content-hash-named files so
+    re-runs are idempotent). Returns the number of distinct hashes."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..util import distinct_rows
+
+    def _h(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.array(b.column(text_col).to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return pa.table({"h": pa.array(h, pa.int64())})
+
+    hashes = distinct_rows(
+        docs.select_columns([text_col]).map_batches(_h, batch_format="pyarrow"), ["h"]
+    ).materialize()
+    n = hashes.count()
+
+    def _write(b: pa.Table) -> pa.Table:
+        import hashlib
+
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        parts = (h.astype("uint64") % np.uint64(num_partitions)).astype(np.int64)
+        written = []
+        for p in np.unique(parts):
+            sub = np.sort(h[parts == p])
+            pdir = os.path.join(index_dir, f"part={int(p)}")
+            os.makedirs(pdir, exist_ok=True)
+            name = f"seed-{hashlib.sha256(sub.tobytes()).hexdigest()[:16]}.parquet"
+            pq.write_table(pa.table({"h": pa.array(sub, pa.int64())}),
+                           os.path.join(pdir, name))
+            written.append(name)
+        return pa.table({"file": pa.array(written, pa.string())})
+
+    hashes.map_batches(_write, batch_format="pyarrow").materialize()
+    with open(os.path.join(index_dir, "_meta.json"), "w") as f:
+        json.dump({"num_partitions": num_partitions}, f)
+    return int(n)
+
+
+def dedup_against_index(
+    docs: rd.Dataset,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delta_input: str = "delta",
+    update_index: bool = True,
+) -> rd.Dataset:
+    """Incremental exact dedup for crawl increments: keep only delta docs
+    whose content hash is NOT already in the persisted index (first-by-id
+    within the delta), and append the survivors' hashes to the index.
+    Returns Dataset[(id_col,)] of survivors.
+
+    Scale shape: the index at 10^12 docs is terabytes of hashes — never
+    broadcast. The delta's narrow (hash, id) stream is hash-partitioned to
+    the index's buckets and each bucket task reads ONLY its own ``part=<i>``
+    hash files (np.searchsorted membership probe) — index I/O is
+    proportional to the buckets the delta touches, and bucket tasks are
+    bounded by ``num_partitions`` regardless of delta size."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from ..util import min_per_key
+
+    meta = json.load(open(os.path.join(index_dir, "_meta.json")))
+    nparts = int(meta["num_partitions"])
+
+    def _h(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.array(b.column(text_col).to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()), id_col: b.column(id_col).combine_chunks()}
+        )
+
+    keyed = docs.select_columns([text_col, id_col]).map_batches(
+        _h, batch_format="pyarrow"
+    )
+    firsts = min_per_key(keyed, "h", id_col)
+
+    def _part(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False)
+        p = (h.astype("uint64") % np.uint64(nparts)).astype(np.int64)
+        return b.append_column("part", pa.array(p, pa.int64()))
+
+    def _probe(group: pa.Table) -> pa.Table:
+        import hashlib
+
+        if group.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        p = int(group.column("part")[0].as_py())
+        pdir = os.path.join(index_dir, f"part={p}")
+        if os.path.isdir(pdir):
+            idx = np.sort(
+                np.concatenate(
+                    [
+                        pq.read_table(os.path.join(pdir, f), columns=["h"])
+                        .column("h")
+                        .to_numpy(zero_copy_only=False)
+                        for f in os.listdir(pdir)
+                        if f.endswith(".parquet")
+                    ]
+                    or [np.array([], np.int64)]
+                )
+            )
+        else:
+            idx = np.array([], np.int64)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        if len(idx):
+            pos = np.searchsorted(idx, h)
+            np.clip(pos, 0, len(idx) - 1, out=pos)
+            new = idx[pos] != h
+        else:
+            new = np.ones(len(h), bool)
+        surv = group.filter(pa.array(new))
+        if update_index and surv.num_rows:
+            os.makedirs(pdir, exist_ok=True)
+            sub = np.sort(surv.column("h").to_numpy(zero_copy_only=False))
+            name = (
+                f"{delta_input}-"
+                f"{hashlib.sha256(sub.tobytes()).hexdigest()[:16]}.parquet"
+            )
+            tmp = os.path.join(pdir, "." + name + ".tmp")
+            pq.write_table(pa.table({"h": pa.array(sub, pa.int64())}), tmp)
+            os.replace(tmp, os.path.join(pdir, name))
+        return surv.select([id_col])
+
+    return (
+        firsts.map_batches(_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_probe, batch_format="pyarrow")
+    )

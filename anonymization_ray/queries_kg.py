@@ -470,3 +470,46 @@ def q_kg_ntriples_roundtrip(sf_dir: str):
 KG_REGISTRY.update(
     {"kg_ntriples_roundtrip": QueryDef(q_kg_ntriples_roundtrip, SQL_KG_CANONICAL)}
 )
+
+
+def q_kg_incremental_dedup(sf_dir: str):
+    """Incremental exact dedup for crawl increments
+    (kg/incremental.dedup_against_index): a content-hash index is seeded
+    from the even-doc half of the corpus; the full corpus then arrives as
+    the next crawl delta. Survivors = first-by-id per distinct text whose
+    hash is NOT in the index — the delta's narrow (hash, id) stream probes
+    only its own index buckets (bounded bucket tasks, index never
+    broadcast). The oracle replays the same set algebra on the text column."""
+    import shutil
+    import tempfile
+
+    from .kg.incremental import build_hash_index, dedup_against_index
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _even(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0))
+
+    idx = tempfile.mkdtemp(prefix="kg_dedup_idx_")
+    try:
+        build_hash_index(
+            docs.map_batches(_even, batch_format="pyarrow"), idx, num_partitions=8
+        )
+        surv = dedup_against_index(docs, idx, delta_input="crawl-2").materialize()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    return surv
+
+
+SQL_KG_INCREMENTAL_DEDUP = """
+WITH ev AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),
+cand AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+SELECT c.doc_id FROM cand c
+WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.text = c.text)
+"""
+
+KG_REGISTRY.update(
+    {"kg_incremental_dedup": QueryDef(q_kg_incremental_dedup, SQL_KG_INCREMENTAL_DEDUP)}
+)

@@ -405,3 +405,41 @@ def test_ntriples_escaping_datatypes_and_idempotent_dump(tmp_path):
     assert sorted(os.listdir(out)) == files1
     got = read_ntriples(out).to_pandas().sort_values(["subj", "pred"]).reset_index(drop=True)
     assert len(got) == 3 and set(got["obj_kind"]) == {"string", "double", "iri"}
+
+
+def test_dedup_against_index_updates_and_reprobe(tmp_path):
+    from anonymization_ray.kg.incremental import build_hash_index, dedup_against_index
+
+    idx = str(tmp_path / "idx")
+
+    def docs(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    n = build_hash_index(docs([(1, "alpha"), (2, "beta"), (3, "alpha")]), idx,
+                         num_partitions=4)
+    assert n == 2  # distinct texts only
+
+    # delta: one known text (drop), one new text twice (keep min id once)
+    surv = (
+        dedup_against_index(docs([(10, "alpha"), (11, "gamma"), (12, "gamma")]), idx,
+                            delta_input="d1")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert surv == [11]
+
+    # index absorbed d1's survivors: re-sending gamma now drops it
+    surv2 = (
+        dedup_against_index(docs([(20, "gamma"), (21, "delta")]), idx,
+                            delta_input="d2")
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert surv2 == [21]
