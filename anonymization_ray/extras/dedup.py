@@ -1053,3 +1053,203 @@ def _ngram_occurrences(
     same = d[: len(d) - n + 1] == d[n - 1 :]
     parts = [flat.slice(i, len(flat) - n + 1).filter(pa.array(same)) for i in range(n)]
     return pc.binary_join_element_wise(*parts, " "), d[: len(d) - n + 1][same]
+
+
+# --------------------------------------------------------------------------
+# CCNet-style repeated-paragraph removal
+# --------------------------------------------------------------------------
+
+def paragraph_dedup(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    window_words: int = 8,
+    pos_bits: int = 20,
+) -> rd.Dataset:
+    """Remove REPEATED paragraphs across the corpus, keeping only each
+    paragraph's first occurrence (CCNet shape, Wenzek et al. 2019: hash every
+    paragraph, drop later occurrences corpus-wide). Newline-free corpora get
+    fixed windows of ``window_words`` space-separated words as "paragraphs".
+
+    Scale plan (never a per-group UDF, never a driver gather of text):
+      1. chunking is one vectorized pass per batch — ``split_pattern`` +
+         ListArray re-offsetting + ``binary_join`` (no Python per row);
+      2. the corpus-wide first occurrence per chunk is
+         ``util.min_per_key`` over (chunk, doc<<pos_bits | pos) — a narrow
+         sort + boundary scan;
+      3. occurrences join back to the keeper table hash-partitioned on the
+         chunk text (the keeper table is corpus-sized: broadcast is wrong);
+      4. surviving chunks reassemble per doc with ONE sort by the folded
+         (doc, pos) key + per-block vectorized ``binary_join``; docs that
+         straddle block boundaries merge through a driver-chained string
+         carry (only each block's first/last doc row reaches the driver).
+
+    Docs whose every chunk was a repeat drop out of the result (same as the
+    SQL oracle's join+group). Ids must satisfy 0 <= id < 2**(63 - pos_bits).
+    """
+    import ray
+
+    from ..util import coalesce_blocks, hash_join, min_per_key
+
+    w = int(window_words)
+    shift = np.int64(pos_bits)
+    id_cap = np.int64(1) << np.int64(63 - pos_bits)
+    pos_cap = np.int64(1) << shift
+
+    def _chunks(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and (ids.min() < 0 or ids.max() >= id_cap):
+            raise ValueError(
+                f"paragraph_dedup: {id_col} must be in [0, 2**{63 - pos_bits})"
+            )
+        txt = b.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = pa.concat_arrays([c.cast(pa.string()) for c in txt.chunks])
+        else:
+            txt = txt.cast(pa.string())
+        words = pc.split_pattern(txt, " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        nch = (lens + w - 1) // w  # empty text still yields [''] -> 1 chunk
+        if len(nch) and nch.max() >= pos_cap:
+            raise ValueError(f"paragraph_dedup: doc exceeds 2**{pos_bits} chunks")
+        total = int(nch.sum())
+        doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), nch)
+        within = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(nch)[:-1])), nch)
+        )
+        starts = offs[:-1][doc_rep] + w * within
+        la = pa.ListArray.from_arrays(
+            pa.array(np.append(starts, offs[-1]).astype(np.int32), pa.int32()),
+            words.values,
+        )
+        return pa.table(
+            {
+                "chunk": pc.binary_join(la, " "),
+                "folded": pa.array((ids[doc_rep] << shift) | within, pa.int64()),
+                id_col: pa.array(ids[doc_rep], pa.int64()),
+                "pos": pa.array(within, pa.int64()),
+            }
+        )
+
+    chunks = ds.select_columns([id_col, text_col]).map_batches(
+        _chunks, batch_format="pyarrow"
+    )
+    firsts = min_per_key(chunks.select_columns(["chunk", "folded"]), "chunk", "folded")
+    firsts = firsts.map_batches(
+        lambda t: t.rename_columns(["chunk", "first_key"]), batch_format="pyarrow"
+    )
+    joined = hash_join(chunks, firsts, on="chunk", join_type="inner")
+
+    def _kept(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("folded"), t.column("first_key"))
+        return t.filter(m).select([id_col, "pos", "chunk", "folded"])
+
+    kept = joined.map_batches(_kept, batch_format="pyarrow")
+    s = (
+        coalesce_blocks(kept.materialize())
+        .sort("folded")
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def _concat(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bnd = np.flatnonzero(np.diff(ids)) + 1
+        offs = np.concatenate(([0], bnd, [len(ids)])).astype(np.int64)
+        ch = t.column("chunk")
+        vals = (
+            pa.concat_arrays([c.cast(pa.string()) for c in ch.chunks])
+            if isinstance(ch, pa.ChunkedArray)
+            else ch.cast(pa.string())
+        )
+        la = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), pa.int32()), vals
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[offs[:-1]], pa.int64()),
+                "text_dedup": pc.binary_join(la, " "),
+                "n_chunks": pa.array(np.diff(offs), pa.int64()),
+            }
+        )
+
+    part_refs = [_concat.remote(r) for r in refs]
+
+    @ray.remote(num_cpus=0.25)
+    def _edges(t):
+        if t is None:
+            return None
+        return (
+            int(t.column(id_col)[0].as_py()),
+            int(t.column(id_col)[-1].as_py()),
+            t.column("text_dedup")[-1].as_py(),
+            int(t.column("n_chunks")[-1].as_py()),
+            t.num_rows,
+        )
+
+    edges = ray.get([_edges.remote(r) for r in part_refs])
+    part_refs = [r for r, e in zip(part_refs, edges) if e is not None]
+    edges = [e for e in edges if e is not None]
+    n = len(part_refs)
+    pre_text: list[str | None] = [None] * n
+    pre_n = [0] * n
+    drop_last = [False] * n
+    carry_id, carry_text, carry_n = None, None, 0
+    for b in range(n):
+        fid, lid, ltext, lnc, rows = edges[b]
+        if carry_id is not None and carry_id == fid:
+            pre_text[b], pre_n[b] = carry_text, carry_n
+        carry_id, carry_text, carry_n = None, None, 0
+        if b + 1 < n and lid == edges[b + 1][0]:
+            drop_last[b] = True
+            if rows == 1 and pre_text[b] is not None:
+                carry_text = pre_text[b] + " " + ltext
+                carry_n = pre_n[b] + lnc
+            else:
+                carry_text, carry_n = ltext, lnc
+            carry_id = lid
+
+    @ray.remote(num_cpus=0.25)
+    def _fix(t: pa.Table, pre_t, pre_c: int, drop: bool) -> pa.Table:
+        if drop and t.num_rows == 1 and pre_t is None:
+            return t.slice(0, 0)
+        if pre_t is not None:
+            if drop and t.num_rows == 1:
+                return t.slice(0, 0)
+            texts = t.column("text_dedup").to_pylist()
+            ncs = t.column("n_chunks").to_numpy(zero_copy_only=False).copy()
+            texts[0] = pre_t + " " + texts[0]
+            ncs[0] += pre_c
+            t = t.set_column(
+                t.column_names.index("text_dedup"),
+                "text_dedup",
+                pa.array(texts, pa.string()),
+            )
+            t = t.set_column(
+                t.column_names.index("n_chunks"), "n_chunks", pa.array(ncs, pa.int64())
+            )
+        if drop:
+            t = t.slice(0, t.num_rows - 1)
+        return t
+
+    out = [
+        _fix.remote(part_refs[b], pre_text[b], pre_n[b], drop_last[b])
+        for b in range(n)
+    ]
+    if not out:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_dedup": pa.array([], pa.string()),
+                    "n_chunks": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(out)

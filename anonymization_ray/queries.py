@@ -573,6 +573,15 @@ _DRIVER_PRIORITY: list[str] = [
     "top_orders_per_customer",
     # round-4 additions
     "multimodal_jpeg_stats",
+    "text_dsir",
+    "graph_bfs_reach",
+    "multimodal_wav_stats",
+    "multimodal_video_stats",
+    "kg_incremental_merge",
+    "kg_incremental_dedup",
+    "kg_bgp_query",
+    "kg_ntriples_roundtrip",
+    "text_paragraph_dedup",
 ]
 
 

@@ -2206,3 +2206,49 @@ EXTRAS_REGISTRY.update(
         )
     }
 )
+
+
+def q_text_paragraph_dedup(sf_dir: str):
+    """CCNet-style repeated-paragraph removal (extras/dedup.paragraph_dedup):
+    fixed 8-word windows stand in for paragraphs on this newline-free corpus;
+    only each chunk's corpus-wide FIRST occurrence (by doc_id, pos) survives,
+    and surviving chunks reassemble per doc in position order. Runs over the
+    perturbed dup corpus so repeats actually exist."""
+    from .extras.dedup import paragraph_dedup
+
+    return paragraph_dedup(_corpus_with_dups(sf_dir), "text", "doc_id", window_words=8)
+
+
+SQL_TEXT_PARAGRAPH_DEDUP = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN text LIKE '% %' THEN regexp_replace(text, ' [^ ]*$', '') ELSE text END AS text
+  FROM documents
+),
+arr AS (SELECT doc_id, str_split(text, ' ') AS words FROM corpus),
+idx AS (
+  SELECT doc_id, words,
+         unnest(range(0, CAST(ceil(len(words) / 8.0) AS BIGINT))) AS pos
+  FROM arr
+),
+chunks AS (
+  SELECT doc_id, pos,
+         array_to_string(words[pos * 8 + 1 : (pos + 1) * 8], ' ') AS chunk
+  FROM idx
+),
+firsts AS (
+  SELECT chunk, min(doc_id * 1048576 + pos) AS first_key FROM chunks GROUP BY chunk
+)
+SELECT c.doc_id,
+       string_agg(c.chunk, ' ' ORDER BY c.pos) AS text_dedup,
+       count(*) AS n_chunks
+FROM chunks c JOIN firsts f ON c.chunk = f.chunk
+WHERE c.doc_id * 1048576 + c.pos = f.first_key
+GROUP BY c.doc_id
+"""
+
+EXTRAS_REGISTRY.update(
+    {"text_paragraph_dedup": QueryDef(q_text_paragraph_dedup, SQL_TEXT_PARAGRAPH_DEDUP)}
+)

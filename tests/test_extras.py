@@ -1279,3 +1279,48 @@ def test_y4m_roundtrip_framesample_and_gates():
         decode_y4m_gray(nodefault)
     with pytest.raises(ValueError):
         decode_y4m_gray(b"MPEG4 blah")
+
+
+def test_paragraph_dedup_first_occurrence_and_reassembly():
+    """CCNet chunk dedup: corpus-wide first occurrence survives, later
+    repeats (cross-doc AND within-doc) drop, all-repeat docs vanish, and
+    per-doc reassembly preserves position order across sorted-block
+    boundaries (forced tiny blocks)."""
+    from anonymization_ray.extras.dedup import paragraph_dedup
+
+    w1 = "a b c d"          # chunk of 4 (window=4)
+    w2 = "e f g h"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    f"{w1} {w2}",        # both chunks first occurrences
+                    f"{w1} {w2}",        # exact repeat -> dropped entirely
+                    f"{w2} x y z q",     # first chunk repeat, second new
+                    f"{w1} {w1}",        # within-doc repeat of a repeat
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    ds = rd.from_arrow(docs).repartition(4)
+    out = (
+        paragraph_dedup(ds, "text", "doc_id", window_words=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 3]
+    assert out["text_dedup"].tolist() == [f"{w1} {w2}", "x y z q"]
+    assert out["n_chunks"].tolist() == [2, 1]
+
+    # id-range guard
+    bad = pa.table(
+        {
+            "doc_id": pa.array([1 << 50], pa.int64()),
+            "text": pa.array(["a b"], pa.string()),
+        }
+    )
+    with pytest.raises(Exception):
+        paragraph_dedup(rd.from_arrow(bad), "text", "doc_id").to_pandas()
