@@ -582,6 +582,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_bgp_query",
     "kg_ntriples_roundtrip",
     "text_paragraph_dedup",
+    "cluster_kmeans",
 ]
 
 

@@ -2252,3 +2252,70 @@ GROUP BY c.doc_id
 EXTRAS_REGISTRY.update(
     {"text_paragraph_dedup": QueryDef(q_text_paragraph_dedup, SQL_TEXT_PARAGRAPH_DEDUP)}
 )
+
+
+def q_cluster_kmeans(sf_dir: str):
+    """Integer k-means over the embeddings table (extras/cluster.kmeans_int):
+    k=4 clusters, 3 Lloyd's iterations from the deterministic smallest-id
+    init; centroids broadcast each pass, corpus never shuffles. Integer
+    micro-unit arithmetic makes the assignment engine-independent — the
+    oracle replays the exact recurrence unrolled in SQL."""
+    from .extras.cluster import kmeans_int
+
+    ds = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_int(ds, "embedding", "vec_id", k=4, iters=3)
+
+
+def _sql_kmeans(k: int, iters: int) -> str:
+    parts = [
+        r"""WITH vec AS (
+  SELECT vec_id,
+         CAST(unnest(range(1, len(embedding) + 1)) AS BIGINT) AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings
+),
+seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT %d),
+cent0 AS (
+  SELECT CAST(dense_rank() OVER (ORDER BY v.vec_id) - 1 AS BIGINT) AS cl, v.d, v.q
+  FROM vec v JOIN seed s USING (vec_id)
+)""" % k
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+dist{i} AS (
+  SELECT v.vec_id, c.cl, CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+  FROM vec v JOIN cent{i - 1} c USING (d)
+  GROUP BY v.vec_id, c.cl
+),
+best{i} AS (
+  SELECT vec_id, (array_agg(cl ORDER BY dist, cl))[1] AS cl
+  FROM dist{i} GROUP BY vec_id
+),
+cent{i} AS (
+  SELECT b.cl, v.d,
+         CAST(floor(CAST(sum(v.q) AS DOUBLE) / count(*)) AS BIGINT) AS q
+  FROM vec v JOIN best{i} b USING (vec_id)
+  GROUP BY b.cl, v.d
+)"""
+        )
+    parts.append(
+        f""",
+fin AS (
+  SELECT v.vec_id, c.cl, CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+  FROM vec v JOIN cent{iters} c USING (d)
+  GROUP BY v.vec_id, c.cl
+)
+SELECT vec_id,
+       (array_agg(cl ORDER BY dist, cl))[1] AS cluster,
+       min(dist) AS dist_sq
+FROM fin GROUP BY vec_id"""
+    )
+    return "".join(parts)
+
+
+SQL_CLUSTER_KMEANS = _sql_kmeans(4, 3)
+
+EXTRAS_REGISTRY.update(
+    {"cluster_kmeans": QueryDef(q_cluster_kmeans, SQL_CLUSTER_KMEANS)}
+)

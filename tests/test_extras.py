@@ -1324,3 +1324,39 @@ def test_paragraph_dedup_first_occurrence_and_reassembly():
     )
     with pytest.raises(Exception):
         paragraph_dedup(rd.from_arrow(bad), "text", "doc_id").to_pandas()
+
+
+def test_kmeans_int_deterministic_and_separates_planted_clusters():
+    """Integer k-means: planted well-separated clusters are recovered, the
+    smallest-id init and lowest-cluster tie-break are deterministic, and a
+    repeat run is bit-identical."""
+    from anonymization_ray.extras.cluster import kmeans_int
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[0.0] * 8, [1.0] * 8, [-1.0] * 8])
+    vecs = np.concatenate(
+        [c + rng.normal(0, 0.01, (20, 8)) for c in centers]
+    ).astype(np.float32)
+    ids = np.arange(60, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), 8
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    out = kmeans_int(ds, "embedding", "vec_id", k=3, iters=4).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    # planted groups land in one cluster each (ids 0-19 / 20-39 / 40-59)
+    groups = [set(out.cluster[i * 20 : (i + 1) * 20]) for i in range(3)]
+    assert all(len(g) == 1 for g in groups)
+    assert len(set().union(*groups)) == 3
+    out2 = (
+        kmeans_int(ds, "embedding", "vec_id", k=3, iters=4)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
