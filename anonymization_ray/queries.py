@@ -583,6 +583,9 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_ntriples_roundtrip",
     "text_paragraph_dedup",
     "cluster_kmeans",
+    "agg_rollup",
+    "stats_histogram",
+    "join_full_outer",
 ]
 
 

@@ -2319,3 +2319,194 @@ SQL_CLUSTER_KMEANS = _sql_kmeans(4, 3)
 EXTRAS_REGISTRY.update(
     {"cluster_kmeans": QueryDef(q_cluster_kmeans, SQL_CLUSTER_KMEANS)}
 )
+
+
+def q_agg_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over (l_returnflag, l_linestatus): the corpus-sized
+    scan is ONE partial-combiner pass (Arrow group_by inside map_batches +
+    tiny groupby over per-batch partials, exactly the pricing-summary shape);
+    the super-aggregate levels then derive from the FINE aggregate — a table
+    bounded by group cardinality (6 rows here), so the rollup itself is a
+    bounded driver fold, never a second scan."""
+    ds = load(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag").combine_chunks(),
+                "l_linestatus": batch.column("l_linestatus").combine_chunks(),
+                "qty_c": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("qty_c", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty_c", "n_rows"]
+        )
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty_c", "n_rows"])
+        .take_all()
+    )
+    rows = [
+        (r["l_returnflag"], r["l_linestatus"], r["sum(sum_qty_c)"], r["sum(n_rows)"])
+        for r in fine
+    ]
+    lvl1: dict[str, list[int]] = {}
+    total = [0, 0]
+    for f, s, q, n in rows:
+        a = lvl1.setdefault(f, [0, 0])
+        a[0] += q
+        a[1] += n
+        total[0] += q
+        total[1] += n
+    out = rows + [(f, None, q, n) for f, (q, n) in sorted(lvl1.items())]
+    out.append((None, None, total[0], total[1]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in out], pa.string()),
+            "sum_qty_c": pa.array([r[2] for r in out], pa.int64()),
+            "n_rows": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+EXTRAS_REGISTRY.update({"agg_rollup": QueryDef(q_agg_rollup, SQL_AGG_ROLLUP)})
+
+
+def q_stats_histogram(sf_dir: str):
+    """Fixed-width histogram over events.value: pass 1 = global min/max
+    (tiny aggregate), pass 2 = vectorized integer bucket assignment +
+    per-batch bincount partials combined in a bucket-sized groupby. Exact
+    integer bucket formula replicated in SQL."""
+    nbins = 20
+    ds = load(sf_dir, "events", ["value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"v_c": pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)), pa.int64())}
+        )
+
+    vc = ds.map_batches(_cents, batch_format="pyarrow")
+    lo = vc.min("v_c")
+    hi = vc.max("v_c")
+    span = hi - lo + 1
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        v = b.column("v_c").to_numpy(zero_copy_only=False)
+        bk = (v - lo) * nbins // span
+        cnt = np.bincount(bk, minlength=nbins)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nbins, dtype=np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = (
+        vc.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["bucket", "n"]).filter(
+            pc.greater(t.column("sum(n)"), 0)
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_STATS_HISTOGRAM = """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS v_c FROM events),
+b AS (SELECT min(v_c) AS lo, max(v_c) - min(v_c) + 1 AS span FROM c)
+SELECT (v_c - lo) * 20 // span AS bucket, count(*) AS n
+FROM c, b GROUP BY 1
+"""
+
+EXTRAS_REGISTRY.update({"stats_histogram": QueryDef(q_stats_histogram, SQL_STATS_HISTOGRAM)})
+
+
+def q_join_full_outer(sf_dir: str):
+    """FULL OUTER join: customers outside residue class 5 vs order counts of
+    customers outside residue class 3 — unmatched rows survive on BOTH sides
+    at every scale factor (custkey % 15 in {3,6,9,12} -> left-only; % 15 in
+    {5,10} -> right-only). Hash-partitioned Ray-native join; the count side
+    is pre-aggregated with the partial-combiner pattern so the join moves
+    counts, not orders."""
+    from .util import default_num_partitions
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _left(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.not_equal(
+                pc.subtract(
+                    b.column("c_custkey"),
+                    pc.multiply(pc.divide(b.column("c_custkey"), 5), 5),
+                ),
+                0,
+            )
+        )
+        return pa.table(
+            {
+                "custkey": t.column("c_custkey").combine_chunks(),
+                "acctbal_c": pc.cast(
+                    pc.round(pc.multiply(t.column("c_acctbal"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    left = cust.map_batches(_left, batch_format="pyarrow")
+
+    orders = load(sf_dir, "orders", ["o_custkey"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k = b.column("o_custkey")
+        t = b.filter(
+            pc.not_equal(pc.subtract(k, pc.multiply(pc.divide(k, 3), 3)), 0)
+        )
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["custkey", "n_orders"])
+
+    right = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .sum("n_orders")
+        .map_batches(
+            lambda t: t.rename_columns(["custkey", "n_orders"]),
+            batch_format="pyarrow",
+        )
+    )
+    return left.join(
+        right,
+        join_type="full_outer",
+        num_partitions=default_num_partitions(),
+        on=("custkey",),
+    )
+
+
+SQL_JOIN_FULL_OUTER = """
+WITH l AS (SELECT c_custkey AS custkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c
+           FROM customer WHERE c_custkey % 5 <> 0),
+r AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+      FROM orders WHERE o_custkey % 3 <> 0 GROUP BY o_custkey)
+SELECT COALESCE(l.custkey, r.custkey) AS custkey, l.acctbal_c, r.n_orders
+FROM l FULL OUTER JOIN r USING (custkey)
+"""
+
+EXTRAS_REGISTRY.update({"join_full_outer": QueryDef(q_join_full_outer, SQL_JOIN_FULL_OUTER)})
