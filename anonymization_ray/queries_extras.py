@@ -2510,3 +2510,102 @@ FROM l FULL OUTER JOIN r USING (custkey)
 """
 
 EXTRAS_REGISTRY.update({"join_full_outer": QueryDef(q_join_full_outer, SQL_JOIN_FULL_OUTER)})
+
+
+def q_events_funnel(sf_dir: str):
+    """Two-step conversion funnel: per user, the earliest 'signup', then the
+    earliest 'purchase' STRICTLY after it within a 7-day window. Both steps
+    are partial-combiner min-aggregates (Arrow group_by inside map_batches,
+    tiny groupby over partials); the window probe hash-joins purchases to
+    the per-user signup table so the event stream never gathers."""
+    from .util import hash_join
+
+    win_us = 7 * 24 * 3600 * 1_000_000
+    ev = load(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def _step(kind: str, out_col: str):
+        def _min_partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("event_type"), kind))
+            tt = pa.table(
+                {
+                    "user_id": t.column("user_id").combine_chunks(),
+                    out_col: t.column("ts").cast(pa.int64()),
+                }
+            )
+            return tt.group_by("user_id").aggregate([(out_col, "min")]).rename_columns(
+                ["user_id", out_col]
+            )
+
+        return (
+            ev.map_batches(_min_partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .min(out_col)
+            .map_batches(
+                lambda t: t.rename_columns(["user_id", out_col]),
+                batch_format="pyarrow",
+            )
+        )
+
+    t0 = _step("signup", "t0_us")
+
+    def _pur(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("event_type"), "purchase"))
+        return pa.table(
+            {
+                "user_id": t.column("user_id").combine_chunks(),
+                "p_us": t.column("ts").cast(pa.int64()),
+            }
+        )
+
+    probe = hash_join(
+        ev.map_batches(_pur, batch_format="pyarrow"), t0, on="user_id",
+        join_type="inner",
+    )
+
+    def _in_window(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater(b.column("p_us"), b.column("t0_us")),
+            pc.less_equal(b.column("p_us"), pc.add(b.column("t0_us"), win_us)),
+        )
+        t = b.filter(m)
+        return (
+            t.select(["user_id", "p_us"])
+            .group_by("user_id")
+            .aggregate([("p_us", "min")])
+            .rename_columns(["user_id", "t1_us"])
+        )
+
+    t1 = (
+        probe.map_batches(_in_window, batch_format="pyarrow")
+        .groupby("user_id")
+        .min("t1_us")
+        .map_batches(
+            lambda t: t.rename_columns(["user_id", "t1_us"]), batch_format="pyarrow"
+        )
+    )
+    out = hash_join(t0, t1, on="user_id", join_type="left_outer")
+
+    def _conv(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "converted",
+            pc.cast(pc.is_valid(b.column("t1_us")), pa.int64()),
+        )
+
+    return out.map_batches(_conv, batch_format="pyarrow")
+
+
+SQL_EVENTS_FUNNEL = """
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS t0_us
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT s.user_id, min(epoch_us(e.ts)) AS t1_us
+      FROM s JOIN events e ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) > s.t0_us
+        AND epoch_us(e.ts) <= s.t0_us + 604800000000
+      GROUP BY s.user_id)
+SELECT s.user_id, s.t0_us, p.t1_us,
+       CAST(p.t1_us IS NOT NULL AS BIGINT) AS converted
+FROM s LEFT JOIN p USING (user_id)
+"""
+
+EXTRAS_REGISTRY.update({"events_funnel": QueryDef(q_events_funnel, SQL_EVENTS_FUNNEL)})

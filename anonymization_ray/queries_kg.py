@@ -10,6 +10,7 @@ against the oracle set).
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .queries import QueryDef, _sql_gk, load
 
@@ -513,3 +514,44 @@ WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.text = c.text)
 KG_REGISTRY.update(
     {"kg_incremental_dedup": QueryDef(q_kg_incremental_dedup, SQL_KG_INCREMENTAL_DEDUP)}
 )
+
+
+def q_kg_path_reach(sf_dir: str):
+    """SPARQL property-path reachability over the constructed KG: every
+    entity that reaches urn:region:0 through `basedIn`/`partOf` chains within
+    2 hops (the path ^(:basedIn|:partOf){1,2} from the region). Frontier BFS
+    (extras/graph.bfs_hops) over the pred-filtered REVERSED triple stream —
+    the triples never shuffle; per hop one broadcast semi-join scan."""
+    from .extras.graph import bfs_hops
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _edges(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b.column("pred"), pa.array(["basedIn", "partOf"])))
+        return pa.table(
+            {
+                "src": t.column("obj").combine_chunks(),
+                "dst": t.column("subj").combine_chunks(),
+            }
+        )
+
+    edges = tri.map_batches(_edges, batch_format="pyarrow")
+    return bfs_hops(edges, ["urn:region:0"], max_hops=2)
+
+
+SQL_KG_PATH_REACH = f"""
+WITH canon AS ({SQL_KG_CANONICAL}),
+e AS (SELECT obj AS src, subj AS dst FROM canon
+      WHERE pred IN ('basedIn', 'partOf')),
+h1 AS (SELECT DISTINCT dst FROM e WHERE src = 'urn:region:0'),
+h2 AS (SELECT DISTINCT e.dst FROM e JOIN h1 ON e.src = h1.dst),
+u AS (
+  SELECT 'urn:region:0' AS node, 0 AS dist
+  UNION ALL SELECT dst, 1 FROM h1
+  UNION ALL SELECT dst, 2 FROM h2
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM u GROUP BY node
+"""
+
+KG_REGISTRY.update({"kg_path_reach": QueryDef(q_kg_path_reach, SQL_KG_PATH_REACH)})
