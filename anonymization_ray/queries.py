@@ -586,6 +586,11 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_rollup",
     "stats_histogram",
     "join_full_outer",
+    "events_funnel",
+    "kg_path_reach",
+    "events_json_extract",
+    "stats_corr",
+    "kg_rdfs_closure",
 ]
 
 

@@ -2379,7 +2379,7 @@ def q_agg_rollup(sf_dir: str):
 
 SQL_AGG_ROLLUP = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -2609,3 +2609,179 @@ FROM s LEFT JOIN p USING (user_id)
 """
 
 EXTRAS_REGISTRY.update({"events_funnel": QueryDef(q_events_funnel, SQL_EVENTS_FUNNEL)})
+
+
+def q_events_json_extract(sf_dir: str):
+    """Vectorized JSON sidecar extraction: parse the `props` JSON column with
+    polars' Rust json_path_match kernel inside map_batches (no per-row Python
+    json.loads), then per-event-type integer stats via an in-batch partial
+    combiner + tiny final groupby. The crawl-scale shape: metadata sidecars
+    parse where the data lives; only (type, 4 ints) partials shuffle."""
+    ev = load(sf_dir, "events", ["event_type", "props"])
+
+    def _extract(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(b).with_columns(
+            pl.col("props").str.json_path_match("$.k").cast(pl.Int64).alias("k")
+        )
+        part = (
+            df.drop_nulls("k")
+            .group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("k").sum().alias("sum_k"),
+                pl.col("k").min().alias("min_k"),
+                pl.col("k").max().alias("max_k"),
+            )
+        )
+        return part.to_arrow().cast(
+            pa.schema(
+                {
+                    "event_type": pa.string(),
+                    "n": pa.int64(),
+                    "sum_k": pa.int64(),
+                    "min_k": pa.int64(),
+                    "max_k": pa.int64(),
+                }
+            )
+        )
+
+    def _final(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["event_type", "n", "sum_k", "min_k", "max_k"])
+
+    return (
+        ev.map_batches(_extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            rd.aggregate.Sum("n"),
+            rd.aggregate.Sum("sum_k"),
+            rd.aggregate.Min("min_k"),
+            rd.aggregate.Max("max_k"),
+        )
+        .map_batches(_final, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_JSON_EXTRACT = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_stats_corr(sf_dir: str):
+    """Pairwise Pearson correlation over lineitem numeric columns in ONE
+    streaming pass: fixed-point (cents) int64 moment partials per batch
+    (vectorized numpy, exact — per-batch moments bounded well under 2^63),
+    a distributed combine level that folds ~4096 partial rows into one
+    decimal128(38) row each (exact 128-bit, applied log-many times at true
+    scale — one level suffices through ~10^10 rows), then a bounded driver
+    gather + arbitrary-precision Python reduction. The double corr formula
+    is applied to identical exact integers on both sides, so the doubles
+    are bit-equal to the SQL oracle's HUGEINT-moment replica. The corpus
+    never shuffles; only tiny moment rows move."""
+    li = load(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount"])
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v = {
+            c: pc.cast(pc.round(pc.multiply(b.column(c), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            for c in cols
+        }
+        row: dict[str, list] = {"n": [np.int64(b.num_rows)]}
+        for c in cols:
+            row[f"s_{c}"] = [v[c].sum(dtype=np.int64)]
+            row[f"ss_{c}"] = [(v[c] * v[c]).sum(dtype=np.int64)]
+        for a, c in pairs:
+            row[f"sp_{a}_{c}"] = [(v[a] * v[c]).sum(dtype=np.int64)]
+        return pa.table({k: pa.array(vv, pa.int64()) for k, vv in row.items()})
+
+    dec = pa.decimal128(38, 0)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        # exact 128-bit fold of up to ~4096 partial rows into one; Python-int
+        # sums here are off the hot path (10 ints per partial row)
+        return pa.table(
+            {
+                c: pa.array(
+                    [sum(int(x) for x in t.column(c).to_pylist())], dec
+                )
+                for c in t.column_names
+            }
+        )
+
+    parts = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .map_batches(_combine, batch_format="pyarrow", batch_size=4096)
+        .take_all()
+    )
+    tot: dict[str, int] = {}
+    for r in parts:
+        for k, v in r.items():
+            tot[k] = tot.get(k, 0) + int(v)
+    n = tot["n"]
+    out_x, out_y, out_corr = [], [], []
+    for a, c in pairs:
+        num = n * tot[f"sp_{a}_{c}"] - tot[f"s_{a}"] * tot[f"s_{c}"]
+        va = n * tot[f"ss_{a}"] - tot[f"s_{a}"] ** 2
+        vc = n * tot[f"ss_{c}"] - tot[f"s_{c}"] ** 2
+        out_x.append(a)
+        out_y.append(c)
+        out_corr.append(float(num) / np.sqrt(float(va) * float(vc)))
+    return pa.table(
+        {
+            "x_col": pa.array(out_x, pa.string()),
+            "y_col": pa.array(out_y, pa.string()),
+            "corr": pa.array(out_corr, pa.float64()),
+        }
+    )
+
+
+SQL_STATS_CORR = """
+WITH m AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(CAST(round(l_quantity      * 100) AS HUGEINT)) AS s_q,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS s_p,
+         sum(CAST(round(l_discount      * 100) AS HUGEINT)) AS s_d,
+         sum(CAST(round(l_quantity      * 100) AS HUGEINT) * CAST(round(l_quantity      * 100) AS HUGEINT)) AS ss_q,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS ss_p,
+         sum(CAST(round(l_discount      * 100) AS HUGEINT) * CAST(round(l_discount      * 100) AS HUGEINT)) AS ss_d,
+         sum(CAST(round(l_quantity      * 100) AS HUGEINT) * CAST(round(l_extendedprice * 100) AS HUGEINT)) AS sp_qp,
+         sum(CAST(round(l_quantity      * 100) AS HUGEINT) * CAST(round(l_discount      * 100) AS HUGEINT)) AS sp_qd,
+         sum(CAST(round(l_extendedprice * 100) AS HUGEINT) * CAST(round(l_discount      * 100) AS HUGEINT)) AS sp_pd
+  FROM lineitem
+)
+SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+       CAST(n * sp_qp - s_q * s_p AS DOUBLE)
+         / sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE) * CAST(n * ss_p - s_p * s_p AS DOUBLE)) AS corr
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       CAST(n * sp_qd - s_q * s_d AS DOUBLE)
+         / sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE) * CAST(n * ss_d - s_d * s_d AS DOUBLE))
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       CAST(n * sp_pd - s_p * s_d AS DOUBLE)
+         / sqrt(CAST(n * ss_p - s_p * s_p AS DOUBLE) * CAST(n * ss_d - s_d * s_d AS DOUBLE))
+FROM m
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "events_json_extract": QueryDef(q_events_json_extract, SQL_EVENTS_JSON_EXTRACT),
+        "stats_corr": QueryDef(q_stats_corr, SQL_STATS_CORR),
+    }
+)

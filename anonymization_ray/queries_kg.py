@@ -555,3 +555,138 @@ SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM u GROUP BY node
 """
 
 KG_REGISTRY.update({"kg_path_reach": QueryDef(q_kg_path_reach, SQL_KG_PATH_REACH)})
+
+
+def q_kg_rdfs_closure(sf_dir: str):
+    """RDFS-style property-chain transitive closure over the constructed KG:
+    every (node, ancestor, min-hops) pair reachable through `basedIn`/`partOf`
+    chains. The web-scale shape splits the relation by role: the HIERARCHY
+    slice (`partOf`, ontology-small — class/region trees, not entities) is
+    gathered under a hard cap and closed driver-side; the INSTANCE slice
+    (`basedIn`, corpus-scale) streams through one map_batches that extends
+    each edge by the broadcast ancestor map — so the big side never shuffles
+    and closure depth never iterates over it. Assumes instance-edge sources
+    are not hierarchy targets (entities below the ontology), the standard
+    instance/ontology split; a folded-key min pass makes multi-path dedup
+    exact regardless."""
+    import ray
+    import ray.data as rd
+
+    from .kg.pipeline import kg_pipeline
+    from .util import min_per_key
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _edges(pred: str):
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("pred"), pred))
+            return pa.table(
+                {
+                    "src": t.column("subj").combine_chunks(),
+                    "dst": t.column("obj").combine_chunks(),
+                }
+            )
+
+        return _f
+
+    HIER_CAP = 2_000_000
+    hier = tri.map_batches(_edges("partOf"), batch_format="pyarrow").take_all()
+    if len(hier) > HIER_CAP:
+        raise ValueError(
+            f"hierarchy slice has {len(hier)} edges > cap {HIER_CAP}; "
+            "partition the ontology or raise the cap knowingly"
+        )
+    parents: dict[str, list[str]] = {}
+    for r in hier:
+        parents.setdefault(r["src"], []).append(r["dst"])
+    # driver-side closure of the small hierarchy: node -> {anc: min_dist}
+    anc_map: dict[str, dict[str, int]] = {}
+    for start in parents:
+        seen: dict[str, int] = {}
+        frontier = [(start, 0)]
+        while frontier:
+            nxt = []
+            for node, d in frontier:
+                for p in parents.get(node, ()):
+                    if p not in seen or d + 1 < seen[p]:
+                        seen[p] = d + 1
+                        nxt.append((p, d + 1))
+            frontier = nxt
+        anc_map[start] = seen
+    anc_ref = ray.put(anc_map)
+
+    def _extend(b: pa.Table) -> pa.Table:
+        # vectorized: the inner loop runs over UNIQUE hierarchy targets in the
+        # batch (ontology-small), never over instance rows
+        import numpy as np
+
+        amap = ray.get(anc_ref)
+        src = b.column("src").combine_chunks()
+        dst = b.column("dst").combine_chunks()
+        enc = dst.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        node_parts = [src]
+        anc_parts = [dst]
+        dist_parts = [np.ones(len(b), np.int64)]
+        for i, t in enumerate(uniq):
+            ancs = amap.get(t)
+            if not ancs:
+                continue
+            rows = np.nonzero(codes == i)[0]
+            sub = src.take(pa.array(rows, pa.int64()))
+            for a, d in ancs.items():
+                node_parts.append(sub)
+                anc_parts.append(pa.array([a] * len(rows), pa.string()))
+                dist_parts.append(np.full(len(rows), 1 + d, np.int64))
+        nodes = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in node_parts])
+        ancs_arr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in anc_parts])
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(nodes, ancs_arr, "\x00"),
+                "dist": pa.array(np.concatenate(dist_parts), pa.int64()),
+            }
+        )
+
+    inst = tri.map_batches(_edges("basedIn"), batch_format="pyarrow")
+    hier_rows = [
+        (n, a, d) for n, m in anc_map.items() for a, d in m.items()
+    ] + [(r["src"], r["dst"], 1) for r in hier]
+    hier_tbl = pa.table(
+        {
+            "key": pa.array([f"{n}\x00{a}" for n, a, _ in hier_rows], pa.string()),
+            "dist": pa.array([d for _, _, d in hier_rows], pa.int64()),
+        }
+    )
+    closure = inst.map_batches(_extend, batch_format="pyarrow").union(
+        rd.from_arrow(hier_tbl)
+    )
+    out = min_per_key(closure, "key", "dist")
+
+    def _split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("key"), "\x00")
+        return pa.table(
+            {
+                "node": pc.list_element(parts, 0),
+                "anc": pc.list_element(parts, 1),
+                "dist": t.column("dist").combine_chunks(),
+            }
+        )
+
+    return out.map_batches(_split, batch_format="pyarrow")
+
+
+SQL_KG_RDFS_CLOSURE = f"""
+WITH RECURSIVE canon AS ({SQL_KG_CANONICAL}),
+e AS (SELECT subj AS src, obj AS dst FROM canon
+      WHERE pred IN ('basedIn', 'partOf')),
+paths(src, dst, dist) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT p.src, e.dst, p.dist + 1 FROM paths p JOIN e ON e.src = p.dst
+)
+SELECT src AS node, dst AS anc, CAST(min(dist) AS BIGINT) AS dist
+FROM paths GROUP BY src, dst
+"""
+
+KG_REGISTRY.update({"kg_rdfs_closure": QueryDef(q_kg_rdfs_closure, SQL_KG_RDFS_CLOSURE)})
