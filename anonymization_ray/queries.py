@@ -591,6 +591,11 @@ _DRIVER_PRIORITY: list[str] = [
     "events_json_extract",
     "stats_corr",
     "kg_rdfs_closure",
+    "events_retention",
+    "join_bloom_semi",
+    "dedup_url_canonical",
+    "kg_type_inference",
+    "kg_entity_cooccurrence",
 ]
 
 

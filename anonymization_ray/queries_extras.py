@@ -2785,3 +2785,235 @@ EXTRAS_REGISTRY.update(
         "stats_corr": QueryDef(q_stats_corr, SQL_STATS_CORR),
     }
 )
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity day, distinct
+    active users per (cohort_day, day_offset). The 100-TB shape: first-day
+    per user via ``min_per_key`` (sort + boundary scan — no per-group
+    aggregate at user cardinality), ONE hash join keyed on user_id to stamp
+    cohorts onto events, distinct (cohort, offset, user) via the same
+    sort-scan dedup, and only the day-grid-bounded (cohort, offset) partial
+    counts ever reach a Ray groupby."""
+    from .util import distinct_rows, hash_join, min_per_key
+
+    ev = load(sf_dir, "events", ["user_id", "ts"])
+    US_DAY = 86_400_000_000
+
+    def _days(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id").combine_chunks(),
+                "day": pa.array(np.floor_divide(us, US_DAY), pa.int64()),
+            }
+        )
+
+    days = ev.map_batches(_days, batch_format="pyarrow")
+    firsts = min_per_key(days, "user_id", "day").rename_columns({"day": "cohort_day"})
+    joined = hash_join(days, firsts, on="user_id", join_type="inner")
+
+    def _offset(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        c = b.column("cohort_day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": b.column("cohort_day").combine_chunks(),
+                "day_offset": pa.array(d - c, pa.int64()),
+                "user_id": b.column("user_id").combine_chunks(),
+            }
+        )
+
+    active = distinct_rows(
+        joined.map_batches(_offset, batch_format="pyarrow"),
+        ["cohort_day", "day_offset", "user_id"],
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["cohort_day", "day_offset"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["cohort_day", "day_offset", "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    return (
+        active.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .sum("n")
+        .map_batches(_final, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_RETENTION = """
+WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day FROM events),
+f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+d AS (SELECT DISTINCT f.cohort_day, e.day - f.cohort_day AS day_offset, e.user_id
+      FROM e JOIN f USING (user_id))
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM d GROUP BY cohort_day, day_offset
+"""
+
+
+BLOOM_PRICE_MIN = 420_000.0
+
+
+def q_join_bloom_semi(sf_dir: str):
+    """Semi join with a broadcast Bloom prefilter: lineitem rows whose order
+    is high-value. The scale story: the Bloom bitmap is a FIXED 16 KiB
+    broadcast regardless of filter-side cardinality (an exact key set is
+    not broadcastable at 10^9 keys), it prunes the big side BEFORE the
+    shuffle, and the exact hash join that removes Bloom false positives only
+    ever sees the pre-filtered survivors. Bitmap built distributed: one
+    packed-uint8 partial per batch, OR-folded on the driver (bounded gather:
+    n_batches x 16 KiB)."""
+    import ray
+
+    from .util import hash_join
+
+    M_BITS = 1 << 17  # 16 KiB packed
+    C2 = np.uint64(0x9E3779B97F4A7C15)
+
+    def _mix(x: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer over uint64 keys
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+
+    def _probes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = keys.astype(np.uint64)
+        h1 = _mix(u) % np.uint64(M_BITS)
+        h2 = _mix(u ^ C2) % np.uint64(M_BITS)
+        return h1, h2
+
+    hi = load(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"), BLOOM_PRICE_MIN)),
+        batch_format="pyarrow",
+    )
+
+    def _bitmap(b: pa.Table) -> pa.Table:
+        bits = np.zeros(M_BITS // 8, np.uint8)
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        for h in _probes(keys):
+            idx = (h // 8).astype(np.int64)
+            np.bitwise_or.at(bits, idx, np.uint8(1) << (h % 8).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    partials = hi.map_batches(_bitmap, batch_format="pyarrow").take_all()
+    bloom = np.zeros(M_BITS // 8, np.uint8)
+    for r in partials:
+        bloom |= np.frombuffer(r["bits"], np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def _prefilter(b: pa.Table) -> pa.Table:
+        bits = ray.get(bloom_ref)
+        keys = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        h1, h2 = _probes(keys)
+        ok = np.ones(len(keys), bool)
+        for h in (h1, h2):
+            ok &= (bits[(h // 8).astype(np.int64)] >> (h % 8).astype(np.uint8)) & 1 == 1
+        return b.filter(pa.array(ok))
+
+    survivors = li.map_batches(_prefilter, batch_format="pyarrow")
+    keys_only = hi.select_columns(["o_orderkey"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+    return hash_join(survivors, keys_only, on="l_orderkey", join_type="inner")
+
+
+SQL_JOIN_BLOOM_SEMI = f"""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > {BLOOM_PRICE_MIN})
+"""
+
+
+def q_dedup_url_canonical(sf_dir: str):
+    """Canonical-URL dedup over a deterministic messy-crawl table (clean url
+    + one cased/fragment/utm/trailing-slash variant per doc, like
+    ``_corpus_with_dups``): general vectorized canonicalization — lowercase
+    scheme+host, strip fragment, drop utm_* params, strip trailing slash —
+    then earliest capture per canonical url via ``min_per_key``. Everything
+    is RE2 kernels over Arrow columns; the dedup is the sort+boundary-scan
+    shape, so no per-group aggregate at url cardinality."""
+    from .util import min_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    def _raw(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = pc.cast(b.column("doc_id"), pa.string())
+        base = pc.binary_join_element_wise(
+            pa.array(["https://example.org/doc/"] * len(d), pa.string()), ids, ""
+        )
+        suffix = pa.array(
+            np.select(
+                [d % 4 == 0, d % 4 == 1, d % 4 == 2],
+                ["", "#frag", "?utm_source=feed"],
+                default="/",
+            ),
+            pa.string(),
+        )
+        variant = pc.binary_join_element_wise(base, suffix, "")
+        # variant 0 differs by host case instead of a suffix
+        upper_host = pc.binary_join_element_wise(
+            pa.array(["https://EXAMPLE.org/doc/"] * len(d), pa.string()), ids, ""
+        )
+        variant = pc.if_else(pa.array(d % 4 == 0), upper_host, variant)
+        ts0 = 1_600_000_000 + (d * 7919) % 100_000
+        ts1 = ts0 + ((d % 2) * 2 - 1) * (1 + (d * 104_729) % 1000)
+        return pa.table(
+            {
+                "url": pa.concat_arrays(
+                    [base.combine_chunks(), variant.combine_chunks()]
+                ),
+                "ts": pa.array(np.concatenate([ts0, ts1]), pa.int64()),
+            }
+        )
+
+    raw = docs.map_batches(_raw, batch_format="pyarrow")
+
+    def _canon(b: pa.Table) -> pa.Table:
+        u = b.column("url")
+        u = pc.replace_substring_regex(u, r"#.*$", "")          # fragment
+        u = pc.replace_substring_regex(u, r"utm_[^&#]*&", "")   # utm_, more follow
+        u = pc.replace_substring_regex(u, r"[?&]utm_[^&#]*$", "")  # utm_ last
+        u = pc.replace_substring_regex(u, r"^(.+[^/:])/$", r"\1")  # trailing slash
+        parts = pc.extract_regex(u, r"^(?P<head>[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(?P<rest>.*)$")
+        head = pc.utf8_lower(pc.struct_field(parts, "head"))
+        rest = pc.struct_field(parts, "rest")
+        return pa.table(
+            {
+                "url": pc.binary_join_element_wise(head, rest, ""),
+                "ts": b.column("ts").combine_chunks(),
+            }
+        )
+
+    canon = raw.map_batches(_canon, batch_format="pyarrow")
+    return min_per_key(canon, "url", "ts").rename_columns({"ts": "first_ts"})
+
+
+SQL_DEDUP_URL_CANONICAL = """
+WITH raw AS (
+  SELECT doc_id AS d,
+         CAST(1600000000 + (doc_id * 7919) % 100000 AS BIGINT) AS ts
+  FROM documents
+)
+SELECT 'https://example.org/doc/' || d AS url,
+       CAST(least(ts, ts + ((d % 2) * 2 - 1) * (1 + (d * 104729) % 1000))
+            AS BIGINT) AS first_ts
+FROM raw
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "events_retention": QueryDef(q_events_retention, SQL_EVENTS_RETENTION),
+        "join_bloom_semi": QueryDef(q_join_bloom_semi, SQL_JOIN_BLOOM_SEMI),
+        "dedup_url_canonical": QueryDef(
+            q_dedup_url_canonical, SQL_DEDUP_URL_CANONICAL
+        ),
+    }
+)

@@ -9,6 +9,7 @@ against the oracle set).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -690,3 +691,157 @@ FROM paths GROUP BY src, dst
 """
 
 KG_REGISTRY.update({"kg_rdfs_closure": QueryDef(q_kg_rdfs_closure, SQL_KG_RDFS_CLOSURE)})
+
+
+# RDFS-style ontology for the constructed KG: pred -> (domain type, range
+# type or None for literal-valued preds). rdfs2/rdfs3 inference rules.
+_KG_ONTOLOGY: dict[str, tuple[str, str | None]] = {
+    "hasAccountBalance": ("Customer", None),
+    "basedIn": ("Customer", "Nation"),
+    "partOf": ("Nation", "Region"),
+}
+
+
+def q_kg_type_inference(sf_dir: str):
+    """RDFS domain/range type inference (rules rdfs2 + rdfs3): every triple
+    whose predicate carries a domain types its subject; every iri-object
+    triple whose predicate carries a range types its object. The ontology is
+    driver-small and closed over inside one stateless map_batches (broadcast
+    by closure capture — 3 entries, no shuffle); the only wide step is the
+    final sort-scan DISTINCT over (node, rdf_type)."""
+    from .kg.pipeline import kg_pipeline
+    from .util import distinct_rows
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _infer(b: pa.Table) -> pa.Table:
+        nodes, types = [], []
+        pred = b.column("pred")
+        for p, (dom, rng) in _KG_ONTOLOGY.items():
+            m = pc.equal(pred, p)
+            t = b.filter(m)
+            if t.num_rows:
+                nodes.append(t.column("subj").combine_chunks())
+                types.append(pa.array([dom] * t.num_rows, pa.string()))
+            if rng is not None:
+                ti = t.filter(pc.equal(t.column("obj_kind"), "iri"))
+                if ti.num_rows:
+                    nodes.append(ti.column("obj").combine_chunks())
+                    types.append(pa.array([rng] * ti.num_rows, pa.string()))
+        if not nodes:
+            return pa.table(
+                {"node": pa.array([], pa.string()), "rdf_type": pa.array([], pa.string())}
+            )
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in nodes]),
+                "rdf_type": pa.concat_arrays(types),
+            }
+        )
+
+    return distinct_rows(
+        tri.map_batches(_infer, batch_format="pyarrow"), ["node", "rdf_type"]
+    )
+
+
+SQL_KG_TYPE_INFERENCE = f"""
+WITH canon AS ({SQL_KG_CANONICAL}),
+inf AS (
+  SELECT subj AS node,
+         CASE pred WHEN 'hasAccountBalance' THEN 'Customer'
+                   WHEN 'basedIn' THEN 'Customer'
+                   WHEN 'partOf' THEN 'Nation' END AS rdf_type
+  FROM canon
+  UNION ALL
+  SELECT obj,
+         CASE pred WHEN 'basedIn' THEN 'Nation'
+                   WHEN 'partOf' THEN 'Region' END
+  FROM canon WHERE obj_kind = 'iri'
+)
+SELECT DISTINCT node, rdf_type FROM inf WHERE rdf_type IS NOT NULL
+"""
+
+KG_REGISTRY.update(
+    {"kg_type_inference": QueryDef(q_kg_type_inference, SQL_KG_TYPE_INFERENCE)}
+)
+
+
+def q_kg_entity_cooccurrence(sf_dir: str):
+    """Entity-mention co-occurrence counts (the statistic feeding relation
+    extraction / PMI in KG construction): distinct mention entities per page
+    (subjects + mention-kind objects), page-keyed self-join for ordered
+    pairs, global count per pair. Scale shape: the self-join hash-partitions
+    on url (per-page entity count is bounded by the extractor, so join
+    fan-out per key is bounded), pair counts are folded-key ``sum_per_key``
+    sort-scans — no per-group aggregate at pair cardinality."""
+    from .extras.graph import sum_per_key
+    from .kg.extract import extract_mentions
+    from .kg.pages import synthesize_pages
+    from .util import distinct_rows, hash_join
+
+    m = extract_mentions(
+        synthesize_pages(sf_dir).select_columns(["url", "html"])
+    )
+
+    def _ents(b: pa.Table) -> pa.Table:
+        subj = pa.table(
+            {"url": b.column("url").combine_chunks(), "ent": b.column("subj").combine_chunks()}
+        )
+        mo = b.filter(pc.equal(b.column("obj_kind"), "mention"))
+        obj = pa.table(
+            {"url": mo.column("url").combine_chunks(), "ent": mo.column("obj").combine_chunks()}
+        )
+        return pa.concat_tables([subj, obj])
+
+    ue = distinct_rows(m.map_batches(_ents, batch_format="pyarrow"), ["url", "ent"])
+    left = ue.rename_columns({"ent": "ent_a"})
+    right = ue.rename_columns({"ent": "ent_b"})
+    pairs = hash_join(left, right, on="url", join_type="inner")
+
+    def _fold(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("ent_a"), b.column("ent_b")))
+        return pa.table(
+            {
+                "pair": pc.binary_join_element_wise(
+                    t.column("ent_a"), t.column("ent_b"), "\x00"
+                ),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    counts = sum_per_key(
+        pairs.map_batches(_fold, batch_format="pyarrow"), "pair", "c"
+    )
+
+    def _split(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("pair"), "\x00")
+        return pa.table(
+            {
+                "ent_a": pc.list_element(parts, 0),
+                "ent_b": pc.list_element(parts, 1),
+                "n_pages": t.column("c").combine_chunks(),
+            }
+        )
+
+    return counts.map_batches(_split, batch_format="pyarrow")
+
+
+SQL_KG_ENTITY_COOCCURRENCE = f"""
+WITH m AS ({SQL_KG_MENTIONS}),
+ue AS (
+  SELECT DISTINCT url, subj AS ent FROM m
+  UNION
+  SELECT DISTINCT url, obj FROM m WHERE obj_kind = 'mention'
+)
+SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_pages
+FROM ue a JOIN ue b ON a.url = b.url AND a.ent < b.ent
+GROUP BY a.ent, b.ent
+"""
+
+KG_REGISTRY.update(
+    {
+        "kg_entity_cooccurrence": QueryDef(
+            q_kg_entity_cooccurrence, SQL_KG_ENTITY_COOCCURRENCE
+        )
+    }
+)
