@@ -596,6 +596,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_url_canonical",
     "kg_type_inference",
     "kg_entity_cooccurrence",
+    "stats_entropy",
+    "sample_weighted",
 ]
 
 

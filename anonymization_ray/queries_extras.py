@@ -3017,3 +3017,147 @@ EXTRAS_REGISTRY.update(
         ),
     }
 )
+
+
+def q_stats_entropy(sf_dir: str):
+    """Corpus unigram Shannon entropy in exact integer micro-nats: a token
+    with corpus count c of N total contributes c * floor(1e6*(ln N - ln c)),
+    so the corpus-wide sum is order-independent (same trick as
+    ``text_unigram_nll``; int64-safe through N ~ 4e11 tokens). Shape: ONE
+    tokenize pass -> ``exact_value_counts`` (sort+boundary-scan, never a Ray
+    groupby at vocabulary cardinality) -> two bounded folds over the narrow
+    (term, n) stream: block-partial token totals first, then block-partial
+    entropy sums against the broadcast total — the vocabulary itself never
+    gathers to the driver."""
+    from .extras.stats import exact_value_counts
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tokens(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        return pa.table({"term": flat.filter(pc.not_equal(flat, ""))})
+
+    counts = exact_value_counts(
+        docs.map_batches(_tokens, batch_format="pyarrow"), "term"
+    ).materialize()
+
+    def _tot(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_tok": pa.array([int(n.sum())], pa.int64()),
+                "n_term": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    partials = counts.map_batches(_tot, batch_format="pyarrow").take_all()
+    n_tokens = sum(r["n_tok"] for r in partials)
+    n_terms = sum(r["n_term"] for r in partials)
+    ln_n = np.log(float(n_tokens)) if n_tokens else 0.0
+
+    def _ent(b: pa.Table) -> pa.Table:
+        c = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        per_term = np.floor(
+            1_000_000.0 * (ln_n - np.log(c.astype(np.float64)))
+        ).astype(np.int64)
+        return pa.table({"e": pa.array([int((c * per_term).sum())], pa.int64())})
+
+    ent = sum(
+        r["e"] for r in counts.map_batches(_ent, batch_format="pyarrow").take_all()
+    )
+    return pa.table(
+        {
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "entropy_micro": pa.array([ent], pa.int64()),
+        }
+    )
+
+
+SQL_STATS_ENTROPY = r"""
+WITH tok AS (
+  SELECT unnest(arr) AS term
+  FROM (SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       CAST(sum(c * CAST(floor(1000000.0 * (ln(CAST(n AS DOUBLE))
+                                            - ln(CAST(c AS DOUBLE)))) AS BIGINT))
+            AS BIGINT) AS entropy_micro
+FROM cnt, tot
+GROUP BY n
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"stats_entropy": QueryDef(q_stats_entropy, SQL_STATS_ENTROPY)}
+)
+
+
+SAMPLE_W_KEY64 = 0x5EEDB10C_0F00D5_01 % (1 << 64)
+SAMPLE_W_K = 20
+
+
+def q_sample_weighted(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): doc i gets key = -ln(1 - u_i) / w_i with w_i = n_chars
+    and u_i an exact SplitMix64 counter uniform keyed by doc_id
+    (partition-independent — no rank coordination, any task computes any
+    row's key), sample = k smallest keys. One stateless pass computes keys;
+    the only wide step is a narrow (key, id, w) sort + limit. The oracle
+    replays the identical uniform with HUGEINT mod-2^64 SQL (sqlrng) and the
+    identical double ops; ln here is the one transcendental — same ~1-ulp
+    caveat as sqlrng's gaussians, order flips need a coincidence at the k-th
+    rank boundary (~2^-40/row, value-hash-verified in practice)."""
+    from .rng import _sm64_mix, SM64_GAMMA
+
+    docs = load(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _keys(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(over="ignore"):
+            z = _sm64_mix(np.uint64(SAMPLE_W_KEY64) + ids * np.uint64(SM64_GAMMA))
+        u = (z >> np.uint64(11)).astype(np.float64) * (1.0 / 9007199254740992.0)
+        key = -np.log(1.0 - u) / w
+        return pa.table(
+            {
+                "es_key": pa.array(key, pa.float64()),
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "n_chars": b.column("n_chars").combine_chunks(),
+            }
+        )
+
+    return (
+        docs.map_batches(_keys, batch_format="pyarrow")
+        .sort(["es_key", "doc_id"])
+        .limit(SAMPLE_W_K)
+        .select_columns(["doc_id", "n_chars"])
+    )
+
+
+def _sql_sample_weighted() -> str:
+    from .sqlrng import _sm64_chain
+
+    chain = _sm64_chain(
+        "sw", "documents", "doc_id, n_chars", {"u": "doc_id"}, SAMPLE_W_KEY64
+    )
+    return f"""
+WITH {chain}
+SELECT doc_id, n_chars FROM swu
+ORDER BY -ln(1.0 - u) / CAST(n_chars AS DOUBLE), doc_id
+LIMIT {SAMPLE_W_K}
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"sample_weighted": QueryDef(q_sample_weighted, _sql_sample_weighted())}
+)
