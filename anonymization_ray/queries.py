@@ -598,6 +598,9 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_entity_cooccurrence",
     "stats_entropy",
     "sample_weighted",
+    "text_tfidf_topterms",
+    "text_collocations",
+    "events_sliding_distinct",
 ]
 
 

@@ -3161,3 +3161,296 @@ LIMIT {SAMPLE_W_K}
 EXTRAS_REGISTRY.update(
     {"sample_weighted": QueryDef(q_sample_weighted, _sql_sample_weighted())}
 )
+
+
+def q_text_tfidf_topterms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms in exact integer form: score =
+    tf * floor(1e6*(ln N - ln df)). Per-doc term frequencies are complete
+    inside one batch (a document never spans batches), df comes from
+    ``exact_value_counts`` over the (doc, term) pairs, the idf table is
+    vocabulary-bounded and broadcast once (same documented swap-for-top-V
+    caveat as ``text_unigram_nll``), and the top-3 selection is
+    ``topk_per_key`` — sort + boundary-carried within-key ranks, never a
+    per-group UDF."""
+    import ray
+
+    from .extras.stats import exact_value_counts
+    from .util import topk_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = docs.count()
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text").combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        ids = batch.column("doc_id").combine_chunks().take(parent.filter(keep))
+        g = (
+            pa.table({"doc_id": ids, "term": flat.filter(keep)})
+            .group_by(["doc_id", "term"])
+            .aggregate([("term", "count")])
+        )
+        return g.rename_columns(["doc_id", "term", "tf"])
+
+    tf = docs.map_batches(_tf, batch_format="pyarrow").materialize()
+    df = exact_value_counts(tf.select_columns(["term"]), "term").materialize()
+    parts = [t for t in ray.get(df.to_arrow_refs()) if t.num_rows]
+    if parts:
+        vocab = pa.concat_tables(parts)
+        terms = np.asarray(vocab.column("term").to_pylist())
+        d = vocab.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(terms)
+        terms = terms[order]
+        idf = np.floor(1_000_000.0 * (np.log(float(n_docs)) - np.log(d[order]))).astype(
+            np.int64
+        )
+    else:
+        terms, idf = np.array([], dtype=str), np.array([], np.int64)
+    ref = ray.put((terms, idf))
+
+    def _score(b: pa.Table) -> pa.Table:
+        ts, iv = ray.get(ref)
+        t = np.asarray(b.column("term").to_pylist())
+        c = b.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(ts, t)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "term": b.column("term").combine_chunks(),
+                "score": pa.array(c * iv[pos], pa.int64()),
+            }
+        )
+
+    scored = tf.map_batches(_score, batch_format="pyarrow")
+    return topk_per_key(scored, "doc_id", "score", 3, descending=True, tie_col="term")
+
+
+SQL_TEXT_TFIDF = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(arr) AS term
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS d FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, term,
+             c * CAST(floor(1000000.0 * (ln(CAST(n AS DOUBLE))
+                                         - ln(CAST(d AS DOUBLE)))) AS BIGINT)
+                 AS score
+      FROM tf JOIN df USING (term), nd),
+r AS (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rn
+      FROM s)
+SELECT doc_id, term, CAST(score AS BIGINT) AS score FROM r WHERE rn <= 3
+"""
+
+
+COLLOC_MIN_COUNT = 5
+COLLOC_TOPK = 20
+
+
+def q_text_collocations(sf_dir: str):
+    """Corpus-wide PMI collocations (phrase mining): word bigrams scored by
+    floor(1e6 * (ln c_ab - ln N_bi - ln c_a - ln c_b + 2 ln N_uni)), top-20
+    by (pmi, bigram). Bigram + unigram counts via ``exact_value_counts``
+    (sort+boundary-scan); the unigram table is vocabulary-bounded and
+    broadcast; bigram scoring streams over the narrow (bigram, count) stream
+    with a count >= 5 support filter BEFORE any gather, and only the top-k
+    sort touches scored rows."""
+    import ray
+
+    from .extras.stats import exact_value_counts
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(batch: pa.Table):
+        txt = batch.column("text").combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        return flat.filter(keep), parent.filter(keep)
+
+    def _unigrams(batch: pa.Table) -> pa.Table:
+        flat, _ = _tok(batch)
+        return pa.table({"term": flat})
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        flat, parent = _tok(batch)
+        if len(flat) < 2:
+            return pa.table({"bg": pa.array([], pa.string())})
+        a = flat.slice(0, len(flat) - 1)
+        b = flat.slice(1)
+        same = pc.equal(parent.slice(0, len(parent) - 1), parent.slice(1))
+        bg = pc.binary_join_element_wise(a, b, "\x00")
+        return pa.table({"bg": bg.filter(same)})
+
+    uni = exact_value_counts(
+        docs.map_batches(_unigrams, batch_format="pyarrow"), "term"
+    ).materialize()
+    big = exact_value_counts(
+        docs.map_batches(_bigrams, batch_format="pyarrow"), "bg"
+    ).materialize()
+
+    def _tot(col):
+        def _f(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            return pa.table({"t": pa.array([int(n.sum())], pa.int64())})
+
+        return _f
+
+    n_uni = sum(r["t"] for r in uni.map_batches(_tot("n"), batch_format="pyarrow").take_all())
+    n_bi = sum(r["t"] for r in big.map_batches(_tot("n"), batch_format="pyarrow").take_all())
+    parts = [t for t in ray.get(uni.to_arrow_refs()) if t.num_rows]
+    terms = np.asarray(pa.concat_tables(parts).column("term").to_pylist())
+    cnts = np.concatenate(
+        [t.column("n").to_numpy(zero_copy_only=False) for t in parts]
+    ).astype(np.float64)
+    order = np.argsort(terms)
+    terms, cnts = terms[order], cnts[order]
+    ref = ray.put((terms, cnts))
+    const = 2.0 * np.log(float(n_uni)) - np.log(float(n_bi)) if n_bi else 0.0
+
+    def _pmi(b: pa.Table) -> pa.Table:
+        ts, cs = ray.get(ref)
+        t = b.filter(pc.greater_equal(b.column("n"), COLLOC_MIN_COUNT))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "term_a": pa.array([], pa.string()),
+                    "term_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "pmi_micro": pa.array([], pa.int64()),
+                }
+            )
+        parts = pc.split_pattern(t.column("bg"), "\x00")
+        a = pc.list_element(parts, 0)
+        bterm = pc.list_element(parts, 1)
+        c_ab = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = cs[np.searchsorted(ts, np.asarray(a.to_pylist()))]
+        c_b = cs[np.searchsorted(ts, np.asarray(bterm.to_pylist()))]
+        pmi = np.floor(
+            1_000_000.0 * (np.log(c_ab) - np.log(c_a) - np.log(c_b) + const)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "term_a": a,
+                "term_b": bterm,
+                "n_pairs": t.column("n").combine_chunks(),
+                "pmi_micro": pa.array(pmi, pa.int64()),
+            }
+        )
+
+    return (
+        big.map_batches(_pmi, batch_format="pyarrow")
+        .sort(["pmi_micro", "term_a", "term_b"], descending=[True, False, False])
+        .limit(COLLOC_TOPK)
+    )
+
+
+SQL_TEXT_COLLOCATIONS = rf"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+tok AS (SELECT unnest(arr) AS term FROM arrs),
+bgs AS (
+  SELECT unnest(list_transform(range(1, array_length(arr)),
+                               i -> arr[i] || chr(0) || arr[i + 1])) AS bg
+  FROM arrs WHERE array_length(arr) >= 2
+),
+uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+big AS (SELECT bg, count(*) AS c FROM bgs GROUP BY bg HAVING count(*) >= {COLLOC_MIN_COUNT}),
+tot AS (SELECT (SELECT count(*) FROM tok) AS n_uni, (SELECT count(*) FROM bgs) AS n_bi),
+s AS (
+  SELECT split_part(bg, chr(0), 1) AS term_a,
+         split_part(bg, chr(0), 2) AS term_b,
+         CAST(big.c AS BIGINT) AS n_pairs,
+         CAST(floor(1000000.0 * (ln(CAST(big.c AS DOUBLE))
+                                 - ln(CAST(ca.c AS DOUBLE))
+                                 - ln(CAST(cb.c AS DOUBLE))
+                                 + 2.0 * ln(CAST(n_uni AS DOUBLE))
+                                 - ln(CAST(n_bi AS DOUBLE)))) AS BIGINT)
+             AS pmi_micro
+  FROM big, tot
+  JOIN uni ca ON ca.term = split_part(bg, chr(0), 1)
+  JOIN uni cb ON cb.term = split_part(bg, chr(0), 2)
+)
+SELECT term_a, term_b, n_pairs, pmi_micro FROM s
+ORDER BY pmi_micro DESC, term_a, term_b
+LIMIT {COLLOC_TOPK}
+"""
+
+
+def q_events_sliding_distinct(sf_dir: str):
+    """Trailing 3-hour sliding DISTINCT active users per hour: each (hour,
+    user) activity is replicated to the <=3 window anchors that cover it
+    (granule replication — the same no-range-shuffle trick as the interval
+    join), then one sort-scan distinct over (window, user) and day-bounded
+    counts. DISTINCT-across-a-window is the pattern HLL approximates at
+    scale; this is the exact variant."""
+    from .util import distinct_rows
+
+    ev = load(sf_dir, "events", ["user_id", "ts"])
+    US_H = 3_600_000_000
+
+    def _rep(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = np.floor_divide(us, US_H)
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        wins = np.concatenate([hour, hour + 1, hour + 2])
+        return pa.table(
+            {
+                "win_hour": pa.array(wins, pa.int64()),
+                "user_id": pa.array(np.tile(uid, 3), pa.int64()),
+            }
+        )
+
+    wu = distinct_rows(
+        ev.map_batches(_rep, batch_format="pyarrow"), ["win_hour", "user_id"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["win_hour"]).aggregate([("user_id", "count")])
+        return g.rename_columns(["win_hour", "n"])
+
+    def _final(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["win_hour", "n_users"])
+
+    return (
+        wu.map_batches(_partial, batch_format="pyarrow")
+        .groupby("win_hour")
+        .sum("n")
+        .map_batches(_final, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_SLIDING_DISTINCT = """
+WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour FROM events),
+r AS (SELECT DISTINCT hour + d.off AS win_hour, user_id
+      FROM e, (VALUES (0), (1), (2)) AS d(off))
+SELECT win_hour, count(*) AS n_users FROM r GROUP BY win_hour
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "text_tfidf_topterms": QueryDef(q_text_tfidf_topterms, SQL_TEXT_TFIDF),
+        "text_collocations": QueryDef(q_text_collocations, SQL_TEXT_COLLOCATIONS),
+        "events_sliding_distinct": QueryDef(
+            q_events_sliding_distinct, SQL_EVENTS_SLIDING_DISTINCT
+        ),
+    }
+)
