@@ -595,3 +595,50 @@ def sample_video_frames(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class MediaAHasher:
+    """Actor-pool callable: REAL image decode -> 8x8 average-hash (aHash),
+    the classic perceptual fingerprint for image near-dup detection. Cells
+    are 2x2 integer pixel sums; bit_i = cell_i * 64 > total (all-integer, so
+    the hash is engine-exact); the 64 bits split into (hash_hi, hash_lo)
+    int64 halves to stay signed-safe. The payload column is dropped after
+    decode — only the 16-byte fingerprint stream travels to the dedup."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_gray
+
+        his, los = [], []
+        for p in batch.column("media").to_pylist():
+            px = decode_jpeg_gray(p) if p[:2] == b"\xff\xd8" else decode_png_gray(p)
+            h, w = px.shape
+            if h % 8 or w % 8:
+                raise NotImplementedError(
+                    "aHash path requires dimensions divisible by 8 "
+                    "(general resampling needs an image library)"
+                )
+            cells = (
+                px.astype(np.int64)
+                .reshape(8, h // 8, 8, w // 8)
+                .sum(axis=(1, 3))
+                .reshape(64)
+            )
+            bits = (cells * 64 > cells.sum()).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            full = int((bits * weights).sum(dtype=np.uint64))
+            his.append(full >> 32)
+            los.append(full & 0xFFFFFFFF)
+        out = batch.drop_columns(["media"])
+        out = out.append_column("hash_hi", pa.array(his, pa.int64()))
+        return out.append_column("hash_lo", pa.array(los, pa.int64()))
+
+
+def ahash_media(
+    ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        MediaAHasher,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

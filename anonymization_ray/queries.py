@@ -601,6 +601,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_tfidf_topterms",
     "text_collocations",
     "events_sliding_distinct",
+    "multimodal_image_dedup",
 ]
 
 

@@ -3454,3 +3454,92 @@ EXTRAS_REGISTRY.update(
         ),
     }
 )
+
+
+def q_multimodal_image_dedup(sf_dir: str):
+    """Image near-dup dedup by perceptual hash: REAL PNG payloads decode in
+    an actor pool into 8x8 average-hashes (all-integer bit rule, so the
+    fingerprint is engine-exact), then keeper + group size per hash. The
+    affine corpus pixels depend on doc_id % 256, so genuine duplicate groups
+    exist (ids 256 apart render identical images). Dedup is the folded-key
+    sort-scan pair: ``min_per_key`` for the keeper, ``sum_per_key`` for the
+    group size, joined on the fingerprint — no per-group aggregate at hash
+    cardinality, and the MB-scale payloads never travel past decode."""
+    from .extras.graph import sum_per_key
+    from .extras.multimodal import ahash_media, attach_media_affine
+    from .util import hash_join, min_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    hashed = ahash_media(attach_media_affine(docs, "doc_id")).materialize()
+
+    def _fold(b: pa.Table) -> pa.Table:
+        # uint64 pack: bit 63 of the hash can be set, so a signed pack
+        # would wrap negative and corrupt the split on the way back out
+        hi = b.column("hash_hi").to_numpy(zero_copy_only=False).astype(np.uint64)
+        lo = b.column("hash_lo").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "h": pa.array((hi << np.uint64(32)) | lo, pa.uint64()),
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "c": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    folded = hashed.map_batches(_fold, batch_format="pyarrow")
+    keeper = min_per_key(
+        folded.select_columns(["h", "doc_id"]), "h", "doc_id"
+    ).rename_columns({"doc_id": "keeper_id"})
+    sizes = sum_per_key(folded.select_columns(["h", "c"]), "h", "c").rename_columns(
+        {"c": "n_imgs"}
+    )
+    joined = hash_join(keeper, sizes, on="h", join_type="inner")
+
+    def _split(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "hash_hi": pa.array((h >> np.uint64(32)).astype(np.int64), pa.int64()),
+                "hash_lo": pa.array(
+                    (h & np.uint64(0xFFFFFFFF)).astype(np.int64), pa.int64()
+                ),
+                "keeper_id": b.column("keeper_id").combine_chunks(),
+                "n_imgs": b.column("n_imgs").combine_chunks(),
+            }
+        )
+
+    return joined.map_batches(_split, batch_format="pyarrow")
+
+
+# the SQL recomputes pixels, cells, bits, and both int64-safe 32-bit hash
+# halves closed-form from the affine corpus definition.
+SQL_MULTIMODAL_IMAGE_DEDUP = """
+WITH cells AS (
+  SELECT d.doc_id, k.k,
+         ((d.doc_id*31 + ((2*(k.k//8))*16 + 2*(k.k%8)) * ((2*(k.k//8))*16 + 2*(k.k%8))) % 256
+        + (d.doc_id*31 + ((2*(k.k//8))*16 + 2*(k.k%8) + 1) * ((2*(k.k//8))*16 + 2*(k.k%8) + 1)) % 256
+        + (d.doc_id*31 + ((2*(k.k//8) + 1)*16 + 2*(k.k%8)) * ((2*(k.k//8) + 1)*16 + 2*(k.k%8))) % 256
+        + (d.doc_id*31 + ((2*(k.k//8) + 1)*16 + 2*(k.k%8) + 1) * ((2*(k.k//8) + 1)*16 + 2*(k.k%8) + 1)) % 256
+         ) AS cell
+  FROM documents d, unnest(range(64)) AS k(k)
+),
+tot AS (SELECT doc_id, sum(cell) AS total FROM cells GROUP BY doc_id),
+bits AS (SELECT c.doc_id, c.k,
+                CASE WHEN c.cell * 64 > t.total THEN 1 ELSE 0 END AS b
+         FROM cells c JOIN tot t USING (doc_id)),
+h AS (SELECT doc_id,
+             CAST(sum(CASE WHEN k >= 32 THEN b * (CAST(1 AS BIGINT) << CAST(k - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS hash_hi,
+             CAST(sum(CASE WHEN k < 32 THEN b * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)) ELSE 0 END) AS BIGINT) AS hash_lo
+      FROM bits GROUP BY doc_id)
+SELECT hash_hi, hash_lo, min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_imgs
+FROM h GROUP BY hash_hi, hash_lo
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "multimodal_image_dedup": QueryDef(
+            q_multimodal_image_dedup, SQL_MULTIMODAL_IMAGE_DEDUP
+        )
+    }
+)
