@@ -602,6 +602,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_collocations",
     "events_sliding_distinct",
     "multimodal_image_dedup",
+    "events_anomaly_zscore",
+    "graph_jaccard_parts",
 ]
 
 

@@ -3543,3 +3543,200 @@ EXTRAS_REGISTRY.update(
         )
     }
 )
+
+
+def q_events_anomaly_zscore(sf_dir: str):
+    """Per-event-type daily-volume anomaly scores: z = (c - mean)/std over
+    each type's daily counts. Counting is the distributed part (in-batch
+    partials, day-grid-bounded groupby); the day-grid aggregate is tiny, so
+    moments and z-scores fold on the driver with the EXACT op sequence the
+    SQL replica uses (integer moments -> one IEEE divide each for mean/var,
+    correctly-rounded sqrt, one subtract, one divide) — the doubles are
+    bit-equal, same discipline as ``stats_corr``."""
+    ev = load(sf_dir, "events", ["event_type", "ts"])
+    US_DAY = 86_400_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type").combine_chunks(),
+                "day": pa.array(np.floor_divide(us, US_DAY), pa.int64()),
+            }
+        )
+        g = t.group_by(["event_type", "day"]).aggregate([("day", "count")])
+        return g.rename_columns(["event_type", "day", "n"])
+
+    rows = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .sum("n")
+        .take_all()
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["day"], int(r["sum(n)"])))
+    et_out, day_out, n_out, z_out = [], [], [], []
+    for et in sorted(by_type):
+        dc = by_type[et]
+        cs = np.array([c for _, c in dc], np.int64)
+        d = len(cs)
+        s, ss = int(cs.sum()), int((cs * cs).sum())
+        mean = np.float64(s) / np.float64(d)
+        std = np.sqrt(np.float64(d * ss - s * s) / np.float64(d * d))
+        for (day, c) in dc:
+            et_out.append(et)
+            day_out.append(day)
+            n_out.append(c)
+            z_out.append(float((np.float64(c) - mean) / std))
+    return pa.table(
+        {
+            "event_type": pa.array(et_out, pa.string()),
+            "day": pa.array(day_out, pa.int64()),
+            "n_events": pa.array(n_out, pa.int64()),
+            "z": pa.array(z_out, pa.float64()),
+        }
+    )
+
+
+SQL_EVENTS_ANOMALY_ZSCORE = """
+WITH dc AS (SELECT event_type,
+                   CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                   count(*) AS c
+            FROM events GROUP BY event_type, day),
+st AS (SELECT event_type, count(*) AS dnum,
+              CAST(sum(c) AS BIGINT) AS s,
+              CAST(sum(c * c) AS BIGINT) AS ss
+       FROM dc GROUP BY event_type)
+SELECT dc.event_type, dc.day, CAST(dc.c AS BIGINT) AS n_events,
+       (CAST(dc.c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(dnum AS DOUBLE))
+         / sqrt(CAST(dnum * ss - s * s AS DOUBLE)
+                / CAST(dnum * dnum AS DOUBLE)) AS z
+FROM dc JOIN st USING (event_type)
+"""
+
+
+JACCARD_MIN_COMMON = 2
+JACCARD_TOPK = 50
+
+
+def q_graph_jaccard_parts(sf_dir: str):
+    """Node-similarity by neighbor-set Jaccard over the order-part bipartite
+    graph (the link-prediction / related-items primitive): parts scored by
+    |shared orders| / |union of orders|, all-integer
+    (jaccard_micro = (1e6·c) // (dA+dB-c)). Wedge generation is an
+    order-keyed self-join with per-order-bounded fan-out, pair counts and
+    degrees are folded-key sort-scans, degrees attach through two hash joins
+    (the part table is corpus-scale — never broadcast), and only the
+    support-filtered scored pairs reach the final top-k sort."""
+    from .extras.graph import sum_per_key
+    from .util import distinct_rows, hash_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    op = distinct_rows(
+        li.rename_columns({"l_orderkey": "o", "l_partkey": "p"}), ["o", "p"]
+    )
+
+    def _ones(key: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: b.column(key).combine_chunks(),
+                    "c": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+
+        return _f
+
+    deg = sum_per_key(op.map_batches(_ones("p"), batch_format="pyarrow"), "p", "c")
+    left = op.rename_columns({"p": "pa_"})
+    right = op.rename_columns({"p": "pb_"})
+    wedges = hash_join(left, right, on="o", join_type="inner")
+
+    def _fold(b: pa.Table) -> pa.Table:
+        a = b.column("pa_").to_numpy(zero_copy_only=False)
+        bb = b.column("pb_").to_numpy(zero_copy_only=False)
+        m = a < bb
+        return pa.table(
+            {
+                "pair": pa.array(a[m] * (1 << 32) + bb[m], pa.int64()),
+                "c": pa.array(np.ones(int(m.sum()), np.int64)),
+            }
+        )
+
+    pairs = sum_per_key(
+        wedges.map_batches(_fold, batch_format="pyarrow"), "pair", "c"
+    ).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("c"), JACCARD_MIN_COMMON)),
+        batch_format="pyarrow",
+    )
+
+    def _split(b: pa.Table) -> pa.Table:
+        pr = b.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part_a": pa.array(pr >> 32, pa.int64()),
+                "part_b": pa.array(pr & 0xFFFFFFFF, pa.int64()),
+                "n_common": b.column("c").combine_chunks(),
+            }
+        )
+
+    scored = hash_join(
+        hash_join(
+            pairs.map_batches(_split, batch_format="pyarrow"),
+            deg.rename_columns({"p": "part_a", "c": "d_a"}),
+            on="part_a",
+            join_type="inner",
+        ),
+        deg.rename_columns({"p": "part_b", "c": "d_b"}),
+        on="part_b",
+        join_type="inner",
+    )
+
+    def _jac(b: pa.Table) -> pa.Table:
+        c = b.column("n_common").to_numpy(zero_copy_only=False)
+        da = b.column("d_a").to_numpy(zero_copy_only=False)
+        db = b.column("d_b").to_numpy(zero_copy_only=False)
+        jm = (1_000_000 * c) // (da + db - c)
+        return pa.table(
+            {
+                "part_a": b.column("part_a").combine_chunks(),
+                "part_b": b.column("part_b").combine_chunks(),
+                "n_common": b.column("n_common").combine_chunks(),
+                "d_a": b.column("d_a").combine_chunks(),
+                "d_b": b.column("d_b").combine_chunks(),
+                "jaccard_micro": pa.array(jm, pa.int64()),
+            }
+        )
+
+    return (
+        scored.map_batches(_jac, batch_format="pyarrow")
+        .sort(["jaccard_micro", "part_a", "part_b"], descending=[True, False, False])
+        .limit(JACCARD_TOPK)
+    )
+
+
+SQL_GRAPH_JACCARD_PARTS = f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+deg AS (SELECT p, count(*) AS d FROM op GROUP BY p),
+pairs AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS c
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          GROUP BY a.p, b.p
+          HAVING count(*) >= {JACCARD_MIN_COMMON})
+SELECT part_a, part_b, CAST(c AS BIGINT) AS n_common,
+       CAST(da.d AS BIGINT) AS d_a, CAST(db.d AS BIGINT) AS d_b,
+       CAST((1000000 * c) // (da.d + db.d - c) AS BIGINT) AS jaccard_micro
+FROM pairs JOIN deg da ON da.p = pairs.part_a JOIN deg db ON db.p = pairs.part_b
+ORDER BY jaccard_micro DESC, part_a, part_b
+LIMIT {JACCARD_TOPK}
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "events_anomaly_zscore": QueryDef(
+            q_events_anomaly_zscore, SQL_EVENTS_ANOMALY_ZSCORE
+        ),
+        "graph_jaccard_parts": QueryDef(q_graph_jaccard_parts, SQL_GRAPH_JACCARD_PARTS),
+    }
+)
