@@ -604,6 +604,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_image_dedup",
     "events_anomaly_zscore",
     "graph_jaccard_parts",
+    "events_markov_transitions",
 ]
 
 

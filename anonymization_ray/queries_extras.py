@@ -3740,3 +3740,83 @@ EXTRAS_REGISTRY.update(
         "graph_jaccard_parts": QueryDef(q_graph_jaccard_parts, SQL_GRAPH_JACCARD_PARTS),
     }
 )
+
+
+def q_events_markov_transitions(sf_dir: str):
+    """Per-user event-sequence transition counts (the Markov-chain /
+    session-flow statistic): consecutive (from_type, to_type) pairs in each
+    user's time-ordered stream, counted corpus-wide. Same distributed shape
+    as sessionize: ONE range sort by (user, ts, event_id), vectorized
+    per-block adjacent-pair scan with a one-row halo (the previous block's
+    last (user, type)), in-block partial counts, and only the
+    type-grid-bounded partials reach a Ray groupby."""
+    import ray
+
+    from .util import coalesce_blocks
+
+    ds = load(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]).materialize()
+    s = coalesce_blocks(ds).sort(["user_id", "ts", "event_id"]).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _halo(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        return (
+            t.column("user_id")[-1].as_py(),
+            t.column("event_type")[-1].as_py(),
+        )
+
+    halos = ray.get([_halo.remote(r) for r in refs])
+    refs = [r for r, h in zip(refs, halos) if h is not None]
+    halos = [h for h in halos if h is not None]
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, prev) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").combine_chunks()
+        same = pa.array(u[1:] == u[:-1])
+        frm = et.slice(0, len(u) - 1).filter(same)
+        to = et.slice(1).filter(same)
+        if prev is not None and len(u) and u[0] == prev[0]:
+            frm = pa.concat_arrays([pa.array([prev[1]], pa.string()), frm])
+            to = pa.concat_arrays([et.slice(0, 1), to])
+        g = (
+            pa.table({"from_type": frm, "to_type": to})
+            .group_by(["from_type", "to_type"])
+            .aggregate([("to_type", "count")])
+        )
+        return g.rename_columns(["from_type", "to_type", "n"])
+
+    part_refs = [
+        _scan.remote(refs[b], halos[b - 1] if b > 0 else None) for b in range(len(refs))
+    ]
+    parts = ray.data.from_arrow_refs(part_refs)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["from_type", "to_type", "n"])
+
+    return (
+        parts.groupby(["from_type", "to_type"]).sum("n").map_batches(
+            _final, batch_format="pyarrow"
+        )
+    )
+
+
+SQL_EVENTS_MARKOV = """
+WITH x AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS pt
+           FROM events)
+SELECT pt AS from_type, event_type AS to_type, count(*) AS n
+FROM x WHERE pt IS NOT NULL GROUP BY pt, event_type
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "events_markov_transitions": QueryDef(
+            q_events_markov_transitions, SQL_EVENTS_MARKOV
+        )
+    }
+)
