@@ -5,8 +5,8 @@ Ray is initialised by the driver BEFORE this module is imported; nothing here
 
 - ``entry()`` — flagship pipeline on /root/testdata/sf0.001
 - ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
-  §2.6): 114 entries
-- ``oracle_sql()`` — DuckDB-equivalent SQL for ALL 114 queries; the seeded
+  §2.6): 116 entries
+- ``oracle_sql()`` — DuckDB-equivalent SQL for ALL 116 queries; the seeded
   randomization streams run ``rng_mode="splitmix"`` (SplitMix64 counter RNG,
   partition-independent) whose draws the oracle replicates bit-for-bit with
   HUGEINT mod-2^64 arithmetic (``anonymization_ray/sqlrng.py``)

@@ -1253,3 +1253,149 @@ def paragraph_dedup(
             )
         )
     return rd.from_arrow_refs(out)
+
+
+def editdist_pairs(
+    ds: rd.Dataset, col: str, id_col: str
+) -> rd.Dataset:
+    """All id pairs whose ``col`` strings are within Levenshtein distance 1
+    (the typo-level fuzzy-dedup member of the dedup family — FastSS-style
+    deletion-neighborhood blocking, public algorithm: Bocek et al. 2007).
+
+    Shape at scale: each string emits its |s|+1 deletion variants (bounded by
+    string length); only (variant_hash:int64, id, s) rows shuffle through ONE
+    hash self-join keyed on the variant hash — candidate fan-out per key is
+    bounded by the alphabet (strings sharing a deletion variant), never
+    corpus-quadratic. Pair dedup is the folded-key sort+boundary scan
+    (``util.distinct_rows``), and verification is exact + vectorized: equal
+    lengths -> one u8-matrix mismatch count (distance<=1 iff <=1 substitution);
+    length-diff-1 -> first-mismatch index + suffix-equality check (one
+    insertion). Variant generation itself is Arrow-vectorized
+    (``utf8_slice_codeunits`` per deletion position, looped over the bounded
+    max length — no per-row Python).
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist in {0, 1}.
+    """
+    from ..util import distinct_rows, hash_join
+
+    def _variants(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(col), pa.string()).combine_chunks()
+        ids = b.column(id_col).combine_chunks()
+        lens = pc.utf8_length(s)
+        max_len = pc.max(lens).as_py() or 0
+        keys, out_ids, out_s = [s], [ids], [s]
+        for j in range(max_len):
+            m = pc.greater(lens, j)
+            sj = s.filter(m)
+            keys.append(
+                pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(sj, 0, j),
+                    pc.utf8_slice_codeunits(sj, j + 1, (1 << 30)),
+                    "",
+                )
+            )
+            out_ids.append(ids.filter(m))
+            out_s.append(sj)
+        vk = pd.util.hash_array(
+            np.asarray(pa.concat_arrays(
+                [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in keys]
+            ).to_pylist(), dtype=object)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "vk": pa.array(vk, pa.int64()),
+                id_col: pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_ids]
+                ),
+                "s": pa.concat_arrays(
+                    [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_s]
+                ),
+            }
+        )
+
+    var = ds.select_columns([id_col, col]).map_batches(
+        _variants, batch_format="pyarrow"
+    )
+    left = var.rename_columns({id_col: "id_a", "s": "s_a"}).materialize()
+    right = var.rename_columns({id_col: "id_b", "s": "s_b"})
+    cand = hash_join(left, right, on="vk", join_type="inner")
+
+    def _ordered(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("id_a"), b.column("id_b"))
+        t = b.filter(m)
+        return pa.table(
+            {
+                "id_a": t.column("id_a").combine_chunks(),
+                "id_b": t.column("id_b").combine_chunks(),
+                "s_a": t.column("s_a").combine_chunks(),
+                "s_b": t.column("s_b").combine_chunks(),
+            }
+        )
+
+    uniq = distinct_rows(
+        cand.map_batches(_ordered, batch_format="pyarrow"),
+        ["id_a", "id_b", "s_a", "s_b"],
+    )
+
+    def _verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        sa = np.asarray(b.column("s_a").to_pylist(), dtype=object)
+        sb = np.asarray(b.column("s_b").to_pylist(), dtype=object)
+        la = np.fromiter((len(x) for x in sa), np.int64, len(sa))
+        lb = np.fromiter((len(x) for x in sb), np.int64, len(sb))
+        dist = np.full(len(sa), 2, np.int64)  # 2 == "more than 1", rejected
+
+        def _mat(strs: np.ndarray, n: int) -> np.ndarray:
+            return np.frombuffer(
+                "".join(strs.tolist()).encode("utf-8"), np.uint8
+            ).reshape(len(strs), n)
+
+        # equal length: distance<=1 iff <=1 substituted position
+        for n in np.unique(la[la == lb]):
+            m = (la == n) & (lb == n)
+            if n == 0:
+                dist[m] = 0
+                continue
+            A, B = _mat(sa[m], int(n)), _mat(sb[m], int(n))
+            dist[m] = np.minimum((A != B).sum(axis=1), 2)
+        # length diff exactly 1: distance 1 iff one insertion explains it
+        for big, small, lbig in ((sa, sb, la), (sb, sa, lb)):
+            dd = np.unique(lbig[(la - lb == (1 if big is sa else -1))])
+            for n in dd:
+                m = (lbig == n) & (np.minimum(la, lb) == n - 1)
+                if not m.any():
+                    continue
+                L = _mat(big[m], int(n))
+                if n == 1:
+                    dist[m] = 1
+                    continue
+                S = _mat(small[m], int(n) - 1)
+                mism = L[:, : int(n) - 1] != S
+                k = np.where(mism.any(axis=1), mism.argmax(axis=1), int(n) - 1)
+                shifted_eq = L[:, 1:] == S
+                # suffix_ok[i, j] == all(shifted_eq[i, j:])
+                suffix_ok = np.flip(
+                    np.cumprod(np.flip(shifted_eq, axis=1), axis=1), axis=1
+                ).astype(bool)
+                kc = np.minimum(k, int(n) - 2)  # k == n-1 short-circuits below
+                ok = (k == int(n) - 1) | suffix_ok[np.arange(len(k)), kc]
+                dm = dist[m]
+                dm[ok] = 1
+                dist[m] = dm
+        out = pa.table(
+            {
+                "id_a": b.column("id_a").combine_chunks(),
+                "id_b": b.column("id_b").combine_chunks(),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+        return out.filter(pc.less_equal(out.column("dist"), 1))
+
+    return uniq.map_batches(_verify, batch_format="pyarrow")

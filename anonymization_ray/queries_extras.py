@@ -3820,3 +3820,68 @@ EXTRAS_REGISTRY.update(
         )
     }
 )
+
+
+def q_dedup_editdist(sf_dir: str):
+    """Typo-level fuzzy dedup: all customer-name pairs within Levenshtein
+    distance 1 via FastSS deletion-neighborhood blocking (extras.dedup.
+    editdist_pairs) — variants shuffle as (int64 hash, id) rows through one
+    hash self-join, verification is exact vectorized u8-matrix comparison.
+    The reference has no fuzzy matching; this is the record-linkage member
+    of the dedup family over the person-like table."""
+    from .extras.dedup import editdist_pairs
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_name"])
+    return editdist_pairs(cust, "c_name", "c_custkey")
+
+
+SQL_DEDUP_EDITDIST = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"dedup_editdist": QueryDef(q_dedup_editdist, SQL_DEDUP_EDITDIST)}
+)
+
+
+def q_stats_mad(sf_dir: str):
+    """Robust location/scale statistics: median and median-absolute-deviation
+    of l_quantity. Two chained exact discrete quantiles (DuckDB
+    quantile_disc semantics), each ONE narrow (value, id) range sort + a
+    point lookup at rank ceil(n/2)-1 — the median never gathers the column
+    to the driver, and the second pass broadcasts the first median as a
+    scalar into a vectorized |x - med| map. abs-difference on doubles is
+    exact IEEE, so the MAD element is bit-equal to the SQL replica."""
+    from .extras.stats import exact_quantiles
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    med = exact_quantiles(li, "l_quantity", [0.5]).column("value")[0].as_py()
+
+    def _dev(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"dev": pc.abs(pc.subtract(b.column("l_quantity"), med))}
+        )
+
+    dev = li.map_batches(_dev, batch_format="pyarrow")
+    mad = exact_quantiles(dev, "dev", [0.5]).column("value")[0].as_py()
+    return pa.table(
+        {
+            "median": pa.array([med], pa.float64()),
+            "mad": pa.array([mad], pa.float64()),
+        }
+    )
+
+
+SQL_STATS_MAD = """
+WITH m AS (SELECT quantile_disc(l_quantity, 0.5) AS med FROM lineitem)
+SELECT med AS median,
+       (SELECT quantile_disc(abs(l_quantity - m.med), 0.5) FROM lineitem) AS mad
+FROM m
+"""
+
+
+EXTRAS_REGISTRY.update({"stats_mad": QueryDef(q_stats_mad, SQL_STATS_MAD)})

@@ -212,3 +212,46 @@ def test_decontaminate_matches_python(bench_texts, corpus_texts):
         assert not want
         return
     assert dict(zip(got.doc_id, got.n_hits)) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=5), min_size=2, max_size=40
+    )
+)
+def test_editdist_pairs_match_python(strs):
+    """editdist_pairs finds EXACTLY the Levenshtein<=1 pairs (brute-force
+    DP reference), including distance-0 duplicates, at any partitioning."""
+    from anonymization_ray.extras.dedup import editdist_pairs
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(range(len(strs)), pa.int64()),
+                "s": pa.array(strs, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = editdist_pairs(ds, "s", "id").to_pandas()
+    want = {
+        (i, j): lev(strs[i], strs[j])
+        for i in range(len(strs))
+        for j in range(i + 1, len(strs))
+        if lev(strs[i], strs[j]) <= 1
+    }
+    if got.empty:
+        assert not want
+        return
+    assert dict(zip(zip(got.id_a, got.id_b), got.dist)) == want
