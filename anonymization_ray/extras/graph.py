@@ -261,3 +261,83 @@ def bfs_hops(
         visited = visited.union(new).materialize()
         frontier = new.select_columns(["node"]).materialize()
     return visited
+
+
+def kcore(
+    edges: rd.Dataset,
+    k: int,
+    *,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_rounds: int = 32,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes with
+    degree < ``k`` (and their edges) until fixpoint; returns the surviving
+    (node, deg) rows with degrees measured INSIDE the core.
+
+    ``edges`` must be canonical unique undirected pairs with a < b.
+
+    Scale shape: per round, degrees come from the symmetrized edge stream
+    through sort+boundary-scan ``sum_per_key`` (never a per-group UDF), and
+    edge removal is an anti semi-join keyed on the REMOVED node set — the
+    small side after the first round (broadcast ``pc.is_in`` under
+    ``broadcast_limit``, hash-join fallback above it; the edge stream itself
+    re-shuffles only through that join). Rounds are bounded by the peel
+    depth (O(degeneracy ordering depth), typically ≤ a few dozen on web
+    graphs); each round's work shrinks with the surviving edge set. The
+    iteration is a pure function of the edge set — identical output at any
+    parallelism, and idempotent after fixpoint (the matching unrolled-SQL
+    oracle runs a fixed round count).
+    """
+    from .joins import semi_anti_join
+
+    edges = edges.select_columns([a_col, b_col]).materialize()
+
+    def _sym(bt: pa.Table) -> pa.Table:
+        n = pa.concat_arrays(
+            [bt.column(a_col).combine_chunks(), bt.column(b_col).combine_chunks()]
+        )
+        return pa.table({"n": n, "c": pa.array(np.ones(len(n), np.int64))})
+
+    deg = None
+    n_removed = 0
+    for _ in range(max_rounds):
+        deg = sum_per_key(
+            edges.map_batches(_sym, batch_format="pyarrow"), "n", "c"
+        ).materialize()
+
+        def _below(bt: pa.Table) -> pa.Table:
+            t = bt.filter(pc.less(bt.column("c"), k))
+            return pa.table({"n": t.column("n").combine_chunks()})
+
+        removed = deg.map_batches(_below, batch_format="pyarrow").materialize()
+        n_removed = removed.count()
+        if n_removed == 0:
+            break
+        edges = semi_anti_join(
+            edges, removed, on=a_col, right_on="n", anti=True,
+            broadcast=n_removed <= broadcast_limit,
+        )
+        edges = semi_anti_join(
+            edges, removed, on=b_col, right_on="n", anti=True,
+            broadcast=n_removed <= broadcast_limit,
+        ).materialize()
+    if n_removed != 0:
+        # max_rounds exhausted mid-peel: deg is stale (pre-final removal);
+        # recompute from the final edge set so output == an exactly
+        # max_rounds-unrolled peel (what the SQL oracle computes)
+        deg = sum_per_key(
+            edges.map_batches(_sym, batch_format="pyarrow"), "n", "c"
+        ).materialize()
+
+    def _core(bt: pa.Table) -> pa.Table:
+        t = bt.filter(pc.greater_equal(bt.column("c"), k))
+        return pa.table(
+            {
+                "node": t.column("n").combine_chunks(),
+                "deg": pc.cast(t.column("c").combine_chunks(), pa.int64()),
+            }
+        )
+
+    return deg.map_batches(_core, batch_format="pyarrow")

@@ -3885,3 +3885,121 @@ FROM m
 
 
 EXTRAS_REGISTRY.update({"stats_mad": QueryDef(q_stats_mad, SQL_STATS_MAD)})
+
+
+def q_events_ntile(sf_dir: str):
+    """NTILE(4) quartile assignment within each event_type ordered by
+    (value, event_id) — the per-key equal-height bucketing window function.
+    Rank comes from the existing per-key window pass (ONE range sort +
+    boundary-carried block scans, extras.window.per_key_window); per-key
+    totals are the type-grid-bounded exact counts, broadcast as a dict into
+    one vectorized map that replays SQL NTILE's first-(c mod n)-buckets-
+    get-one-extra rule in integer arithmetic."""
+    from .extras.stats import exact_value_counts
+    from .extras.window import per_key_window
+
+    ev = load(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: b.append_column("_one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    ranked = per_key_window(ev, "event_type", "value", "event_id", "_one")
+    counts = {
+        r["event_type"]: r["n"]
+        for r in exact_value_counts(
+            load(sf_dir, "events", ["event_type"]), "event_type"
+        ).take_all()
+    }
+    keys = np.array(sorted(counts), dtype=object)
+    cs = np.array([counts[k] for k in keys], np.int64)
+
+    def _ntile(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        rn = b.column("rn").to_numpy(zero_copy_only=False)  # 1-based
+        c = cs[np.searchsorted(keys.astype(str), et.astype(str))]
+        base, rem = c // 4, c % 4
+        head = rem * (base + 1)
+        q = np.where(
+            rn <= head,
+            (rn - 1) // np.maximum(base + 1, 1) + 1,
+            rem + (rn - head - 1) // np.maximum(base, 1) + 1,
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "event_type": b.column("event_type").combine_chunks(),
+                "quartile": pa.array(q.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(_ntile, batch_format="pyarrow")
+
+
+SQL_EVENTS_NTILE = """
+SELECT event_id, event_type,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events
+"""
+
+
+EXTRAS_REGISTRY.update({"events_ntile": QueryDef(q_events_ntile, SQL_EVENTS_NTILE)})
+
+
+def q_graph_kcore(sf_dir: str):
+    """k-core decomposition (k=68) of the part co-occurrence graph (parts
+    sharing an order): iterative peeling via extras.graph.kcore — per round
+    one sort-scan degree count + an anti semi-join on the removed node set.
+    Surfaces the dense sub-community the way k-core is used for graph
+    cleaning / community seeding at crawl scale. Oracle = the same peel
+    unrolled a fixed 8 rounds in SQL (idempotent past the fixpoint; the
+    Ray side early-exits when a round removes nothing)."""
+    from .extras.graph import kcore
+    from .util import distinct_rows, hash_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    left = li.rename_columns({"l_partkey": "a"}).materialize()
+    right = li.rename_columns({"l_partkey": "b"}).materialize()
+    paired = hash_join(left, right, on="l_orderkey", join_type="inner")
+
+    def _orient(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("a"), b.column("b"))
+        t = b.filter(m)
+        return pa.table(
+            {"a": t.column("a").combine_chunks(), "b": t.column("b").combine_chunks()}
+        )
+
+    edges = distinct_rows(paired.map_batches(_orient, batch_format="pyarrow"), ["a", "b"])
+    return kcore(edges, 68, max_rounds=8)
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    parts = [
+        """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+d{i} AS MATERIALIZED (SELECT n, count(*) c
+         FROM (SELECT a AS n FROM e{i} UNION ALL SELECT b FROM e{i})
+         GROUP BY n),
+e{i + 1} AS MATERIALIZED (SELECT a, b FROM e{i}
+             WHERE a IN (SELECT n FROM d{i} WHERE c >= {k})
+               AND b IN (SELECT n FROM d{i} WHERE c >= {k}))"""
+        )
+    parts.append(
+        f""",
+dT AS (SELECT n, count(*) c
+       FROM (SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds})
+       GROUP BY n)
+SELECT n AS node, CAST(c AS BIGINT) AS deg FROM dT WHERE c >= {k}"""
+    )
+    return "".join(parts)
+
+
+SQL_GRAPH_KCORE = _kcore_unrolled_sql(68, 8)
+
+
+EXTRAS_REGISTRY.update({"graph_kcore": QueryDef(q_graph_kcore, SQL_GRAPH_KCORE)})

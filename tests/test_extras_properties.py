@@ -255,3 +255,82 @@ def test_editdist_pairs_match_python(strs):
         assert not want
         return
     assert dict(zip(zip(got.id_a, got.id_b), got.dist)) == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)), min_size=1, max_size=60
+    ),
+    st.integers(2, 4),
+)
+def test_kcore_matches_python_peel(raw_edges, k):
+    """kcore equals a brute-force Python peel on arbitrary small graphs
+    (path graphs in the mix exercise deep multi-round cascades)."""
+    from anonymization_ray.extras.graph import kcore
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in raw_edges if a != b})
+    if not edges:
+        return
+    es = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, c in deg.items() if c < k}
+        if not bad:
+            break
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+    want = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in edges], pa.int64()),
+                "b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = kcore(ds, k).to_pandas()
+    if got.empty:
+        assert not want
+        return
+    assert dict(zip(got.node, got.deg)) == want
+
+
+def test_kcore_truncated_rounds_match_unrolled_peel():
+    """max_rounds exhausted mid-peel: output must equal an exactly
+    max_rounds-unrolled peel (degrees from the FINAL edge set), matching
+    what the fixed-round SQL oracle computes."""
+    from anonymization_ray.extras.graph import kcore
+
+    # path graph 0-1-...-9: k=2 peels one endpoint pair per round
+    edges = [(i, i + 1) for i in range(9)]
+    es = set(edges)
+    for _ in range(2):  # 2-round Python peel
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, c in deg.items() if c < 2}
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+    want = {}
+    for a, b in es:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    want = {n: c for n, c in want.items() if c >= 2}
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([e[0] for e in edges], pa.int64()),
+                "b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    got = kcore(ds, 2, max_rounds=2).to_pandas()
+    assert dict(zip(got.node, got.deg)) == want
