@@ -23,3 +23,5 @@ from .chunk import chunk_documents  # noqa: F401
 from .dedup import duplicate_span_stats  # noqa: F401
 from .textstats import repetition_stats  # noqa: F401
 from .textstats import normalize_text, unigram_nll  # noqa: F401
+from .classify import classifier_scores, default_weights  # noqa: F401
+from .graph import kcore  # noqa: F401

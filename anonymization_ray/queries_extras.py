@@ -4003,3 +4003,36 @@ SQL_GRAPH_KCORE = _kcore_unrolled_sql(68, 8)
 
 
 EXTRAS_REGISTRY.update({"graph_kcore": QueryDef(q_graph_kcore, SQL_GRAPH_KCORE)})
+
+
+def q_text_classifier(sf_dir: str):
+    """FastText-shape linear quality-classifier scoring: hashed
+    bag-of-words (md5-64 % 4096 buckets, the simhash hash contract) against
+    a broadcast integer weight vector, summed per document over token
+    OCCURRENCES, thresholded at 0 for the keep decision. The model rides the
+    warm-actor-pool inference shape (extras.classify); the deterministic
+    closed-form weight table is what lets DuckDB replay scoring bit-exactly."""
+    from .extras.classify import classifier_scores
+
+    return classifier_scores(load(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_CLASSIFIER = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents),
+tf AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+b AS (SELECT doc_id, CAST(md5_number_upper(t) % 4096 AS BIGINT) AS bk FROM tf),
+s AS (SELECT doc_id, SUM((bk * 2654435761) % 1001 - 500) AS score
+      FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+       CAST(COALESCE(s.score, 0) >= 0 AS BIGINT) AS keep
+FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"text_classifier_score": QueryDef(q_text_classifier, SQL_TEXT_CLASSIFIER)}
+)

@@ -334,3 +334,47 @@ def test_kcore_truncated_rounds_match_unrolled_peel():
     ).repartition(2)
     got = kcore(ds, 2, max_rounds=2).to_pandas()
     assert dict(zip(got.node, got.deg)) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        # ASCII only: the engine contract is Arrow==DuckDB (both utf8proc
+        # simple case mapping + RE2 ASCII \s — covered by the oracle test);
+        # Python's FULL lowercasing ('İ' -> 'i̇') and unicode str.split
+        # legitimately differ, so the Python reference holds on ASCII
+        st.text(
+            alphabet="abcdefghijKLMNOP0123456789 \t.,!-",
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_classifier_scores_match_python(texts):
+    """classifier_scores equals a per-token Python reimplementation
+    (hash -> bucket -> weight -> sum) on ASCII text, including
+    whitespace-only and empty documents (score = bias = 0, keep = 1)."""
+    import hashlib
+
+    from anonymization_ray.extras.classify import classifier_scores, default_weights
+
+    w = default_weights(4096)
+    want = {}
+    for i, t in enumerate(texts):
+        s = 0
+        for tok in t.lower().split():
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+            s += int(w[h % 4096])
+        want[i] = s
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = classifier_scores(ds).to_pandas()
+    assert dict(zip(got.doc_id, got.score)) == want
+    assert (got.keep == (got.score >= 0).astype(int)).all()
