@@ -249,3 +249,63 @@ def group_quantiles(
         ]
         out_refs.append(_boundary.remote(span_list, *touching))
     return rd.from_arrow_refs(out_refs)
+
+
+def cms_sketch(
+    ds: rd.Dataset, col: str, *, w: int = 2048, d: int = 4, salt: int = 1000
+) -> np.ndarray:
+    """Count-Min sketch of an int64 column: a d x w int64 counter matrix
+    where row i counts occurrences under hash h_i(x) = sm64(x, salt+i) % w.
+    Point estimate = min over rows (never underestimates; overestimate is
+    bounded by collision mass ~ e*N/w per the CM guarantee).
+
+    Scale shape: the sketch is MERGEABLE, so each batch emits only its
+    NONZERO (slot, count) pairs (slot = i*w + h_i, a key space bounded by
+    d*w regardless of input size), the merge is one ``sum_per_key``
+    sort+boundary-scan over that bounded key space, and the <= d*w result
+    rows gather to the driver — the input column streams once and never
+    shuffles. Deterministic (fixed SplitMix64 hashes): same matrix at any
+    parallelism."""
+    from .graph import sum_per_key
+    from .shuffle import sm64_key
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        slots = np.concatenate(
+            [
+                (sm64_key(x, salt + i) % np.uint64(w)).astype(np.int64) + i * w
+                for i in range(d)
+            ]
+        ) if len(x) else np.empty(0, np.int64)
+        u, c = np.unique(slots, return_counts=True)
+        return pa.table(
+            {"slot": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    agg = sum_per_key(ds.map_batches(_partial, batch_format="pyarrow"), "slot", "c")
+    mat = np.zeros(d * w, np.int64)
+    for t in ray.get(agg.materialize().to_arrow_refs()):
+        if t.num_rows == 0 or "slot" not in t.column_names:
+            continue
+        mat[t.column("slot").to_numpy(zero_copy_only=False)] = t.column(
+            "c"
+        ).to_numpy(zero_copy_only=False)
+    return mat.reshape(d, w)
+
+
+def cms_estimate(
+    mat: np.ndarray, keys: np.ndarray, *, salt: int = 1000
+) -> np.ndarray:
+    """Point-estimate counts for ``keys`` from a :func:`cms_sketch` matrix:
+    min over the d rows' hashed slots (vectorized)."""
+    from .shuffle import sm64_key
+
+    d, w = mat.shape
+    keys = np.asarray(keys, np.int64)
+    ests = np.stack(
+        [
+            mat[i][(sm64_key(keys, salt + i) % np.uint64(w)).astype(np.int64)]
+            for i in range(d)
+        ]
+    )
+    return ests.min(axis=0)

@@ -4036,3 +4036,110 @@ FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
 EXTRAS_REGISTRY.update(
     {"text_classifier_score": QueryDef(q_text_classifier, SQL_TEXT_CLASSIFIER)}
 )
+
+
+def q_events_percent_rank(sf_dir: str):
+    """percent_rank / cume_dist within each event_type ordered by
+    (value, event_id) — the normalized-rank window pair, emitted in integer
+    micro-units (floor(1e6·x)) so the float64 division is bit-identical on
+    both engines (same floor-division contract as cluster_kmeans). The
+    (value, event_id) order is UNIQUE, so SQL rank == row_number and the
+    one per-key window pass (extras.window.per_key_window) supplies both."""
+    from .extras.stats import exact_value_counts
+    from .extras.window import per_key_window
+
+    ev = load(sf_dir, "events", ["event_id", "event_type", "value"]).map_batches(
+        lambda b: b.append_column("_one", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    ranked = per_key_window(ev, "event_type", "value", "event_id", "_one")
+    counts = {
+        r["event_type"]: r["n"]
+        for r in exact_value_counts(
+            load(sf_dir, "events", ["event_type"]), "event_type"
+        ).take_all()
+    }
+    keys = np.array(sorted(counts), dtype=object)
+    cs = np.array([counts[k] for k in keys], np.int64)
+
+    def _ranks(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = cs[np.searchsorted(keys.astype(str), et.astype(str))].astype(np.float64)
+        pr = np.where(c > 1, np.floor(1e6 * ((rn - 1.0) / np.maximum(c - 1.0, 1.0))), 0.0)
+        cd = np.floor(1e6 * (rn / c))
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "event_type": b.column("event_type").combine_chunks(),
+                "pr_micro": pa.array(pr.astype(np.int64), pa.int64()),
+                "cd_micro": pa.array(cd.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(_ranks, batch_format="pyarrow")
+
+
+SQL_EVENTS_PERCENT_RANK = """
+SELECT event_id, event_type,
+       CAST(floor(1000000.0 * percent_rank() OVER w) AS BIGINT) AS pr_micro,
+       CAST(floor(1000000.0 * cume_dist() OVER w) AS BIGINT) AS cd_micro
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"events_percent_rank": QueryDef(q_events_percent_rank, SQL_EVENTS_PERCENT_RANK)}
+)
+
+
+def q_stats_cms(sf_dir: str):
+    """Count-Min sketch frequency estimates for a deterministic bounded
+    probe set (partkeys ≡ 1 mod 101), scoreboarded against exact counts the
+    HLL way: the sketch is deterministic (fixed SplitMix64 hashes, merge by
+    sum), so ge_ok (CMS never underestimates) and within_ok (overestimate
+    <= 5·e·N/w, 5x the CM expected collision mass) are stable invariants —
+    an estimator regression flips a flag and hash-mismatches. exact_count
+    rides along so the oracle also certifies the probe counts themselves."""
+    from .extras.stats import cms_estimate, cms_sketch
+
+    li = load(sf_dir, "lineitem", ["l_partkey"])
+    mat = cms_sketch(li, "l_partkey", w=2048, d=4)
+    n = int(mat[0].sum())
+    bound = int(np.ceil(5 * np.e * n / 2048))
+
+    def _exact_probes(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array((pk - 1) % 101 == 0))
+        return pa.table({"l_partkey": t.column("l_partkey").combine_chunks()})
+
+    from .extras.stats import exact_value_counts
+
+    probes = exact_value_counts(
+        li.map_batches(_exact_probes, batch_format="pyarrow"), "l_partkey"
+    ).to_pandas()
+    keys = probes["l_partkey"].to_numpy().astype(np.int64)
+    exact = probes["n"].to_numpy().astype(np.int64)
+    est = cms_estimate(mat, keys)
+    return pa.table(
+        {
+            "l_partkey": pa.array(keys, pa.int64()),
+            "exact_count": pa.array(exact, pa.int64()),
+            "ge_ok": pa.array((est >= exact).astype(np.int64), pa.int64()),
+            "within_ok": pa.array(
+                (est - exact <= bound).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+SQL_STATS_CMS = """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count,
+       CAST(1 AS BIGINT) AS ge_ok, CAST(1 AS BIGINT) AS within_ok
+FROM lineitem WHERE (l_partkey - 1) % 101 = 0
+GROUP BY l_partkey
+"""
+
+
+EXTRAS_REGISTRY.update({"stats_cms": QueryDef(q_stats_cms, SQL_STATS_CMS)})

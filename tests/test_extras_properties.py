@@ -378,3 +378,24 @@ def test_classifier_scores_match_python(texts):
     got = classifier_scores(ds).to_pandas()
     assert dict(zip(got.doc_id, got.score)) == want
     assert (got.keep == (got.score >= 0).astype(int)).all()
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=300))
+def test_cms_never_underestimates_and_is_partition_invariant(vals):
+    """Count-Min point estimates are >= exact counts for every key, and the
+    sketch matrix is identical at different partitionings (mergeability)."""
+    import numpy as np
+    from collections import Counter
+
+    from anonymization_ray.extras.stats import cms_estimate, cms_sketch
+
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    m1 = cms_sketch(rd.from_arrow(t).repartition(1), "x", w=64, d=3)
+    m3 = cms_sketch(rd.from_arrow(t).repartition(3), "x", w=64, d=3)
+    assert (m1 == m3).all()
+    exact = Counter(vals)
+    keys = np.array(sorted(exact), np.int64)
+    est = cms_estimate(m1, keys)
+    assert (est >= np.array([exact[k] for k in keys])).all()
+    assert int(m1[0].sum()) == len(vals)
