@@ -25,3 +25,5 @@ from .textstats import repetition_stats  # noqa: F401
 from .textstats import normalize_text, unigram_nll  # noqa: F401
 from .classify import classifier_scores, default_weights  # noqa: F401
 from .graph import kcore  # noqa: F401
+from .bpe import bpe_merges  # noqa: F401
+from .stats import cms_sketch, cms_estimate  # noqa: F401

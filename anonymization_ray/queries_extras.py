@@ -4143,3 +4143,72 @@ GROUP BY l_partkey
 
 
 EXTRAS_REGISTRY.update({"stats_cms": QueryDef(q_stats_cms, SQL_STATS_CMS)})
+
+
+def q_text_bpe_train(sf_dir: str):
+    """BPE tokenizer TRAINING (first 4 merge rules): distributed word-count
+    fan-in, bounded-vocab greedy merge loop on the driver (the HuggingFace
+    tokenizers split — the corpus streams exactly once). The oracle replays
+    the whole trainer in SQL: per round, pair counts via a lead() window
+    over exploded symbol rows, winner by (count DESC, pair ASC), and greedy
+    leftmost non-overlapping merging as the odd-ranked positions of each
+    maximal run of consecutive matches (two window functions), unrolled 4
+    rounds."""
+    from .extras.bpe import bpe_merges
+
+    return bpe_merges(load(sf_dir, "documents", ["doc_id", "text"]), rounds=4)
+
+
+def _bpe_unrolled_sql(rounds: int) -> str:
+    parts = [
+        """WITH words AS MATERIALIZED (
+  SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+    FROM documents) WHERE t <> '' GROUP BY t),
+r0 AS MATERIALIZED (
+  SELECT w AS wid, j AS pos, substr(w, CAST(j AS INTEGER), 1) AS sym, n
+  FROM (SELECT w, n, unnest(range(1, length(w) + 1)) AS j FROM words))"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+b{i} AS MATERIALIZED (
+  SELECT pr, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT sym || ' ' || lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS pr, n
+    FROM r{i}) WHERE pr IS NOT NULL
+  GROUP BY pr ORDER BY c DESC, pr LIMIT 1),
+g{i} AS (
+  SELECT *, CASE WHEN hit = 1 THEN
+      row_number() OVER (PARTITION BY wid, grp ORDER BY pos) % 2
+    ELSE 0 END AS chosen
+  FROM (
+    SELECT *, CASE WHEN hit = 1 THEN pos - row_number()
+        OVER (PARTITION BY wid, hit ORDER BY pos) ELSE NULL END AS grp
+    FROM (
+      SELECT wid, pos, sym, n,
+             CASE WHEN sym || ' ' || lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+                  = (SELECT pr FROM b{i}) THEN 1 ELSE 0 END AS hit
+      FROM r{i}))),
+r{i + 1} AS MATERIALIZED (
+  SELECT wid, CAST(row_number() OVER (PARTITION BY wid ORDER BY pos) AS BIGINT) AS pos,
+         CASE WHEN chosen = 1 THEN sym || nxt ELSE sym END AS sym, n
+  FROM (SELECT *, lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt,
+               lag(chosen) OVER (PARTITION BY wid ORDER BY pos) AS prevch
+        FROM g{i})
+  WHERE prevch IS NULL OR prevch = 0)"""
+        )
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS rank, pr AS pair, "
+        f"replace(pr, ' ', '') AS merged, c FROM b{i}"
+        for i in range(rounds)
+    )
+    parts.append(f"\nSELECT * FROM ({arms})")
+    return "".join(parts)
+
+
+SQL_TEXT_BPE_TRAIN = _bpe_unrolled_sql(4)
+
+
+EXTRAS_REGISTRY.update(
+    {"text_bpe_train": QueryDef(q_text_bpe_train, SQL_TEXT_BPE_TRAIN)}
+)

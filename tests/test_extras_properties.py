@@ -399,3 +399,40 @@ def test_cms_never_underestimates_and_is_partition_invariant(vals):
     est = cms_estimate(m1, keys)
     assert (est >= np.array([exact[k] for k in keys])).all()
     assert int(m1[0].sum()) == len(vals)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="aab bcc", max_size=12),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_train_matches_unrolled_sql(texts):
+    """The Ray/driver BPE trainer and the unrolled-SQL oracle agree on
+    random corpora heavy in repeated-character runs — the case where greedy
+    leftmost non-overlapping merging ('aaaa' -> [aa, aa]) diverges from any
+    sloppier merge semantics."""
+    import duckdb
+
+    from anonymization_ray.extras.bpe import bpe_merges
+    from anonymization_ray.queries_extras import _bpe_unrolled_sql
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = bpe_merges(ds, rounds=3).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", pa.table({"text": pa.array(texts, pa.string())}))
+    want = con.execute(_bpe_unrolled_sql(3)).fetchdf()
+    got = got.sort_values("rank").reset_index(drop=True)
+    want = want.sort_values("rank").reset_index(drop=True)
+    assert got[["rank", "pair", "merged", "c"]].values.tolist() == want[
+        ["rank", "pair", "merged", "c"]
+    ].values.tolist()
