@@ -4212,3 +4212,102 @@ SQL_TEXT_BPE_TRAIN = _bpe_unrolled_sql(4)
 EXTRAS_REGISTRY.update(
     {"text_bpe_train": QueryDef(q_text_bpe_train, SQL_TEXT_BPE_TRAIN)}
 )
+
+
+def q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority top-10) as a scale-honest join
+    tree: filters pushed to every read, the customer-segment and
+    filtered-order key sets applied as broadcast semi-joins (valve to a
+    shuffle join above the cap), revenue summed per order via the
+    sort+boundary-scan ``sum_per_key`` (never a high-cardinality Ray
+    groupby), and the order attributes re-attached only to the 10 winners.
+    Revenue is exact integer 1e-4 units: price(2dp)·(1-disc)(2dp) is a
+    4-decimal value, so round(x·1e4) is the true decimal on both engines."""
+    import datetime as _dt
+
+    from .extras.graph import sum_per_key
+    from .extras.joins import semi_anti_join
+
+    cut = pa.scalar(_dt.datetime(1995, 3, 15), pa.timestamp("us"))
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b.column("c_mktsegment"), "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    ords = load(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(pc.less(b.column("o_orderdate"), cut)),
+        batch_format="pyarrow",
+    )
+    ords = semi_anti_join(ords, cust, on="o_custkey", right_on="c_custkey").materialize()
+
+    def _rev(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b.column("l_shipdate"), cut))
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                    ),
+                    1e4,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": t.column("l_orderkey").combine_chunks(), "rev_u": rev})
+
+    li = load(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(_rev, batch_format="pyarrow")
+    li = semi_anti_join(li, ords, on="l_orderkey", right_on="o_orderkey")
+    top = (
+        sum_per_key(li, "l_orderkey", "rev_u")
+        .sort(["rev_u", "l_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    keys = pa.array(top["l_orderkey"].to_numpy(), pa.int64())
+    attrs = (
+        ords.map_batches(
+            lambda b: b.filter(pc.is_in(b.column("o_orderkey"), value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()[["o_orderkey", "o_orderdate", "o_orderpriority"]]
+    )
+    out = top.rename(columns={"rev_u": "revenue_u"}).merge(
+        attrs, left_on="l_orderkey", right_on="o_orderkey"
+    )
+    return pa.Table.from_pandas(
+        out[["l_orderkey", "revenue_u", "o_orderdate", "o_orderpriority"]],
+        preserve_index=False,
+    ).set_column(
+        1,
+        "revenue_u",
+        pc.cast(
+            pa.Table.from_pandas(out[["revenue_u"]], preserve_index=False).column(0),
+            pa.int64(),
+        ),
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_u,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_u DESC, l_orderkey
+LIMIT 10
+"""
+
+
+EXTRAS_REGISTRY.update({"tpch_q3_top_orders": QueryDef(q_tpch_q3, SQL_TPCH_Q3)})
