@@ -4311,3 +4311,133 @@ LIMIT 10
 
 
 EXTRAS_REGISTRY.update({"tpch_q3_top_orders": QueryDef(q_tpch_q3, SQL_TPCH_Q3)})
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier volume for one region, 1996): the
+    region/nation/supplier dimensions broadcast as vectorized lookup arrays
+    (tiny/bounded sides — one ray.put, searchsorted per batch); the two
+    BIG-side joins (orders⋈customer, lineitem⋈orders') are honest
+    hash-partitioned shuffles; the supplier-nation == customer-nation
+    correlation is a per-row vectorized equality after the lookup, and the
+    final per-nation revenue is a 5-row ``sum_per_key``. Integer 1e-4
+    revenue units as in tpch_q3_top_orders."""
+    import datetime as _dt
+
+    import ray
+
+    from .extras.graph import sum_per_key
+    from .util import hash_join
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    nat = load(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = load(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    asia = nat.merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    asia = asia[asia.r_name == "ASIA"]
+    names = dict(zip(asia.n_nationkey.astype(int), asia.n_name))
+    nkeys = np.array(sorted(names), np.int64)
+
+    sup = load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup.s_nationkey.isin(nkeys)]
+    sk = np.sort(sup.s_suppkey.to_numpy().astype(np.int64))
+    sn = sup.set_index("s_suppkey").s_nationkey.loc[sk].to_numpy().astype(np.int64)
+    sk_ref, sn_ref = ray.put(sk), ray.put(sn)
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: b.filter(
+            pc.is_in(b.column("c_nationkey"), value_set=pa.array(nkeys, pa.int64()))
+        ).rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow",
+    )
+    ords = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    oc = hash_join(ords, cust, on="o_custkey", join_type="inner").map_batches(
+        lambda b: b.select(["o_orderkey", "c_nationkey"]).rename_columns(
+            ["l_orderkey", "c_nationkey"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _rev(b: pa.Table) -> pa.Table:
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+                    ),
+                    1e4,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").combine_chunks(),
+                "l_suppkey": b.column("l_suppkey").combine_chunks(),
+                "rev_u": rev,
+            }
+        )
+
+    li = load(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(_rev, batch_format="pyarrow")
+    lo_j = hash_join(li, oc, on="l_orderkey", join_type="inner")
+
+    def _local(b: pa.Table) -> pa.Table:
+        skeys = ray.get(sk_ref)
+        snats = ray.get(sn_ref)
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(skeys, s)
+        idx = np.clip(idx, 0, max(len(skeys) - 1, 0))
+        ok = (len(skeys) > 0) & (skeys[idx] == s)
+        snat = np.where(ok, snats[idx] if len(skeys) else 0, -1)
+        cnat = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        m = ok & (snat == cnat)
+        t = b.filter(pa.array(m))
+        return pa.table(
+            {
+                "nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+                "rev_u": t.column("rev_u").combine_chunks(),
+            }
+        )
+
+    per_nat = sum_per_key(
+        lo_j.map_batches(_local, batch_format="pyarrow"), "nationkey", "rev_u"
+    ).to_pandas()
+    per_nat["n_name"] = per_nat.nationkey.map(names)
+    per_nat = per_nat.sort_values(["rev_u", "n_name"], ascending=[False, True])
+    return pa.table(
+        {
+            "n_name": pa.array(per_nat.n_name, pa.string()),
+            "revenue_u": pa.array(per_nat.rev_u.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_u
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_u DESC, n_name
+"""
+
+
+EXTRAS_REGISTRY.update({"tpch_q5_local_volume": QueryDef(q_tpch_q5, SQL_TPCH_Q5)})

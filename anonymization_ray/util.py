@@ -393,7 +393,13 @@ def hash_join(
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-partitioned join (Ray Data native). Both sides shuffle by key —
-    use only when a broadcast lookup can't express the op."""
+    use only when a broadcast lookup can't express the op.
+
+    Known Ray quirk: a side whose blocks are ALL empty loses its schema in
+    the shuffle aggregator and the Arrow join fails with "No match ... for
+    key field" — if an input can legitimately be empty (e.g. after a
+    selective filter), guard with a count() or prefer semi_anti_join, whose
+    empty-side semantics are defined."""
     if num_partitions is None:
         num_partitions = default_num_partitions()
     return left.join(
