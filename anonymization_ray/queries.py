@@ -540,6 +540,18 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 late wave first (newest operators get driver-gate coverage)
+    "graph_kcore",
+    "events_ntile",
+    "events_percent_rank",
+    "stats_cms",
+    "text_classifier_score",
+    "text_bpe_train",
+    "tpch_q3_top_orders",
+    "tpch_q5_local_volume",
+    "dedup_editdist",
+    "stats_mad",
+    "events_markov_transitions",
     "ann_lsh_join_top1",
     "rand_date_window_scale",
     "rand_date_orders",
