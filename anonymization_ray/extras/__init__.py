@@ -27,3 +27,5 @@ from .classify import classifier_scores, default_weights  # noqa: F401
 from .graph import kcore  # noqa: F401
 from .bpe import bpe_merges  # noqa: F401
 from .stats import cms_sketch, cms_estimate  # noqa: F401
+from .urls import url_blocklist_filter  # noqa: F401
+from .shuffle import token_budget_cut  # noqa: F401

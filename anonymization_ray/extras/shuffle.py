@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -187,3 +188,83 @@ def mixture_sample(
         )
 
     return ds.map_batches(_expand, batch_format="pyarrow")
+
+
+def token_budget_cut(
+    ds: rd.Dataset,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    *,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Dataset[(id_col, tokens_col, cum)] — the budget-sized corpus prefix:
+    documents in deterministic-shuffle order (``sm64_key(id), id``) kept
+    while the RUNNING token total stays <= ``budget`` ("train on the first
+    N tokens of the shuffled corpus", the standard fixed-token-budget
+    subsample).
+
+    Shape: one narrow (hash, id, n_tokens) range sort, per-block token sums
+    gathered as SCALARS (bounded by block count), exclusive-prefix offsets
+    on the driver, then a vectorized in-block cumsum + compare. Blocks whose
+    offset already exceeds the budget short-circuit to empty. Pure function
+    of (ids, token counts) — identical at any parallelism."""
+    from ..util import coalesce_blocks
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                tokens_col: pc.cast(batch.column(tokens_col), pa.int64()),
+                "hkey": pa.array(sm64_key(ids, salt), pa.uint64()),
+            }
+        )
+
+    keyed = (
+        ds.select_columns([id_col, tokens_col])
+        .map_batches(_key, batch_format="pyarrow")
+        .materialize()
+    )
+    s = coalesce_blocks(keyed).sort(["hkey", id_col]).materialize()
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _toksum(t: pa.Table) -> int:
+        if t.num_rows == 0 or tokens_col not in t.column_names:
+            return 0
+        return int(
+            t.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64).sum()
+        )
+
+    sums = ray.get([_toksum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.25)
+    def _cut(t: pa.Table, off: int) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                tokens_col: pa.array([], pa.int64()),
+                "cum": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or tokens_col not in t.column_names:
+            return empty
+        n = t.column(tokens_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.cumsum(n) + off
+        m = cum <= budget
+        if not m.any():
+            return empty
+        tt = t.filter(pa.array(m))
+        return pa.table(
+            {
+                id_col: tt.column(id_col).combine_chunks(),
+                tokens_col: tt.column(tokens_col).combine_chunks(),
+                "cum": pa.array(cum[m], pa.int64()),
+            }
+        )
+
+    return rd.from_arrow_refs(
+        [_cut.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )

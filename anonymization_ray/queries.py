@@ -549,6 +549,8 @@ _DRIVER_PRIORITY: list[str] = [
     "text_bpe_train",
     "tpch_q3_top_orders",
     "tpch_q5_local_volume",
+    "corpus_token_budget",
+    "url_blocklist_filter",
     "dedup_editdist",
     "stats_mad",
     "events_markov_transitions",

@@ -4441,3 +4441,146 @@ ORDER BY revenue_u DESC, n_name
 
 
 EXTRAS_REGISTRY.update({"tpch_q5_local_volume": QueryDef(q_tpch_q5, SQL_TPCH_Q5)})
+
+
+TOKEN_BUDGET = 20_000
+
+
+def q_corpus_token_budget(sf_dir: str):
+    """Fixed-token-budget subsample: keep the corpus PREFIX in
+    deterministic-shuffle order whose running token total stays within the
+    budget ("train on the first N tokens") — the global prefix-sum gate
+    (extras.shuffle.token_budget_cut): one narrow range sort, per-block
+    scalar token sums + driver exclusive offsets, vectorized in-block
+    cumsum compare. Token counts use the repo-wide whitespace contract."""
+    from .extras.shuffle import token_budget_cut
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _ntok(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(txt), r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pc.equal(pc.utf8_trim_whitespace(txt), "").to_numpy(zero_copy_only=False)
+        n = np.where(empty, 0, n)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "n_tokens": pa.array(n, pa.int64()),
+            }
+        )
+
+    return token_budget_cut(
+        docs.map_batches(_ntok, batch_format="pyarrow"),
+        "doc_id",
+        "n_tokens",
+        TOKEN_BUDGET,
+        salt=SHUFFLE_SALT,
+    )
+
+
+def _sql_corpus_token_budget() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        """(SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+    FROM documents)""",
+        "doc_id",
+        SHUFFLE_SALT,
+    )
+    return (
+        f"WITH {chain},\n"
+        "c AS (SELECT doc_id, n_tokens,\n"
+        "             CAST(sum(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT) AS cum\n"
+        "      FROM h3)\n"
+        f"SELECT doc_id, n_tokens, cum FROM c WHERE cum <= {TOKEN_BUDGET}"
+    )
+
+
+EXTRAS_REGISTRY.update(
+    {
+        "corpus_token_budget": QueryDef(
+            q_corpus_token_budget, _sql_corpus_token_budget()
+        )
+    }
+)
+
+
+_URLF_HOSTS = ["tracker.net", "blog.example.org"]
+_URLF_PREFIX = "/p3/"
+
+
+def q_url_blocklist(sf_dir: str):
+    """UT1-style URL blocklist gate over a deterministic messy-crawl url
+    table (five host shapes per doc_id, incl. subdomains of a blocked
+    registrable domain): broadcast host set + vectorized RE2 host/path
+    split, dot-suffix membership at every level, path-prefix block
+    (extras.urls.url_blocklist_filter). The oracle replays the same regex
+    split and suffix chain in DuckDB."""
+    from .extras.urls import url_blocklist_filter
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    def _urls(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        host = np.select(
+            [d % 5 == 0, d % 5 == 1, d % 5 == 2, d % 5 == 3],
+            ["ads.tracker.net", "www.example.org", "blog.example.org", "cdn.safe.com"],
+            default="safe.com",
+        )
+        url = np.char.add(
+            np.char.add(
+                np.char.add(np.char.add("https://", host.astype(str)), "/p"),
+                (d % 7).astype(str),
+            ),
+            np.char.add("/doc", d.astype(str)),
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "url": pa.array(url, pa.string()),
+            }
+        )
+
+    synth = docs.map_batches(_urls, batch_format="pyarrow")
+    return url_blocklist_filter(synth, "url", _URLF_HOSTS, [_URLF_PREFIX])
+
+
+SQL_URL_BLOCKLIST = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE doc_id % 5 WHEN 0 THEN 'ads.tracker.net'
+                         WHEN 1 THEN 'www.example.org'
+                         WHEN 2 THEN 'blog.example.org'
+                         WHEN 3 THEN 'cdn.safe.com'
+                         ELSE 'safe.com' END ||
+         '/p' || CAST(doc_id % 7 AS VARCHAR) || '/doc' || CAST(doc_id AS VARCHAR)
+         AS url
+  FROM documents),
+hp AS (
+  SELECT doc_id, url,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/]*)(/.*)?$', 1) AS host,
+         coalesce(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/]*)(/.*)?$', 2), '') AS path
+  FROM u),
+sfx AS (
+  SELECT *, regexp_replace(host, '^[^.]*\\.', '') AS s1 FROM hp),
+sfx2 AS (
+  SELECT *, regexp_replace(s1, '^[^.]*\\.', '') AS s2 FROM sfx),
+sfx3 AS (
+  SELECT *, regexp_replace(s2, '^[^.]*\\.', '') AS s3 FROM sfx2)
+SELECT doc_id, url FROM sfx3
+WHERE regexp_matches(lower(url), '^[a-z][a-z0-9+.-]*://')
+  AND host NOT IN ('tracker.net', 'blog.example.org')
+  AND s1 NOT IN ('tracker.net', 'blog.example.org')
+  AND s2 NOT IN ('tracker.net', 'blog.example.org')
+  AND s3 NOT IN ('tracker.net', 'blog.example.org')
+  AND NOT starts_with(path, '/p3/')
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"url_blocklist_filter": QueryDef(q_url_blocklist, SQL_URL_BLOCKLIST)}
+)

@@ -436,3 +436,91 @@ def test_bpe_train_matches_unrolled_sql(texts):
     assert got[["rank", "pair", "merged", "c"]].values.tolist() == want[
         ["rank", "pair", "merged", "c"]
     ].values.tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            [
+                "https://ads.tracker.net/x/1",
+                "https://tracker.net/y",
+                "https://sub.deep.tracker.net/z",
+                "https://www.example.org/p3/q",
+                "https://www.example.org/p30/q",
+                "https://safe.com/ok",
+                "not a url",
+                "ftp://safe.com/f",
+                "",
+            ]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_url_blocklist_matches_python(urls):
+    """Survivors equal a urllib-based Python reference: host or any of its
+    dot-suffixes blocked, path-prefix blocked, non-urls dropped."""
+    from urllib.parse import urlparse
+
+    from anonymization_ray.extras.urls import url_blocklist_filter
+
+    hosts = {"tracker.net"}
+    want = []
+    for i, u in enumerate(urls):
+        p = urlparse(u.lower())
+        if not p.scheme or "://" not in u.lower():
+            continue
+        h = p.netloc
+        suffixes = {h}
+        parts = h.split(".")
+        for j in range(1, min(len(parts), 4)):
+            suffixes.add(".".join(parts[j:]))
+        if suffixes & hosts:
+            continue
+        if p.path.startswith("/p3/"):
+            continue
+        want.append(i)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "i": pa.array(range(len(urls)), pa.int64()),
+                "url": pa.array(urls, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = url_blocklist_filter(ds, "url", ["tracker.net"], ["/p3/"]).to_pandas()
+    if got.empty:
+        assert want == []
+        return
+    assert sorted(got.i) == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    st.integers(0, 200),
+)
+def test_token_budget_cut_matches_python(ntoks, budget):
+    """The kept set equals the Python prefix scan over (sm64(id), id) order,
+    including zero-token docs and budget=0."""
+    from anonymization_ray.extras.shuffle import sm64_key, token_budget_cut
+
+    ids = np.arange(len(ntoks), dtype=np.int64)
+    order = sorted(range(len(ids)), key=lambda i: (int(sm64_key(ids[i : i + 1])[0]), i))
+    want, cum = {}, 0
+    for i in order:
+        cum += ntoks[i]
+        if cum > budget:
+            break
+        want[i] = cum
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntoks, pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = token_budget_cut(ds, "doc_id", "n_tokens", budget).to_pandas()
+    assert dict(zip(got.doc_id, got.cum)) == want
