@@ -522,5 +522,8 @@ def test_token_budget_cut_matches_python(ntoks, budget):
             }
         )
     ).repartition(3)
-    got = token_budget_cut(ds, "doc_id", "n_tokens", budget).to_pandas()
-    assert dict(zip(got.doc_id, got.cum)) == want
+    # take_all, not to_pandas: Ray's to_pandas drops the column index on an
+    # all-empty Dataset (budget=0 keeps nothing), which is a harness quirk,
+    # not an operator property.
+    got = token_budget_cut(ds, "doc_id", "n_tokens", budget).take_all()
+    assert {r["doc_id"]: r["cum"] for r in got} == want
