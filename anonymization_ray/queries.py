@@ -505,6 +505,78 @@ UNION ALL SELECT 'c_name', count(c_name) FROM customer
 """
 
 
+def q_kpi_l_diversity(sf_dir: str):
+    """Distinct l-diversity over the same two generalized attributes the
+    k-anonymity KPI uses, sensitive attribute = c_mktsegment (the class's
+    min distinct-sensitive count; Machanavajjhala et al. 2007)."""
+    from .stages.kpi import l_diversity
+
+    ds = _with_geo(
+        load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+        _geo_lookup(sf_dir),
+    )
+    ds, _ = generalize_column(ds, "c_acctbal", "c_custkey", num_attrs=2, kind="numeric")
+    ds, _ = generalize_object_column(ds, "geo", ["n_name", "r_name"], num_attrs=2)
+    ld = l_diversity(ds, ["c_acctbal_generalized", "geo_generalized"], "c_mktsegment")
+    return pa.table({"l_diversity": pa.array([ld], pa.int64())})
+
+
+SQL_KPI_L_DIVERSITY = (
+    _SQL_TWO_ATTR_BASE
+    + """
+SELECT min(cnt) AS l_diversity FROM (
+  SELECT count(DISTINCT cu.c_mktsegment) AS cnt
+  FROM combined b JOIN customer cu ON cu.c_custkey = b.c_custkey
+  WHERE cu.c_mktsegment IS NOT NULL
+  GROUP BY b.c_acctbal_generalized, b.geo_generalized)
+"""
+)
+
+
+def q_kpi_t_closeness(sf_dir: str):
+    """t-closeness scoreboard (equal-distance/total-variation EMD for the
+    categorical sensitive attribute c_mktsegment) over the same two
+    generalized attributes — exact integer numerators: class t value is
+    tv_num / (2*class_size*n_total), left unreduced so the compare is
+    float-free (Li et al., ICDE 2007)."""
+    from .stages.kpi import t_closeness_table
+
+    ds = _with_geo(
+        load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"]),
+        _geo_lookup(sf_dir),
+    )
+    ds, _ = generalize_column(ds, "c_acctbal", "c_custkey", num_attrs=2, kind="numeric")
+    ds, _ = generalize_object_column(ds, "geo", ["n_name", "r_name"], num_attrs=2)
+    return t_closeness_table(
+        ds, ["c_acctbal_generalized", "geo_generalized"], "c_mktsegment"
+    )
+
+
+SQL_KPI_T_CLOSENESS = (
+    _SQL_TWO_ATTR_BASE
+    + """
+, tbase AS (SELECT b.c_acctbal_generalized AS g1, b.geo_generalized AS g2,
+                   cu.c_mktsegment AS sens
+            FROM combined b JOIN customer cu ON cu.c_custkey = b.c_custkey
+            WHERE cu.c_mktsegment IS NOT NULL),
+cv AS (SELECT g1, g2, sens, count(*) AS n_cv FROM tbase GROUP BY 1, 2, 3),
+cls AS (SELECT g1, g2, sum(n_cv) AS n_c FROM cv GROUP BY 1, 2),
+vv AS (SELECT sens, count(*) AS n_v FROM tbase GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tbase),
+j AS (SELECT cv.g1, cv.g2, cv.n_cv, cls.n_c, vv.n_v, tot.n
+      FROM cv JOIN cls USING (g1, g2) JOIN vv USING (sens) CROSS JOIN tot),
+per AS (SELECT g1, g2, any_value(n_c) AS n_c, any_value(n) AS n,
+               sum(abs(n_cv * n - n_v * n_c)) AS t1, sum(n_v) AS snv
+        FROM j GROUP BY 1, 2)
+SELECT CAST(g1 AS VARCHAR) || '|' || g2 AS class_key,
+       CAST(n_c AS BIGINT) AS class_size,
+       CAST(t1 + n_c * (n - snv) AS BIGINT) AS tv_num,
+       CAST(n AS BIGINT) AS n_total
+FROM per
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -526,6 +598,8 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
     "rand_numeric_acctbal": QueryDef(q_rand_numeric_acctbal, SQL_RAND_NUMERIC),
     "kpi_classes": QueryDef(q_kpi_classes, SQL_KPI_CLASSES),
     "kpi_k_anonymity": QueryDef(q_kpi_k_anonymity, SQL_KPI_K_ANONYMITY),
+    "kpi_l_diversity": QueryDef(q_kpi_l_diversity, SQL_KPI_L_DIVERSITY),
+    "kpi_t_closeness": QueryDef(q_kpi_t_closeness, SQL_KPI_T_CLOSENESS),
     "anonymize_customer": QueryDef(q_anonymize_customer, SQL_ANONYMIZE_CUSTOMER),
     "anonymize_original_names": QueryDef(
         q_anonymize_original_names, SQL_ANONYMIZE_ORIGINAL_NAMES
@@ -541,6 +615,8 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 late wave first (newest operators get driver-gate coverage)
+    "kpi_l_diversity",
+    "kpi_t_closeness",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

@@ -277,3 +277,201 @@ def k_anonymity(
 
     mins = keyed.groupby(gen_key_cols).map_groups(_per_group, batch_format="pyarrow")
     return int(mins.min("group_min"))
+
+
+# --------------------------------------------------------------------------
+# extended privacy KPIs (beyond the reference's k-anonymity family):
+# l-diversity (Machanavajjhala et al., TKDD 2007) and t-closeness
+# (Li, Li, Venkatasubramanian, ICDE 2007) — both public-literature
+# definitions over the same equivalence classes K2/K4 use.
+# --------------------------------------------------------------------------
+
+
+def _class_key(batch: pa.Table, gen_cols: list[str], sep: str) -> pa.Array:
+    """Readable composite class key: null-safe stringified gen cols joined
+    with ``sep`` (callers pick a sep absent from the generalized values)."""
+    kb = _group_key_batch(batch, gen_cols)
+    parts = [pc.cast(kb.column(f"_k_{c}"), pa.string()) for c in gen_cols]
+    if len(parts) == 1:
+        return parts[0].combine_chunks()
+    return pc.binary_join_element_wise(*parts, sep)
+
+
+def l_diversity(
+    ds: ray.data.Dataset, gen_cols: list[str], sensitive_col: str
+) -> int:
+    """Distinct l-diversity: min over equivalence classes (tuples of
+    ``gen_cols``) of the number of DISTINCT non-null ``sensitive_col``
+    values in the class.
+
+    Shape (no Ray groupby at any class cardinality): narrow
+    (class_key, sensitive) pair stream -> sort-based ``distinct_rows`` ->
+    per-batch partial counts -> sort-based ``sum_per_key`` -> streaming
+    global min. Null sensitive values are excluded (matching SQL
+    ``count(DISTINCT ...)``); classes whose rows are all-null drop out."""
+    from ..extras.graph import sum_per_key
+    from ..util import distinct_rows
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ckey": _class_key(b, gen_cols, "|"),
+                "sens": pc.cast(b.column(sensitive_col), pa.string()).combine_chunks(),
+            }
+        )
+        return t.filter(pc.is_valid(t.column("sens")))
+
+    uniq = distinct_rows(
+        ds.map_batches(_pairs, batch_format="pyarrow"), ["ckey", "sens"]
+    )
+
+    def _ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ckey": b.column("ckey").combine_chunks(),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    counts = sum_per_key(
+        uniq.map_batches(_ones, batch_format="pyarrow"), "ckey", "one"
+    )
+    return int(counts.min("one"))
+
+
+def t_closeness_table(
+    ds: ray.data.Dataset,
+    gen_cols: list[str],
+    sensitive_col: str,
+    *,
+    key_sep: str = "|",
+) -> ray.data.Dataset:
+    """t-closeness scoreboard with the equal-distance (total-variation)
+    ground metric for a categorical sensitive attribute, in EXACT integer
+    arithmetic.
+
+    For each equivalence class c:  tv_num(c) = sum over the sensitive domain
+    of |n_cv * N - N_v * n_c|  (absent values contribute N_v * n_c), so the
+    class's t value is tv_num / (2 * n_c * N) — left as an exact integer
+    numerator + (class_size, n_total) so no float summation order can drift.
+    Overflow bound: requires max(n_cv, N_v) * N < 2^63; beyond ~3e9 rows
+    pre-scale the counts (mirrors duplicate_span_stats' explicit guard
+    style).
+
+    Shapes: narrow (class_key, sensitive) pair stream, per-batch partial
+    group_by + sort-based ``sum_per_key`` at class cardinality; only the
+    sensitive DOMAIN (assumed small-categorical) is gathered driver-side
+    for the N_v broadcast. Three class-cardinality hash joins stitch the
+    per-class sums (n_c, sum|.|, sum N_v-present)."""
+    from ..extras.graph import sum_per_key
+    from ..util import hash_join
+
+    SEP = "\x1f"  # internal (class, sens) composite sep; sens must not contain it
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "ckey": _class_key(b, gen_cols, key_sep),
+                "sens": pc.cast(b.column(sensitive_col), pa.string()).combine_chunks(),
+            }
+        )
+        return t.filter(pc.is_valid(t.column("sens")))
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow").materialize()
+
+    def _k2(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k2": pc.binary_join_element_wise(
+                    b.column("ckey").combine_chunks(),
+                    b.column("sens").combine_chunks(),
+                    SEP,
+                ),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    cv = sum_per_key(pairs.map_batches(_k2, batch_format="pyarrow"), "k2", "one")
+
+    def _split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("k2").combine_chunks(), SEP)
+        return pa.table(
+            {
+                "ckey": pc.list_element(parts, 0),
+                "sens": pc.list_element(parts, 1),
+                "n_cv": pc.cast(b.column("one"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    cvs = cv.map_batches(_split, batch_format="pyarrow").materialize()
+
+    nc = sum_per_key(
+        cvs.map_batches(
+            lambda b: pa.table(
+                {
+                    "ckey": b.column("ckey").combine_chunks(),
+                    "n_c": pc.cast(b.column("n_cv"), pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "ckey",
+        "n_c",
+    )
+
+    # sensitive domain: small-categorical by contract -> bounded driver gather
+    nv_rows = sum_per_key(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "sens": b.column("sens").combine_chunks(),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "sens",
+        "one",
+    ).take_all()
+    nv_map = {r["sens"]: int(r["one"]) for r in nv_rows}
+    n_total = sum(nv_map.values())
+    sv_arr = np.array(sorted(nv_map), dtype=str)
+    nv_arr = np.array([nv_map[s] for s in sv_arr], np.int64)
+
+    j = hash_join(cvs, nc, on="ckey")
+
+    def _terms(b: pa.Table) -> pa.Table:
+        n_cv = b.column("n_cv").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_c = b.column("n_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        sens = b.column("sens").to_numpy(zero_copy_only=False).astype(str)
+        n_v = nv_arr[np.searchsorted(sv_arr, sens)]
+        term = np.abs(n_cv * n_total - n_v * n_c)
+        return pa.table(
+            {
+                "ckey": b.column("ckey").combine_chunks(),
+                "term": pa.array(term, pa.int64()),
+                "nvp": pa.array(n_v, pa.int64()),
+            }
+        )
+
+    t = j.map_batches(_terms, batch_format="pyarrow").materialize()
+    t1 = sum_per_key(t.select_columns(["ckey", "term"]), "ckey", "term")
+    snv = sum_per_key(t.select_columns(["ckey", "nvp"]), "ckey", "nvp")
+
+    f = hash_join(hash_join(t1, snv, on="ckey"), nc, on="ckey")
+
+    def _final(b: pa.Table) -> pa.Table:
+        term = b.column("term").to_numpy(zero_copy_only=False).astype(np.int64)
+        snvv = b.column("nvp").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_c = b.column("n_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        tv = term + n_c * (n_total - snvv)
+        return pa.table(
+            {
+                "class_key": b.column("ckey").combine_chunks(),
+                "class_size": pa.array(n_c, pa.int64()),
+                "tv_num": pa.array(tv, pa.int64()),
+                "n_total": pa.array(np.full(len(n_c), n_total, np.int64)),
+            }
+        )
+
+    return f.map_batches(_final, batch_format="pyarrow")
