@@ -1,0 +1,93 @@
+"""Differential-privacy mechanisms over Ray Data — randomized response.
+
+Warner-style randomized response (Warner 1965; the categorical local-DP
+mechanism, see also Erlingsson et al.'s RAPPOR) over a boolean attribute:
+each row reports its TRUE bit with probability 3/4 and the lie with
+probability 1/4, giving epsilon = ln(3) local DP. The coin is the SplitMix64
+hash of the row id (seeded, partition-independent), so the mechanism is a
+pure function of (id, truth) — reproducible at any parallelism and
+replicable bit-for-bit by the HUGEINT SQL chain (``extras.shuffle.
+sql_sm64_chain``), which is what makes an EXACT oracle possible for a
+"randomized" operator.
+
+The per-group unbiased estimator of the true positive count tau solves
+E[reported_pos] = tau*3/4 + (n-tau)/4, i.e. tau_hat = (4*reported_pos - n)/2;
+``est2 = 4*reported_pos - n`` (= 2*tau_hat) is emitted as an exact integer so
+no division enters the compare.
+
+Scale shape: stateless vectorized map_batches (hash + flip + per-batch
+partial group counts), then one sort-based ``sum_per_key`` per output sum at
+group cardinality. The corpus never shuffles; only (group, partial-count)
+rows move.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .shuffle import sm64_key
+
+# report truth iff hash < TRUTH_THRESHOLD  (3/4 of the uint64 space)
+TRUTH_THRESHOLD = 3 << 62  # 13835058055282163712
+
+
+def randomized_response_counts(
+    ds: rd.Dataset,
+    id_col: str,
+    truth_col: str,
+    group_col: str,
+    *,
+    salt: int = 0,
+) -> rd.Dataset:
+    """Dataset[(group_col, n, reported_pos, est2)] — per-group randomized-
+    response counts. ``truth_col`` must be int-like 0/1 (nulls count as 0);
+    ``id_col`` must be unique int64 (the per-row coin is keyed on it)."""
+    from ..extras.graph import sum_per_key
+
+    def _flip(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        truth = (
+            pc.fill_null(pc.cast(b.column(truth_col), pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        h = sm64_key(ids, salt)
+        lie = h >= np.uint64(TRUTH_THRESHOLD)
+        rep = np.where(lie, 1 - truth, truth)
+        t = pa.table(
+            {
+                "grp": pc.cast(b.column(group_col), pa.string()).combine_chunks(),
+                "one": pa.array(np.ones(len(ids), np.int64)),
+                "rep": pa.array(rep, pa.int64()),
+            }
+        )
+        # per-batch partial: (grp, n, reported) — blocks emit group-sized rows
+        g = t.group_by(["grp"]).aggregate([("one", "sum"), ("rep", "sum")])
+        return g.rename_columns(["grp", "n", "reported_pos"])
+
+    partials = ds.map_batches(_flip, batch_format="pyarrow").materialize()
+    n = sum_per_key(partials.select_columns(["grp", "n"]), "grp", "n")
+    rp = sum_per_key(
+        partials.select_columns(["grp", "reported_pos"]), "grp", "reported_pos"
+    )
+
+    from ..util import hash_join
+
+    j = hash_join(n, rp, on="grp")
+
+    def _final(b: pa.Table) -> pa.Table:
+        nn = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        rr = b.column("reported_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: b.column("grp").combine_chunks(),
+                "n": pa.array(nn, pa.int64()),
+                "reported_pos": pa.array(rr, pa.int64()),
+                "est2": pa.array(4 * rr - nn, pa.int64()),
+            }
+        )
+
+    return j.map_batches(_final, batch_format="pyarrow")

@@ -617,6 +617,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-4 late wave first (newest operators get driver-gate coverage)
     "kpi_l_diversity",
     "kpi_t_closeness",
+    "dp_randomized_response",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

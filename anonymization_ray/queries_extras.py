@@ -4584,3 +4584,61 @@ WHERE regexp_matches(lower(url), '^[a-z][a-z0-9+.-]*://')
 EXTRAS_REGISTRY.update(
     {"url_blocklist_filter": QueryDef(q_url_blocklist, SQL_URL_BLOCKLIST)}
 )
+
+
+RR_SALT = 77
+
+
+def q_dp_randomized_response(sf_dir: str):
+    """Warner randomized-response counts per market segment (truth bit =
+    c_acctbal > 0, lied about w.p. 1/4 on a SplitMix64 per-row coin keyed by
+    c_custkey) — a local-DP mechanism whose seeded coin the SQL oracle
+    replays bit-for-bit (extras.privacy)."""
+    from .extras.privacy import randomized_response_counts
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _truth(b: pa.Table) -> pa.Table:
+        pos = pc.fill_null(pc.greater(b.column("c_acctbal"), 0.0), False)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "truth": pc.cast(pos, pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment").combine_chunks(),
+            }
+        )
+
+    return randomized_response_counts(
+        cust.map_batches(_truth, batch_format="pyarrow"),
+        "c_custkey",
+        "truth",
+        "c_mktsegment",
+        salt=RR_SALT,
+    )
+
+
+def _sql_dp_rr() -> str:
+    from .extras.shuffle import sql_sm64_chain
+    from .extras.privacy import TRUTH_THRESHOLD
+
+    chain = sql_sm64_chain(
+        "(SELECT c_custkey, c_mktsegment, "
+        "CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS truth FROM customer)",
+        "c_custkey",
+        RR_SALT,
+    )
+    return (
+        f"WITH {chain},\n"
+        f"r AS (SELECT c_mktsegment,\n"
+        f"             CASE WHEN h < {TRUTH_THRESHOLD} THEN truth ELSE 1 - truth END AS rep\n"
+        "      FROM h3)\n"
+        "SELECT c_mktsegment, count(*) AS n,\n"
+        "       CAST(sum(rep) AS BIGINT) AS reported_pos,\n"
+        "       CAST(4 * sum(rep) - count(*) AS BIGINT) AS est2\n"
+        "FROM r GROUP BY c_mktsegment"
+    )
+
+
+EXTRAS_REGISTRY.update(
+    {"dp_randomized_response": QueryDef(q_dp_randomized_response, _sql_dp_rr())}
+)
