@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -132,4 +133,123 @@ def per_key_window(
         )
 
     out_refs = [_scan.remote(r, c) for r, c in zip(refs, carries)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def resample_ffill(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    val_col: str,
+    stride_us: int,
+) -> rd.Dataset:
+    """Gap-filled time resampling with forward fill: per key, bucket ``ts``
+    into ``stride_us`` windows, take each bucket's LAST sample (by ts, then
+    id — deterministic), then emit one row per bucket from the key's first
+    to last observed bucket, carrying the last value forward across gaps —
+    the standard timeseries densify/ffill.
+
+    Shape: ONE narrow range sort by (key, bucket, ts, id), then two fused
+    vectorized per-block passes: keep-last-per-(key,bucket) and gap
+    expansion. Both need only the NEXT block's first (key, bucket) row
+    (single-row metadata, no data exchange), so the whole operator is
+    sort + independent block scans — no groupby, no per-key task. Gap
+    fanout is bounded by (span / stride) per key; pick the stride so the
+    densified grid is the intended output size (it IS the output).
+
+    ``val_col`` must already be integer (pre-scale floats); nulls are not
+    filled before bucketing — coalesce upstream."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        ts = _i64(b.column(ts_col))
+        return pa.table(
+            {
+                key_col: b.column(key_col).combine_chunks(),
+                "bkt": pa.array(ts // stride_us, pa.int64()),
+                ts_col: b.column(ts_col).combine_chunks(),
+                id_col: b.column(id_col).combine_chunks(),
+                val_col: pc.cast(b.column(val_col), pa.int64()).combine_chunks(),
+            }
+        )
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, ts_col, id_col, val_col])
+            .map_batches(_bucket, batch_format="pyarrow")
+            .materialize()
+        )
+        .sort([key_col, "bkt", ts_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _first_row(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        return (
+            t.column(key_col)[0].as_py(),
+            t.column("bkt")[0].as_py(),
+        )
+
+    firsts = ray.get([_first_row.remote(r) for r in refs])
+    refs = [r for r, f in zip(refs, firsts) if f is not None]
+    firsts = [f for f in firsts if f is not None]
+
+    @ray.remote(num_cpus=0.5)
+    def _expand(t: pa.Table, nxt) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], t.schema.field(key_col).type),
+                "bkt": pa.array([], pa.int64()),
+                val_col: pa.array([], pa.int64()),
+            }
+        )
+        n = t.num_rows
+        if n == 0:
+            return empty
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        bk = t.column("bkt").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep-last per (key, bucket): row kept iff the following row (next
+        # in block, or the next block's first row) differs in (key, bucket)
+        keep = np.ones(n, dtype=bool)
+        keep[:-1] = (k[:-1] != k[1:]) | (bk[:-1] != bk[1:])
+        if nxt is not None:
+            keep[-1] = not (k[-1] == nxt[0] and bk[-1] == nxt[1])
+        ku, kb, kv = k[keep], bk[keep], v[keep]
+        m = len(ku)
+        if m == 0:
+            return empty
+        # expansion: row i covers [bkt_i, next_bkt_i - 1] while the next
+        # sample (in-block successor, else next block's first group) is the
+        # same key; the key's final sample covers only its own bucket
+        nxt_k = np.empty_like(ku)
+        nxt_b = np.empty_like(kb)
+        nxt_k[:-1], nxt_b[:-1] = ku[1:], kb[1:]
+        same_tail = nxt is not None and ku[-1] == nxt[0]
+        nxt_k[-1] = nxt[0] if same_tail else ku[-1]
+        nxt_b[-1] = nxt[1] if same_tail else kb[-1] + 1
+        cnt = np.where(nxt_k == ku, nxt_b - kb, 1).astype(np.int64)
+        total = int(cnt.sum())
+        starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        offs = np.arange(total, dtype=np.int64) - np.repeat(starts, cnt)
+        return pa.table(
+            {
+                key_col: pa.array(np.repeat(ku, cnt)),
+                "bkt": pa.array(np.repeat(kb, cnt) + offs, pa.int64()),
+                val_col: pa.array(np.repeat(kv, cnt), pa.int64()),
+            }
+        )
+
+    out_refs = [
+        _expand.remote(refs[i], firsts[i + 1] if i + 1 < len(refs) else None)
+        for i in range(len(refs))
+    ]
+    if not out_refs:
+        return s
     return rd.from_arrow_refs(out_refs)

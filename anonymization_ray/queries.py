@@ -618,6 +618,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kpi_l_diversity",
     "kpi_t_closeness",
     "dp_randomized_response",
+    "events_resample",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

@@ -4642,3 +4642,66 @@ def _sql_dp_rr() -> str:
 EXTRAS_REGISTRY.update(
     {"dp_randomized_response": QueryDef(q_dp_randomized_response, _sql_dp_rr())}
 )
+
+
+RESAMPLE_STRIDE_US = 21_600 * 1_000_000  # 6h buckets
+
+
+def q_events_resample(sf_dir: str):
+    """Gap-filled 6h resampling of each user's event stream with forward
+    fill (extras.window.resample_ffill): per (user, bucket) keep the last
+    sample (by ts, event_id), densify the grid from the user's first to
+    last bucket, carry values forward over gaps. Values enter as integer
+    cents (floor(value*100), null -> 0)."""
+    from .extras.window import resample_ffill
+
+    ev = load(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = pc.coalesce(b.column("value"), pa.scalar(0.0))
+        return pa.table(
+            {
+                "user_id": b.column("user_id").combine_chunks(),
+                "ts": b.column("ts").combine_chunks(),
+                "event_id": b.column("event_id").combine_chunks(),
+                "v_cents": pc.cast(pc.floor(pc.multiply(v, 100.0)), pa.int64()),
+            }
+        )
+
+    out = resample_ffill(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "event_id",
+        "v_cents",
+        RESAMPLE_STRIDE_US,
+    )
+    return out
+
+
+SQL_EVENTS_RESAMPLE = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) * 1000000 / {RESAMPLE_STRIDE_US}) AS BIGINT) AS bkt,
+         ts, event_id,
+         CAST(floor(coalesce(value, 0) * 100) AS BIGINT) AS v_cents
+  FROM events),
+last AS (
+  SELECT user_id, bkt, v_cents FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, bkt ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+bounds AS (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx FROM last GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(mn, mx + 1)) AS bkt FROM bounds),
+filled AS (
+  SELECT g.user_id, g.bkt,
+         last_value(l.v_cents IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bkt) AS v_cents
+  FROM grid g LEFT JOIN last l ON l.user_id = g.user_id AND l.bkt = g.bkt)
+SELECT user_id, bkt, v_cents FROM filled
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"events_resample": QueryDef(q_events_resample, SQL_EVENTS_RESAMPLE)}
+)
