@@ -309,3 +309,67 @@ def cms_estimate(
         ]
     )
     return ests.min(axis=0)
+
+
+def ols_simple(
+    ds: rd.Dataset, x_col: str, y_col: str
+) -> "pa.Table":
+    """Simple linear regression y ~ a + b*x in ONE streaming pass with EXACT
+    integer moment sums: each block emits a single partial-sums row
+    (n, sx, sy, sxx, syy, sxy) as int64; the driver folds partials in
+    arbitrary-precision Python ints, so the only floating-point steps are
+    the final slope / intercept / r2 divisions — each a single-rounded
+    expression over exactly-represented integers, reproducible bit-for-bit
+    by the same HUGEINT->DOUBLE expression tree in SQL.
+
+    Inputs must be pre-floored integers (the caller scales/floors floats);
+    rows where either side is null are dropped (SQL regr_* semantics).
+    Overflow bound: per-block int64 sums require |x|,|y| and block length
+    such that sum(y^2) < 2^63 per block — pre-scale or shrink blocks beyond
+    that (the driver fold itself cannot overflow)."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        x = b.column(x_col)
+        y = b.column(y_col)
+        ok = pc.and_(pc.is_valid(x), pc.is_valid(y))
+        xv = pc.cast(x, pa.int64()).filter(ok).to_numpy(zero_copy_only=False)
+        yv = pc.cast(y, pa.int64()).filter(ok).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(xv)], pa.int64()),
+                "sx": pa.array([int(xv.sum())], pa.int64()),
+                "sy": pa.array([int(yv.sum())], pa.int64()),
+                "sxx": pa.array([int((xv * xv).sum())], pa.int64()),
+                "syy": pa.array([int((yv * yv).sum())], pa.int64()),
+                "sxy": pa.array([int((xv * yv).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([x_col, y_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).take_all()  # bounded: one row per block
+    n = sum(int(p["n"]) for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    syy = sum(int(p["syy"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
+
+    # exact integer numerators/denominators; float only at the last step,
+    # with the same expression tree as the SQL oracle
+    slope_num = n * sxy - sx * sy
+    slope_den = n * sxx - sx * sx
+    yy_den = n * syy - sy * sy
+    slope = float(slope_num) / float(slope_den)
+    intercept = (float(sy) - slope * float(sx)) / float(n)
+    r2 = (float(slope_num) / float(slope_den)) * (float(slope_num) / float(yy_den))
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sx": pa.array([sx], pa.int64()),
+            "sy": pa.array([sy], pa.int64()),
+            "slope": pa.array([slope], pa.float64()),
+            "intercept": pa.array([intercept], pa.float64()),
+            "r2": pa.array([r2], pa.float64()),
+        }
+    )

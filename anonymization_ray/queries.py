@@ -619,6 +619,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kpi_t_closeness",
     "dp_randomized_response",
     "events_resample",
+    "stats_ols",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

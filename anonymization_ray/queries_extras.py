@@ -4705,3 +4705,51 @@ SELECT user_id, bkt, v_cents FROM filled
 EXTRAS_REGISTRY.update(
     {"events_resample": QueryDef(q_events_resample, SQL_EVENTS_RESAMPLE)}
 )
+
+
+def q_stats_ols(sf_dir: str):
+    """Distributed simple linear regression (price ~ quantity over lineitem)
+    via exact integer moment sums (extras.stats.ols_simple): one streaming
+    pass, one partial-sums row per block, arbitrary-precision driver fold;
+    floats only in the final single-rounded divisions, mirrored expression-
+    for-expression by the HUGEINT->DOUBLE SQL."""
+    from .extras.stats import ols_simple
+
+    li = load(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def _ints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc.cast(pc.floor(b.column("l_quantity")), pa.int64()),
+                "y": pc.cast(pc.floor(b.column("l_extendedprice")), pa.int64()),
+            }
+        )
+
+    return ols_simple(li.map_batches(_ints, batch_format="pyarrow"), "x", "y")
+
+
+SQL_STATS_OLS = """
+WITH t AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+m AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM t),
+s2 AS (SELECT n, sx, sy,
+              n * sxy - sx * sy AS snum,
+              n * sxx - sx * sx AS sden,
+              n * syy - sy * sy AS yden,
+              CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+       FROM m)
+SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+       slope,
+       (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+       (CAST(snum AS DOUBLE) / CAST(sden AS DOUBLE))
+         * (CAST(snum AS DOUBLE) / CAST(yden AS DOUBLE)) AS r2
+FROM s2
+"""
+
+
+EXTRAS_REGISTRY.update({"stats_ols": QueryDef(q_stats_ols, SQL_STATS_OLS)})
