@@ -620,6 +620,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dp_randomized_response",
     "events_resample",
     "stats_ols",
+    "tpch_q10_returned",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

@@ -4753,3 +4753,122 @@ FROM s2
 
 
 EXTRAS_REGISTRY.update({"stats_ols": QueryDef(q_stats_ols, SQL_STATS_OLS)})
+
+
+def q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 shape (returned-item report, top 20 customers): lineitems
+    flagged 'R' pre-aggregated to per-order revenue with the sort-based
+    sum_per_key, order->customer attribution via ONE quarter-filtered hash
+    join (the only shuffle), a second sum_per_key at customer cardinality,
+    then the 20 winners re-attached to customer attributes with a broadcast
+    is_in filter + the nation lookup. Revenue in exact integer 1e-4 units
+    as in Q3/Q5."""
+    import datetime as _dt
+
+    from .extras.graph import sum_per_key
+    from .extras.joins import semi_anti_join
+    from .queries import _geo_lookup
+    from .util import hash_join
+
+    lo = pa.scalar(_dt.datetime(1995, 10, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+
+    ords = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _rev(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        rev = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(
+                        t.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+                    ),
+                    1e4,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey").combine_chunks(), "rev_u": rev}
+        )
+
+    li = load(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"]
+    ).map_batches(_rev, batch_format="pyarrow")
+    li = semi_anti_join(li, ords, on="l_orderkey", right_on="o_orderkey")
+    per_order = sum_per_key(li, "l_orderkey", "rev_u")
+
+    def _okey(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["o_orderkey" if c == "l_orderkey" else c for c in b.column_names]
+        )
+
+    attributed = hash_join(
+        per_order.map_batches(_okey, batch_format="pyarrow"), ords, on="o_orderkey"
+    )
+
+    def _ckey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("o_custkey").combine_chunks(),
+                "rev_u": pc.cast(b.column("rev_u"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    per_cust = sum_per_key(
+        attributed.map_batches(_ckey, batch_format="pyarrow"), "c_custkey", "rev_u"
+    )
+    top = (
+        per_cust.sort(["rev_u", "c_custkey"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    keys = pa.array(top["c_custkey"].to_numpy(), pa.int64())
+    geo = _geo_lookup(sf_dir)
+    attrs = (
+        load(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column("c_custkey"), value_set=keys)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    attrs["n_name"] = [geo[int(nk)][0] for nk in attrs["c_nationkey"]]
+    out = top.rename(columns={"rev_u": "revenue_u"}).merge(attrs, on="c_custkey")
+    out = out[["c_custkey", "c_name", "revenue_u", "c_acctbal", "n_name"]]
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    return t.set_column(
+        t.column_names.index("revenue_u"),
+        "revenue_u",
+        pc.cast(t.column("revenue_u"), pa.int64()),
+    )
+
+
+SQL_TPCH_Q10 = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT))
+            AS BIGINT) AS revenue_u,
+       c.c_acctbal, n.n_name
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue_u DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+EXTRAS_REGISTRY.update({"tpch_q10_returned": QueryDef(q_tpch_q10, SQL_TPCH_Q10)})
