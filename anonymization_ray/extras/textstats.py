@@ -499,3 +499,75 @@ def dsir_logweights(
         )
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def winnowing_fingerprints(
+    ds: rd.Dataset, text_col: str, id_col: str, *, k: int = 8, w: int = 4
+) -> rd.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every character k-gram, slide a w-gram window, and
+    select each window's minimum hash, breaking ties by the RIGHTMOST
+    position — the guarantee-bearing local fingerprinting scheme for
+    plagiarism/overlap detection. Output: distinct (id, pos, fp) with pos
+    the 0-based gram start and fp the selected hash masked to 63 bits
+    (int64-safe on both engines; selection itself compares full 64-bit
+    values).
+
+    Hashes are md5-64 (little-endian first 8 bytes == DuckDB
+    ``md5_number_upper``), memoized over the batch's unique gram vocabulary
+    — the md5-per-unique-gram cost is the price of the value-exact SQL
+    oracle, as in simhash. Window minima + rightmost-tie selection are
+    vectorized per document with a stride-tricks sliding window (argmin of
+    the reversed window). Docs with fewer than w grams emit nothing (no
+    full window exists)."""
+    import pandas as pd
+
+    from .dedup import _md5_64
+
+    def _win(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        grams: list[str] = []
+        spans: list[tuple[int, int, int]] = []  # (row, start_in_flat, n_grams)
+        for r, t in enumerate(texts):
+            t = t or ""
+            ng = len(t) - k + 1
+            if ng < w:
+                continue
+            spans.append((r, len(grams), ng))
+            grams.extend(t[i : i + k] for i in range(ng))
+        if not spans:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                }
+            )
+        codes, vocab = pd.factorize(np.array(grams, dtype=object))
+        vh = np.fromiter(
+            (_md5_64(g) for g in vocab), dtype=np.uint64, count=len(vocab)
+        )
+        flat_h = vh[codes]
+        out_id, out_pos, out_fp = [], [], []
+        for r, start, ng in spans:
+            h = flat_h[start : start + ng]
+            sw = np.lib.stride_tricks.sliding_window_view(h, w)
+            # rightmost minimal gram per window: argmin of the reversed
+            # window finds the LAST minimum of the original
+            pos_in_win = w - 1 - sw[:, ::-1].argmin(axis=1)
+            sel = np.unique(np.arange(sw.shape[0]) + pos_in_win)
+            out_id.append(np.full(len(sel), ids[r], np.int64))
+            out_pos.append(sel.astype(np.int64))
+            out_fp.append((flat_h[start + sel] & np.uint64((1 << 63) - 1)).astype(np.int64))
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "fp": pa.array(np.concatenate(out_fp), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _win, batch_format="pyarrow"
+    )

@@ -621,6 +621,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_resample",
     "stats_ols",
     "tpch_q10_returned",
+    "text_winnowing",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

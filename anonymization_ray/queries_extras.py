@@ -4872,3 +4872,49 @@ LIMIT 20
 
 
 EXTRAS_REGISTRY.update({"tpch_q10_returned": QueryDef(q_tpch_q10, SQL_TPCH_Q10)})
+
+
+WINNOW_K, WINNOW_W = 8, 4
+
+
+def q_text_winnowing(sf_dir: str):
+    """Winnowing fingerprints (k=8 char grams, window w=4, rightmost-min
+    tie rule) over documents — extras.textstats.winnowing_fingerprints."""
+    from .extras.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        load(sf_dir, "documents", ["doc_id", "text"]),
+        "text",
+        "doc_id",
+        k=WINNOW_K,
+        w=WINNOW_W,
+    )
+
+
+SQL_TEXT_WINNOWING = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND length(text) >= {WINNOW_K + WINNOW_W - 1}),
+g AS (SELECT doc_id, i - 1 AS p,
+             md5_number_upper(substr(text, i, {WINNOW_K})) AS h
+      FROM d, LATERAL unnest(range(1, length(text) - {WINNOW_K} + 2)) AS t(i)),
+wm AS (SELECT doc_id, p AS j,
+              min(h) OVER (PARTITION BY doc_id ORDER BY p
+                           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS mh,
+              count(*) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS cnt
+       FROM g),
+wins AS (SELECT doc_id, j, mh FROM wm WHERE cnt = {WINNOW_W}),
+sel AS (SELECT w.doc_id, max(g.p) AS pos, any_value(w.mh) AS mh
+        FROM wins w JOIN g ON g.doc_id = w.doc_id
+                          AND g.p BETWEEN w.j AND w.j + {WINNOW_W - 1}
+                          AND g.h = w.mh
+        GROUP BY w.doc_id, w.j)
+SELECT DISTINCT doc_id, pos,
+       CAST(mh % 9223372036854775808 AS BIGINT) AS fp
+FROM sel
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"text_winnowing": QueryDef(q_text_winnowing, SQL_TEXT_WINNOWING)}
+)
