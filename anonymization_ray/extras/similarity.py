@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 
@@ -385,3 +386,70 @@ def load_query_vectors(
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=[id_col, vec_col])
     df = t.to_pandas().sort_values(id_col).head(n)
     return np.stack(df[vec_col].to_numpy()), df[id_col].to_numpy()
+
+
+def group_centroids(
+    ds: rd.Dataset,
+    vec_col: str,
+    group_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """Per-group embedding centroids with EXACT integer accumulation:
+    vectors are floored to ``scale`` units (floor(v*scale) int64), each
+    block emits per-(group, dim) partial sums + counts via one numpy
+    bincount over group codes, and the finale is a sort-based
+    ``sum_per_key`` at (groups x dims) cardinality — no Ray groupby, no
+    float summation-order drift (the mean is a single division of exact
+    integers). Output long-form: (group, dim, n, sum_q, mean_q)."""
+    from .graph import sum_per_key
+    from ..util import hash_join
+
+    def _partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        grp = b.column(group_col).to_numpy(zero_copy_only=False)
+        emb = b.column(vec_col)
+        mat = np.stack(emb.to_pandas().to_numpy())  # (n, d) float32
+        # promote BEFORE scaling: DuckDB's e*scale runs in float64 on the
+        # float32-promoted value; float32 multiply would round differently
+        q = np.floor(mat.astype(np.float64) * scale).astype(np.int64)
+        codes, uniq = pd.factorize(grp)
+        G, d = len(uniq), q.shape[1]
+        sums = np.zeros((G, d), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        cnt = np.bincount(codes, minlength=G).astype(np.int64)
+        dim = np.tile(np.arange(d, dtype=np.int64), G)
+        glab = np.repeat(np.asarray(uniq), d)
+        return pa.table(
+            {
+                "gd": pa.array(
+                    [f"{g}\x1f{i}" for g, i in zip(glab, dim)], pa.string()
+                ),
+                "sum_q": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([group_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).materialize()
+    sums = sum_per_key(parts.select_columns(["gd", "sum_q"]), "gd", "sum_q")
+    cnts = sum_per_key(parts.select_columns(["gd", "n"]), "gd", "n")
+    j = hash_join(sums, cnts, on="gd")
+
+    def _final(b: pa.Table) -> pa.Table:
+        parts_ = pc.split_pattern(b.column("gd").combine_chunks(), "\x1f")
+        s = b.column("sum_q").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pc.cast(pc.list_element(parts_, 0), pa.int64()),
+                "dim": pc.cast(pc.list_element(parts_, 1), pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sum_q": pa.array(s, pa.int64()),
+                "mean_q": pa.array(s.astype(np.float64) / n.astype(np.float64)),
+            }
+        )
+
+    return j.map_batches(_final, batch_format="pyarrow")

@@ -622,6 +622,11 @@ _DRIVER_PRIORITY: list[str] = [
     "stats_ols",
     "tpch_q10_returned",
     "text_winnowing",
+    "embed_centroids",
+    "agg_cube",
+    "part_min_supplier",
+    "stats_group_mode",
+    "tpch_q4_order_priority",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

@@ -4918,3 +4918,310 @@ FROM sel
 EXTRAS_REGISTRY.update(
     {"text_winnowing": QueryDef(q_text_winnowing, SQL_TEXT_WINNOWING)}
 )
+
+
+def q_embed_centroids(sf_dir: str):
+    """Per-label embedding centroids in exact integer microunits
+    (extras.similarity.group_centroids): floor(v*1e6) int64 accumulation,
+    one bincount partial per block, sort-based sum_per_key finale; the mean
+    is a single division of exact integers."""
+    from .extras.similarity import group_centroids
+
+    return group_centroids(
+        load(sf_dir, "embeddings", ["vec_id", "embedding", "label"]),
+        "embedding",
+        "label",
+    )
+
+
+SQL_EMBED_CENTROIDS = """
+WITH u AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       count(*) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_q
+FROM u GROUP BY label, dim
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"embed_centroids": QueryDef(q_embed_centroids, SQL_EMBED_CENTROIDS)}
+)
+
+
+def q_agg_cube(sf_dir: str):
+    """GROUP BY CUBE over (l_returnflag, l_linestatus): the corpus scan is
+    the SAME one-pass partial-combiner as the rollup; all four grouping
+    sets (fine, by-flag, by-status, grand total) then derive from the
+    bounded FINE aggregate on the driver — no second scan, no extra
+    shuffle."""
+    ds = load(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag").combine_chunks(),
+                "l_linestatus": batch.column("l_linestatus").combine_chunks(),
+                "qty_c": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_quantity"), 100.0)), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("qty_c", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty_c", "n_rows"])
+
+    fine = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .sum(["sum_qty_c", "n_rows"])
+        .take_all()
+    )
+    rows = [
+        (r["l_returnflag"], r["l_linestatus"], r["sum(sum_qty_c)"], r["sum(n_rows)"])
+        for r in fine
+    ]
+    by_f: dict[str, list[int]] = {}
+    by_s: dict[str, list[int]] = {}
+    total = [0, 0]
+    for f, s, q, n in rows:
+        af = by_f.setdefault(f, [0, 0])
+        af[0] += q
+        af[1] += n
+        as_ = by_s.setdefault(s, [0, 0])
+        as_[0] += q
+        as_[1] += n
+        total[0] += q
+        total[1] += n
+    out = rows
+    out += [(f, None, q, n) for f, (q, n) in sorted(by_f.items())]
+    out += [(None, s, q, n) for s, (q, n) in sorted(by_s.items())]
+    out.append((None, None, total[0], total[1]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in out], pa.string()),
+            "sum_qty_c": pa.array([r[2] for r in out], pa.int64()),
+            "n_rows": pa.array([r[3] for r in out], pa.int64()),
+        }
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+EXTRAS_REGISTRY.update({"agg_cube": QueryDef(q_agg_cube, SQL_AGG_CUBE)})
+
+
+def q_part_min_supplier(sf_dir: str):
+    """Argmin-per-group (the TPC-H Q2 shape over lineitem): for every part,
+    the supplier quoting the lowest unit price (round(extendedprice*100) /
+    quantity as a double — the same single-rounded expression both engines
+    order by), ties to the smallest suppkey. One range sort + boundary-
+    carry top-1 per key (util.topk_per_key) — no per-group UDF."""
+    from .util import topk_per_key
+
+    li = load(
+        sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"]
+    )
+
+    def _unit(b: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64()
+        )
+        unit = pc.divide(pc.cast(price_c, pa.float64()), b.column("l_quantity"))
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey").combine_chunks(),
+                "l_suppkey": b.column("l_suppkey").combine_chunks(),
+                "unit_price": unit,
+            }
+        )
+
+    u = li.map_batches(_unit, batch_format="pyarrow")
+    return topk_per_key(
+        u, "l_partkey", "unit_price", 1, descending=False, tie_col="l_suppkey"
+    )
+
+
+SQL_PART_MIN_SUPPLIER = """
+SELECT l_partkey, l_suppkey, unit_price FROM (
+  SELECT l_partkey, l_suppkey,
+         CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE) / l_quantity
+           AS unit_price,
+         row_number() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+                      / l_quantity,
+                    l_suppkey) AS rn
+  FROM lineitem)
+WHERE rn = 1
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"part_min_supplier": QueryDef(q_part_min_supplier, SQL_PART_MIN_SUPPLIER)}
+)
+
+
+def q_stats_group_mode(sf_dir: str):
+    """Mode per group (most frequent source per language, ties to the
+    lexicographically smallest source): exact (lang, source) counts via the
+    partial-combiner + sort-based sum_per_key, then boundary-carry top-1
+    per key — mode at ANY group cardinality without a per-group UDF."""
+    from .extras.graph import sum_per_key
+    from .util import topk_per_key
+
+    docs = load(sf_dir, "documents", ["lang", "source"])
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "k2": pc.binary_join_element_wise(
+                    pc.fill_null(b.column("lang"), "\x00"),
+                    pc.fill_null(b.column("source"), "\x00"),
+                    "\x1f",
+                ),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["k2"]).aggregate([("one", "sum")])
+        return g.rename_columns(["k2", "one"])
+
+    counts = sum_per_key(
+        docs.map_batches(_pairs, batch_format="pyarrow"), "k2", "one"
+    )
+
+    def _split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("k2").combine_chunks(), "\x1f")
+        return pa.table(
+            {
+                "lang": pc.list_element(parts, 0),
+                "source": pc.list_element(parts, 1),
+                "cnt": pc.cast(b.column("one"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    return topk_per_key(
+        counts.map_batches(_split, batch_format="pyarrow"),
+        "lang",
+        "cnt",
+        1,
+        descending=True,
+        tie_col="source",
+    )
+
+
+SQL_STATS_GROUP_MODE = """
+SELECT lang, source, cnt FROM (
+  SELECT lang, source, count(*) AS cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source) AS rn
+  FROM documents GROUP BY lang, source)
+WHERE rn = 1
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"stats_group_mode": QueryDef(q_stats_group_mode, SQL_STATS_GROUP_MODE)}
+)
+
+
+def q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 shape (order-priority checking): count orders per priority
+    in a quarter where EXISTS a lineitem shipped after the order date. The
+    EXISTS collapses to per-order max(l_shipdate) (boundary-carry top-1 —
+    never a groupby), ONE quarter-filtered hash join, a vectorized
+    compare, and a domain-sized count fold."""
+    import datetime as _dt
+
+    from .util import hash_join, topk_per_key
+
+    lo = pa.scalar(_dt.datetime(1995, 7, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1995, 10, 1), pa.timestamp("us"))
+
+    ords = load(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("o_orderdate"), lo),
+                pc.less(b.column("o_orderdate"), hi),
+            )
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    from .extras.joins import semi_anti_join
+
+    li = semi_anti_join(
+        load(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]),
+        ords,
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+    maxship = topk_per_key(
+        li, "l_orderkey", "l_shipdate", 1, descending=True, tie_col=None
+    )
+
+    def _okey(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey").combine_chunks(),
+                "max_ship": b.column("l_shipdate").combine_chunks(),
+            }
+        )
+
+    j = hash_join(
+        ords, maxship.map_batches(_okey, batch_format="pyarrow"), on="o_orderkey"
+    )
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        ok = pc.fill_null(pc.greater(b.column("max_ship"), b.column("o_orderdate")), False)
+        t = pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority").combine_chunks(),
+                "one": pc.cast(ok, pa.int64()),
+            }
+        )
+        g = t.group_by(["o_orderpriority"]).aggregate([("one", "sum")])
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    parts = j.map_batches(_cnt, batch_format="pyarrow").take_all()
+    agg: dict[str, int] = {}
+    for r in parts:
+        agg[r["o_orderpriority"]] = agg.get(r["o_orderpriority"], 0) + int(
+            r["order_count"]
+        )
+    items = sorted((k, v) for k, v in agg.items() if v > 0)
+    return pa.table(
+        {
+            "o_orderpriority": pa.array([k for k, _ in items], pa.string()),
+            "order_count": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o.o_orderdate < TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+EXTRAS_REGISTRY.update({"tpch_q4_order_priority": QueryDef(q_tpch_q4, SQL_TPCH_Q4)})
