@@ -627,6 +627,8 @@ _DRIVER_PRIORITY: list[str] = [
     "part_min_supplier",
     "stats_group_mode",
     "tpch_q4_order_priority",
+    "sample_per_group",
+    "corpus_interleave",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

@@ -5225,3 +5225,136 @@ GROUP BY o_orderpriority
 
 
 EXTRAS_REGISTRY.update({"tpch_q4_order_priority": QueryDef(q_tpch_q4, SQL_TPCH_Q4)})
+
+
+GROUP_SAMPLE_K = 40
+
+
+def q_sample_per_group(sf_dir: str):
+    """Class-balanced deterministic subsample: per language keep the
+    GROUP_SAMPLE_K docs with the smallest SplitMix64(doc_id) — the standard
+    per-class cap for balancing a training corpus, expressed as one range
+    sort + boundary-carry top-k per key (no per-group UDF, identical at any
+    parallelism)."""
+    from .extras.shuffle import sm64_key
+    from .util import topk_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _h(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "lang": b.column("lang").combine_chunks(),
+                "h": pa.array(sm64_key(ids, SHUFFLE_SALT), pa.uint64()),
+            }
+        )
+
+    out = topk_per_key(
+        docs.map_batches(_h, batch_format="pyarrow"),
+        "lang",
+        "h",
+        GROUP_SAMPLE_K,
+        descending=False,
+        tie_col="doc_id",
+    )
+    return out.select_columns(["doc_id", "lang"])
+
+
+def _sql_sample_per_group() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        "(SELECT doc_id, lang FROM documents)", "doc_id", SHUFFLE_SALT
+    )
+    return (
+        f"WITH {chain},\n"
+        "r AS (SELECT doc_id, lang,\n"
+        "             row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn\n"
+        "      FROM h3)\n"
+        f"SELECT doc_id, lang FROM r WHERE rn <= {GROUP_SAMPLE_K}"
+    )
+
+
+EXTRAS_REGISTRY.update(
+    {"sample_per_group": QueryDef(q_sample_per_group, _sql_sample_per_group())}
+)
+
+
+def q_corpus_interleave(sf_dir: str):
+    """Deterministic round-robin source interleaving (the fixed-ratio data
+    mixing used when probabilistic mixing isn't reproducible enough): docs
+    are ranked within their source by SplitMix64(doc_id), and the global
+    order index is rank * n_sources + source_index — exact round-robin,
+    a pure function of ids. Ranks come from the boundary-carry per-key
+    window (extras.window.per_key_window) — one narrow sort, no groupby."""
+    from .extras.shuffle import sm64_key
+    from .extras.window import per_key_window
+
+    docs = load(sf_dir, "documents", ["doc_id", "source"])
+    # source index: bounded domain, gathered once (sorted for determinism)
+    srcs = sorted(load(sf_dir, "documents", ["source"]).unique("source"))
+    sidx = {s: i for i, s in enumerate(srcs)}
+    ns = len(srcs)
+
+    def _h(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h63 = sm64_key(ids, SHUFFLE_SALT).astype(np.int64) & np.int64(
+            0x7FFFFFFFFFFFFFFF
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "source": b.column("source").combine_chunks(),
+                "h": pa.array(h63, pa.int64()),
+                "hv": pa.array(h63, pa.int64()),
+            }
+        )
+
+    w = per_key_window(
+        docs.map_batches(_h, batch_format="pyarrow"),
+        "source",
+        "h",
+        "doc_id",
+        "hv",
+    )
+
+    def _order(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        si = np.array([sidx[s] for s in src], np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "source": b.column("source").combine_chunks(),
+                "order_idx": pa.array((rn - 1) * ns + si, pa.int64()),
+            }
+        )
+
+    return w.map_batches(_order, batch_format="pyarrow")
+
+
+def _sql_corpus_interleave() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        "(SELECT doc_id, source FROM documents)", "doc_id", SHUFFLE_SALT
+    )
+    return (
+        f"WITH {chain},\n"
+        "m AS (SELECT h % 9223372036854775808 AS h63, doc_id, source FROM h3),\n"
+        "s AS (SELECT source, row_number() OVER (ORDER BY source) - 1 AS si\n"
+        "      FROM (SELECT DISTINCT source FROM documents)),\n"
+        "r AS (SELECT doc_id, m.source,\n"
+        "             row_number() OVER (PARTITION BY m.source ORDER BY h63, doc_id) AS rn\n"
+        "      FROM m)\n"
+        "SELECT r.doc_id, r.source,\n"
+        "       (r.rn - 1) * (SELECT count(*) FROM s) + s.si AS order_idx\n"
+        "FROM r JOIN s ON s.source = r.source"
+    )
+
+
+EXTRAS_REGISTRY.update(
+    {"corpus_interleave": QueryDef(q_corpus_interleave, _sql_corpus_interleave())}
+)

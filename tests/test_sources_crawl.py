@@ -390,3 +390,51 @@ def test_warc_ranged_gz_unaligned_falls_back(tmp_path):
     assert len(ranges) == 1  # fallback: single streaming range
     got = read_warc_ranged(str(p), target_bytes=1).to_pandas()
     assert sorted(got.url.tolist()) == [f"http://u.example/{i}" for i in range(4)]
+
+
+def test_csv_documents_normalization(tmp_path):
+    """CSV with aliased headers and no id column -> hashed ids identical to
+    the JSONL source's contract for the same texts."""
+    from anonymization_ray.sources.csvsrc import read_csv_documents
+    from anonymization_ray.sources.jsonl import read_jsonl_documents
+
+    p = tmp_path / "d.csv"
+    p.write_text(
+        "content,language,subset\n"
+        "alpha beta,en,web\n"
+        "gamma delta,de,books\n"
+    )
+    rows = sorted(
+        read_csv_documents(str(p)).take_all(), key=lambda r: r["text"]
+    )
+    assert [r["text"] for r in rows] == ["alpha beta", "gamma delta"]
+    assert [r["lang"] for r in rows] == ["en", "de"]
+    assert [r["source"] for r in rows] == ["web", "books"]
+    # same texts through the JSONL source -> same deterministic doc_ids
+    j = tmp_path / "d.jsonl"
+    j.write_text(
+        json.dumps({"content": "alpha beta", "language": "en", "subset": "web"})
+        + "\n"
+        + json.dumps({"content": "gamma delta", "language": "de", "subset": "books"})
+        + "\n"
+    )
+    jrows = sorted(read_jsonl_documents(str(j)).take_all(), key=lambda r: r["text"])
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in jrows]
+
+
+def test_csv_tsv_and_integer_id_null_fallback(tmp_path):
+    """TSV delimiter; integer id column keeps given ids and fills nulls
+    from the text hash (never a row counter)."""
+    from anonymization_ray.sources.csvsrc import read_csv_documents
+
+    p = tmp_path / "d.tsv"
+    p.write_text("id\ttext\n7\talpha\n\tbeta\n")
+    rows = sorted(
+        read_csv_documents(str(p), delimiter="\t").take_all(),
+        key=lambda r: r["text"],
+    )
+    assert rows[0]["doc_id"] == 7
+    assert rows[1]["doc_id"] not in (None, 7)
+    assert rows[1]["doc_id"] >= 0
+    assert [r["lang"] for r in rows] == ["und", "und"]
+    assert [r["source"] for r in rows] == ["csv", "csv"]
