@@ -1399,3 +1399,83 @@ def editdist_pairs(
         return out.filter(pc.less_equal(out.column("dist"), 1))
 
     return uniq.map_batches(_verify, batch_format="pyarrow")
+
+
+def prefix_dup_flags(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
+    """(id, is_prefix_dup): is this document's text a PREFIX of another
+    document (truncation duplicates — the wire-copy/pagination dup class
+    shingle methods under-weight)?
+
+    Ordering argument: in lexicographic order, if A is a prefix of ANY
+    other string S, every string strictly between A and S also starts with
+    A — so A is a prefix of its IMMEDIATE successor, and one narrow sort by
+    (text, id) plus an adjacent ``starts_with`` decides every row exactly.
+    Equal texts flag as prefix-dups too (they are duplicates). Cross-block
+    adjacency uses the next block's first text — one string per boundary,
+    no data exchange. Nulls are dropped (no text, no prefix relation)."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([id_col, text_col])
+            .map_batches(
+                lambda b: b.filter(pc.is_valid(b.column(text_col))),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        .sort([text_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _first_text(t: pa.Table):
+        return t.column(text_col)[0].as_py() if t.num_rows else None
+
+    firsts = ray.get([_first_text.remote(r) for r in refs])
+    refs = [r for r, f in zip(refs, firsts) if f is not None]
+    firsts = [f for f in firsts if f is not None]
+
+    @ray.remote(num_cpus=0.5)
+    def _flags(t: pa.Table, nxt_first: str | None) -> pa.Table:
+        txt = t.column(text_col).combine_chunks()
+        n = len(txt)
+        flags = np.zeros(n, dtype=bool)
+        if n > 1:
+            # adjacent prefix test: succ.startswith(cur). Arrow has no
+            # per-row-length slice kernel and a numpy <U conversion would
+            # blow memory 4x max-doc-len per row, so candidate rows (succ
+            # at least as long -- a vectorized prefilter) get one C-level
+            # str compare each; one compare per adjacent pair, never a
+            # cross-pair loop.
+            cur = txt.slice(0, n - 1)
+            succ = txt.slice(1)
+            cv = cur.to_numpy(zero_copy_only=False)
+            sv = succ.to_numpy(zero_copy_only=False)
+            ln = pc.utf8_length(cur).to_numpy(zero_copy_only=False)
+            sl = pc.utf8_length(succ).to_numpy(zero_copy_only=False)
+            idx = np.nonzero(sl >= ln)[0]
+            eq = np.fromiter(
+                (sv[i].startswith(cv[i]) for i in idx), dtype=bool, count=len(idx)
+            )
+            flags[:-1][idx] = eq
+        if nxt_first is not None and n:
+            last = txt[n - 1].as_py()
+            flags[-1] = nxt_first.startswith(last)
+        return pa.table(
+            {
+                id_col: t.column(id_col).combine_chunks(),
+                "is_prefix_dup": pa.array(flags),
+            }
+        )
+
+    out = [
+        _flags.remote(refs[i], firsts[i + 1] if i + 1 < len(refs) else None)
+        for i in range(len(refs))
+    ]
+    if not out:
+        return s
+    return rd.from_arrow_refs(out)

@@ -91,3 +91,96 @@ def randomized_response_counts(
         )
 
     return j.map_batches(_final, batch_format="pyarrow")
+
+
+def pseudonymize_column(
+    ds: rd.Dataset, col: str, *, salt: str, prefix: str = "P_"
+) -> rd.Dataset:
+    """Keyed deterministic pseudonymization: value -> ``prefix`` +
+    md5-64(value || '|' || salt) mod 2^32 — the reversible-only-with-table
+    masking variant (same value + salt => same pseudonym, so joins on the
+    pseudonym still work across tables; rotate the salt to unlink releases).
+    md5-64 is the little-endian first-8-bytes convention shared with
+    simhash, which is what makes the DuckDB oracle exact
+    (``md5_number_upper``). Nulls stay null. Stateless vectorized
+    map_batches with the batch's UNIQUE values hashed once."""
+    import pandas as pd
+
+    from .dedup import _md5_64
+
+    out_col = f"{col}_pseudonym"
+
+    def _p(b: pa.Table) -> pa.Table:
+        v = b.column(col).combine_chunks()
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        sv = v.to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(sv[valid])
+        uh = np.fromiter(
+            (_md5_64(f"{u}|{salt}") % (1 << 32) for u in uniq),
+            dtype=np.int64,
+            count=len(uniq),
+        )
+        out = np.full(len(sv), None, dtype=object)
+        hv = uh[codes]
+        out[valid] = [f"{prefix}{h}" for h in hv]
+        return b.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(_p, batch_format="pyarrow")
+
+
+def suppress_small_cells(
+    ds: rd.Dataset, cols: list[str], min_count: int, *, sentinel: str = "*****"
+) -> rd.Dataset:
+    """Cell suppression: rows whose combination of ``cols`` values occurs
+    fewer than ``min_count`` times get those columns replaced by the
+    sentinel — the enforcement-side complement of the k-anonymity KPI
+    (small equivalence classes are suppressed instead of merely reported).
+
+    Shape: exact cell counts via per-batch partial group_by + sort-based
+    ``sum_per_key`` (cells bounded by the attribute-domain product —
+    documented contract), small cells broadcast as a sorted key set, then
+    one vectorized membership pass over the stream. ``cols`` must be
+    non-null strings."""
+    from .graph import sum_per_key
+
+    SEP = "\x1f"
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            *[pc.cast(b.column(c), pa.string()) for c in cols], SEP
+        )
+        t = pa.table({"k": key, "one": pa.array(np.ones(b.num_rows, np.int64))})
+        g = t.group_by(["k"]).aggregate([("one", "sum")])
+        return g.rename_columns(["k", "one"])
+
+    counts = sum_per_key(
+        ds.map_batches(_pairs, batch_format="pyarrow"), "k", "one"
+    )
+    small = counts.map_batches(
+        lambda b: b.filter(pc.less(b.column("one"), min_count)).select(["k"]),
+        batch_format="pyarrow",
+    ).take_all()  # bounded by cell-domain size
+    small_keys = np.sort(np.array([r["k"] for r in small], dtype=object).astype(str))
+
+    def _mask(b: pa.Table) -> pa.Table:
+        key = (
+            pc.binary_join_element_wise(
+                *[pc.cast(b.column(c), pa.string()) for c in cols], SEP
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(str)
+        )
+        if len(small_keys):
+            pos = np.searchsorted(small_keys, key)
+            pos[pos >= len(small_keys)] = len(small_keys) - 1
+            hit = small_keys[pos] == key
+        else:
+            hit = np.zeros(len(key), dtype=bool)
+        for c in cols:
+            orig = pc.cast(b.column(c), pa.string()).to_numpy(zero_copy_only=False)
+            vals = np.where(hit, sentinel, orig)
+            i = b.column_names.index(c)
+            b = b.set_column(i, c, pa.array(vals, pa.string()))
+        return b
+
+    return ds.map_batches(_mask, batch_format="pyarrow")

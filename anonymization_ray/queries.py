@@ -629,6 +629,9 @@ _DRIVER_PRIORITY: list[str] = [
     "tpch_q4_order_priority",
     "sample_per_group",
     "corpus_interleave",
+    "dedup_prefix",
+    "anonymize_pseudonym",
+    "anonymize_suppress",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

@@ -5358,3 +5358,106 @@ def _sql_corpus_interleave() -> str:
 EXTRAS_REGISTRY.update(
     {"corpus_interleave": QueryDef(q_corpus_interleave, _sql_corpus_interleave())}
 )
+
+
+def q_dedup_prefix(sf_dir: str):
+    """Prefix-duplicate flags over the perturbed corpus (every truncated
+    copy is by construction a prefix of its original): one narrow sort by
+    (text, id) + adjacent starts_with — the lexicographic-successor
+    argument makes the adjacent test exact for ALL prefix pairs
+    (extras.dedup.prefix_dup_flags)."""
+    from .extras.dedup import prefix_dup_flags
+
+    return prefix_dup_flags(_corpus_with_dups(sf_dir), "text", "doc_id")
+
+
+SQL_DEDUP_PREFIX = f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET},
+         CASE WHEN strpos(text, ' ') > 0 THEN regexp_replace(text, ' \\S+$', '') ELSE text END
+  FROM documents
+),
+f AS (SELECT id AS doc_id, text,
+             lead(text) OVER (ORDER BY text, id) AS succ
+      FROM corpus WHERE text IS NOT NULL)
+SELECT doc_id, coalesce(starts_with(succ, text), FALSE) AS is_prefix_dup FROM f
+"""
+
+
+EXTRAS_REGISTRY.update({"dedup_prefix": QueryDef(q_dedup_prefix, SQL_DEDUP_PREFIX)})
+
+
+PSEUDO_SALT = "release-2026-08"
+
+
+def q_anonymize_pseudonym(sf_dir: str):
+    """Keyed deterministic pseudonymization of customer names
+    (extras.privacy.pseudonymize_column): md5-64(value|salt) mod 2^32 with
+    a readable prefix — join-preserving, unlinkable across salt
+    rotations."""
+    from .extras.privacy import pseudonymize_column
+
+    out = pseudonymize_column(
+        load(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_name",
+        salt=PSEUDO_SALT,
+        prefix="CUST_",
+    )
+    return out.select_columns(["c_custkey", "c_name_pseudonym"])
+
+
+SQL_ANONYMIZE_PSEUDONYM = f"""
+SELECT c_custkey,
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE 'CUST_' || CAST(CAST(md5_number_upper(c_name || '|{PSEUDO_SALT}')
+                                      % 4294967296 AS BIGINT) AS VARCHAR)
+       END AS c_name_pseudonym
+FROM customer
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"anonymize_pseudonym": QueryDef(q_anonymize_pseudonym, SQL_ANONYMIZE_PSEUDONYM)}
+)
+
+
+def q_anonymize_suppress(sf_dir: str):
+    """Cell suppression over the (mktsegment, nationkey) contingency table
+    (extras.privacy.suppress_small_cells): cells under n/150 rows get both
+    attributes replaced by the masking sentinel — the enforcement-side
+    complement of the k-anonymity KPI."""
+    from .extras.privacy import suppress_small_cells
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_nationkey"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "c_mktsegment": b.column("c_mktsegment").combine_chunks(),
+                "nat": pc.cast(b.column("c_nationkey"), pa.string()),
+            }
+        )
+
+    ds = cust.map_batches(_prep, batch_format="pyarrow")
+    thr = max(1, ds.count() // 150)
+    return suppress_small_cells(ds, ["c_mktsegment", "nat"], thr)
+
+
+SQL_ANONYMIZE_SUPPRESS = """
+WITH thr AS (SELECT greatest(1, count(*) // 150) AS t FROM customer),
+c AS (SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS VARCHAR) AS nat
+      FROM customer),
+cnt AS (SELECT c_mktsegment, nat, count(*) AS n FROM c GROUP BY 1, 2)
+SELECT c.c_custkey,
+       CASE WHEN cnt.n < thr.t THEN '*****' ELSE c.c_mktsegment END AS c_mktsegment,
+       CASE WHEN cnt.n < thr.t THEN '*****' ELSE c.nat END AS nat
+FROM c JOIN cnt USING (c_mktsegment, nat) CROSS JOIN thr
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"anonymize_suppress": QueryDef(q_anonymize_suppress, SQL_ANONYMIZE_SUPPRESS)}
+)
