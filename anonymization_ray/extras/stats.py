@@ -373,3 +373,64 @@ def ols_simple(
             "r2": pa.array([r2], pa.float64()),
         }
     )
+
+
+def group_hll_distinct(
+    ds: rd.Dataset, col: str, group_col: str, *, p: int = 12
+) -> dict:
+    """Per-group HyperLogLog distinct estimates (``hll_count_distinct``'s
+    grouped sibling): each batch emits one (group, registers) row per group
+    it touches — registers built with the same vectorized branchless-clz
+    kernel via a (groups x m) ``np.maximum.at`` scatter — and the driver
+    folds register maxima per group. The GROUP DOMAIN (not the data) must
+    be small-categorical: the driver gather is bounded by blocks x groups,
+    the same contract as t-closeness's N_v broadcast. Returns
+    {group: estimate}."""
+    import pandas as pd
+
+    m = 1 << p
+
+    def _regs(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(vals.astype(object)).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        clz = np.zeros(len(h), dtype=np.uint64)
+        x = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = x < (np.uint64(1) << np.uint64(64 - shift))
+            clz = np.where(mask, clz + np.uint64(shift), clz)
+            x = np.where(mask, x << np.uint64(shift), x)
+        rho = clz.astype(np.int64) + 1
+        codes, uniq = pd.factorize(grp)
+        regs = np.zeros((len(uniq), m), dtype=np.int8)
+        np.maximum.at(regs, (codes, idx), rho.astype(np.int8))
+        return pa.table(
+            {
+                "grp": pa.array([str(u) for u in uniq], pa.string()),
+                "regs": pa.array([regs[g].tobytes() for g in range(len(uniq))], pa.binary()),
+            }
+        )
+
+    parts = ds.select_columns([group_col, col]).map_batches(
+        _regs, batch_format="pyarrow"
+    )
+    merged: dict[str, np.ndarray] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for g, payload in zip(b.column("grp").to_pylist(), b.column("regs").to_pylist()):
+            r = np.frombuffer(payload, dtype=np.int8)
+            if g in merged:
+                merged[g] = np.maximum(merged[g], r)
+            else:
+                merged[g] = r
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out = {}
+    for g, regs in merged.items():
+        est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+        zeros = int((regs == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out[g] = int(round(est))
+    return out

@@ -632,6 +632,8 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_prefix",
     "anonymize_pseudonym",
     "anonymize_suppress",
+    "events_rate_limit",
+    "stats_group_hll",
     "graph_kcore",
     "events_ntile",
     "events_percent_rank",

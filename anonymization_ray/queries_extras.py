@@ -5461,3 +5461,107 @@ FROM c JOIN cnt USING (c_mktsegment, nat) CROSS JOIN thr
 EXTRAS_REGISTRY.update(
     {"anonymize_suppress": QueryDef(q_anonymize_suppress, SQL_ANONYMIZE_SUPPRESS)}
 )
+
+
+RATE_LIMIT_N = 3
+
+
+def q_events_rate_limit(sf_dir: str):
+    """Deterministic per-key rate limiting: keep each user's FIRST
+    RATE_LIMIT_N events per hour (by ts, then event_id) — the crawl-
+    politeness / event-throttling shape. One range sort + boundary-carry
+    top-k per (user, hour) composite key; identical at any parallelism."""
+    from .util import topk_per_key
+
+    ev = load(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "user_id": b.column("user_id").combine_chunks(),
+                "ts": b.column("ts").combine_chunks(),
+                "uh": pa.array(uid * 1_000_000 + hour % 1_000_000, pa.int64()),
+            }
+        )
+
+    kept = topk_per_key(
+        ev.map_batches(_key, batch_format="pyarrow"),
+        "uh",
+        "ts",
+        RATE_LIMIT_N,
+        descending=False,
+        tie_col="event_id",
+    )
+    return kept.select_columns(["event_id", "user_id"])
+
+
+SQL_EVENTS_RATE_LIMIT = f"""
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         row_number() OVER (
+           PARTITION BY user_id,
+                        CAST(floor(epoch(ts) / 3600) AS BIGINT) % 1000000
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= {RATE_LIMIT_N}
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"events_rate_limit": QueryDef(q_events_rate_limit, SQL_EVENTS_RATE_LIMIT)}
+)
+
+
+def q_stats_group_hll(sf_dir: str):
+    """Per-event-type HLL distinct-user estimates gated on the theoretical
+    error bound per group (the grouped sibling of stats_hll_distinct):
+    each group's |est/exact - 1| <= 5*1.04/sqrt(m) flag is the scoreboard
+    the SQL oracle pins to 1. Exact counts come from the sort-based
+    distinct_rows + sum_per_key pipeline, never a Ray groupby."""
+    from .extras.graph import sum_per_key
+    from .extras.stats import group_hll_distinct
+    from .util import distinct_rows
+
+    ev = load(sf_dir, "events", ["event_type", "user_id"])
+    ests = group_hll_distinct(ev, "user_id", "event_type")
+
+    uniq = distinct_rows(ev, ["event_type", "user_id"])
+
+    def _ones(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type").combine_chunks(),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    exact_rows = sum_per_key(
+        uniq.map_batches(_ones, batch_format="pyarrow"), "event_type", "one"
+    ).take_all()
+    bound = 5 * 1.04 / (1 << 6)  # p=12
+    out = []
+    for r in sorted(exact_rows, key=lambda r: r["event_type"]):
+        g, exact = r["event_type"], int(r["one"])
+        est = ests.get(str(g), 0)
+        out.append((g, int(abs(est / exact - 1.0) <= bound) if exact else 1))
+    return pa.table(
+        {
+            "event_type": pa.array([g for g, _ in out], pa.string()),
+            "hll_within_bound": pa.array([f for _, f in out], pa.int64()),
+        }
+    )
+
+
+SQL_STATS_GROUP_HLL = """
+SELECT event_type, CAST(1 AS BIGINT) AS hll_within_bound
+FROM events GROUP BY event_type
+"""
+
+
+EXTRAS_REGISTRY.update(
+    {"stats_group_hll": QueryDef(q_stats_group_hll, SQL_STATS_GROUP_HLL)}
+)
