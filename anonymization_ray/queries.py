@@ -614,7 +614,17 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 late wave first (newest operators get driver-gate coverage)
+    # round-4 wave 6 (newest operators get driver-gate coverage)
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
+    "tpch_q22_global",
+    "set_nations",
+    "stats_group_distinct",
+    "agg_crosstab",
+    # round-4 late wave (newest operators get driver-gate coverage)
     "kpi_l_diversity",
     "kpi_t_closeness",
     "dp_randomized_response",
@@ -717,11 +727,13 @@ _DRIVER_PRIORITY: list[str] = [
 
 def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras import EXTRAS_REGISTRY
+    from .queries_extras2 import EXTRAS2_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
     merged.update(KG_REGISTRY)
     merged.update(EXTRAS_REGISTRY)
+    merged.update(EXTRAS2_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out

@@ -1,0 +1,826 @@
+"""Round-4 wave-6 relational / analytics operators with DuckDB oracles.
+
+Widens the TPC-H join-tree coverage (Q6/Q12/Q13/Q14/Q18/Q22 shapes), adds
+set operations, grouped exact distinct, and a crosstab pivot — every query
+Ray-Data-first (partial combiners, broadcast dimension lookups, sort-scan
+reductions; Ray hash joins only where BOTH sides are fact-scale) and every
+query value-gated by an exact integer-unit SQL oracle.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import QueryDef, load
+
+EXTRAS2_REGISTRY: dict[str, QueryDef] = {}
+
+
+def _cents(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """round(x*100) as int64 — the repo-wide exact-money convention."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q6: forecast revenue change — pure filter + one-pass integer sum
+# --------------------------------------------------------------------------
+
+def q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 shape: revenue effect of dropping small discounts — a
+    pruned 4-column read, a vectorized predicate, and ONE streaming int64
+    partial-sum fold (revenue in 1e-4 dollar units: cents x discount-%).
+    No shuffle at any scale; the whole query is read-bandwidth."""
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    ds = load(
+        sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        disc_c = _cents(b.column("l_discount"))
+        mask = pc.and_(
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(b.column("l_shipdate"), lo),
+                    pc.less(b.column("l_shipdate"), hi),
+                ),
+                pc.and_(pc.greater_equal(disc_c, 2), pc.less_equal(disc_c, 9)),
+            ),
+            pc.less(b.column("l_quantity"), 24.0),
+        )
+        t = b.filter(mask)
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")), _cents(t.column("l_discount"))
+        )
+        s = pc.sum(rev).as_py() or 0
+        return pa.table({"revenue_u": pa.array([s], pa.int64())})
+
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    total = sum(r["revenue_u"] for r in parts)
+    return pa.table({"revenue_u": pa.array([total], pa.int64())})
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(round(l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_u
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 2 AND 9
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14: promotion revenue share — broadcast dimension, one fact scan
+# --------------------------------------------------------------------------
+
+def q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 shape: share of March-1996 revenue from PROMO parts.
+    ``part`` is dimension-scale, so its (p_partkey, is_promo) projection is
+    gathered bounded and broadcast (searchsorted membership inside the fact
+    scan) — the lineitem stream NEVER shuffles. Revenue in 1e-4 dollar
+    units ep_c*(100-disc_c); the share is an integer micro-fraction so both
+    engines compute bit-identical values."""
+    import ray
+
+    part = load(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def _dim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "pk": b.column("p_partkey").combine_chunks(),
+                "promo": pc.cast(
+                    pc.equal(b.column("p_type"), "PROMO"), pa.int8()
+                ),
+            }
+        )
+
+    dim = pa.concat_tables(
+        [t for t in ray.get(part.map_batches(_dim, batch_format="pyarrow").to_arrow_refs())
+         if t.num_rows]
+    )
+    order = pc.sort_indices(dim.column("pk"))
+    pks = dim.column("pk").take(order).to_numpy()
+    promo = dim.column("promo").take(order).to_numpy().astype(bool)
+    pk_ref = ray.put(pks)
+    promo_ref = ray.put(promo)
+
+    lo = pa.scalar(_dt.datetime(1996, 3, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+    li = load(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        is_promo = ray.get(promo_ref)
+        t = b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        )
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        ).to_numpy(zero_copy_only=False)
+        pkv = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, pkv)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        hit = (len(keys) > 0) & (keys[pos] == pkv)
+        pm = np.where(hit & is_promo[pos], rev, 0)
+        return pa.table(
+            {
+                "promo_u": pa.array([int(pm.sum())], pa.int64()),
+                "total_u": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(_partial, batch_format="pyarrow").take_all()
+    promo_u = sum(r["promo_u"] for r in parts)
+    total_u = sum(r["total_u"] for r in parts)
+    pct = (1_000_000 * promo_u) // total_u if total_u else 0
+    return pa.table(
+        {
+            "promo_revenue_u": pa.array([promo_u], pa.int64()),
+            "total_revenue_u": pa.array([total_u], pa.int64()),
+            "promo_pct_micro": pa.array([pct], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q14 = """
+WITH f AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+         (p.p_type = 'PROMO') AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01')
+SELECT CAST(COALESCE(sum(CASE WHEN is_promo THEN rev_u END), 0) AS BIGINT)
+         AS promo_revenue_u,
+       CAST(COALESCE(sum(rev_u), 0) AS BIGINT) AS total_revenue_u,
+       CAST(CASE WHEN COALESCE(sum(rev_u), 0) = 0 THEN 0
+                 ELSE (1000000 * COALESCE(sum(CASE WHEN is_promo THEN rev_u END), 0))
+                      // sum(rev_u) END AS BIGINT) AS promo_pct_micro
+FROM f
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: late-shipment priority counts — fact x fact hash join
+# --------------------------------------------------------------------------
+
+def q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 shape (no l_shipmode column in this corpus, so the split
+    is by l_linestatus): lineitems shipped > 60 days after their order
+    date, counted per linestatus into high-priority (1-URGENT/2-HIGH) vs
+    low-priority orders. Orders and lineitem are BOTH fact-scale — this is
+    the one query family where a Ray-native hash-partitioned join is the
+    right shape (pre-projected to 3 and 3 columns before the shuffle).
+    The post-join aggregate domain is tiny: per-batch Arrow group_by
+    partials fold on the driver."""
+    from .util import hash_join
+
+    ords = load(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_linestatus"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_shipdate", "l_linestatus"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(li, ords, on="o_orderkey", join_type="inner")
+    late_us = 60 * 86400 * 1_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(b.column("l_shipdate"), pa.int64())
+        odate = pc.cast(b.column("o_orderdate"), pa.int64())
+        late = pc.greater(pc.subtract(ship, odate), late_us)
+        t = b.filter(late)
+        hi = pc.is_in(
+            t.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"]),
+        )
+        tt = pa.table(
+            {
+                "l_linestatus": t.column("l_linestatus").combine_chunks(),
+                "high_line_count": pc.cast(hi, pa.int64()),
+                "low_line_count": pc.cast(pc.invert(hi), pa.int64()),
+            }
+        )
+        g = tt.group_by(["l_linestatus"]).aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+        return g.rename_columns(["l_linestatus", "high_line_count", "low_line_count"])
+
+    parts = joined.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[str, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["l_linestatus"], [0, 0])
+        a[0] += r["high_line_count"]
+        a[1] += r["low_line_count"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "l_linestatus": pa.array(keys, pa.string()),
+            "high_line_count": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "low_line_count": pa.array([acc[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: customer order-count distribution
+# --------------------------------------------------------------------------
+
+def q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 shape: the distribution of per-customer order counts,
+    INCLUDING zero-order customers. Per-customer counts via the sort-scan
+    ``sum_per_key`` (never a high-cardinality Ray groupby); the zero bucket
+    is two cheap counts (|customer| − |distinct custkeys in orders|) — the
+    left-outer join the SQL writes never needs to move the fact table."""
+    from .extras.graph import sum_per_key
+    from .extras.stats import exact_value_counts
+
+    ords = load(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey").combine_chunks(),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    percust = sum_per_key(ords, "o_custkey", "one").materialize()
+    n_with_orders = percust.count()
+    n_customers = load(sf_dir, "customer", ["c_custkey"]).count()
+    dist = exact_value_counts(percust, "one").take_all()
+    rows = [(int(r["one"]), int(r["n"])) for r in dist]
+    zero = n_customers - n_with_orders
+    if zero > 0:
+        rows.append((0, zero))
+    rows.sort()
+    return pa.table(
+        {
+            "c_count": pa.array([r[0] for r in rows], pa.int64()),
+            "custdist": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders
+# --------------------------------------------------------------------------
+
+def q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 shape: top-100 orders whose total quantity exceeds 150.
+    Per-order quantity via sort-scan ``sum_per_key``; the HAVING filter
+    shrinks the qualifying set to a tiny fraction, which is then BROADCAST
+    into the orders scan (searchsorted membership — the orders fact table
+    never shuffles); customer names attach from the dimension-scale
+    broadcast lookup. Final sort/limit is over the bounded survivor set."""
+    import ray
+
+    from .extras.graph import sum_per_key
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey").combine_chunks(),
+                "qty_c": _cents(b.column("l_quantity")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    perorder = sum_per_key(li, "l_orderkey", "qty_c")
+    big = perorder.map_batches(
+        lambda b: b.filter(pc.greater(b.column("qty_c"), 15_000)),
+        batch_format="pyarrow",
+    )
+    blocks = [t for t in ray.get(big.to_arrow_refs()) if t.num_rows]
+    big_tbl = (
+        pa.concat_tables(blocks)
+        if blocks
+        else pa.table({"l_orderkey": pa.array([], pa.int64()), "qty_c": pa.array([], pa.int64())})
+    )
+    if big_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "c_name": pa.array([], pa.string()),
+                "c_custkey": pa.array([], pa.int64()),
+                "o_orderkey": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+                "o_totalprice_c": pa.array([], pa.int64()),
+                "sum_qty_c": pa.array([], pa.int64()),
+            }
+        )
+    order = pc.sort_indices(big_tbl.column("l_orderkey"))
+    ok_keys = big_tbl.column("l_orderkey").take(order).to_numpy()
+    ok_qty = big_tbl.column("qty_c").take(order).to_numpy()
+    keys_ref = ray.put(ok_keys)
+    qty_ref = ray.put(ok_qty)
+
+    cust = {
+        r["c_custkey"]: r["c_name"]
+        for r in load(sf_dir, "customer", ["c_custkey", "c_name"]).take_all()
+    }
+    cust_ref = ray.put(cust)
+
+    ords = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _attach(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        qty = ray.get(qty_ref)
+        names = ray.get(cust_ref)
+        okv = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, okv)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (keys[pos_c] == okv)
+        t = b.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "c_name": pa.array([], pa.string()),
+                    "c_custkey": pa.array([], pa.int64()),
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "o_orderdate": pa.array([], pa.timestamp("us")),
+                    "o_totalprice_c": pa.array([], pa.int64()),
+                    "sum_qty_c": pa.array([], pa.int64()),
+                }
+            )
+        okv2 = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        q = qty[np.searchsorted(keys, okv2)]
+        ck = t.column("o_custkey").to_pylist()
+        return pa.table(
+            {
+                "c_name": pa.array([names.get(c) for c in ck], pa.string()),
+                "c_custkey": t.column("o_custkey").combine_chunks(),
+                "o_orderkey": t.column("o_orderkey").combine_chunks(),
+                "o_orderdate": t.column("o_orderdate").combine_chunks(),
+                "o_totalprice_c": _cents(t.column("o_totalprice")),
+                "sum_qty_c": pa.array(q, pa.int64()),
+            }
+        )
+
+    out = ords.map_batches(_attach, batch_format="pyarrow")
+    return out.sort(
+        ["o_totalprice_c", "o_orderdate", "o_orderkey"],
+        descending=[True, False, False],
+    ).limit(100)
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 15000)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS o_totalprice_c, sum_qty_c
+FROM big JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice_c DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: global sales opportunity
+# --------------------------------------------------------------------------
+
+def q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 shape: per nation, count + total balance of customers whose
+    balance beats the (integer-cent) average positive balance and who have
+    not ordered since 1999 (this corpus's order coverage is dense, so the
+    classic "never ordered" predicate is vacuous — the recency cut keeps
+    the anti join non-trivial). The scalar average is two streaming folds
+    broadcast into the scan; the no-recent-orders test is the broadcast
+    ANTI join (orders' distinct custkeys ARE customer-scale, the documented
+    semi-join contract); the final aggregate domain is the 25-nation grid."""
+    from .extras.joins import semi_anti_join
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _posfold(b: pa.Table) -> pa.Table:
+        bal = _cents(b.column("c_acctbal"))
+        pos = pc.greater(bal, 0)
+        s = pc.sum(pc.if_else(pos, bal, pa.scalar(0, pa.int64()))).as_py() or 0
+        n = pc.sum(pc.cast(pos, pa.int64())).as_py() or 0
+        return pa.table({"s": pa.array([s], pa.int64()), "n": pa.array([n], pa.int64())})
+
+    folds = cust.map_batches(_posfold, batch_format="pyarrow").take_all()
+    s_pos = sum(r["s"] for r in folds)
+    n_pos = sum(r["n"] for r in folds)
+    avg_c = s_pos // n_pos if n_pos else 0
+
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(_cents(b.column("c_acctbal")), avg_c)),
+        batch_format="pyarrow",
+    )
+    cut = pa.scalar(_dt.datetime(1999, 1, 1), pa.timestamp("us"))
+    recent = load(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("o_orderdate"), cut)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    no_orders = semi_anti_join(
+        rich, recent, on="c_custkey", right_on="o_custkey", anti=True,
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "numcust": pa.array(np.ones(b.num_rows, np.int64)),
+                "totacctbal_c": _cents(b.column("c_acctbal")),
+            }
+        )
+        g = t.group_by(["c_nationkey"]).aggregate(
+            [("numcust", "sum"), ("totacctbal_c", "sum")]
+        )
+        return g.rename_columns(["c_nationkey", "numcust", "totacctbal_c"])
+
+    parts = no_orders.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["c_nationkey"], [0, 0])
+        a[0] += r["numcust"]
+        a[1] += r["totacctbal_c"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "c_nationkey": pa.array(keys, pa.int64()),
+            "numcust": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "totacctbal_c": pa.array([acc[k][1] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH t AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+     a AS (SELECT sum(bal_c) // count(*) AS avg_c FROM t WHERE bal_c > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+FROM t, a
+WHERE bal_c > avg_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# set operations: INTERSECT / EXCEPT over distinct key sets
+# --------------------------------------------------------------------------
+
+def q_set_nations(sf_dir: str):
+    """Set algebra between two distinct key sets (nations with customers vs
+    nations with suppliers): each side reduces distributed via per-block
+    unique partials + sort-scan DISTINCT; the tagging join runs on the
+    driver over the domain-bounded result (nation grid, ≤25 rows) — the
+    INTERSECT/EXCEPT family without moving either fact table."""
+    from .util import distinct_rows
+
+    def _keys(tbl: str, col: str):
+        ds = load(sf_dir, tbl, [col]).map_batches(
+            lambda b, c=col: pa.table({"nk": pc.cast(b.column(c), pa.int64())}),
+            batch_format="pyarrow",
+        )
+        return {r["nk"] for r in distinct_rows(ds, ["nk"]).take_all()}
+
+    c, s = _keys("customer", "c_nationkey"), _keys("supplier", "s_nationkey")
+    rows = sorted(
+        [(k, "both") for k in c & s]
+        + [(k, "cust_only") for k in c - s]
+        + [(k, "supp_only") for k in s - c]
+    )
+    return pa.table(
+        {
+            "nationkey": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+SQL_SET_NATIONS = """
+WITH c AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nk FROM customer),
+     s AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS nk FROM supplier)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       CASE WHEN c.nk IS NOT NULL AND s.nk IS NOT NULL THEN 'both'
+            WHEN c.nk IS NOT NULL THEN 'cust_only' ELSE 'supp_only' END AS op
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped exact COUNT(DISTINCT)
+# --------------------------------------------------------------------------
+
+def q_stats_group_distinct(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: sort-scan DISTINCT over
+    the (type, user) pair stream (works at any pair cardinality — never a
+    Ray groupby), then per-block count partials folded over the tiny type
+    domain."""
+    from .util import distinct_rows
+
+    ev = load(sf_dir, "events", ["event_type", "user_id"])
+    pairs = distinct_rows(ev, ["event_type", "user_id"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n_users"])
+
+    parts = pairs.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[str, int] = {}
+    for r in parts:
+        acc[r["event_type"]] = acc.get(r["event_type"], 0) + r["n_users"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_users": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_STATS_GROUP_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# crosstab pivot: nation x market segment
+# --------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_agg_crosstab(sf_dir: str):
+    """Crosstab (PIVOT) of customer counts: one row per nation, one column
+    per market segment. One pass of per-batch conditional-count partials
+    (Arrow group_by on the nation key), folded over the bounded
+    nation-grid domain — the horizontal pivot is free in columnar form."""
+    cust = load(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cols = {"c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64())}
+        for seg in _SEGMENTS:
+            cols[f"n_{seg.lower()}"] = pc.cast(
+                pc.equal(b.column("c_mktsegment"), seg), pa.int64()
+            )
+        t = pa.table(cols)
+        g = t.group_by(["c_nationkey"]).aggregate(
+            [(f"n_{s.lower()}", "sum") for s in _SEGMENTS]
+        )
+        return g.rename_columns(["c_nationkey"] + [f"n_{s.lower()}" for s in _SEGMENTS])
+
+    parts = cust.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["c_nationkey"], [0] * len(_SEGMENTS))
+        for i, seg in enumerate(_SEGMENTS):
+            a[i] += r[f"n_{seg.lower()}"]
+    keys = sorted(acc)
+    out = {"c_nationkey": pa.array(keys, pa.int64())}
+    for i, seg in enumerate(_SEGMENTS):
+        out[f"n_{seg.lower()}"] = pa.array([acc[k][i] for k in keys], pa.int64())
+    return pa.table(out)
+
+
+SQL_AGG_CROSSTAB = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_automobile,
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_building,
+       CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS n_furniture,
+       CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS n_household,
+       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_machinery
+FROM customer GROUP BY c_nationkey
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {
+        "tpch_q6_forecast": QueryDef(q_tpch_q6, SQL_TPCH_Q6),
+        "tpch_q14_promo": QueryDef(q_tpch_q14, SQL_TPCH_Q14),
+        "tpch_q12_late_priority": QueryDef(q_tpch_q12, SQL_TPCH_Q12),
+        "tpch_q13_custdist": QueryDef(q_tpch_q13, SQL_TPCH_Q13),
+        "tpch_q18_large_orders": QueryDef(q_tpch_q18, SQL_TPCH_Q18),
+        "tpch_q22_global": QueryDef(q_tpch_q22, SQL_TPCH_Q22),
+        "set_nations": QueryDef(q_set_nations, SQL_SET_NATIONS),
+        "stats_group_distinct": QueryDef(q_stats_group_distinct, SQL_STATS_GROUP_DISTINCT),
+        "agg_crosstab": QueryDef(q_agg_crosstab, SQL_AGG_CROSSTAB),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# microaggregation (classic SDC: k-member groups along sorted order)
+# --------------------------------------------------------------------------
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero (DuckDB's ``//`` on signed
+    ints truncates; Python's floors — they differ on negative sums)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_anonymize_microagg(sf_dir: str, k: int = 10):
+    """Microaggregation of c_acctbal (fixed group size k along the sorted
+    order, remainder merged into the last group; every value replaced by
+    its group's truncated-cent mean) — the classic microdata-protection
+    operator (Domingo-Ferrer & Mateo-Sanz 2002 fixed-size variant).
+
+    The total order is the repo's narrow (value, id) distributed sort
+    (``util.sorted_column``); group ids stamp vectorized from each block's
+    rank offset (single-int metadata, no data exchange); group sums come
+    from the sort-scan ``sum_per_key``; group sizes are CLOSED-FORM (k, and
+    k + n % k for the last group), so the mean needs no second count pass.
+    The mean re-attaches through a hash join on the bounded group id."""
+    import ray
+
+    from .extras.graph import sum_per_key
+    from .util import hash_join, sorted_column
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "bal_c": _cents(b.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    sc = sorted_column(cust, "bal_c", "c_custkey", lambda a: a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+    n = sc.total
+    last_grp = n // k - 1  # n < k degenerates to one group id -1 on BOTH sides
+
+    @ray.remote(num_cpus=0.25)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        ranks = np.arange(off, off + t.num_rows, dtype=np.int64)
+        grp = np.minimum(ranks // k, last_grp)
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").combine_chunks(),
+                "bal_c": t.column("bal_c").combine_chunks(),
+                "grp": pa.array(grp, pa.int64()),
+            }
+        )
+
+    stamped = (
+        ray.data.from_arrow_refs(
+            [_stamp.remote(r, int(o)) for r, o in zip(sc.refs, sc.offsets[:-1])]
+        )
+        if sc.refs
+        else None
+    )
+    if stamped is None or n == 0:
+        return pa.table(
+            {"c_custkey": pa.array([], pa.int64()), "microagg_bal_c": pa.array([], pa.int64())}
+        )
+    sums = sum_per_key(stamped.select_columns(["grp", "bal_c"]), "grp", "bal_c")
+
+    def _mean(b: pa.Table) -> pa.Table:
+        g = b.column("grp").to_numpy(zero_copy_only=False)
+        s = b.column("bal_c").to_numpy(zero_copy_only=False)
+        size = np.where(g == last_grp, k + n % k, k) if last_grp >= 0 else np.full(len(g), n)
+        mean = np.fromiter(
+            (_tdiv(int(a), int(c)) for a, c in zip(s, size)), np.int64, len(g)
+        )
+        return pa.table({"grp": b.column("grp").combine_chunks(), "microagg_bal_c": pa.array(mean, pa.int64())})
+
+    means = sums.map_batches(_mean, batch_format="pyarrow")
+    out = hash_join(stamped.select_columns(["c_custkey", "grp"]), means, on="grp", join_type="inner")
+    return out.select_columns(["c_custkey", "microagg_bal_c"])
+
+
+SQL_ANONYMIZE_MICROAGG = """
+WITH t AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+     r AS (SELECT c_custkey, bal_c,
+                  row_number() OVER (ORDER BY bal_c, c_custkey) - 1 AS rn,
+                  count(*) OVER () AS n
+           FROM t),
+     g AS (SELECT c_custkey, bal_c, least(rn // 10, n // 10 - 1) AS grp FROM r),
+     m AS (SELECT grp, CAST(sum(bal_c) // count(*) AS BIGINT) AS microagg_bal_c
+           FROM g GROUP BY grp)
+SELECT g.c_custkey, m.microagg_bal_c FROM g JOIN m USING (grp)
+"""
+
+
+# --------------------------------------------------------------------------
+# winsorization (top/bottom coding at exact p05/p95)
+# --------------------------------------------------------------------------
+
+def q_anonymize_winsorize(sf_dir: str):
+    """Top/bottom coding (winsorization): clamp c_acctbal at the EXACT
+    discrete p05/p95 (DuckDB quantile_disc semantics via the narrow-sort
+    rank lookups), broadcast as two scalars into ONE streaming clamp pass —
+    the outlier-suppression generalization used before microdata release."""
+    from .extras.stats import exact_quantiles
+
+    cents = load(sf_dir, "customer", ["c_custkey", "c_acctbal"]).map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "bal_c": _cents(b.column("c_acctbal")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    qt = exact_quantiles(cents, "bal_c", [0.05, 0.95], id_col="c_custkey")
+    lo, hi = qt.column("value")[0].as_py(), qt.column("value")[1].as_py()
+    return cents.map_batches(
+        lambda b: pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "bal_w_c": pc.min_element_wise(
+                    pc.max_element_wise(b.column("bal_c"), pa.scalar(lo, pa.int64())),
+                    pa.scalar(hi, pa.int64()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_ANONYMIZE_WINSORIZE = """
+WITH t AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer),
+     q AS (SELECT quantile_disc(bal_c, 0.05) AS lo, quantile_disc(bal_c, 0.95) AS hi FROM t)
+SELECT c_custkey, CAST(least(greatest(bal_c, lo), hi) AS BIGINT) AS bal_w_c FROM t, q
+"""
+
+
+# --------------------------------------------------------------------------
+# binomial-noise DP counts (the binomial mechanism shape)
+# --------------------------------------------------------------------------
+
+def q_dp_binomial_counts(sf_dir: str, seed: int = 7):
+    """Noisy group counts under the binomial mechanism (Dwork et al. 2006
+    shape): noise = Binomial(64, 1/2) − 32 ≈ N(0, 16), drawn as the popcount
+    of a seeded md5-64 of the group key — fully deterministic given the
+    seed, so the mechanism itself is value-exact against SQL (DuckDB
+    ``bit_count(md5_number_upper(...))``). Counting is one partial-combiner
+    pass; noise is O(domain) driver work."""
+    from .extras.dedup import _md5_64
+
+    ev = load(sf_dir, "events", ["event_type"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    parts = ev.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[str, int] = {}
+    for r in parts:
+        acc[r["event_type"]] = acc.get(r["event_type"], 0) + r["n"]
+    keys = sorted(acc)
+    noisy = [
+        acc[k] + bin(_md5_64(f"dpbin{seed}|{k}")).count("1") - 32 for k in keys
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "noisy_count": pa.array(noisy, pa.int64()),
+        }
+    )
+
+
+SQL_DP_BINOMIAL = """
+SELECT event_type,
+       CAST(count(*) + bit_count(CAST(md5_number_upper('dpbin7|' || event_type)
+                                      AS UBIGINT)) - 32 AS BIGINT) AS noisy_count
+FROM events GROUP BY event_type
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {
+        "anonymize_microagg": QueryDef(q_anonymize_microagg, SQL_ANONYMIZE_MICROAGG),
+        "anonymize_winsorize": QueryDef(q_anonymize_winsorize, SQL_ANONYMIZE_WINSORIZE),
+        "dp_binomial_counts": QueryDef(q_dp_binomial_counts, SQL_DP_BINOMIAL),
+    }
+)
