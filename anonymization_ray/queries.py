@@ -615,6 +615,13 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 wave 6 (newest operators get driver-gate coverage)
+    "events_user_path",
+    "graph_hits",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q16_supplier_cnt",
+    "tpch_q7_nation_volume",
     "tpch_q6_forecast",
     "tpch_q14_promo",
     "tpch_q12_late_priority",

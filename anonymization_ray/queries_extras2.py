@@ -824,3 +824,629 @@ EXTRAS2_REGISTRY.update(
         "dp_binomial_counts": QueryDef(q_dp_binomial_counts, SQL_DP_BINOMIAL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# ordered per-key string aggregation (user event paths)
+# --------------------------------------------------------------------------
+
+def q_events_user_path(sf_dir: str):
+    """Per-user ordered event path (``string_agg(event_type, '->' ORDER BY
+    ts, event_id)``): ONE range sort by (user, ts, id); users complete
+    inside a block concatenate there (boundary-scan run detection, one
+    ``str.join`` per user); only each block's FIRST and LAST key runs are
+    sent to the driver (2 fragments per block, single-digit KBs), where
+    spanning users merge in block order. Per-user path length is bounded by
+    that user's event count — the documented hot-key caveat."""
+    import ray
+
+    from .util import coalesce_blocks
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    s = (
+        coalesce_blocks(ev.materialize())
+        .sort(["user_id", "ts", "event_id"])
+        .materialize()
+    )
+    refs = [r for r in s.to_arrow_refs()]
+
+    @ray.remote(num_cpus=0.5)
+    def _block(t: pa.Table, idx: int):
+        if t.num_rows == 0:
+            return None, []
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        types = t.column("event_type").to_pylist()
+        # run starts: index where user changes
+        brk = np.flatnonzero(u[1:] != u[:-1]) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(u)]])
+        frags = []  # (user, frag, idx) for first and last runs
+        inner_users, inner_paths = [], []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            frag = "->".join(types[a:b])
+            if i == 0 or i == len(starts) - 1:
+                frags.append((int(u[a]), frag, idx))
+            else:
+                inner_users.append(int(u[a]))
+                inner_paths.append(frag)
+        inner = pa.table(
+            {
+                "user_id": pa.array(inner_users, pa.int64()),
+                "path": pa.array(inner_paths, pa.string()),
+            }
+        )
+        return inner, frags
+
+    results = ray.get([_block.remote(r, i) for i, r in enumerate(refs)])
+    inner_tbls = [t for t, _ in results if t is not None and t.num_rows]
+    frags = sorted(
+        (f for _, fs in results for f in fs), key=lambda x: (x[0], x[2])
+    )
+    merged_users, merged_paths = [], []
+    i = 0
+    while i < len(frags):
+        j = i
+        parts = []
+        while j < len(frags) and frags[j][0] == frags[i][0]:
+            parts.append(frags[j][1])
+            j += 1
+        merged_users.append(frags[i][0])
+        merged_paths.append("->".join(parts))
+        i = j
+    merged = pa.table(
+        {
+            "user_id": pa.array(merged_users, pa.int64()),
+            "path": pa.array(merged_paths, pa.string()),
+        }
+    )
+    all_tbls = inner_tbls + ([merged] if merged.num_rows else [])
+    if not all_tbls:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()), "path": pa.array([], pa.string())}
+        )
+    import ray.data as rd
+
+    return rd.from_arrow(all_tbls)
+
+
+SQL_EVENTS_USER_PATH = """
+SELECT user_id, string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities (integer, unnormalized, fixed rounds)
+# --------------------------------------------------------------------------
+
+def q_graph_hits(sf_dir: str):
+    """HITS over the bipartite supplier→part graph from distinct lineitem
+    pairs: two mutual-reinforcement rounds in EXACT integers (h₀=1;
+    a=Σ h over in-edges, h=Σ a over out-edges — unnormalized, so both
+    engines stay in int64; magnitudes grow as degree² per round, bounded
+    by E·deg³ « 2⁶³ at any tested scale). Each half-round is one edge-sized
+    hash join + one sort-scan ``sum_per_key`` — the PageRank cost profile.
+    Oracle: the recurrence unrolled in SQL."""
+    from .extras.graph import sum_per_key
+    from .util import distinct_rows, hash_join
+
+    li = load(sf_dir, "lineitem", ["l_suppkey", "l_partkey"]).map_batches(
+        lambda b: pa.table(
+            {
+                "s": b.column("l_suppkey").combine_chunks(),
+                "d": b.column("l_partkey").combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edges = distinct_rows(li, ["s", "d"]).materialize()
+
+    # round 1: h0 = 1  =>  a1(d) = in-degree
+    a1 = sum_per_key(
+        edges.map_batches(
+            lambda b: pa.table(
+                {"d": b.column("d").combine_chunks(), "v": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ),
+        "d",
+        "v",
+    ).materialize()
+    # h1(s) = sum over out-edges of a1(d)
+    h1 = sum_per_key(
+        hash_join(edges, a1, on="d", join_type="inner"), "s", "v"
+    ).materialize()
+    # round 2
+    a2 = sum_per_key(
+        hash_join(edges, h1.rename_columns({"v": "h"}), on="s", join_type="inner"),
+        "d",
+        "h",
+    ).materialize()
+    h2 = sum_per_key(
+        hash_join(edges, a2.rename_columns({"h": "a"}), on="d", join_type="inner"),
+        "s",
+        "a",
+    )
+
+    hubs = h2.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("s").combine_chunks(),
+                "score": pc.cast(b.column("a"), pa.int64()),
+                "role": pa.array(["hub"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    auths = a2.map_batches(
+        lambda b: pa.table(
+            {
+                "node": b.column("d").combine_chunks(),
+                "score": pc.cast(b.column("h"), pa.int64()),
+                "role": pa.array(["auth"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return hubs.union(auths)
+
+
+SQL_GRAPH_HITS = """
+WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS d FROM lineitem),
+a1 AS (SELECT d, CAST(count(*) AS BIGINT) AS a FROM e GROUP BY d),
+h1 AS (SELECT s, CAST(sum(a1.a) AS BIGINT) AS h FROM e JOIN a1 USING (d) GROUP BY s),
+a2 AS (SELECT d, CAST(sum(h1.h) AS BIGINT) AS a FROM e JOIN h1 USING (s) GROUP BY d),
+h2 AS (SELECT s, CAST(sum(a2.a) AS BIGINT) AS h FROM e JOIN a2 USING (d) GROUP BY s)
+SELECT s AS node, h AS score, 'hub' AS role FROM h2
+UNION ALL
+SELECT d AS node, a AS score, 'auth' AS role FROM a2
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q15: top supplier by quarterly revenue
+# --------------------------------------------------------------------------
+
+def q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 shape: supplier(s) with the maximum Q1-1996 revenue.
+    Per-supplier revenue via ONE filtered partial-combiner pass + sort-scan
+    ``sum_per_key``; the global max is a streaming fold; the equality
+    filter re-reads only the bounded revenue stream. Ties all surface
+    (exactly the SQL's = max semantics)."""
+    import ray
+
+    from .extras.graph import sum_per_key
+
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1996, 4, 1), pa.timestamp("us"))
+    li = load(
+        sf_dir, "lineitem", ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def _proj(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("l_shipdate"), lo),
+                pc.less(b.column("l_shipdate"), hi),
+            )
+        )
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+        return pa.table({"l_suppkey": t.column("l_suppkey").combine_chunks(), "rev_u": rev})
+
+    per_supp = sum_per_key(
+        li.map_batches(_proj, batch_format="pyarrow"), "l_suppkey", "rev_u"
+    ).materialize()
+    mx = per_supp.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array([pc.max(b.column("rev_u")).as_py() or 0], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    best = max((r["m"] for r in mx), default=0)
+    return per_supp.map_batches(
+        lambda b: b.filter(pc.equal(b.column("rev_u"), best)).rename_columns(
+            ["l_suppkey", "total_revenue_u"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH r AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_revenue_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT l_suppkey, total_revenue_u FROM r
+WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q17: small-quantity-order revenue
+# --------------------------------------------------------------------------
+
+def q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 shape: yearly revenue lost if Brand#1 orders below 20% of
+    the part's average quantity stopped shipping. The brand's partkey set
+    broadcasts into the lineitem scan; per-part (sum, count) gather bounded
+    (the brand slice of a DIMENSION table) and broadcast back for the
+    second pass. The avg comparison is division-free: 5·qty·n < sum —
+    exact integers on both engines."""
+    import ray
+
+    part_ids = sorted(
+        r["p_partkey"]
+        for r in load(sf_dir, "part", ["p_partkey", "p_brand"])
+        .map_batches(
+            lambda b: b.filter(pc.equal(b.column("p_brand"), "Brand#1")).select(
+                ["p_partkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    ids_arr = np.asarray(part_ids, np.int64)
+    ids_ref = ray.put(ids_arr)
+
+    li = load(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def _slice(b: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ids, pk)
+        pos_c = np.clip(pos, 0, max(len(ids) - 1, 0))
+        hit = (len(ids) > 0) & (ids[pos_c] == pk)
+        t = b.filter(pa.array(hit))
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey").combine_chunks(),
+                "qty_c": _cents(t.column("l_quantity")),
+                "ep_c": _cents(t.column("l_extendedprice")),
+            }
+        )
+
+    sliced = li.map_batches(_slice, batch_format="pyarrow").materialize()
+
+    def _stats(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey").combine_chunks(),
+                "s": b.column("qty_c").combine_chunks(),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["l_partkey"]).aggregate([("s", "sum"), ("n", "sum")])
+        return g.rename_columns(["l_partkey", "s", "n"])
+
+    stats = sliced.map_batches(_stats, batch_format="pyarrow").take_all()
+    acc: dict[int, list[int]] = {}
+    for r in stats:
+        a = acc.setdefault(r["l_partkey"], [0, 0])
+        a[0] += r["s"]
+        a[1] += r["n"]
+    keys = np.asarray(sorted(acc), np.int64)
+    sums = np.asarray([acc[k][0] for k in keys], np.int64)
+    cnts = np.asarray([acc[k][1] for k in keys], np.int64)
+    k_ref, s_ref, n_ref = ray.put(keys), ray.put(sums), ray.put(cnts)
+
+    def _fold(b: pa.Table) -> pa.Table:
+        kk, ss, nn = ray.get(k_ref), ray.get(s_ref), ray.get(n_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, pk)
+        qty = b.column("qty_c").to_numpy(zero_copy_only=False)
+        ep = b.column("ep_c").to_numpy(zero_copy_only=False)
+        small = 5 * qty * nn[pos] < ss[pos]
+        return pa.table(
+            {
+                "ep": pa.array([int(ep[small].sum())], pa.int64()),
+                "n": pa.array([int(small.sum())], pa.int64()),
+            }
+        )
+
+    folds = sliced.map_batches(_fold, batch_format="pyarrow").take_all()
+    total_ep = sum(r["ep"] for r in folds)
+    n_rows = sum(r["n"] for r in folds)
+    return pa.table(
+        {
+            "avg_yearly_c": pa.array([total_ep // 7 if total_ep >= 0 else -((-total_ep) // 7)], pa.int64()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'),
+st AS (SELECT l_partkey, sum(qty_c) AS s, count(*) AS n FROM li GROUP BY l_partkey)
+SELECT CAST(COALESCE(sum(ep_c), 0) // 7 AS BIGINT) AS avg_yearly_c,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM li JOIN st USING (l_partkey)
+WHERE 5 * qty_c * n < s
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19: disjunctive-predicate join revenue
+# --------------------------------------------------------------------------
+
+_Q19_CLAUSES = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#1", 1, 10, 1, 15),
+    ("Brand#2", 11, 25, 10, 25),
+    ("Brand#3", 26, 50, 20, 35),
+]
+
+
+def q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 shape: revenue under an OR of (brand, size-range,
+    qty-range) conjunctions. The part attributes broadcast as three parallel
+    sorted arrays; the disjunction evaluates vectorized inside ONE lineitem
+    scan — a pure streaming filter+fold, no join, no shuffle."""
+    import ray
+
+    part = load(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    rows = part.take_all()
+    rows.sort(key=lambda r: r["p_partkey"])
+    pks = np.asarray([r["p_partkey"] for r in rows], np.int64)
+    brands = np.asarray([r["p_brand"] for r in rows])
+    sizes = np.asarray([r["p_size"] for r in rows], np.int64)
+    refs = (ray.put(pks), ray.put(brands), ray.put(sizes))
+
+    li = load(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def _fold(b: pa.Table) -> pa.Table:
+        kk, bb, zz = (ray.get(r) for r in refs)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, pk)
+        pos_c = np.clip(pos, 0, max(len(kk) - 1, 0))
+        hit = (len(kk) > 0) & (kk[pos_c] == pk)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(pk), bool)
+        for brand, s_lo, s_hi, q_lo, q_hi in _Q19_CLAUSES:
+            mask |= (
+                hit
+                & (bb[pos_c] == brand)
+                & (zz[pos_c] >= s_lo)
+                & (zz[pos_c] <= s_hi)
+                & (qty >= q_lo)
+                & (qty <= q_hi)
+            )
+        t = b.filter(pa.array(mask))
+        rev = pc.multiply(
+            _cents(t.column("l_extendedprice")),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t.column("l_discount"))),
+        )
+        return pa.table(
+            {
+                "rev": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    folds = li.map_batches(_fold, batch_format="pyarrow").take_all()
+    return pa.table(
+        {
+            "revenue_u": pa.array([sum(r["rev"] for r in folds)], pa.int64()),
+            "n_rows": pa.array([sum(r["n"] for r in folds)], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0) AS BIGINT)
+         AS revenue_u,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 35)
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q16: supplier counts per part descriptor
+# --------------------------------------------------------------------------
+
+def q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size) for
+    non-PROMO, non-Brand#5 parts, counted from actual lineitem supply
+    pairs. Part attributes broadcast into the fact scan; the (brand, type,
+    size, suppkey) stream deduplicates via the sort-scan DISTINCT; final
+    counts fold over the bounded descriptor grid."""
+    import ray
+
+    from .util import distinct_rows
+
+    part = load(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    rows = [
+        r
+        for r in part.take_all()
+        if r["p_brand"] != "Brand#5" and r["p_type"] != "PROMO"
+    ]
+    rows.sort(key=lambda r: r["p_partkey"])
+    pks = np.asarray([r["p_partkey"] for r in rows], np.int64)
+    brands = np.asarray([r["p_brand"] for r in rows])
+    types = np.asarray([r["p_type"] for r in rows])
+    sizes = np.asarray([r["p_size"] for r in rows], np.int64)
+    refs = (ray.put(pks), ray.put(brands), ray.put(types), ray.put(sizes))
+
+    li = load(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def _attach(b: pa.Table) -> pa.Table:
+        kk, bb, tt, zz = (ray.get(r) for r in refs)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(kk, pk)
+        pos_c = np.clip(pos, 0, max(len(kk) - 1, 0))
+        hit = (len(kk) > 0) & (kk[pos_c] == pk)
+        idx = pos_c[hit]
+        return pa.table(
+            {
+                "p_brand": pa.array(bb[idx], pa.string()),
+                "p_type": pa.array(tt[idx], pa.string()),
+                "p_size": pa.array(zz[idx], pa.int64()),
+                "l_suppkey": pa.array(
+                    b.column("l_suppkey").to_numpy(zero_copy_only=False)[hit], pa.int64()
+                ),
+            }
+        )
+
+    quads = distinct_rows(
+        li.map_batches(_attach, batch_format="pyarrow"),
+        ["p_brand", "p_type", "p_size", "l_suppkey"],
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["p_brand", "p_type", "p_size"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+    parts = quads.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[tuple, int] = {}
+    for r in parts:
+        k = (r["p_brand"], r["p_type"], r["p_size"])
+        acc[k] = acc.get(k, 0) + r["supplier_cnt"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "p_brand": pa.array([k[0] for k in keys], pa.string()),
+            "p_type": pa.array([k[1] for k in keys], pa.string()),
+            "p_size": pa.array([k[2] for k in keys], pa.int64()),
+            "supplier_cnt": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations
+# --------------------------------------------------------------------------
+
+def q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 shape: yearly shipping revenue on cross-nation trade lanes
+    (either end in nations 0–4, ends differ — a predicate that stays
+    non-vacuous at every test scale). ONE fact×fact hash join (lineitem ⨝ orders on
+    orderkey, both pre-projected to 4/2 columns); supplier and customer
+    nationkeys attach from broadcast dimension arrays inside the post-join
+    scan; the (supp_nation, cust_nation, year) aggregate domain is tiny and
+    folds on the driver."""
+    import ray
+
+    from .util import hash_join
+
+    def _dim_map(tbl: str, key: str, val: str):
+        rows = load(sf_dir, tbl, [key, val]).take_all()
+        rows.sort(key=lambda r: r[key])
+        return (
+            np.asarray([r[key] for r in rows], np.int64),
+            np.asarray([r[val] for r in rows], np.int64),
+        )
+
+    sk, sn = _dim_map("supplier", "s_suppkey", "s_nationkey")
+    ck, cn = _dim_map("customer", "c_custkey", "c_nationkey")
+    refs = (ray.put(sk), ray.put(sn), ray.put(ck), ray.put(cn))
+
+    li = load(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey").combine_chunks(),
+                "l_suppkey": b.column("l_suppkey").combine_chunks(),
+                "yr": pc.year(b.column("l_shipdate")),
+                "rev_u": pc.multiply(
+                    _cents(b.column("l_extendedprice")),
+                    pc.subtract(
+                        pa.scalar(100, pa.int64()), _cents(b.column("l_discount"))
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ords = load(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_join(li, ords, on="o_orderkey", join_type="inner")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        skk, snn, ckk, cnn = (ray.get(r) for r in refs)
+        sup = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cus = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        s_nat = snn[np.searchsorted(skk, sup)]
+        c_nat = cnn[np.searchsorted(ckk, cus)]
+        keep = (np.minimum(s_nat, c_nat) < 5) & (s_nat != c_nat)
+        t = pa.table(
+            {
+                "supp_nation": pa.array(s_nat[keep], pa.int64()),
+                "cust_nation": pa.array(c_nat[keep], pa.int64()),
+                "yr": pa.array(
+                    pc.cast(b.column("yr"), pa.int64()).to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+                "rev_u": pa.array(
+                    b.column("rev_u").to_numpy(zero_copy_only=False)[keep], pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["supp_nation", "cust_nation", "yr"]).aggregate([("rev_u", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation", "yr", "rev_u"])
+
+    parts = joined.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[tuple, int] = {}
+    for r in parts:
+        k = (r["supp_nation"], r["cust_nation"], r["yr"])
+        acc[k] = acc.get(k, 0) + r["rev_u"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "supp_nation": pa.array([k[0] for k in keys], pa.int64()),
+            "cust_nation": pa.array([k[1] for k in keys], pa.int64()),
+            "yr": pa.array([k[2] for k in keys], pa.int64()),
+            "revenue_u": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT CAST(s_nationkey AS BIGINT) AS supp_nation,
+       CAST(c_nationkey AS BIGINT) AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS yr,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_u
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+WHERE least(s_nationkey, c_nationkey) < 5 AND s_nationkey <> c_nationkey
+GROUP BY s_nationkey, c_nationkey, year(l_shipdate)
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {
+        "events_user_path": QueryDef(q_events_user_path, SQL_EVENTS_USER_PATH),
+        "graph_hits": QueryDef(q_graph_hits, SQL_GRAPH_HITS),
+        "tpch_q15_top_supplier": QueryDef(q_tpch_q15, SQL_TPCH_Q15),
+        "tpch_q17_small_qty": QueryDef(q_tpch_q17, SQL_TPCH_Q17),
+        "tpch_q19_disjunctive": QueryDef(q_tpch_q19, SQL_TPCH_Q19),
+        "tpch_q16_supplier_cnt": QueryDef(q_tpch_q16, SQL_TPCH_Q16),
+        "tpch_q7_nation_volume": QueryDef(q_tpch_q7, SQL_TPCH_Q7),
+    }
+)
