@@ -367,6 +367,49 @@ def decode_media_stats(
     )
 
 
+class MediaResizer:
+    """Actor-pool callable: REAL decode -> nearest-neighbor downsample by an
+    integer factor (top-left anchor: keep pixel (f·y, f·x)) -> re-encode to
+    a REAL PNG + integer stats of the RESIZED image. The deployment shape
+    for thumbnail/feature-input pipelines: decode state per actor, small
+    output batches, payload column replaced (never both held)."""
+
+    def __init__(self, factor: int = 2) -> None:
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self._f = factor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_gray
+
+        widths, heights, sums, payloads = [], [], [], []
+        for p in batch.column("media").to_pylist():
+            px = decode_jpeg_gray(p) if p[:2] == b"\xff\xd8" else decode_png_gray(p)
+            small = px[:: self._f, :: self._f]
+            h, w = small.shape
+            widths.append(w)
+            heights.append(h)
+            sums.append(int(small.astype(np.int64).sum()))
+            payloads.append(encode_png_gray(small))
+        out = batch.drop_columns(["media"])
+        out = out.append_column("out_width", pa.array(widths, pa.int64()))
+        out = out.append_column("out_height", pa.array(heights, pa.int64()))
+        out = out.append_column("resized_sum", pa.array(sums, pa.int64()))
+        return out.append_column("media", pa.array(payloads, pa.binary()))
+
+
+def resize_media(
+    ds: rd.Dataset, *, factor: int = 2, concurrency=(1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
 # --------------------------------------------------------------------------
 # audio: RIFF/WAVE PCM16 — pure struct+numpy, no codec dependency
 # --------------------------------------------------------------------------

@@ -615,6 +615,9 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 wave 6 (newest operators get driver-gate coverage)
+    "multimodal_resize",
+    "events_ema",
+    "stats_misra_gries",
     "events_user_path",
     "graph_hits",
     "tpch_q15_top_supplier",

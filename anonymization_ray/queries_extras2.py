@@ -1450,3 +1450,229 @@ EXTRAS2_REGISTRY.update(
         "tpch_q7_nation_volume": QueryDef(q_tpch_q7, SQL_TPCH_Q7),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# multimodal: nearest-neighbor image resize (real PNG round trip)
+# --------------------------------------------------------------------------
+
+def q_multimodal_resize(sf_dir: str):
+    """Image RESIZE end-to-end: attach REAL 16×16 PNG payloads with
+    closed-form pixels, nearest-neighbor downsample ×2 in the actor pool
+    (decode → ``px[::2, ::2]`` → re-encode to a REAL 8×8 PNG), emit integer
+    stats of the resized image. The oracle recomputes the kept pixels'
+    closed form ``(doc_id·31 + i²) % 256`` at the strided indices in SQL —
+    a value match certifies decode, stride geometry, and stats together."""
+    from .extras.multimodal import attach_media_affine, resize_media
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    out = resize_media(attach_media_affine(docs, "doc_id"), factor=2)
+    return out.select_columns(["doc_id", "out_width", "out_height", "resized_sum"])
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT d.doc_id,
+       CAST(8 AS BIGINT) AS out_width,
+       CAST(8 AS BIGINT) AS out_height,
+       (SELECT CAST(sum((d.doc_id * 31
+                         + ((t.i // 8) * 32 + (t.i % 8) * 2)
+                           * ((t.i // 8) * 32 + (t.i % 8) * 2)) % 256) AS BIGINT)
+        FROM unnest(range(64)) AS t(i)) AS resized_sum
+FROM documents d
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {"multimodal_resize": QueryDef(q_multimodal_resize, SQL_MULTIMODAL_RESIZE)}
+)
+
+
+# --------------------------------------------------------------------------
+# per-key integer EMA (sequential stateful recurrence, exact)
+# --------------------------------------------------------------------------
+
+def q_events_ema(sf_dir: str):
+    """Per-user integer EMA (α=1/2): ema₁=v₁, emaₙ=trunc((emaₙ₋₁+vₙ)/2) over
+    (ts, event_id) order, in cents. The recurrence is inherently sequential
+    per key — the distributed shape is the user-path one: ONE range sort;
+    runs complete inside a block compute there in parallel; only each
+    block's first/last key runs ship to the driver (2 per block), which
+    chains spanning users in block order. The floor-free trunc division
+    matches DuckDB's ``//`` exactly, and the oracle replays the recurrence
+    as a recursive CTE."""
+    import ray
+
+    from .util import coalesce_blocks
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "event_id", "value"]).map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id").combine_chunks(),
+                "ts": b.column("ts").combine_chunks(),
+                "event_id": b.column("event_id").combine_chunks(),
+                "v_c": _cents(b.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    s = coalesce_blocks(ev.materialize()).sort(["user_id", "ts", "event_id"]).materialize()
+    refs = list(s.to_arrow_refs())
+
+    def _ema_run(vals: list[int]) -> list[int]:
+        out, e = [], None
+        for v in vals:
+            e = v if e is None else _tdiv(e + v, 2)
+            out.append(e)
+        return out
+
+    @ray.remote(num_cpus=0.5)
+    def _block(t: pa.Table, idx: int):
+        if t.num_rows == 0:
+            return None, []
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("v_c").to_numpy(zero_copy_only=False)
+        brk = np.flatnonzero(u[1:] != u[:-1]) + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [len(u)]])
+        frags = []
+        in_ids: list[int] = []
+        in_ema: list[int] = []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            if i == 0 or i == len(starts) - 1:
+                frags.append((int(u[a]), ids[a:b].tolist(), v[a:b].tolist(), idx))
+            else:
+                e = None
+                for j in range(a, b):
+                    e = int(v[j]) if e is None else _tdiv(e + int(v[j]), 2)
+                    in_ids.append(int(ids[j]))
+                    in_ema.append(e)
+        inner = pa.table(
+            {
+                "event_id": pa.array(in_ids, pa.int64()),
+                "ema_c": pa.array(in_ema, pa.int64()),
+            }
+        )
+        return inner, frags
+
+    results = ray.get([_block.remote(r, i) for i, r in enumerate(refs)])
+    inner_tbls = [t for t, _ in results if t is not None and t.num_rows]
+    frags = sorted((f for _, fs in results for f in fs), key=lambda x: (x[0], x[3]))
+    m_ids: list[int] = []
+    m_ema: list[int] = []
+    i = 0
+    while i < len(frags):
+        j, ids_all, vals_all = i, [], []
+        while j < len(frags) and frags[j][0] == frags[i][0]:
+            ids_all += frags[j][1]
+            vals_all += frags[j][2]
+            j += 1
+        m_ids += ids_all
+        m_ema += _ema_run(vals_all)
+        i = j
+    merged = pa.table(
+        {"event_id": pa.array(m_ids, pa.int64()), "ema_c": pa.array(m_ema, pa.int64())}
+    )
+    all_tbls = inner_tbls + ([merged] if merged.num_rows else [])
+    import ray.data as rd
+
+    if not all_tbls:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()), "ema_c": pa.array([], pa.int64())}
+        )
+    return rd.from_arrow(all_tbls)
+
+
+SQL_EVENTS_EMA = """
+WITH RECURSIVE s AS (
+  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS v_c,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+r AS (
+  SELECT user_id, event_id, rn, v_c AS ema_c FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.event_id, s.rn, (r.ema_c + s.v_c) // 2
+  FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+SELECT event_id, ema_c FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy-hitter sketch (mergeable, scoreboard oracle)
+# --------------------------------------------------------------------------
+
+def q_stats_misra_gries(sf_dir: str, k: int = 64):
+    """Misra-Gries frequency summary over l_partkey (k=64 counters),
+    mergeable form (Agarwal et al. 2012): each block computes exact counts
+    and trims to k by subtracting the (k+1)-th largest; the driver sums the
+    bounded per-block summaries and trims once more. Invariants scoreboarded
+    the CMS way over a deterministic probe set (partkey ≡ 3 mod 97):
+    MG never overestimates (le_ok) and underestimates by at most
+    N//(k+1) (within_ok) — both theorem-guaranteed, so the flags are
+    stable 1s and a regression hash-mismatches. Exact probe counts ride
+    along via the sort-scan counter."""
+    from .extras.stats import exact_value_counts
+
+    li = load(sf_dir, "lineitem", ["l_partkey"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        keys, cnts = np.unique(pk, return_counts=True)
+        if len(keys) > k:
+            order = np.argsort(cnts)[::-1]
+            thresh = cnts[order[k]]
+            keep = cnts > thresh
+            # fewer than k survivors is fine (ties at the threshold drop)
+            keys, cnts = keys[keep], cnts[keep] - thresh
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(_partial, batch_format="pyarrow").take_all()
+    summary: dict[int, int] = {}
+    for r in parts:
+        summary[r["key"]] = summary.get(r["key"], 0) + r["cnt"]
+    n_total = li.count()
+    if len(summary) > k:
+        vals = sorted(summary.values(), reverse=True)
+        thresh = vals[k]
+        summary = {key: c - thresh for key, c in summary.items() if c > thresh}
+    bound = n_total // (k + 1)
+
+    def _probes(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        return pa.table({"l_partkey": pa.array(pk[(pk - 3) % 97 == 0], pa.int64())})
+
+    probes = exact_value_counts(
+        li.map_batches(_probes, batch_format="pyarrow"), "l_partkey"
+    ).to_pandas()
+    keys = probes["l_partkey"].to_numpy().astype(np.int64)
+    exact = probes["n"].to_numpy().astype(np.int64)
+    est = np.asarray([summary.get(int(key), 0) for key in keys], np.int64)
+    return pa.table(
+        {
+            "l_partkey": pa.array(keys, pa.int64()),
+            "exact_count": pa.array(exact, pa.int64()),
+            "le_ok": pa.array((est <= exact).astype(np.int64), pa.int64()),
+            "within_ok": pa.array((exact - est <= bound).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_STATS_MISRA_GRIES = """
+SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count,
+       CAST(1 AS BIGINT) AS le_ok, CAST(1 AS BIGINT) AS within_ok
+FROM lineitem WHERE (l_partkey - 3) % 97 = 0
+GROUP BY l_partkey
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {
+        "events_ema": QueryDef(q_events_ema, SQL_EVENTS_EMA),
+        "stats_misra_gries": QueryDef(q_stats_misra_gries, SQL_STATS_MISRA_GRIES),
+    }
+)
