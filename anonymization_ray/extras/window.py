@@ -80,7 +80,17 @@ def per_key_window(
     # trailing key run across blocks < b (None when b starts a new key)
     carries: list[tuple | None] = []
     run_key, run_n, run_sum, run_last = None, 0, 0, 0
+    _I64 = 1 << 63
     for m in summaries:
+        if not -_I64 <= run_sum < _I64:
+            # loud contract enforcement: the in-block numpy cumsum would have
+            # wrapped silently, and a Python bigint carry crashes the ufunc
+            # add with a cryptic cast error — callers must pre-scale val_col
+            # so per-key running sums fit int64
+            raise ValueError(
+                f"per_key_window running sum of {val_col!r} overflows int64 "
+                f"({run_sum}); pre-scale the value column"
+            )
         carries.append(
             (run_key, run_n, run_sum, run_last)
             if run_key is not None and m["first"] == run_key

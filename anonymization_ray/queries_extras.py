@@ -5308,7 +5308,11 @@ def q_corpus_interleave(sf_dir: str):
                 "doc_id": b.column("doc_id").combine_chunks(),
                 "source": b.column("source").combine_chunks(),
                 "h": pa.array(h63, pa.int64()),
-                "hv": pa.array(h63, pa.int64()),
+                # window val_col: only rn is consumed here, and 63-bit hashes
+                # would overflow the window's int64 running sum across blocks
+                # (per_key_window's documented pre-scale contract) — ones keep
+                # the sum trivially in range
+                "hv": pa.array(np.ones(len(h63), np.int64)),
             }
         )
 
