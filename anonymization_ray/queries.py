@@ -615,6 +615,10 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 wave 6 (newest operators get driver-gate coverage)
+    "tpch_q8_market_share",
+    "tpch_q11_important_parts",
+    "tpch_q21_sole_late",
+    "stats_quantile_cont",
     "multimodal_resize",
     "events_ema",
     "stats_misra_gries",

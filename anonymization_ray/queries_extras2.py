@@ -1676,3 +1676,374 @@ EXTRAS2_REGISTRY.update(
         "stats_misra_gries": QueryDef(q_stats_misra_gries, SQL_STATS_MISRA_GRIES),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q11 shape: important parts by value share
+# --------------------------------------------------------------------------
+
+def q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 shape (no partsupp table in this corpus — importance is
+    measured on actual shipped value): parts whose total lineitem value
+    exceeds 1.5× the mean per-part value — a SCALE-FREE importance cut
+    (Q11's fixed corpus fraction goes vacuous as the part count grows).
+    Per-part value via sort-scan ``sum_per_key``; the cut broadcast as ONE
+    integer threshold floor(3·total / (2·n_parts)) — exactly equivalent to
+    the real-valued compare for integer values, and overflow-free where a
+    cross-multiplication would wrap int64 at extreme scale."""
+    from .extras.graph import sum_per_key
+
+    li = load(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"]).map_batches(
+        lambda b: pa.table(
+            {
+                "l_partkey": b.column("l_partkey").combine_chunks(),
+                "ep_c": _cents(b.column("l_extendedprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    per_part = sum_per_key(li, "l_partkey", "ep_c").materialize()
+    totals = per_part.map_batches(
+        lambda b: pa.table(
+            {
+                "t": pa.array([pc.sum(b.column("ep_c")).as_py() or 0], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    total = sum(r["t"] for r in totals)
+    n_parts = sum(r["n"] for r in totals)
+    thresh = (3 * total) // (2 * n_parts) if n_parts else 0
+    return per_part.map_batches(
+        lambda b: b.filter(pc.greater(b.column("ep_c"), thresh)).rename_columns(
+            ["l_partkey", "value_c"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH v AS (SELECT l_partkey,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                    AS value_c
+           FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, value_c FROM v
+WHERE value_c > (3 * (SELECT sum(value_c) FROM v)) // (2 * (SELECT count(*) FROM v))
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 shape: market share by year
+# --------------------------------------------------------------------------
+
+def q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 shape: NATION_3's share of yearly revenue from orders whose
+    customer sits in region ASIA. ONE fact×fact hash join (lineitem ⨝
+    orders); customer→region and supplier→nation attach from broadcast
+    dimension arrays (region derives from the nation grid, joined driver-
+    side — 25 rows); shares are integer micro-fractions. The aggregate
+    domain is the year grid, folded on the driver."""
+    import ray
+
+    from .util import hash_join
+
+    # nation -> region (25-row driver join), then customer -> in-ASIA flag
+    nat = {r["n_nationkey"]: r["n_regionkey"] for r in load(sf_dir, "nation").take_all()}
+    asia = {k for k, v in nat.items() if v == 2}
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).take_all()
+    cust.sort(key=lambda r: r["c_custkey"])
+    ck = np.asarray([r["c_custkey"] for r in cust], np.int64)
+    c_in = np.asarray([1 if r["c_nationkey"] in asia else 0 for r in cust], np.int64)
+
+    supp = load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    supp.sort(key=lambda r: r["s_suppkey"])
+    sk = np.asarray([r["s_suppkey"] for r in supp], np.int64)
+    s_n3 = np.asarray([1 if r["s_nationkey"] == 3 else 0 for r in supp], np.int64)
+    refs = (ray.put(ck), ray.put(c_in), ray.put(sk), ray.put(s_n3))
+
+    li = load(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderkey": b.column("l_orderkey").combine_chunks(),
+                "l_suppkey": b.column("l_suppkey").combine_chunks(),
+                "yr": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "rev_u": pc.multiply(
+                    _cents(b.column("l_extendedprice")),
+                    pc.subtract(
+                        pa.scalar(100, pa.int64()), _cents(b.column("l_discount"))
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li, load(sf_dir, "orders", ["o_orderkey", "o_custkey"]), on="o_orderkey",
+        join_type="inner",
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ckk, cin, skk, sn3 = (ray.get(r) for r in refs)
+        cus = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        sup = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        keep = cin[np.searchsorted(ckk, cus)].astype(bool)
+        n3 = sn3[np.searchsorted(skk, sup)].astype(bool) & keep
+        yr = b.column("yr").to_numpy(zero_copy_only=False)
+        rev = b.column("rev_u").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "yr": pa.array(yr[keep], pa.int64()),
+                "total_u": pa.array(rev[keep], pa.int64()),
+                "nation_u": pa.array(np.where(n3[keep], rev[keep], 0), pa.int64()),
+            }
+        )
+        g = t.group_by(["yr"]).aggregate([("total_u", "sum"), ("nation_u", "sum")])
+        return g.rename_columns(["yr", "total_u", "nation_u"])
+
+    parts = joined.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[int, list[int]] = {}
+    for r in parts:
+        a = acc.setdefault(r["yr"], [0, 0])
+        a[0] += r["total_u"]
+        a[1] += r["nation_u"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "yr": pa.array(keys, pa.int64()),
+            "nation_rev_u": pa.array([acc[k][1] for k in keys], pa.int64()),
+            "total_rev_u": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "mkt_share_micro": pa.array(
+                [
+                    (1_000_000 * acc[k][1]) // acc[k][0] if acc[k][0] else 0
+                    for k in keys
+                ],
+                pa.int64(),
+            ),
+        }
+    )
+
+
+SQL_TPCH_Q8 = """
+WITH f AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_u,
+         (s.s_nationkey = 3) AS is_n3
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE n.n_regionkey = 2)
+SELECT yr,
+       CAST(COALESCE(sum(CASE WHEN is_n3 THEN rev_u END), 0) AS BIGINT) AS nation_rev_u,
+       CAST(sum(rev_u) AS BIGINT) AS total_rev_u,
+       CAST(CASE WHEN sum(rev_u) = 0 THEN 0
+                 ELSE (1000000 * COALESCE(sum(CASE WHEN is_n3 THEN rev_u END), 0))
+                      // sum(rev_u) END AS BIGINT) AS mkt_share_micro
+FROM f GROUP BY yr
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 shape: sole late shipper in multi-supplier orders
+# --------------------------------------------------------------------------
+
+def q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 shape (no receipt/commit dates in this corpus — "late" is
+    shipdate > orderdate + 60 days): suppliers who were the ONLY late
+    shipper in an order served by ≥2 distinct suppliers, counted per
+    supplier. One fact×fact hash join, sort-scan DISTINCT over (order,
+    supplier, late), then three NARROW order-keyed streams (distinct-supp
+    count, late-supp count, min late supplier) recombined with order-keyed
+    hash joins — every intermediate is order-cardinality, never a
+    lineitem-sized shuffle after the first join."""
+    from .extras.graph import sum_per_key
+    from .util import distinct_rows, hash_join, min_per_key
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_suppkey", "l_shipdate"]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li, load(sf_dir, "orders", ["o_orderkey", "o_orderdate"]), on="o_orderkey",
+        join_type="inner",
+    )
+    late_us = 60 * 86400 * 1_000_000
+
+    def _mark(b: pa.Table) -> pa.Table:
+        late = pc.greater(
+            pc.subtract(
+                pc.cast(b.column("l_shipdate"), pa.int64()),
+                pc.cast(b.column("o_orderdate"), pa.int64()),
+            ),
+            late_us,
+        )
+        return pa.table(
+            {
+                "ok": b.column("o_orderkey").combine_chunks(),
+                "sk": b.column("l_suppkey").combine_chunks(),
+                "late": pc.cast(late, pa.int64()),
+            }
+        )
+
+    pairs = distinct_rows(
+        joined.map_batches(_mark, batch_format="pyarrow"), ["ok", "sk", "late"]
+    ).materialize()
+
+    def _ones(col: str):
+        return lambda b: pa.table(
+            {
+                "ok": b.column("ok").combine_chunks(),
+                col: pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    # a supplier may appear twice per order (late and on-time rows) — the
+    # distinct-supplier count dedups (ok, sk) first
+    supp_pairs = distinct_rows(pairs.select_columns(["ok", "sk"]), ["ok", "sk"])
+    n_supp = sum_per_key(
+        supp_pairs.map_batches(_ones("n_supp"), batch_format="pyarrow"), "ok", "n_supp"
+    )
+    late_pairs = pairs.map_batches(
+        lambda b: b.filter(pc.equal(b.column("late"), 1)).select(["ok", "sk"]),
+        batch_format="pyarrow",
+    ).materialize()
+    n_late = sum_per_key(
+        late_pairs.map_batches(_ones("n_late"), batch_format="pyarrow"), "ok", "n_late"
+    )
+    late_min = min_per_key(late_pairs, "ok", "sk")
+
+    stats = hash_join(
+        hash_join(n_supp, n_late, on="ok", join_type="inner"),
+        late_min,
+        on="ok",
+        join_type="inner",
+    )
+    waits = stats.map_batches(
+        lambda b: b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("n_supp"), 2), pc.equal(b.column("n_late"), 1)
+            )
+        ).select(["sk"]),
+        batch_format="pyarrow",
+    )
+
+    def _cnt(b: pa.Table) -> pa.Table:
+        g = b.group_by(["sk"]).aggregate([([], "count_all")])
+        return g.rename_columns(["s_suppkey", "numwait"])
+
+    parts = waits.map_batches(_cnt, batch_format="pyarrow").take_all()
+    acc: dict[int, int] = {}
+    for r in parts:
+        acc[r["s_suppkey"]] = acc.get(r["s_suppkey"], 0) + r["numwait"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "s_suppkey": pa.array(keys, pa.int64()),
+            "numwait": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q21 = """
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk,
+         CAST(l_shipdate > o_orderdate + INTERVAL 60 DAY AS BIGINT) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+st AS (
+  SELECT ok,
+         count(DISTINCT sk) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN sk END) AS n_late,
+         min(CASE WHEN late = 1 THEN sk END) AS late_sk
+  FROM pairs GROUP BY ok)
+SELECT late_sk AS s_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM st WHERE n_supp >= 2 AND n_late = 1
+GROUP BY late_sk
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {
+        "tpch_q11_important_parts": QueryDef(q_tpch_q11, SQL_TPCH_Q11),
+        "tpch_q8_market_share": QueryDef(q_tpch_q8, SQL_TPCH_Q8),
+        "tpch_q21_sole_late": QueryDef(q_tpch_q21, SQL_TPCH_Q21),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# interpolated quantiles (quantile_cont semantics)
+# --------------------------------------------------------------------------
+
+def q_stats_quantile_cont(sf_dir: str):
+    """Interpolated (continuous) quantiles of l_extendedprice — the
+    quantile_cont complement of the exact discrete quantiles: h = q·(n−1),
+    v = v_lo + (h−⌊h⌋)·(v_hi−v_lo), from TWO narrow-sort point lookups per
+    q. Output in floor-cents so both engines compare exact integers (the
+    interpolation arithmetic is the same single-rounded double expression
+    on both sides; a floor-boundary coincidence needs a 1-ulp disagreement
+    AND an exact .00 result — the sqlrng-style integer-gate argument)."""
+    from .util import sorted_column
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    ds = load(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    sc = sorted_column(
+        ds, "l_extendedprice", "l_orderkey",
+        lambda a: a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+    )
+    n = sc.total
+    out_q, out_v = [], []
+    ranks = []
+    for q in qs:
+        h = q * (n - 1)
+        ranks += [int(np.floor(h)), min(n - 1, int(np.floor(h)) + 1)]
+    vals = sc.values_at_ranks(ranks)
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        hi = min(n - 1, lo + 1)
+        frac = h - lo
+        v = vals[lo] + frac * (vals[hi] - vals[lo])
+        out_q.append(q)
+        out_v.append(int(np.floor(v * 100.0)))
+    return pa.table(
+        {"q": pa.array(out_q, pa.float64()), "value_c": pa.array(out_v, pa.int64())}
+    )
+
+
+def _sql_quantile_cont() -> str:
+    # replicate the interpolation expression (not quantile_cont itself) so
+    # the double op sequence matches the Python side operation-for-operation
+    parts = []
+    for q in [0.25, 0.5, 0.75, 0.9]:
+        parts.append(f"""
+SELECT {q} AS q, CAST(floor((lo_v + ({q} * (n - 1) - floor({q} * (n - 1)))
+                             * (hi_v - lo_v)) * 100) AS BIGINT) AS value_c
+FROM (
+  SELECT n,
+         (SELECT l_extendedprice FROM s
+          WHERE rn = CAST(floor({q} * (n - 1)) AS BIGINT)) AS lo_v,
+         (SELECT l_extendedprice FROM s
+          WHERE rn = least(CAST(n - 1 AS BIGINT),
+                           CAST(floor({q} * (n - 1)) AS BIGINT) + 1)) AS hi_v
+  FROM (SELECT count(*) AS n FROM lineitem))""")
+    return (
+        "WITH s AS (SELECT l_extendedprice,"
+        " row_number() OVER (ORDER BY l_extendedprice, l_orderkey) - 1 AS rn,"
+        " count(*) OVER () AS n FROM lineitem)"
+        + " UNION ALL ".join(parts)
+    )
+
+
+SQL_STATS_QUANTILE_CONT = _sql_quantile_cont()
+
+
+EXTRAS2_REGISTRY.update(
+    {"stats_quantile_cont": QueryDef(q_stats_quantile_cont, SQL_STATS_QUANTILE_CONT)}
+)
