@@ -614,7 +614,10 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 6 (newest operators get driver-gate coverage)
+    # round-4 wave 7 (newest operators get driver-gate coverage)
+    "tpch_q9_profit",
+    "tpch_q20_dominant_supplier",
+    # round-4 wave 6
     "tpch_q8_market_share",
     "tpch_q11_important_parts",
     "tpch_q21_sole_late",

@@ -2047,3 +2047,219 @@ SQL_STATS_QUANTILE_CONT = _sql_quantile_cont()
 EXTRAS2_REGISTRY.update(
     {"stats_quantile_cont": QueryDef(q_stats_quantile_cont, SQL_STATS_QUANTILE_CONT)}
 )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by nation and year
+# --------------------------------------------------------------------------
+
+def q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 shape (no partsupp table in this corpus — supply cost is the
+    part's retail price): per (supplier-nation, order-year) profit over parts
+    whose name contains 'ol', profit = extprice·(1−discount) − retail·qty in
+    exact 1e-4-dollar integer units. ONE fact×fact hash join (lineitem ⨝
+    orders, for the order year); the part slice (name-filtered DIMENSION
+    rows) and supplier→nation broadcast as sorted arrays; the aggregate
+    domain is the bounded nation×year grid, folded on the driver."""
+    import ray
+
+    from .util import hash_join
+
+    nat = {r["n_nationkey"]: r["n_name"] for r in load(sf_dir, "nation").take_all()}
+
+    pt = load(sf_dir, "part", ["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda b: b.filter(pc.match_substring(b.column("p_name"), "ol")).select(
+            ["p_partkey", "p_retailprice"]
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    pt.sort(key=lambda r: r["p_partkey"])
+    pk = np.asarray([r["p_partkey"] for r in pt], np.int64)
+    retail_c = np.asarray([round(r["p_retailprice"] * 100) for r in pt], np.int64)
+
+    supp = load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).take_all()
+    supp.sort(key=lambda r: r["s_suppkey"])
+    sk = np.asarray([r["s_suppkey"] for r in supp], np.int64)
+    s_nat = np.asarray([r["s_nationkey"] for r in supp], np.int64)
+    refs = (ray.put(pk), ray.put(retail_c), ray.put(sk), ray.put(s_nat))
+
+    def _slice(b: pa.Table) -> pa.Table:
+        pkk, rc, _, _ = (ray.get(r) for r in refs)
+        part = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(pkk, part)
+        pos_c = np.clip(pos, 0, max(len(pkk) - 1, 0))
+        hit = (len(pkk) > 0) & (pkk[pos_c] == part)
+        t = b.filter(pa.array(hit))
+        ep_c = _cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        disc_c = _cents(t.column("l_discount")).to_numpy(zero_copy_only=False)
+        qty = (
+            pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        cost = rc[np.clip(np.searchsorted(pkk, t.column("l_partkey").to_numpy(
+            zero_copy_only=False)), 0, max(len(pkk) - 1, 0))]
+        profit_u = ep_c * (100 - disc_c) - cost * qty * 100
+        return pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey").combine_chunks(),
+                "l_suppkey": t.column("l_suppkey").combine_chunks(),
+                "profit_u": pa.array(profit_u, pa.int64()),
+            }
+        )
+
+    li = load(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+         "l_extendedprice", "l_discount"],
+    ).map_batches(_slice, batch_format="pyarrow")
+    joined = hash_join(
+        li, load(sf_dir, "orders", ["o_orderkey", "o_orderdate"]), on="o_orderkey",
+        join_type="inner",
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        _, _, skk, snat = (ray.get(r) for r in refs)
+        sup = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "nk": pa.array(snat[np.searchsorted(skk, sup)], pa.int64()),
+                "o_year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+                "profit_u": b.column("profit_u").combine_chunks(),
+            }
+        )
+        g = t.group_by(["nk", "o_year"]).aggregate([("profit_u", "sum")])
+        return g.rename_columns(["nk", "o_year", "profit_u"])
+
+    parts = joined.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[tuple[int, int], int] = {}
+    for r in parts:
+        key = (r["nk"], r["o_year"])
+        acc[key] = acc.get(key, 0) + r["profit_u"]
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "n_name": pa.array([nat[k[0]] for k in keys], pa.string()),
+            "o_year": pa.array([k[1] for k in keys], pa.int64()),
+            "sum_profit_u": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+SQL_TPCH_Q9 = """
+SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(round(p_retailprice * 100) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT)
+         AS sum_profit_u
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%ol%'
+GROUP BY n_name, o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q20 shape: dominant suppliers of name-sliced parts
+# --------------------------------------------------------------------------
+
+def q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 shape (no partsupp availqty — a supplier "can promote" a
+    part when they shipped MORE than half its 1996 volume): suppliers that
+    dominate ≥1 part whose name starts with 'small'. The part slice
+    broadcasts into the lineitem scan (corpus never shuffles); per
+    (part, supplier) quantity partials gather driver-side — bounded by the
+    sliced-part × suppliers-per-part grid, a dimension-scale set — where the
+    correlated 2·s > t cut and the distinct-supplier projection fold.
+    Division-free compare; exact integers on both engines."""
+    import ray
+
+    nat = {r["n_nationkey"]: r["n_name"] for r in load(sf_dir, "nation").take_all()}
+    sup = {
+        r["s_suppkey"]: (r["s_name"], r["s_nationkey"])
+        for r in load(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+        .take_all()
+    }
+
+    part_ids = sorted(
+        r["p_partkey"]
+        for r in load(sf_dir, "part", ["p_partkey", "p_name"])
+        .map_batches(
+            lambda b: b.filter(
+                pc.starts_with(b.column("p_name"), "small")
+            ).select(["p_partkey"]),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    ids_ref = ray.put(np.asarray(part_ids, np.int64))
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        win = pc.and_(
+            pc.greater_equal(b.column("l_shipdate"), lo),
+            pc.less(b.column("l_shipdate"), hi),
+        )
+        t = b.filter(win)
+        part = t.column("l_partkey").to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ids, part), 0, max(len(ids) - 1, 0))
+        hit = (len(ids) > 0) & (ids[pos] == part)
+        t = t.filter(pa.array(hit))
+        g = pa.table(
+            {
+                "pk": t.column("l_partkey").combine_chunks(),
+                "sk": t.column("l_suppkey").combine_chunks(),
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+            }
+        ).group_by(["pk", "sk"]).aggregate([("qty", "sum")])
+        return g.rename_columns(["pk", "sk", "qty"])
+
+    parts = (
+        load(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    ps: dict[tuple[int, int], int] = {}
+    tot: dict[int, int] = {}
+    for r in parts:
+        key = (r["pk"], r["sk"])
+        ps[key] = ps.get(key, 0) + r["qty"]
+        tot[r["pk"]] = tot.get(r["pk"], 0) + r["qty"]
+    winners = sorted({s for (p, s), q in ps.items() if 2 * q > tot[p]})
+    return pa.table(
+        {
+            "s_suppkey": pa.array(winners, pa.int64()),
+            "s_name": pa.array([sup[s][0] for s in winners], pa.string()),
+            "n_name": pa.array([nat[sup[s][1]] for s in winners], pa.string()),
+        }
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'),
+ps AS (SELECT l_partkey, l_suppkey, sum(qty) AS s FROM li GROUP BY 1, 2),
+tot AS (SELECT l_partkey, sum(s) AS t FROM ps GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM ps JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE 2 * s > t
+"""
+
+
+EXTRAS2_REGISTRY.update(
+    {
+        "tpch_q9_profit": QueryDef(q_tpch_q9, SQL_TPCH_Q9),
+        "tpch_q20_dominant_supplier": QueryDef(q_tpch_q20, SQL_TPCH_Q20),
+    }
+)
