@@ -705,10 +705,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     max_shingle_df: int | None = None,
+    score: str = "jaccard",
 ) -> rd.Dataset:
     """EXACT all-pairs word-k-shingle Jaccard >= ``threshold`` via an
     inverted shingle index self-join — the no-sketch member of the dedup
     family (minhash approximates this; here there are no candidate misses).
+
+    ``score="containment"`` swaps the symmetric Jaccard |A∩B|/|A∪B| for the
+    max-containment |A∩B|/min(|A|,|B|) — the quote/subset detector: a short
+    document fully embedded in a long one scores 1.0 here but near 0 on
+    Jaccard, so this is the mode that catches boilerplate inclusion and
+    near-verbatim excerpts. Same index, same join, same reductions; only
+    the final vectorized scoring map changes (output column is named after
+    the score).
 
     Shape at crawl scale: only (id, shingle_hash) rows ever shuffle (16 B),
     the self-join runs hash-partitioned on the shingle hash, and every
@@ -800,6 +809,7 @@ def ngram_jaccard_pairs(
             }
         )
 
+    score_col = "containment" if score == "containment" else "jaccard"
     pairs = inter.map_batches(_unfold, batch_format="pyarrow").materialize()
     npairs = pairs.count()
     if npairs == 0:
@@ -808,7 +818,7 @@ def ngram_jaccard_pairs(
                 {
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
+                    score_col: pa.array([], pa.float64()),
                 }
             )
         )
@@ -823,20 +833,20 @@ def ngram_jaccard_pairs(
     ).materialize()
     pairs = hash_join(pairs, sb, on="id_b", join_type="inner", num_partitions=jparts)
 
-    def _jac(batch: pa.Table, thr=threshold) -> pa.Table:
+    def _jac(batch: pa.Table, thr=threshold, mode=score) -> pa.Table:
         it = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
         nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
-        u = na + nb - it
+        u = np.minimum(na, nb) if mode == "containment" else na + nb - it
         ja = np.divide(it, u, out=np.ones_like(it), where=u > 0)
         out = pa.table(
             {
                 "id_a": batch.column("id_a").combine_chunks(),
                 "id_b": batch.column("id_b").combine_chunks(),
-                "jaccard": pa.array(ja, pa.float64()),
+                score_col: pa.array(ja, pa.float64()),
             }
         )
-        return out.filter(pc.greater_equal(out.column("jaccard"), thr))
+        return out.filter(pc.greater_equal(out.column(score_col), thr))
 
     return pairs.map_batches(_jac, batch_format="pyarrow")
 

@@ -268,3 +268,78 @@ def token_budget_cut(
     return rd.from_arrow_refs(
         [_cut.remote(r, int(o)) for r, o in zip(refs, offsets)]
     )
+
+
+def split_leakage(
+    ds: rd.Dataset,
+    id_col: str,
+    text_col: str,
+    *,
+    train_frac: float = 0.8,
+    salt: int = 0,
+) -> "pa.Table":
+    """Cross-split contamination check: how many eval-split documents share
+    an EXACT content hash with any train-split document — the leakage audit
+    every train/val split of a dedup-imperfect corpus needs before the eval
+    numbers mean anything.
+
+    Shape at crawl scale: the split assignment is the stateless SplitMix64
+    threshold (no shuffle), text collapses to a 16 B siphash immediately, the
+    distinct train-hash set is built by sort + boundary scan
+    (``util.min_per_key`` — never a Ray per-group aggregate), and the
+    membership probe is ONE hash-partitioned semi-join on int64 keys — the
+    corpus text itself never moves. Returns one row
+    (n_train, n_eval, n_leaked).
+    """
+    import pandas as pd
+
+    from ..util import hash_join, min_per_key
+
+    edge = np.uint64(min(int(train_frac * 2**64), 2**64 - 1))
+
+    def _hash_split(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        txt = batch.column(text_col).to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(txt.astype(object)).astype(np.int64)
+        is_train = sm64_key(ids, salt) < edge
+        return pa.table(
+            {
+                "content_hash": pa.array(h, pa.int64()),
+                "is_train": pa.array(is_train),
+            }
+        )
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        _hash_split, batch_format="pyarrow"
+    ).materialize()  # narrow (hash, flag) rows; reused by both sides
+
+    train = hashed.filter(expr="is_train == True").map_batches(
+        lambda b: pa.table(
+            {
+                "content_hash": b.column("content_hash").combine_chunks(),
+                "_one": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    n_train = train.count()
+    ev = hashed.filter(expr="is_train == False").select_columns(["content_hash"])
+    n_eval = ev.count()
+    if n_train == 0 or n_eval == 0:
+        leaked = 0
+    else:
+        distinct_train = min_per_key(train, "content_hash", "_one").select_columns(
+            ["content_hash"]
+        )
+        nparts = max(2, min(8, n_eval // 4000 + 1))
+        leaked = hash_join(
+            ev, distinct_train, on="content_hash", join_type="inner",
+            num_partitions=nparts,
+        ).count()
+    return pa.table(
+        {
+            "n_train": pa.array([n_train], pa.int64()),
+            "n_eval": pa.array([n_eval], pa.int64()),
+            "n_leaked": pa.array([leaked], pa.int64()),
+        }
+    )

@@ -434,3 +434,177 @@ def group_hll_distinct(
             est = m * np.log(m / zeros)
         out[g] = int(round(est))
     return out
+
+
+def rank_sketch_quantiles(
+    ds: rd.Dataset, col: str, qs: list[float], *, eps: float = 0.005
+) -> tuple[pa.Table, int, int]:
+    """Mergeable deterministic eps-rank quantile summary — the SCALE path
+    for quantiles (``exact_quantiles`` pays a full range sort; this is one
+    streaming pass + a driver merge of tiny per-block summaries, the same
+    shape as the HLL sketch above).
+
+    Per block: sort locally, keep every ``stride``-th value with weight
+    ``stride`` (stride = floor(eps * block_n), so the block summary is
+    <= 1/eps rows regardless of block size) plus the block max carrying the
+    remainder weight. Weighted rank error is < stride per block, so the
+    merged summary answers any rank query within ``eps * N + B`` ranks
+    (B = #blocks, from the floor). Deterministic — no sampling — so the
+    error bound is an invariant, not an expectation, and the scoreboard
+    oracle can gate on it exactly.
+
+    Returns (table[q, value], total_n, n_blocks).
+    """
+
+    def _summary(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.floating):
+            v = v[~np.isnan(v)]
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {
+                    "value": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.int64()),
+                    "blk": pa.array([], pa.int64()),
+                }
+            )
+        v = np.sort(v.astype(np.float64))
+        stride = max(1, int(np.floor(eps * n)))
+        idx = np.arange(stride - 1, n, stride)
+        w = np.full(len(idx), stride, dtype=np.int64)
+        rem = n - stride * len(idx)
+        if rem > 0:
+            idx = np.append(idx, n - 1)
+            w = np.append(w, rem)
+        return pa.table(
+            {
+                "value": pa.array(v[idx], pa.float64()),
+                "w": pa.array(w, pa.int64()),
+                "blk": pa.array([1] + [0] * (len(idx) - 1), pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.select_columns([col])
+        .map_batches(_summary, batch_format="pyarrow")
+        .take_all()
+    )  # bounded: <= (1/eps + 1) rows per block
+    if not parts:
+        return (
+            pa.table({"q": pa.array(qs, pa.float64()), "value": pa.nulls(len(qs))}),
+            0,
+            0,
+        )
+    vals = np.array([r["value"] for r in parts], dtype=np.float64)
+    ws = np.array([r["w"] for r in parts], dtype=np.int64)
+    blocks = int(sum(r["blk"] for r in parts))
+    order = np.argsort(vals, kind="stable")
+    vals, ws = vals[order], ws[order]
+    cum = np.cumsum(ws)
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        target = max(1, min(total, int(np.ceil(q * total))))
+        j = int(np.searchsorted(cum, target))
+        out.append(vals[min(j, len(vals) - 1)])
+    return (
+        pa.table({"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())}),
+        total,
+        blocks,
+    )
+
+
+def ks_two_sample(
+    ds: rd.Dataset, col: str, group_col: str, group_a, group_b
+) -> pa.Table:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the ``col``
+    distributions of two subpopulations — the drift / split-skew check a
+    training-data pipeline runs between corpus versions or splits.
+
+    D = max over distinct values v of |F_a(v) - F_b(v)| is computed as the
+    integer numerator max |c_a * n_b - c_b * n_a| (c_* = cumulative counts
+    at v), so the result is exact — no float CDF accumulation. Shape: one
+    narrow (value, flag) range sort, per-block summaries chained on the
+    driver (prefix counts entering each block + the next block's first
+    value for tie-safe block boundaries), then an embarrassingly parallel
+    per-block vectorized scan — the ``per_key_window`` carry pattern.
+    Guards n_a * n_b against int64 overflow (loudly, like per_key_window).
+    """
+    import ray as _ray
+
+    from ..util import coalesce_blocks
+
+    def _narrow(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        is_a = pc.equal(g, pa.scalar(group_a))
+        is_b = pc.equal(g, pa.scalar(group_b))
+        t = batch.filter(pc.or_(is_a, is_b))
+        flag = pc.cast(pc.equal(t.column(group_col), pa.scalar(group_b)), pa.int8())
+        return pa.table(
+            {"v": pc.cast(t.column(col), pa.float64()), "g": flag}
+        )
+
+    s = (
+        coalesce_blocks(ds.map_batches(_narrow, batch_format="pyarrow").materialize())
+        .sort(["v"])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @_ray.remote(num_cpus=0.25)
+    def _totals(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        g = t.column("g").to_numpy(zero_copy_only=False)
+        nb = int(g.sum())
+        return {"na": len(g) - nb, "nb": nb, "first": float(t.column("v")[0].as_py())}
+
+    metas = _ray.get([_totals.remote(r) for r in refs])
+    live = [(r, m) for r, m in zip(refs, metas) if m is not None]
+    if not live:
+        return pa.table(
+            {
+                "n_a": pa.array([0], pa.int64()),
+                "n_b": pa.array([0], pa.int64()),
+                "d_num": pa.array([0], pa.int64()),
+            }
+        )
+    n_a = sum(m["na"] for _, m in live)
+    n_b = sum(m["nb"] for _, m in live)
+    if n_a * n_b >= 1 << 62:
+        raise ValueError("ks_two_sample: n_a * n_b overflows the int64 numerator")
+    # prefix counts entering each block; next block's first value for the
+    # tie-safe evaluation of each block's last position
+    prefixes, pa_c, pb_c = [], 0, 0
+    for _, m in live:
+        prefixes.append((pa_c, pb_c))
+        pa_c += m["na"]
+        pb_c += m["nb"]
+    nexts = [m["first"] for _, m in live[1:]] + [None]
+
+    @_ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, prefix, next_first, na, nb):
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        g = t.column("g").to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = np.cumsum(g) + prefix[1]
+        ca = np.arange(1, len(g) + 1, dtype=np.int64) + prefix[0] - (cb - prefix[1])
+        valid = np.empty(len(v), dtype=bool)
+        valid[:-1] = v[1:] != v[:-1]
+        valid[-1] = next_first is None or next_first != v[-1]
+        diff = np.abs(ca * nb - cb * na)
+        return int(diff[valid].max()) if valid.any() else 0
+
+    parts = _ray.get(
+        [
+            _scan.remote(r, p, nf, n_a, n_b)
+            for (r, _), p, nf in zip(live, prefixes, nexts)
+        ]
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "d_num": pa.array([max(parts)], pa.int64()),
+        }
+    )

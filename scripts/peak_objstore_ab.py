@@ -65,12 +65,15 @@ def main() -> int:
 
     total = ray.cluster_resources().get("object_store_memory", 0.0)
     stop = threading.Event()
-    peak = {"used": 0.0}
+    peak = {"used": 0.0, "sum": 0.0, "n": 0}
 
     def _poll():
         while not stop.is_set():
             avail = ray.available_resources().get("object_store_memory", total)
-            peak["used"] = max(peak["used"], total - avail)
+            used = total - avail
+            peak["used"] = max(peak["used"], used)
+            peak["sum"] += used
+            peak["n"] += 1
             time.sleep(0.05)
 
     t = threading.Thread(target=_poll, daemon=True)
@@ -93,6 +96,7 @@ def main() -> int:
             {
                 "mode": mode,
                 "peak_objstore_mb": round(peak["used"] / 1e6, 1),
+                "mean_objstore_mb": round(peak["sum"] / max(peak["n"], 1) / 1e6, 1),
                 "total_objstore_mb": round(total / 1e6, 1),
                 "wall_sec": round(wall, 1),
                 "docs_in": manifest.get("input_docs"),
