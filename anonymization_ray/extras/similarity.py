@@ -453,3 +453,60 @@ def group_centroids(
         )
 
     return j.map_batches(_final, batch_format="pyarrow")
+
+
+def quantize_int8(
+    ds: rd.Dataset, vec_col: str, id_col: str
+) -> rd.Dataset:
+    """Scalar int8 quantization of an embedding column — the memory-scale
+    path for vector search (4x smaller than float32; ADC distances read the
+    codes directly). Per-dimension global [min, max] is computed by a
+    streaming partial-extrema pass (tiny per-block rows, driver merge — the
+    HLL-merge shape), broadcast once, then codes are assigned in one
+    vectorized pass: ``floor((x - min) * 255 / range + 0.5)``.
+
+    The op-order of the quantizer expression is IEEE-reproducible, so the
+    DuckDB oracle recomputes every code exactly; the emitted per-vector
+    ``code_sum`` (Σ code_d · d, d 1-based) certifies all 64 codes per vector
+    in one int64."""
+
+    def _extrema(batch: pa.Table) -> pa.Table:
+        m = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        return pa.table(
+            {
+                "mins": pa.array([m.min(axis=0).tobytes()], pa.binary()),
+                "maxs": pa.array([m.max(axis=0).tobytes()], pa.binary()),
+            }
+        )
+
+    lo, hi = None, None
+    for b in ds.select_columns([vec_col]).map_batches(
+        _extrema, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for mn, mx in zip(b.column("mins").to_pylist(), b.column("maxs").to_pylist()):
+            mn = np.frombuffer(mn, dtype=np.float64)
+            mx = np.frombuffer(mx, dtype=np.float64)
+            lo = mn if lo is None else np.minimum(lo, mn)
+            hi = mx if hi is None else np.maximum(hi, mx)
+    import ray as _ray
+
+    bounds_ref = _ray.put((lo, hi))
+
+    def _codes(batch: pa.Table, ref=bounds_ref) -> pa.Table:
+        mn, mx = _ray.get(ref)
+        rng = mx - mn
+        m = np.stack(batch.column(vec_col).to_pylist()).astype(np.float64)
+        codes = np.where(
+            rng > 0, np.floor((m - mn) * 255.0 / np.where(rng > 0, rng, 1.0) + 0.5), 0.0
+        ).astype(np.int64)
+        d = np.arange(1, codes.shape[1] + 1, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "code_sum": pa.array(codes @ d, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _codes, batch_format="pyarrow"
+    )

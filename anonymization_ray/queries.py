@@ -615,6 +615,11 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 wave 7 (newest operators get driver-gate coverage)
+    "stats_rank_sketch",
+    "corpus_split_leakage",
+    "stats_ks_drift",
+    "dedup_containment",
+    "embed_quantize_int8",
     "tpch_q9_profit",
     "tpch_q20_dominant_supplier",
     # round-4 wave 6
@@ -745,12 +750,14 @@ _DRIVER_PRIORITY: list[str] = [
 def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras import EXTRAS_REGISTRY
     from .queries_extras2 import EXTRAS2_REGISTRY
+    from .queries_extras3 import EXTRAS3_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
     merged.update(KG_REGISTRY)
     merged.update(EXTRAS_REGISTRY)
     merged.update(EXTRAS2_REGISTRY)
+    merged.update(EXTRAS3_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out

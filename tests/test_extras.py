@@ -1360,3 +1360,109 @@ def test_kmeans_int_deterministic_and_separates_planted_clusters():
         .reset_index(drop=True)
     )
     assert out.equals(out2)
+
+
+def test_rank_sketch_error_bound_and_exactness_at_stride_one():
+    """The eps-rank summary honors its deterministic bound on a skewed
+    input; with eps small enough that every block stride is 1 the sketch
+    degenerates to the exact quantile."""
+    from anonymization_ray.extras.stats import exact_quantiles, rank_sketch_quantiles
+
+    vals = np.concatenate(
+        [np.zeros(5000), np.arange(1, 101, dtype=np.float64), np.full(300, 1e6)]
+    )
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.float64())})).repartition(4)
+    qs = [0.25, 0.5, 0.95]
+    est, total, blocks = rank_sketch_quantiles(ds, "v", qs, eps=0.01)
+    assert total == len(vals)
+    sv = np.sort(vals)
+    bound = 0.01 * total + blocks
+    for q, v in zip(qs, est.column("value").to_pylist()):
+        target = int(np.ceil(q * total)) - 1
+        # exact rank window of the estimate
+        lo = np.searchsorted(sv, v, side="left")
+        hi = np.searchsorted(sv, v, side="right") - 1
+        err = 0 if lo <= target <= hi else min(abs(target - lo), abs(target - hi))
+        assert err <= bound
+    # stride-1 degenerate case: eps so small the summary keeps everything
+    exact, _, _ = rank_sketch_quantiles(ds, "v", qs, eps=1e-9)
+    ref = exact_quantiles(ds, "v", qs)
+    assert exact.column("value").to_pylist() == ref.column("value").to_pylist()
+
+
+def test_rank_sketch_empty():
+    from anonymization_ray.extras.stats import rank_sketch_quantiles
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    est, total, blocks = rank_sketch_quantiles(ds, "v", [0.5])
+    assert total == 0 and est.column("value")[0].as_py() is None
+
+
+def test_ks_two_sample_identical_and_disjoint():
+    """Identical samples give D = 0; disjoint ranges give D = 1 (numerator
+    n_a * n_b); a tie at a block boundary never evaluates mid-value."""
+    from anonymization_ray.extras.stats import ks_two_sample
+
+    a = np.arange(100, dtype=np.float64)
+    t = pa.table(
+        {
+            "v": pa.array(np.concatenate([a, a]), pa.float64()),
+            "g": pa.array(["x"] * 100 + ["y"] * 100),
+        }
+    )
+    out = ks_two_sample(rd.from_arrow(t).repartition(5), "v", "g", "x", "y")
+    assert out.column("d_num")[0].as_py() == 0
+    t2 = pa.table(
+        {
+            "v": pa.array(np.concatenate([a, a + 1000.0]), pa.float64()),
+            "g": pa.array(["x"] * 100 + ["y"] * 100),
+        }
+    )
+    out2 = ks_two_sample(rd.from_arrow(t2).repartition(5), "v", "g", "x", "y")
+    assert out2.column("d_num")[0].as_py() == 100 * 100
+
+
+def test_split_leakage_unique_corpus_leaks_nothing():
+    """A corpus of all-distinct texts has zero cross-split leakage, and the
+    split sizes sum to the corpus."""
+    from anonymization_ray.extras.shuffle import split_leakage
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(500), pa.int64()),
+            "text": pa.array([f"unique document {i}" for i in range(500)]),
+        }
+    )
+    out = split_leakage(rd.from_arrow(t).repartition(3), "doc_id", "text")
+    n_train = out.column("n_train")[0].as_py()
+    n_eval = out.column("n_eval")[0].as_py()
+    assert n_train + n_eval == 500
+    assert out.column("n_leaked")[0].as_py() == 0
+
+
+def test_quantize_int8_constant_dim_and_range():
+    """A constant dimension codes to 0 everywhere; codes stay in [0, 255]
+    (checksum of the all-min / all-max vectors hits the exact bounds)."""
+    from anonymization_ray.extras.similarity import quantize_int8
+
+    vecs = np.array(
+        [[0.0, 5.0, -1.0], [0.0, 10.0, 3.0], [0.0, 7.5, 1.0]], dtype=np.float32
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        quantize_int8(rd.from_arrow(t).repartition(2), "embedding", "vec_id")
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    # dim1 constant -> 0; vec 1 is the min on dims 2,3 -> codes 0; vec 2 the
+    # max -> codes 255: checksums are 0*1+0*2+0*3 = 0 and 0+255*2+255*3
+    sums = dict(zip(out.vec_id, out.code_sum))
+    assert sums[1] == 0
+    assert sums[2] == 255 * 2 + 255 * 3
+    assert 0 < sums[3] < 255 * 5
