@@ -343,3 +343,38 @@ def split_leakage(
             "n_leaked": pa.array([leaked], pa.int64()),
         }
     )
+
+
+def temperature_upsample(
+    ds: rd.Dataset,
+    key_col: str,
+    id_col: str,
+    *,
+    salt: int = 13,
+) -> rd.Dataset:
+    """Square-root temperature rebalancing (the multilingual-corpus
+    standard, alpha = 0.5): every source/language is upsampled by
+    f_s = sqrt(n_max / n_s), so the largest source keeps weight 1.0 and a
+    source 100x smaller is repeated ~10x — flattening the distribution
+    toward (but not onto) uniform. The per-source counts are ONE tiny
+    sort-scan aggregate (bounded by source cardinality); the expansion is
+    :func:`mixture_sample`'s stateless deterministic fan-out.
+
+    sqrt and the single division are IEEE-correctly-rounded in both numpy
+    and DuckDB, so the oracle replicates the exact thresholds — no
+    pow()-libm hazard (that is why alpha is fixed at 0.5)."""
+    import math
+
+    from .stats import exact_value_counts
+
+    counts = {
+        r[key_col]: r["n"]
+        for r in exact_value_counts(
+            ds.select_columns([key_col]), key_col
+        ).take_all()
+    }
+    if not counts:
+        return mixture_sample(ds, key_col, {}, id_col, default=1.0, salt=salt)
+    n_max = max(counts.values())
+    weights = {k: math.sqrt(n_max / n) for k, n in counts.items()}
+    return mixture_sample(ds, key_col, weights, id_col, default=0.0, salt=salt)

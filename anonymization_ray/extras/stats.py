@@ -608,3 +608,201 @@ def ks_two_sample(
             "d_num": pa.array([max(parts)], pa.int64()),
         }
     )
+
+
+def profile_columns(ds: rd.Dataset, cols: list[str]) -> pa.Table:
+    """Dataset-profiling pass over numeric columns: per column null count,
+    exact distinct count, min and max — the completeness/cardinality report
+    every ingest runs before committing a corpus version. Nulls + extrema
+    fold in ONE streaming pass (tiny per-block partials, driver merge);
+    distinct counts reuse ``count_distinct_exact``'s sort + boundary-scan
+    shape, one narrow pass per column (column count is small and fixed)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        nulls, mins, maxs = [], [], []
+        for c in cols:
+            arr = batch.column(c)
+            nulls.append(arr.null_count)
+            v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            mins.append(v.min() if len(v) else np.nan)
+            maxs.append(v.max() if len(v) else np.nan)
+        return pa.table(
+            {
+                "nulls": pa.array([np.array(nulls, np.int64).tobytes()]),
+                "mins": pa.array([np.array(mins, np.float64).tobytes()]),
+                "maxs": pa.array([np.array(maxs, np.float64).tobytes()]),
+            }
+        )
+
+    nulls = np.zeros(len(cols), np.int64)
+    mins = np.full(len(cols), np.nan)
+    maxs = np.full(len(cols), np.nan)
+    for b in ds.select_columns(cols).map_batches(
+        _partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for pn, pmn, pmx in zip(
+            b.column("nulls").to_pylist(),
+            b.column("mins").to_pylist(),
+            b.column("maxs").to_pylist(),
+        ):
+            nulls += np.frombuffer(pn, np.int64)
+            mins = np.fmin(mins, np.frombuffer(pmn, np.float64))
+            maxs = np.fmax(maxs, np.frombuffer(pmx, np.float64))
+    def _valid_only(c: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            arr = batch.column(c)
+            m = pc.is_valid(arr)
+            if pa.types.is_floating(arr.type):
+                m = pc.and_(m, pc.invert(pc.is_nan(arr)))
+            return pa.table({c: arr.filter(m)})
+
+        return _f
+
+    # nulls AND NaN are missing (repo-wide convention) — they never reach
+    # the distinct sort (min_per_key has no null-key ordering)
+    distinct = [
+        count_distinct_exact(
+            ds.select_columns([c]).map_batches(_valid_only(c), batch_format="pyarrow"),
+            c,
+        )
+        for c in cols
+    ]
+    return pa.table(
+        {
+            "column": pa.array(cols, pa.string()),
+            "n_nulls": pa.array(nulls, pa.int64()),
+            "n_distinct": pa.array(distinct, pa.int64()),
+            "min_v": pa.array(mins, pa.float64()),
+            "max_v": pa.array(maxs, pa.float64()),
+        }
+    )
+
+
+def group_rank_sketch_check(
+    ds: rd.Dataset,
+    key_col: str,
+    col: str,
+    qs: list[float],
+    *,
+    eps: float = 0.005,
+) -> pa.Table:
+    """Per-group mergeable eps-rank quantile sketch + its own scoreboard:
+    the grouped sibling of ``rank_sketch_quantiles`` (the property that
+    makes the sketch the 100-TB shape is exactly that per-(group, block)
+    summaries merge associatively — this operator exercises it). Returns
+    one row per (group, q) with ``within_bound`` = the estimate's EXACT
+    rank error <= eps * n_group + #blocks touching the group.
+
+    Per batch the group loop is bounded by the batch's UNIQUE group count
+    (source/priority-like cardinality), with the per-group work fully
+    vectorized — the ``mixture_sample`` convention."""
+
+    def _summary(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        keys_out, vals_out, w_out, blk_out = [], [], [], []
+        for g in np.unique(k):
+            gv = np.sort(v[k == g])
+            gv = gv[~np.isnan(gv)]
+            n = len(gv)
+            if n == 0:
+                continue
+            stride = max(1, int(np.floor(eps * n)))
+            idx = np.arange(stride - 1, n, stride)
+            w = np.full(len(idx), stride, dtype=np.int64)
+            rem = n - stride * len(idx)
+            if rem > 0:
+                idx = np.append(idx, n - 1)
+                w = np.append(w, rem)
+            keys_out.extend([g] * len(idx))
+            vals_out.append(gv[idx])
+            w_out.append(w)
+            blk_out.extend([1] + [0] * (len(idx) - 1))
+        if not keys_out:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "value": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.int64()),
+                    "blk": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "g": pa.array([str(x) for x in keys_out], pa.string()),
+                "value": pa.array(np.concatenate(vals_out), pa.float64()),
+                "w": pa.array(np.concatenate(w_out), pa.int64()),
+                "blk": pa.array(blk_out, pa.int64()),
+            }
+        )
+
+    narrow = ds.select_columns([key_col, col])
+    parts = narrow.map_batches(_summary, batch_format="pyarrow").take_all()
+    by_g: dict[str, list] = {}
+    blocks: dict[str, int] = {}
+    for r in parts:
+        by_g.setdefault(r["g"], []).append((r["value"], r["w"]))
+        blocks[r["g"]] = blocks.get(r["g"], 0) + r["blk"]
+    est: dict[str, np.ndarray] = {}
+    totals: dict[str, int] = {}
+    for g, rows in by_g.items():
+        vals = np.array([v for v, _ in rows])
+        ws = np.array([w for _, w in rows], dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals, ws = vals[order], ws[order]
+        cum = np.cumsum(ws)
+        total = int(cum[-1])
+        totals[g] = total
+        e = []
+        for q in qs:
+            target = max(1, min(total, int(np.ceil(q * total))))
+            j = int(np.searchsorted(cum, target))
+            e.append(vals[min(j, len(vals) - 1)])
+        est[g] = np.array(e)
+
+    groups = sorted(est)
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lt = np.zeros((len(groups), len(qs)), np.int64)
+        le = np.zeros((len(groups), len(qs)), np.int64)
+        for gi, g in enumerate(groups):
+            gv = v[k.astype(str) == g] if k.dtype != object else v[k == g]
+            if len(gv) == 0:
+                continue
+            for qi, e in enumerate(est[g]):
+                lt[gi, qi] = (gv < e).sum()
+                le[gi, qi] = (gv <= e).sum()
+        return pa.table(
+            {"lt": pa.array([lt.tobytes()]), "le": pa.array([le.tobytes()])}
+        )
+
+    lt = np.zeros((len(groups), len(qs)), np.int64)
+    le = np.zeros((len(groups), len(qs)), np.int64)
+    for b in narrow.map_batches(_counts, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for plt, ple in zip(b.column("lt").to_pylist(), b.column("le").to_pylist()):
+            lt += np.frombuffer(plt, np.int64).reshape(len(groups), len(qs))
+            le += np.frombuffer(ple, np.int64).reshape(len(groups), len(qs))
+
+    g_out, q_out, ok_out = [], [], []
+    for gi, g in enumerate(groups):
+        total = totals[g]
+        bound = eps * total + blocks[g]
+        for qi, q in enumerate(qs):
+            target = max(1, min(total, int(np.ceil(q * total))))
+            l, u = int(lt[gi, qi]), int(le[gi, qi])
+            err = 0 if l + 1 <= target <= u else min(abs(target - (l + 1)), abs(target - u))
+            g_out.append(g)
+            q_out.append(q)
+            ok_out.append(int(err <= bound))
+    return pa.table(
+        {
+            "grp": pa.array(g_out, pa.string()),
+            "q": pa.array(q_out, pa.float64()),
+            "within_bound": pa.array(ok_out, pa.int64()),
+        }
+    )

@@ -265,3 +265,175 @@ EXTRAS3_REGISTRY.update(
         "embed_quantize_int8": QueryDef(q_embed_quantize_int8, SQL_EMBED_QUANTIZE),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# sqrt-temperature mixture — multilingual upsampling
+# --------------------------------------------------------------------------
+
+TEMP_SALT = 13
+
+
+def q_corpus_temperature_mix(sf_dir: str):
+    """Square-root temperature rebalancing over the language column
+    (extras/shuffle.temperature_upsample): every language upsampled by
+    sqrt(n_max / n_lang), the multilingual-corpus standard at alpha = 0.5.
+    alpha is FIXED at 0.5 because sqrt and one division are the only
+    IEEE-correctly-rounded ops in the weight path — the oracle recomputes
+    the exact thresholds with no pow()-libm hazard. The expansion itself is
+    mixture_sample's stateless deterministic fan-out (no shuffle)."""
+    from .extras.shuffle import temperature_upsample
+
+    return temperature_upsample(
+        load(sf_dir, "documents", ["doc_id", "lang"]), "lang", "doc_id", salt=TEMP_SALT
+    )
+
+
+def _sql_temperature_mix() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain("(SELECT doc_id, lang FROM documents)", "doc_id", TEMP_SALT)
+    return f"""
+WITH counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+mx AS (SELECT max(n) AS nmax FROM counts),
+w AS (SELECT lang, sqrt(CAST(nmax AS DOUBLE) / n) AS f FROM counts, mx),
+plan AS (SELECT lang, CAST(floor(f) AS BIGINT) AS base,
+                CAST(trunc((f - floor(f)) * 18446744073709551616.0) AS HUGEINT) AS thr
+         FROM w), {chain},
+expanded AS (SELECT d.doc_id, d.lang,
+                    p.base + CASE WHEN d.h < p.thr THEN 1 ELSE 0 END AS copies
+             FROM h3 d JOIN plan p USING (lang))
+SELECT doc_id, lang, CAST(t.i AS BIGINT) AS copy_idx
+FROM expanded, unnest(generate_series(0, copies - 1)) AS t(i)
+WHERE copies > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus version diff — the recrawl delta
+# --------------------------------------------------------------------------
+
+def q_corpus_version_diff(sf_dir: str):
+    """Recrawl delta classification (extras/diff.corpus_version_diff): v2 is
+    a deterministic perturbation of the corpus (docs with id%11==3 removed,
+    id%7==0 edited, id%13==1 re-added under new ids) and every id is
+    classified added/removed/changed/unchanged by content hash — text never
+    shuffles, only 24 B (id, hash) rows ride the one full-outer join."""
+    from .extras.diff import corpus_version_diff
+
+    v1 = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _v2(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = np.array(batch.column("text").to_pylist(), dtype=object)
+        keep = ids % 11 != 3
+        kids, ktxt = ids[keep], texts[keep]
+        edit = kids % 7 == 0
+        ktxt = ktxt.copy()
+        ktxt[edit] = np.array([t + " [v2]" for t in ktxt[edit]], dtype=object)
+        add = ids % 13 == 1
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([kids, ids[add] + DUP_OFFSET]), pa.int64()
+                ),
+                "text": pa.array(
+                    np.concatenate([ktxt, texts[add]]), pa.string()
+                ),
+            }
+        )
+
+    v2 = v1.map_batches(_v2, batch_format="pyarrow")
+    return corpus_version_diff(v1, v2, "doc_id", "text")
+
+
+SQL_CORPUS_VERSION_DIFF = f"""
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + {DUP_OFFSET}, text FROM documents WHERE doc_id % 13 = 1
+),
+j AS (SELECT a.text AS t1, b.text AS t2
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+SELECT 'added' AS change_type,
+       CAST(count(*) FILTER (WHERE t1 IS NULL) AS BIGINT) AS n FROM j
+UNION ALL SELECT 'removed', CAST(count(*) FILTER (WHERE t2 IS NULL) AS BIGINT) FROM j
+UNION ALL SELECT 'changed',
+       CAST(count(*) FILTER (WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t1 <> t2) AS BIGINT) FROM j
+UNION ALL SELECT 'unchanged', CAST(count(*) FILTER (WHERE t1 = t2) AS BIGINT) FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# column profiling — completeness / cardinality report
+# --------------------------------------------------------------------------
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_stats_profile(sf_dir: str):
+    """Per-column ingest profile (extras/stats.profile_columns): null count,
+    exact distinct count, min, max for the numeric lineitem columns — one
+    streaming extrema/null fold plus one narrow sort-scan distinct pass per
+    column."""
+    from .extras.stats import profile_columns
+
+    return profile_columns(load(sf_dir, "lineitem", list(PROFILE_COLS)), list(PROFILE_COLS))
+
+
+SQL_STATS_PROFILE = " UNION ALL ".join(
+    f"SELECT '{c}' AS column, CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+    f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+    f"CAST(min({c}) AS DOUBLE) AS min_v, CAST(max({c}) AS DOUBLE) AS max_v "
+    "FROM lineitem"
+    for c in PROFILE_COLS
+)
+
+
+# --------------------------------------------------------------------------
+# grouped rank sketch — per-group mergeability scoreboard
+# --------------------------------------------------------------------------
+
+GROUP_SKETCH_QS = (0.25, 0.9)
+
+
+def q_stats_group_rank_sketch(sf_dir: str):
+    """Per-group mergeable eps-rank sketch with its own exact-rank
+    scoreboard (extras/stats.group_rank_sketch_check): per-(group, block)
+    stride summaries merge associatively per group — the property that lets
+    the sketch replace per-group sorts at 100 TB. One row per
+    (priority, q); within_bound gates the exact rank error against
+    eps·n_group + #blocks."""
+    from .extras.stats import group_rank_sketch_check
+
+    return group_rank_sketch_check(
+        load(sf_dir, "orders", ["o_orderpriority", "o_totalprice"]),
+        "o_orderpriority",
+        "o_totalprice",
+        list(GROUP_SKETCH_QS),
+        eps=0.01,
+    )
+
+
+SQL_STATS_GROUP_SKETCH = (
+    "SELECT DISTINCT o_orderpriority AS grp, CAST(t.q AS DOUBLE) AS q, "
+    "CAST(1 AS BIGINT) AS within_bound FROM orders, "
+    f"(VALUES {', '.join(f'({q})' for q in GROUP_SKETCH_QS)}) AS t(q)"
+)
+
+
+EXTRAS3_REGISTRY.update(
+    {
+        "corpus_temperature_mix": QueryDef(
+            q_corpus_temperature_mix, _sql_temperature_mix()
+        ),
+        "corpus_version_diff": QueryDef(q_corpus_version_diff, SQL_CORPUS_VERSION_DIFF),
+        "stats_profile": QueryDef(q_stats_profile, SQL_STATS_PROFILE),
+        "stats_group_rank_sketch": QueryDef(
+            q_stats_group_rank_sketch, SQL_STATS_GROUP_SKETCH
+        ),
+    }
+)

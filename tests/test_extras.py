@@ -1466,3 +1466,79 @@ def test_quantize_int8_constant_dim_and_range():
     assert sums[1] == 0
     assert sums[2] == 255 * 2 + 255 * 3
     assert 0 < sums[3] < 255 * 5
+
+
+def test_temperature_upsample_weights_and_determinism():
+    """The largest source keeps exactly one copy per doc; a 4x smaller
+    source gets sqrt(4)=2 copies per doc exactly; re-running with different
+    partitioning is bit-identical."""
+    from anonymization_ray.extras.shuffle import temperature_upsample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100), pa.int64()),
+            "src": pa.array(["big"] * 80 + ["small"] * 20),
+        }
+    )
+    out = (
+        temperature_upsample(rd.from_arrow(t).repartition(4), "src", "doc_id")
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    per_doc = out.groupby("doc_id").size()
+    big_ids = np.arange(80)
+    assert (per_doc.loc[big_ids] == 1).all()
+    # sqrt(80/20) = 2.0 exactly -> base 2, zero fractional threshold
+    assert (per_doc.loc[np.arange(80, 100)] == 2).all()
+    out2 = (
+        temperature_upsample(rd.from_arrow(t).repartition(7), "src", "doc_id")
+        .to_pandas()
+        .sort_values(["doc_id", "copy_idx"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
+def test_corpus_version_diff_classes():
+    """Hand-built two-version corpus hits every class exactly once."""
+    from anonymization_ray.extras.diff import corpus_version_diff
+
+    v1 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["same", "edited v1", "gone"]),
+            }
+        )
+    ).repartition(2)
+    v2 = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 4], pa.int64()),
+                "text": pa.array(["same", "edited v2", "new"]),
+            }
+        )
+    ).repartition(2)
+    out = corpus_version_diff(v1, v2, "doc_id", "text").to_pandas()
+    got = dict(zip(out.change_type, out.n))
+    assert got == {"added": 1, "removed": 1, "changed": 1, "unchanged": 1}
+
+
+def test_profile_columns_nulls_and_nan_as_missing():
+    """NaN counts as missing for extrema (repo-wide convention); null count
+    reflects Arrow nulls; distinct is exact."""
+    from anonymization_ray.extras.stats import profile_columns
+
+    t = pa.table(
+        {
+            "a": pa.array([1.0, np.nan, 3.0, None, 3.0], pa.float64()),
+            "b": pa.array([5, 5, 5, 5, 5], pa.int64()),
+        }
+    )
+    out = profile_columns(rd.from_arrow(t).repartition(2), ["a", "b"]).to_pandas()
+    row_a = out[out.column == "a"].iloc[0]
+    assert row_a.n_nulls == 1
+    assert row_a.min_v == 1.0 and row_a.max_v == 3.0
+    row_b = out[out.column == "b"].iloc[0]
+    assert row_b.n_distinct == 1 and row_b.min_v == 5.0 == row_b.max_v
