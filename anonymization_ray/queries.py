@@ -615,6 +615,7 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 wave 7 (newest operators get driver-gate coverage)
+    "ann_pq_topk",
     "corpus_temperature_mix",
     "corpus_version_diff",
     "stats_profile",

@@ -437,3 +437,39 @@ EXTRAS3_REGISTRY.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# product-quantization ANN — the 32x-compressed vector-search path
+# --------------------------------------------------------------------------
+
+def q_ann_pq_topk(sf_dir: str):
+    """PQ ANN gated on deterministic recall (ann_lsh_topk style): the
+    planted cosine-1.0 twin encodes to EXACTLY the query's own PQ code
+    (identical vector, identical argmin), so its ADC score equals the
+    query's self-reconstruction score — the maximum any same-code vector
+    can reach — and the 16^8 code space makes same-code strangers
+    vanishingly rare. The twin must appear in every query's top-10;
+    a regression in codebook training, encoding, or table lookup flips the
+    one-row scoreboard and hash-mismatches."""
+    from .extras.similarity import load_query_vectors, pq_topk
+    from .queries_extras import _planted_embeddings
+
+    corpus = _planted_embeddings(sf_dir)
+    q, qids = load_query_vectors(sf_dir, n=5)
+    hits = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(corpus, q, qids, k=10, m=8, ksub=16).take_all()
+    }
+    found = sum(1 for qid in qids if (qid, qid + DUP_OFFSET) in hits)
+    return pa.table(
+        {"twin_recall_ok": pa.array([int(found == len(qids))], pa.int64())}
+    )
+
+
+SQL_ANN_PQ_RECALL = "SELECT CAST(1 AS BIGINT) AS twin_recall_ok"
+
+
+EXTRAS3_REGISTRY.update(
+    {"ann_pq_topk": QueryDef(q_ann_pq_topk, SQL_ANN_PQ_RECALL)}
+)

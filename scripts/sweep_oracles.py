@@ -3,7 +3,7 @@
 oracle side-by-side over one sf directory, compare schema / row count /
 sorted values, and print one line per mismatch (none expected).
 
-Usage: python scripts/sweep_oracles.py [sf_dir] [num_cpus]
+Usage: python scripts/sweep_oracles.py [sf_dir] [num_cpus] [--only name1,name2]
 (This script owns its Ray session — library code never calls ray.init.)
 """
 
@@ -20,6 +20,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def main() -> int:
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sys.argv = [sys.argv[0], *argv]
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     if not ray.is_initialized():
@@ -35,6 +42,12 @@ def main() -> int:
     for t in TABLES.split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     q, o = queries(), oracle_sql()
+    if only:
+        missing = only - set(q)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            return 1
+        q = {k: v for k, v in q.items() if k in only}
     bad = 0
     t0 = time.perf_counter()
     for name in sorted(q):

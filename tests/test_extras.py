@@ -1542,3 +1542,41 @@ def test_profile_columns_nulls_and_nan_as_missing():
     assert row_a.min_v == 1.0 and row_a.max_v == 3.0
     row_b = out[out.column == "b"].iloc[0]
     assert row_b.n_distinct == 1 and row_b.min_v == 5.0 == row_b.max_v
+
+
+def test_pq_topk_twin_recall_and_determinism():
+    """PQ ANN: an exact-copy twin encodes to the query's own code and must
+    rank in the top-k; a repartitioned rerun is bit-identical (deterministic
+    codebooks + stable tie-breaks)."""
+    from anonymization_ray.extras.similarity import pq_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(120, 16)).astype(np.float32)
+    vecs = np.concatenate([base, base[:5]])  # twins of the first 5
+    ids = np.concatenate([np.arange(120), np.arange(1000, 1005)]).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    q, qids = base[:5].astype(np.float64), np.arange(5)
+    out = (
+        pq_topk(ds, q, qids, k=10, m=4, ksub=8, train_size=64)
+        .to_pandas()
+        .sort_values(["query_id", "adc_score", "vec_id"])
+        .reset_index(drop=True)
+    )
+    hits = set(zip(out.query_id, out.vec_id))
+    for qid in qids:
+        assert (qid, qid + 1000) in hits
+    out2 = (
+        pq_topk(rd.from_arrow(t).repartition(5), q, qids, k=10, m=4, ksub=8,
+                train_size=64)
+        .to_pandas()
+        .sort_values(["query_id", "adc_score", "vec_id"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
