@@ -238,3 +238,92 @@ def interval_join(
         return batch.filter(pa.array(keep)).drop_columns(["gran"])
 
     return joined.map_batches(_exact, batch_format="pyarrow")
+
+
+def nearest_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    key_col: str,
+    time_col: str,
+    left_id_col: str,
+) -> rd.Dataset:
+    """Nearest-event join: for each left row, the right row with the SAME
+    key whose time is closest in absolute distance; ties (equidistant
+    before/after) resolve to the EARLIER right row. Times must be int64
+    (epoch units — callers convert timestamps once, vectorized).
+
+    Composition, not a new primitive: the backward leg IS ``asof_join``
+    (latest right <= t) and the forward leg is the SAME join on NEGATED
+    times (earliest right >= t) run over the backward leg's output — the
+    prev time rides through as a left payload column, so the two legs chain
+    with NO id join and no extra shuffle. Two narrow sorts total; the
+    nearer-of-two pick is one stateless vectorized pass.
+
+    Returns (left_id, key, time, nearest_t) with nearest_t null when the
+    key has no right rows at all."""
+    lslim = left.select_columns([left_id_col, key_col, time_col])
+
+    def _with_payload(b: pa.Table, neg: bool) -> pa.Table:
+        t = b.column(time_col).combine_chunks()
+        return pa.table(
+            {
+                key_col: b.column(key_col).combine_chunks(),
+                time_col: pc.negate_checked(t) if neg else t,
+                "_rt": t,
+            }
+        )
+
+    back = asof_join(
+        lslim,
+        right.map_batches(lambda b: _with_payload(b, False), batch_format="pyarrow"),
+        key_col=key_col,
+        time_col=time_col,
+        right_cols=["_rt"],
+        left_cols=[left_id_col],
+    ).map_batches(
+        lambda b: b.rename_columns([left_id_col, key_col, time_col, "prev_t"]),
+        batch_format="pyarrow",
+    )
+
+    def _neg(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                left_id_col: b.column(left_id_col).combine_chunks(),
+                "prev_t": b.column("prev_t").combine_chunks(),
+                key_col: b.column(key_col).combine_chunks(),
+                time_col: pc.negate_checked(b.column(time_col).combine_chunks()),
+            }
+        )
+
+    both = asof_join(
+        back.map_batches(_neg, batch_format="pyarrow"),
+        right.map_batches(lambda b: _with_payload(b, True), batch_format="pyarrow"),
+        key_col=key_col,
+        time_col=time_col,
+        right_cols=["_rt"],
+        left_cols=[left_id_col, "prev_t"],
+    )
+
+    def _pick(b: pa.Table) -> pa.Table:
+        t = pc.negate_checked(b.column(time_col).combine_chunks())
+        prev = b.column("prev_t")
+        nxt = b.column("_rt")
+        d_prev = pc.subtract_checked(t, prev)  # >= 0, null if no prev
+        d_next = pc.subtract_checked(nxt, t)  # >= 0, null if no next
+        # prev wins ties; a null distance loses to any non-null
+        prev_wins = pc.and_kleene(
+            pc.is_valid(prev),
+            pc.or_kleene(pc.is_null(nxt), pc.less_equal(d_prev, d_next)),
+        )
+        nearest = pc.if_else(pc.fill_null(prev_wins, False), prev, nxt)
+        return pa.table(
+            {
+                left_id_col: b.column(left_id_col).combine_chunks(),
+                key_col: b.column(key_col).combine_chunks(),
+                time_col: t,
+                "nearest_t": nearest,
+            }
+        )
+
+    return both.map_batches(_pick, batch_format="pyarrow")

@@ -87,3 +87,117 @@ def semi_anti_join(
         on=(on,),
         right_on=(right_on,),
     )
+
+
+def skew_join(
+    big: rd.Dataset,
+    small: rd.Dataset,
+    *,
+    on: str,
+    payload_cols: list[str],
+    hot_threshold: int = 100_000,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Skew-resistant inner join of a fact stream against a keyed dimension:
+    ``big``'s HOT keys (per-key row count >= hot_threshold) are served by a
+    broadcast map-side lookup — those rows NEVER shuffle — while the cold
+    remainder takes the ordinary hash join. This is the salting alternative
+    for the hot-key problem: a hash shuffle routes every row of a hot key to
+    ONE aggregator (the straggler that kills a 256-node join); pulling hot
+    keys out of the exchange entirely removes the skew instead of spreading
+    it.
+
+    Scale shape: per-key counts come from ``exact_value_counts`` (partial
+    combiner + sort-scan reduce, no Ray groupby); the hot set is bounded BY
+    CONSTRUCTION at N/hot_threshold keys, so the driver gather and the
+    broadcast payload stay dimension-scale no matter how skewed the input.
+    The cold hash join moves only rows whose keys are provably spread.
+    Inner-join semantics both paths; output columns = big's + payload_cols.
+    """
+    import numpy as np
+
+    from ..util import hash_join
+    from .stats import exact_value_counts
+
+    counts = exact_value_counts(big, on).materialize()
+    n_distinct = counts.count()
+    hot_tbl = (
+        counts.filter(lambda r, t=hot_threshold: r["n"] >= t)
+        .select_columns([on])
+        .take_all()
+    )
+    hot_keys = np.sort(np.array([r[on] for r in hot_tbl], dtype=np.int64))
+
+    if len(hot_keys) == 0:
+        return hash_join(
+            big, small.select_columns([on, *payload_cols]), on=on,
+            join_type="inner", num_partitions=num_partitions,
+        )
+
+    # dimension rows for the hot keys, gathered bounded and broadcast ONCE
+    hot_small = semi_anti_join(
+        small.select_columns([on, *payload_cols]),
+        rd.from_arrow(pa.table({on: pa.array(hot_keys, pa.int64())})),
+        on=on,
+    ).take_all()
+    hk = np.array([r[on] for r in hot_small], dtype=np.int64)
+    order = np.argsort(hk, kind="stable")
+    hk = hk[order]
+    small_schema = small.schema().base_schema
+    payload = {
+        c: pa.array(
+            [hot_small[int(i)][c] for i in order],
+            small_schema.field(c).type,
+        )
+        for c in payload_cols
+    }
+    state = ray.put((hk, payload))
+    hot_set = ray.put(pa.array(hot_keys, pa.int64()))
+
+    def _hot_lookup(batch: pa.Table) -> pa.Table:
+        keys_sorted, pl = ray.get(state)
+        k = batch.column(on).to_numpy(zero_copy_only=False)
+        if len(keys_sorted) == 0:
+            # hot keys with NO dimension row: inner join drops them all
+            idx_c = np.zeros(len(k), dtype=np.int64)
+            hit = np.zeros(len(k), dtype=bool)
+        else:
+            idx = np.searchsorted(keys_sorted, k)
+            idx_c = np.minimum(idx, len(keys_sorted) - 1)
+            hit = keys_sorted[idx_c] == k
+        out = batch.filter(pa.array(hit))
+        take = pa.array(idx_c[hit], pa.int64())
+        for c in payload_cols:
+            out = out.append_column(c, pl[c].take(take))
+        return out
+
+    def _split(batch: pa.Table, want_hot: bool) -> pa.Table:
+        m = pc.fill_null(pc.is_in(batch.column(on), value_set=ray.get(hot_set)), False)
+        return batch.filter(m if want_hot else pc.invert(m))
+
+    hot_rows = big.map_batches(
+        lambda b: _hot_lookup(_split(b, True)), batch_format="pyarrow"
+    )
+    if len(hot_keys) == n_distinct:
+        # every key is hot: the cold side would be schema-losing empty
+        # blocks (see hash_join docstring) — the broadcast path covered it
+        return hot_rows
+    cold = big.map_batches(lambda b: _split(b, False), batch_format="pyarrow")
+    cold_small = semi_anti_join(
+        small.select_columns([on, *payload_cols]),
+        rd.from_arrow(pa.table({on: pa.array(hot_keys, pa.int64())})),
+        on=on,
+        anti=True,
+    )
+    cold_rows = hash_join(
+        cold, cold_small, on=on, join_type="inner", num_partitions=num_partitions
+    )
+    # union needs identical schemas; the join may reorder columns
+    out_cols = [c for c in big.schema().base_schema.names] + payload_cols
+
+    def _order(b: pa.Table) -> pa.Table:
+        return b.select(out_cols)
+
+    return hot_rows.map_batches(_order, batch_format="pyarrow").union(
+        cold_rows.map_batches(_order, batch_format="pyarrow")
+    )

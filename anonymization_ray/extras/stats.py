@@ -806,3 +806,55 @@ def group_rank_sketch_check(
             "within_bound": pa.array(ok_out, pa.int64()),
         }
     )
+
+
+def group_heavy_hitters(
+    ds: rd.Dataset, group_col: str, val_col: str, k: int = 3
+) -> rd.Dataset:
+    """Exact top-k values by count WITHIN each group (top terms per
+    language, top URLs per domain, ...), deterministic ties (count desc,
+    value asc). Same no-Ray-groupby discipline as ``heavy_hitters`` at any
+    group x value cardinality: Arrow-native per-block partial counts on the
+    (group, value) pair, ONE narrow sort of the folded pair key for the
+    exact sums (``sum_per_key``), then ``topk_per_key`` rank-selects inside
+    each group with boundary carries — per-group Python never runs.
+
+    Group values must not contain the fold separator ``\\x1f`` (value
+    strings may — only the first separator splits)."""
+    from ..util import topk_per_key
+    from .graph import sum_per_key
+
+    SEP = "\x1f"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    group_col: pc.cast(batch.column(group_col), pa.string()),
+                    val_col: pc.cast(batch.column(val_col), pa.string()),
+                }
+            )
+            .group_by([group_col, val_col])
+            .aggregate([([], "count_all")])
+        )
+        key = pc.binary_join_element_wise(
+            g.column(group_col), g.column(val_col), SEP
+        )
+        return pa.table({"gv": key, "n": g.column("count_all")})
+
+    sums = sum_per_key(
+        ds.map_batches(_partial, batch_format="pyarrow"), "gv", "n"
+    )
+
+    def _unfold(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("gv"), SEP, max_splits=1)
+        return pa.table(
+            {
+                group_col: pc.list_element(parts, 0),
+                val_col: pc.list_element(parts, 1),
+                "n": batch.column("n").combine_chunks(),
+            }
+        )
+
+    pairs = sums.map_batches(_unfold, batch_format="pyarrow")
+    return topk_per_key(pairs, group_col, "n", k, descending=True, tie_col=val_col)

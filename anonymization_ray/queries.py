@@ -614,7 +614,16 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 7 (newest operators get driver-gate coverage)
+    # round-4 wave 10 (newest operators get driver-gate coverage)
+    "join_skew_hot",
+    "events_nearest_join",
+    "text_group_top_terms",
+    "text_zipf_slope",
+    "stats_group_outliers",
+    "impute_group_mean",
+    "union_schema_evolve",
+    "corpus_jsonl_roundtrip",
+    # round-4 wave 7
     "ann_pq_topk",
     "corpus_temperature_mix",
     "corpus_version_diff",
@@ -756,6 +765,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras import EXTRAS_REGISTRY
     from .queries_extras2 import EXTRAS2_REGISTRY
     from .queries_extras3 import EXTRAS3_REGISTRY
+    from .queries_extras4 import EXTRAS4_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -763,6 +773,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS_REGISTRY)
     merged.update(EXTRAS2_REGISTRY)
     merged.update(EXTRAS3_REGISTRY)
+    merged.update(EXTRAS4_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out
