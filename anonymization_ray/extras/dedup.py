@@ -1489,3 +1489,86 @@ def prefix_dup_flags(ds: rd.Dataset, text_col: str, id_col: str) -> rd.Dataset:
     if not out:
         return s
     return rd.from_arrow_refs(out)
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter cross-corpus dedup — memory-bounded approximate membership
+# --------------------------------------------------------------------------
+
+def _bloom_hashes(texts: list[str], n_hash: int, m_bits: int) -> np.ndarray:
+    """(len(texts), n_hash) bit positions via md5 double hashing
+    (h1 + i*h2 mod m — Kirsch-Mitzenmacher). Deterministic: the flag set
+    (including false positives) is a pure function of the data."""
+    import hashlib
+
+    out = np.empty((len(texts), n_hash), dtype=np.int64)
+    for r, t in enumerate(texts):
+        d = hashlib.md5(t.encode()).digest()
+        h1 = int.from_bytes(d[:8], "little")
+        h2 = int.from_bytes(d[8:], "little") | 1
+        out[r] = [(h1 + i * h2) % m_bits for i in range(n_hash)]
+    return out
+
+
+def bloom_build(
+    ds: rd.Dataset, text_col: str, *, m_bits: int = 1 << 23, n_hash: int = 7
+) -> np.ndarray:
+    """Build a bloom bitmap over a reference corpus's text column: per-block
+    partial bitmaps OR-folded on the driver (each partial is m_bits/8 bytes
+    — 1 MiB at the default — regardless of corpus size). At 100 TB the
+    reference side never materializes; only fixed-size bitmaps move."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        pos = _bloom_hashes(batch.column(text_col).to_pylist(), n_hash, m_bits)
+        flat = pos.ravel()
+        np.bitwise_or.at(bits, flat // 8, (1 << (flat % 8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    bitmap = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in ds.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for blob in b.column("bits").to_pylist():
+            bitmap |= np.frombuffer(blob, dtype=np.uint8)
+    return bitmap
+
+
+def bloom_cross_dedup(
+    new: rd.Dataset,
+    reference: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    n_hash: int = 7,
+) -> rd.Dataset:
+    """Flag rows of ``new`` whose text is (probably) present in
+    ``reference``: the incremental-crawl membership gate when the exact
+    hash index (kg/incremental.py) is too big to probe cheaply. NO false
+    negatives by construction — every true duplicate is flagged; false
+    positives are bounded by the classic (1-e^{-kn/m})^k rate and the
+    flagged stream is small enough to verify exactly downstream (the
+    standard bloom-then-verify composition). The bitmap is built once
+    (driver OR-fold of per-block partials) and broadcast via ``ray.put``.
+
+    Returns (id, bloom_hit int8)."""
+    import ray
+
+    bitmap = bloom_build(reference, text_col, m_bits=m_bits, n_hash=n_hash)
+    ref = ray.put(bitmap)
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        bits = ray.get(ref)
+        pos = _bloom_hashes(batch.column(text_col).to_pylist(), n_hash, m_bits)
+        hit = ((bits[pos // 8] >> (pos % 8)) & 1).all(axis=1)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks(),
+                "bloom_hit": pa.array(hit.astype(np.int8), pa.int8()),
+            }
+        )
+
+    return new.select_columns([id_col, text_col]).map_batches(
+        _probe, batch_format="pyarrow"
+    )

@@ -628,3 +628,62 @@ def pq_topk(
         return group.take(order)
 
     return local.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
+
+
+def scatter_matrix(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """EXACT integer scatter matrix over an embedding column — the PCA /
+    covariance building block (S = sum_n q_n q_n^T over quantized vectors
+    q = floor(1e6 * v), upper triangle). One streaming pass of per-batch
+    int64 Gram partials (``Q.T @ Q`` — a single BLAS-shaped integer matmul
+    per batch); the (dim x dim)-bounded fold happens on the driver with
+    arbitrary-precision ints, so the result is bit-identical at any
+    parallelism and any corpus size. Per-batch bound: |q| <= ~scale * |v|,
+    so a batch of B rows keeps partials under 2^63 for B < 2^63 / (scale^2
+    * |v|^2) — ~9e6 rows at unit-norm vectors; the default block size is
+    orders of magnitude below that.
+
+    Returns pa.Table(i, j, s) for i <= j (0-based dims). Eigendecomposition
+    of the exact matrix is a driver-side ``np.linalg.eigh`` away — that step
+    is dim x dim, never data-sized."""
+    import numpy as np
+
+    acc: dict[tuple[int, int], int] = {}
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.floor(v * float(scale)).astype(np.int64)
+        m = q.T @ q  # (d, d) int64 Gram partial
+        d = m.shape[0]
+        iu = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu[0].astype(np.int64), pa.int64()),
+                "j": pa.array(iu[1].astype(np.int64), pa.int64()),
+                "s": pa.array(m[iu], pa.int64()),
+            }
+        )
+
+    # the partial stream is bounded by d^2 per block — a driver fold over
+    # tiny tables, never the data
+    for b in ds.select_columns([vec_col]).map_batches(
+        _partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        for i, j, s in zip(
+            b.column("i").to_pylist(), b.column("j").to_pylist(), b.column("s").to_pylist()
+        ):
+            acc[(i, j)] = acc.get((i, j), 0) + s
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "i": pa.array([k[0] for k in keys], pa.int64()),
+            "j": pa.array([k[1] for k in keys], pa.int64()),
+            "s": pa.array([acc[k] for k in keys], pa.int64()),
+        }
+    )

@@ -60,8 +60,13 @@ def bucket_resource_triples(pred: str, res: GeneralizationResult, datatype: str)
         "_",
     )
 
+    import numpy as np
+
+    _zeros = pa.array(np.zeros(n, np.int64))
+
     def _const(v: str) -> pa.Array:
-        return pa.array([v] * n, pa.string())
+        # take-on-zeros: one C gather instead of a python list of n copies
+        return pa.array([v], pa.string()).take(_zeros)
 
     def _bound(col: str, obfuscated: str, bound_pred: str) -> pa.Table:
         vals = t.column(col)
@@ -106,7 +111,6 @@ def anonymize_triples(
     """
     n = sum(1 for c in configs if c.method == "generalization")
     gen_results: dict[str, GeneralizationResult] = {}
-    extra_tables: list[pa.Table] = []
     new_streams: list[rd.Dataset] = []
     anonymized_preds = [c.pred for c in configs]
 
@@ -166,33 +170,88 @@ def anonymize_triples(
         )
         gen_results[cfg.pred] = res
 
-        @ray.remote
-        def _emit(start: int, stop: int, p: str, gg: int, kk: int, *tables: pa.Table) -> pa.Table:
-            import numpy as np
-
-            tbl = pa.concat_tables(tables)
-            ranks = np.arange(start, stop, dtype=np.int64)
-            buckets = (gg * ranks) // kk
-            obj = pc.binary_join_element_wise(
-                pa.array([p] * len(ranks), pa.string()),
-                pc.cast(pa.array(buckets, pa.int64()), pa.string()),
-                "_",
-            )
-            return pa.table(
+        # LAZY emission: a tiny (start, stop) range table drives a
+        # map_batches whose tasks fetch the covering sorted blocks
+        # themselves (refs ride in the closure, which also keeps them
+        # alive until execution). The previous shape —
+        # ``rd.from_arrow_refs([_emit.remote(...)])`` — made the DRIVER
+        # ray.get every emitted table to build metadata: ~3.3 s of serial
+        # wall at R=2688 that scaled with data, not with cluster width.
+        ranges = chunked_ranges(sc.offsets)
+        blk_refs = list(sc.refs)
+        offs = sc.offsets.copy()
+        range_ds = rd.from_arrow(
+            pa.table(
                 {
-                    "subj": tbl.column("subj").combine_chunks(),
-                    "pred": pa.array([f"{p}_generalized"] * len(ranks), pa.string()),
-                    "obj": obj,
-                    "obj_kind": pa.array(["iri"] * len(ranks), pa.string()),
+                    "start": pa.array([a for a, _ in ranges], pa.int64()),
+                    "stop": pa.array([b for _, b in ranges], pa.int64()),
                 }
             )
+        )
 
-        refs = [
-            _emit.remote(start, stop, cfg.pred, g, k, *sc.halo_slice_refs(start, stop))
-            for start, stop in chunked_ranges(sc.offsets)
-        ]
-        new_streams.append(rd.from_arrow_refs(refs))
-        extra_tables.append(bucket_resource_triples(cfg.pred, res, cfg.datatype))
+        def _emit_batch(
+            batch: pa.Table,
+            p=cfg.pred,
+            gg=g,
+            kk=k,
+            refs=blk_refs,
+            offsets=offs,
+        ) -> pa.Table:
+            import numpy as np
+
+            outs = []
+            for start, stop in zip(
+                batch.column("start").to_pylist(), batch.column("stop").to_pylist()
+            ):
+                b0 = int(np.searchsorted(offsets, start, side="right") - 1)
+                b1 = int(np.searchsorted(offsets, stop, side="left"))
+                got = ray.get(refs[b0:b1])
+                parts = []
+                for bi, t in zip(range(b0, b1), got):
+                    lo = int(offsets[bi])
+                    s = max(start, lo) - lo
+                    ln = min(stop, int(offsets[bi + 1])) - max(start, lo)
+                    parts.append(t.slice(s, ln))
+                tbl = pa.concat_tables(parts)
+                nrows = stop - start
+                ranks = np.arange(start, stop, dtype=np.int64)
+                buckets = (gg * ranks) // kk
+                obj = pc.binary_join_element_wise(
+                    pa.array([p]).take(pa.array(np.zeros(nrows, np.int64))),
+                    pc.cast(pa.array(buckets, pa.int64()), pa.string()),
+                    "_",
+                )
+                outs.append(
+                    pa.table(
+                        {
+                            "subj": tbl.column("subj").combine_chunks(),
+                            "pred": pa.array([f"{p}_generalized"]).take(
+                                pa.array(np.zeros(nrows, np.int64))
+                            ),
+                            "obj": obj,
+                            "obj_kind": pa.array(["iri"]).take(
+                                pa.array(np.zeros(nrows, np.int64))
+                            ),
+                        }
+                    )
+                )
+            return pa.concat_tables(outs)
+
+        new_streams.append(
+            range_ds.map_batches(_emit_batch, batch_format="pyarrow", batch_size=1)
+        )
+        # bucket side-table built lazily too — codec formatting of ~3g rows
+        # is measurable driver CPU at web-scale g; the tiny buckets table
+        # rides the closure instead
+        one = rd.from_arrow(pa.table({"i": pa.array([0], pa.int64())}))
+        new_streams.append(
+            one.map_batches(
+                lambda b, p=cfg.pred, r=res, dt=cfg.datatype: bucket_resource_triples(
+                    p, r, dt
+                ),
+                batch_format="pyarrow",
+            )
+        )
 
     # delete originals (Q6): drop every anonymized predicate's literal triples
     pred_set = set(anonymized_preds)
@@ -208,8 +267,6 @@ def anonymize_triples(
     out = remaining
     for s in new_streams:
         out = out.union(s)
-    if extra_tables:
-        out = out.union(rd.from_arrow(pa.concat_tables(extra_tables)))
     return out, gen_results
 
 

@@ -614,7 +614,13 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 10 (newest operators get driver-gate coverage)
+    # round-4 wave 11 (newest operators get driver-gate coverage)
+    "embed_scatter_matrix",
+    "layout_zorder",
+    "dedup_bloom_cross",
+    "events_dedup_window",
+    "corpus_compact_roundtrip",
+    # round-4 wave 10
     "join_skew_hot",
     "events_nearest_join",
     "text_group_top_terms",
@@ -766,6 +772,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras2 import EXTRAS2_REGISTRY
     from .queries_extras3 import EXTRAS3_REGISTRY
     from .queries_extras4 import EXTRAS4_REGISTRY
+    from .queries_extras5 import EXTRAS5_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -774,6 +781,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS2_REGISTRY)
     merged.update(EXTRAS3_REGISTRY)
     merged.update(EXTRAS4_REGISTRY)
+    merged.update(EXTRAS5_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out
