@@ -201,3 +201,107 @@ def skew_join(
     return hot_rows.map_batches(_order, batch_format="pyarrow").union(
         cold_rows.map_batches(_order, batch_format="pyarrow")
     )
+
+
+def fuzzy_blocked_pairs(
+    ds: rd.Dataset,
+    block_col: str,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 1,
+    max_block: int = 50_000,
+) -> rd.Dataset:
+    """Blocked fuzzy record linkage: all (id_a < id_b) pairs WITHIN a block
+    whose ``text_col`` values are within Levenshtein distance ``max_dist``
+    — the entity-resolution primitive (same-nation customers whose names
+    differ by a typo, near-identical product titles, etc.).
+
+    Partitioning assumption (documented per the custom-operator contract):
+    candidate generation is all-pairs INSIDE a block, so the block column
+    must bound block size (here: a categorical like nation/segment). Blocks
+    beyond ``max_block`` rows raise rather than silently going quadratic —
+    pick a finer blocking key instead.
+
+    The Levenshtein DP is vectorized ACROSS pairs: the two O(len) loops run
+    over character positions (bounded by string length, ~tens), while every
+    numpy op inside spans all of the block's candidate pairs at once — no
+    per-pair Python. Group count is domain-bounded, so ``groupby`` +
+    ``map_groups`` is the right co-location tool here (unlike the
+    high-cardinality reductions, which use sort+boundary scans)."""
+    import numpy as np
+
+    def _levenshtein_pairs(a_pad: np.ndarray, b_pad: np.ndarray,
+                           la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+        """Edit distances for P (a, b) pairs given (P, L) uint32 codepoint
+        matrices and true lengths. DP rows vectorized across pairs."""
+        p, l_a = a_pad.shape
+        l_b = b_pad.shape[1]
+        res = np.zeros(p, dtype=np.int64)
+        res[la == 0] = lb[la == 0]
+        prev = np.broadcast_to(np.arange(l_b + 1, dtype=np.int64), (p, l_b + 1)).copy()
+        for i in range(1, l_a + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            ai = a_pad[:, i - 1][:, None]  # (P, 1)
+            sub = prev[:, :-1] + (b_pad != ai)
+            # cur[:, j] needs cur[:, j-1]: the j loop is inherent to the
+            # recurrence but bounded by string length, not pair count
+            for j in range(1, l_b + 1):
+                cur[:, j] = np.minimum(
+                    np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1), sub[:, j - 1]
+                )
+            done = la == i
+            if done.any():
+                res[done] = cur[done, lb[done]]
+            prev = cur
+        return res
+
+    def _block_pairs(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        if n > max_block:
+            raise ValueError(
+                f"fuzzy block of {n} rows exceeds max_block={max_block}; "
+                f"use a finer blocking key than {block_col!r}"
+            )
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = g.column(text_col).to_pylist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        lmax = int(lens.max())
+        pad = np.zeros((n, lmax), dtype=np.uint32)
+        for i, t in enumerate(texts):  # one pass over block ROWS, not pairs
+            pad[i, : lens[i]] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32
+            )
+        ia, ib = np.triu_indices(n, k=1)
+        # length prefilter: |la - lb| > max_dist can never match
+        keep = np.abs(lens[ia] - lens[ib]) <= max_dist
+        ia, ib = ia[keep], ib[keep]
+        if len(ia) == 0:
+            return empty
+        d = _levenshtein_pairs(pad[ia], pad[ib], lens[ia], lens[ib])
+        hit = d <= max_dist
+        a, b = ids[ia[hit]], ids[ib[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "dist": pa.array(d[hit], pa.int64()),
+            }
+        )
+
+    return (
+        ds.select_columns([block_col, id_col, text_col])
+        .groupby(block_col)
+        .map_groups(_block_pairs, batch_format="pyarrow")
+    )

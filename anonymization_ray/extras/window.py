@@ -263,3 +263,187 @@ def resample_ffill(
     if not out_refs:
         return s
     return rd.from_arrow_refs(out_refs)
+
+
+def rolling_sum_rows(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    val_col: str,
+    k: int,
+) -> rd.Dataset:
+    """(id, roll_sum): per-key trailing-k-row sum (current row + k-1
+    predecessors, fewer at each key's head) ordered by (order, id) — the
+    ROWS-frame window aggregate (rolling volume, trailing token budget).
+
+    Shape: ONE range sort by (key, order, id); emission is a lazy
+    map_batches over a tiny (start, stop) range table whose tasks fetch
+    their covering sorted blocks PLUS a (k-1)-row halo before each range
+    (the randomization-stage halo-chunk pattern), so every window is fully
+    local to one task: in-task it is a cumsum difference with key-boundary
+    resets — no per-row Python, no driver-blocking gather."""
+    import numpy as np
+    import ray
+
+    from ..util import _block_num_rows, chunked_ranges, coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, id_col, val_col]).materialize()
+        )
+        .sort([key_col, order_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    refs = [r for r, c in zip(refs, counts) if c > 0]
+    counts = [c for c in counts if c > 0]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    total = int(offsets[-1])
+    if total == 0:
+        return rd.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "roll_sum": pa.array([], pa.int64())})
+        )
+    ranges = chunked_ranges(offsets)
+    range_ds = rd.from_arrow(
+        pa.table(
+            {
+                "start": pa.array([a for a, _ in ranges], pa.int64()),
+                "stop": pa.array([b for _, b in ranges], pa.int64()),
+            }
+        )
+    )
+
+    def _emit(batch: pa.Table, kk=k, blk=refs, offs=offsets) -> pa.Table:
+        outs = []
+        for start, stop in zip(
+            batch.column("start").to_pylist(), batch.column("stop").to_pylist()
+        ):
+            halo_start = max(0, start - (kk - 1))
+            b0 = int(np.searchsorted(offs, halo_start, side="right") - 1)
+            b1 = int(np.searchsorted(offs, stop, side="left"))
+            got = ray.get(blk[b0:b1])
+            parts = []
+            for bi, t in zip(range(b0, b1), got):
+                lo = int(offs[bi])
+                sl = max(halo_start, lo) - lo
+                ln = min(stop, int(offs[bi + 1])) - max(halo_start, lo)
+                parts.append(t.slice(sl, ln))
+            t = pa.concat_tables(parts)
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(v)
+            new = np.empty(n, dtype=bool)
+            new[0] = True
+            new[1:] = keys[1:] != keys[:-1]
+            seg_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+            cs = np.concatenate([[0], np.cumsum(v)])
+            win_start = np.maximum(seg_start, np.arange(n) - (kk - 1))
+            roll = cs[1:] - cs[win_start]
+            emit_from = start - halo_start
+            outs.append(
+                pa.table(
+                    {
+                        id_col: t.column(id_col).slice(emit_from),
+                        "roll_sum": pa.array(roll[emit_from:], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return range_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)
+
+
+def keyed_lead_delta(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """(key, val, dt): for every row that has a SUCCESSOR within its key
+    (ordered by (order, id)), the row's value and the gap to that successor
+    in the order column's int64 units — the ``lead() - current`` primitive
+    behind time-weighted averages, dwell times, and inter-arrival stats.
+    Each key's LAST row (no successor) is dropped, matching SQL's
+    ``WHERE lead(...) IS NOT NULL``.
+
+    Shape mirrors ``rolling_sum_rows``: ONE range sort by (key, order, id),
+    then lazy (start, stop) range tasks that fetch their covering sorted
+    blocks plus a ONE-ROW halo AFTER the range, so every successor lookup is
+    task-local and vectorized."""
+    import numpy as np
+    import ray
+
+    from ..util import _block_num_rows, chunked_ranges, coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, id_col, val_col]).materialize()
+        )
+        .sort([key_col, order_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+    counts = ray.get([_block_num_rows.remote(r) for r in refs])
+    refs = [r for r, c in zip(refs, counts) if c > 0]
+    counts = [c for c in counts if c > 0]
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    total = int(offsets[-1])
+    empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            val_col: pa.array([], pa.int64()),
+            "dt": pa.array([], pa.int64()),
+        }
+    )
+    if total == 0:
+        return rd.from_arrow(empty)
+    ranges = chunked_ranges(offsets)
+    range_ds = rd.from_arrow(
+        pa.table(
+            {
+                "start": pa.array([a for a, _ in ranges], pa.int64()),
+                "stop": pa.array([b for _, b in ranges], pa.int64()),
+            }
+        )
+    )
+
+    def _emit(batch: pa.Table, blk=refs, offs=offsets, tot=total) -> pa.Table:
+        outs = [empty]
+        for start, stop in zip(
+            batch.column("start").to_pylist(), batch.column("stop").to_pylist()
+        ):
+            halo_stop = min(tot, stop + 1)
+            b0 = int(np.searchsorted(offs, start, side="right") - 1)
+            b1 = int(np.searchsorted(offs, halo_stop, side="left"))
+            got = ray.get(blk[b0:b1])
+            parts = []
+            for bi, t in zip(range(b0, b1), got):
+                lo = int(offs[bi])
+                sl = max(start, lo) - lo
+                ln = min(halo_stop, int(offs[bi + 1])) - max(start, lo)
+                parts.append(t.slice(sl, ln))
+            t = pa.concat_tables(parts)
+            keys = t.column(key_col).to_numpy(zero_copy_only=False)
+            o = t.column(order_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            n_emit = stop - start  # rows this range owns (halo row excluded)
+            has_next = np.zeros(n_emit, dtype=bool)
+            upto = min(n_emit, len(keys) - 1)
+            has_next[:upto] = keys[1 : upto + 1] == keys[:upto]
+            dt = np.zeros(n_emit, dtype=np.int64)
+            dt[:upto] = o[1 : upto + 1] - o[:upto]
+            outs.append(
+                pa.table(
+                    {
+                        key_col: pa.array(keys[:n_emit][has_next], pa.int64()),
+                        val_col: pa.array(v[:n_emit][has_next], pa.int64()),
+                        "dt": pa.array(dt[has_next], pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return range_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)

@@ -96,10 +96,109 @@ def dedup_pages_exact(
     computed) narrow fingerprint index — page payloads never ride the dedup
     shuffle.
 
-    The LOSER url set (duplicates to drop) is usually a small fraction of the
-    corpus: when it fits ``broadcast_limit`` it is broadcast and applied as a
-    vectorized filter; beyond that, fall back to an inner join on keeper
-    urls."""
+    Two regimes, chosen by the DUPLICATE-hash count:
+
+    - **dup-light fast path** (the realistic crawl: most pages unique): the
+      only corpus-sized exchange is ``exact_value_counts`` over the int64
+      content_hash column — 16 B/row with per-block combining — instead of
+      sorting the (hash, url-STRING) pairs (~4-5x the bytes). The hashes
+      with count > 1 broadcast (bounded by the dup population), the
+      min-url winners are computed on THAT SLICE only, and the loser urls
+      (slice minus winners) apply as a vectorized page filter. A corpus
+      with zero duplicates pays one integer count pass and nothing else.
+    - **dup-heavy fallback**: when the dup-hash set exceeds
+      ``broadcast_limit``, the original full (hash, url) sort + per-block
+      loser scan runs (its cost is then proportional to real work).
+    """
+    import ray
+
+    from ..extras.stats import exact_value_counts
+
+    import numpy as np
+
+    counts = exact_value_counts(
+        fingerprints.select_columns(["content_hash"]), "content_hash"
+    )
+    dup_tbls = [
+        t
+        for t in ray.get(
+            counts.map_batches(
+                lambda b: b.filter(pc.greater(b.column("n"), 1)),
+                batch_format="pyarrow",
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    n_dup_hashes = sum(t.num_rows for t in dup_tbls)
+    if n_dup_hashes == 0:
+        return pages
+    n_dup_rows = sum(
+        int(pc.sum(t.column("n")).as_py() or 0) for t in dup_tbls
+    )
+    # both the dup-hash broadcast AND the driver-gathered dup slice must be
+    # bounded — a single mega-duplicated hash can blow the row bound even
+    # when the hash count is tiny
+    if n_dup_hashes <= broadcast_limit and n_dup_rows <= broadcast_limit:
+        dup_hashes = (
+            pa.concat_tables(dup_tbls).column("content_hash").combine_chunks()
+        )
+        dup_ref = ray.put(dup_hashes)
+
+        def _dup_slice(batch: pa.Table) -> pa.Table:
+            m = pc.is_in(batch.column("content_hash"), value_set=ray.get(dup_ref))
+            return batch.filter(m)
+
+        # ONE corpus scan pulls just the duplicated (hash, url) rows to the
+        # driver (bounded by n_dup_rows <= broadcast_limit); winners/losers
+        # resolve with a driver-side lexsort — no distributed min_per_key,
+        # no second corpus pass
+        dup_fp = pa.concat_tables(
+            [
+                t
+                for t in ray.get(
+                    fingerprints.select_columns(["content_hash", "url"])
+                    .map_batches(_dup_slice, batch_format="pyarrow")
+                    .to_arrow_refs()
+                )
+                if t.num_rows
+            ]
+        )
+        h = dup_fp.column("content_hash").to_numpy(zero_copy_only=False)
+        u = np.asarray(dup_fp.column("url").to_pylist(), dtype=object)
+        order = np.lexsort((u, h))
+        hs = h[order]
+        first = np.empty(len(hs), dtype=bool)
+        first[0] = True
+        first[1:] = hs[1:] != hs[:-1]
+        loser_urls = pa.array(u[order][~first], pa.string())
+        loser_ref = ray.put(loser_urls)
+
+        def _drop_losers(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(
+                pc.is_in(batch.column("url"), value_set=ray.get(loser_ref))
+            )
+            return batch.filter(mask)
+
+        return pages.map_batches(_drop_losers, batch_format="pyarrow")
+
+    return _dedup_pages_exact_fullsort(
+        pages,
+        fingerprints,
+        num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit,
+    )
+
+
+def _dedup_pages_exact_fullsort(
+    pages: rd.Dataset,
+    fingerprints: rd.Dataset,
+    *,
+    num_partitions: int | None = None,
+    broadcast_limit: int = 2_000_000,
+) -> rd.Dataset:
+    """Dup-heavy regime: sort the narrow (hash, url) index, mark every row
+    whose hash equals its predecessor as a loser (per-block vectorized scan,
+    single-row boundary lookups), then broadcast-or-join the loser urls."""
     # Loser detection WITHOUT a many-group aggregate (Ray's groupby pays a
     # per-group cost — ruinous when nearly every page is its own group):
     # sort the narrow (hash, url) index, then a vectorized per-block scan

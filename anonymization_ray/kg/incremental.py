@@ -294,3 +294,121 @@ def dedup_against_index(
         .groupby("part")
         .map_groups(_probe, batch_format="pyarrow")
     )
+
+
+def delete_subjects(
+    out_dir: str,
+    subjects: rd.Dataset,
+    *,
+    subj_col: str = "subj",
+    layouts: tuple[str, ...] = ("spo", "pos"),
+    delete_input: str = "forget",
+    num_partitions: int | None = None,
+) -> dict:
+    """Right-to-be-forgotten for the materialized triple store: remove every
+    triple whose subject appears in ``subjects``, rewriting ONLY the
+    subject-hash partitions those subjects map to (the same touched-partition
+    discipline as ``merge_delta`` — work is proportional to touched
+    partitions + the deletion list, never base size; untouched partitions
+    keep their files AND manifests byte-identical). The deletion list is
+    distinct-reduced and broadcast; the touched partitions re-filter with one
+    vectorized anti ``is_in`` pass and re-sort. Returns {layout: {"deleted":
+    n, "touched": [...], "untouched": [...]}}."""
+    import shutil
+
+    import numpy as np
+
+    from ..extras.joins import semi_anti_join
+    from ..util import coalesce_blocks
+
+    nparts = num_partitions or store_num_partitions(out_dir)
+
+    # distinct subjects + their partitions (tiny by contract: a deletion
+    # request is id-list-scale, not corpus-scale)
+    subj_parted = subjects.map_batches(
+        lambda b: _partition_col(
+            pa.table({"subj": pc.cast(b.column(subj_col), pa.string())}), nparts
+        ),
+        batch_format="pyarrow",
+    )
+    touched = sorted({r["part"] for r in subj_parted.groupby("part").count().take_all()})
+    report: dict = {}
+    if not touched:
+        for layout in layouts:
+            report[layout] = {
+                "deleted": 0,
+                "touched": [],
+                "untouched": list(range(nparts)),
+            }
+        return report
+
+    kept = None
+    n_deleted = 0
+    for layout in layouts:
+        keys = LAYOUT_KEYS[layout]
+        layout_dir = os.path.join(out_dir, layout)
+        if kept is None:
+            base_files = []
+            for p in touched:
+                pdir = os.path.join(layout_dir, f"part={p}")
+                if os.path.isdir(pdir):
+                    base_files += [
+                        os.path.join(pdir, f)
+                        for f in os.listdir(pdir)
+                        if f.endswith(".parquet")
+                    ]
+            if base_files:
+                base = rd.read_parquet(base_files)
+                base = base.map_batches(
+                    lambda b: _partition_col(
+                        b.drop_columns(["part"]) if "part" in b.column_names else b,
+                        nparts,
+                    ),
+                    batch_format="pyarrow",
+                )
+                n_base = base.count()
+                kept = coalesce_blocks(
+                    semi_anti_join(
+                        base, subjects, on="subj", right_on=subj_col, anti=True
+                    ).materialize()
+                )
+                n_deleted = n_base - kept.count()
+            else:
+                kept = rd.from_arrow(
+                    pa.table(
+                        {
+                            "subj": pa.array([], pa.string()),
+                            "pred": pa.array([], pa.string()),
+                            "obj": pa.array([], pa.string()),
+                            "obj_kind": pa.array([], pa.string()),
+                            "part": pa.array([], pa.int64()),
+                        }
+                    )
+                )
+        for p in touched:
+            pdir = os.path.join(layout_dir, f"part={p}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+        if kept.count():
+            kept.sort(keys).write_parquet(layout_dir, partition_cols=["part"])
+        counts = (
+            {r["part"]: r["count()"] for r in kept.groupby("part").count().take_all()}
+            if kept.count()
+            else {}
+        )
+        for p in touched:
+            mp = _manifest_path(out_dir, layout, p)
+            try:
+                m = json.load(open(mp))
+            except (OSError, json.JSONDecodeError):
+                m = {"partition": p, "layout": layout, "config_hash": "", "inputs": []}
+            m["rows"] = int(counts.get(p, 0))
+            m["inputs"] = list(m.get("inputs", [])) + [delete_input]
+            with open(mp, "w") as f:
+                json.dump(m, f)
+        report[layout] = {
+            "deleted": int(n_deleted),
+            "touched": touched,
+            "untouched": [p for p in range(nparts) if p not in touched],
+        }
+    return report

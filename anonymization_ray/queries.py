@@ -614,7 +614,17 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 11 (newest operators get driver-gate coverage)
+    # round-4 wave 13 (newest operators get driver-gate coverage)
+    "events_funnel",
+    "events_twap",
+    "join_fuzzy_names",
+    "stats_group_winsorized",
+    "agg_rollup_priority",
+    # round-4 wave 12
+    "events_rolling_sum",
+    "embed_knn_classify",
+    "kg_delete_subjects",
+    # round-4 wave 11
     "embed_scatter_matrix",
     "layout_zorder",
     "dedup_bloom_cross",
@@ -773,6 +783,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras3 import EXTRAS3_REGISTRY
     from .queries_extras4 import EXTRAS4_REGISTRY
     from .queries_extras5 import EXTRAS5_REGISTRY
+    from .queries_extras6 import EXTRAS6_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -782,6 +793,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS3_REGISTRY)
     merged.update(EXTRAS4_REGISTRY)
     merged.update(EXTRAS5_REGISTRY)
+    merged.update(EXTRAS6_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out

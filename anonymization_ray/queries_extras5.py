@@ -217,9 +217,221 @@ def q_corpus_compact_roundtrip(sf_dir: str):
 SQL_COMPACT = "SELECT doc_id, text FROM documents"
 
 
+# --------------------------------------------------------------------------
+# ROWS-frame rolling sum
+# --------------------------------------------------------------------------
+
+ROLL_K = 5
+
+
+def q_events_rolling_sum(sf_dir: str):
+    """Per-user trailing-5-event value sum (ROWS frame, ordered by ts with
+    event_id tie-break) — one range sort + halo'd lazy chunk tasks
+    (`extras/window.rolling_sum_rows`); integer cents keep the sum
+    order-independent."""
+    from .extras.window import rolling_sum_rows
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").combine_chunks(),
+                "user_id": batch.column("user_id").combine_chunks(),
+                "ts": batch.column("ts").combine_chunks(),
+                "cents": pc.cast(
+                    pc.round(pc.multiply(batch.column("value"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return rolling_sum_rows(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+        ROLL_K,
+    ).map_batches(
+        lambda b: b.rename_columns(["event_id", "roll_cents"]), batch_format="pyarrow"
+    )
+
+
+SQL_ROLLING_SUM = f"""
+SELECT event_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN {ROLL_K - 1} PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll_cents
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# k-NN label classification over embeddings
+# --------------------------------------------------------------------------
+
+KNN_QUERIES = 50
+KNN_K = 5
+
+
+def q_embed_knn_classify(sf_dir: str):
+    """5-NN majority-vote label prediction for the first 50 vectors against
+    the whole embeddings corpus (self excluded) — the classic
+    label-propagation / weak-annotation primitive. The distributed part is
+    the exact cosine top-k scan (`brute_force_topk`: query block broadcast
+    once, corpus streams); the vote folds over a bounded candidate set
+    (queries x k rows). Ties: higher count wins, then smaller label."""
+    from .extras.joins import semi_anti_join
+    from .extras.similarity import brute_force_topk, load_query_vectors
+
+    emb = load(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    q, qids = load_query_vectors(sf_dir, n=KNN_QUERIES)
+    top = brute_force_topk(
+        emb.select_columns(["vec_id", "embedding"]), q, qids, k=KNN_K
+    ).take_all()
+    cand_ids = sorted({r["vec_id"] for r in top})
+    lab_rows = semi_anti_join(
+        emb.select_columns(["vec_id", "label"]),
+        __import__("ray").data.from_arrow(
+            pa.table({"vec_id": pa.array(cand_ids, pa.int64())})
+        ),
+        on="vec_id",
+    ).take_all()
+    label = {r["vec_id"]: int(r["label"]) for r in lab_rows}
+    votes: dict[int, dict[int, int]] = {}
+    for r in top:
+        votes.setdefault(r["query_id"], {})[label[r["vec_id"]]] = (
+            votes.setdefault(r["query_id"], {}).get(label[r["vec_id"]], 0) + 1
+        )
+    qs = sorted(votes)
+    pred = [
+        min(votes[qq].items(), key=lambda kv: (-kv[1], kv[0]))[0] for qq in qs
+    ]
+    return pa.table(
+        {
+            "query_id": pa.array(qs, pa.int64()),
+            "pred_label": pa.array(pred, pa.int64()),
+        }
+    )
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings ORDER BY vec_id LIMIT {KNN_QUERIES}),
+     scores AS (SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS s
+                FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id),
+     ranked AS (SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, vec_id) AS rn
+                FROM scores),
+     lab AS (SELECT r.query_id, e.label, count(*) AS c
+             FROM ranked r JOIN embeddings e USING (vec_id)
+             WHERE r.rn <= {KNN_K} GROUP BY r.query_id, e.label),
+     best AS (SELECT query_id, label,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY c DESC, label ASC) AS rn
+              FROM lab)
+SELECT query_id, CAST(label AS BIGINT) AS pred_label FROM best WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# right-to-be-forgotten deletion on the materialized store
+# --------------------------------------------------------------------------
+
+def q_kg_delete_subjects(sf_dir: str):
+    """GDPR-style deletion: a customer graph is materialized (subject-hash
+    partitions + manifests), then every customer with custkey % 7 == 0 is
+    forgotten via `kg/incremental.delete_subjects` — ONLY the partitions
+    those subjects hash to are rewritten (merge_delta discipline). The
+    oracle pins the surviving triple set."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .kg.incremental import delete_subjects
+    from .kg.materialize import materialize_triples, read_layout
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def _triples(b: pa.Table) -> pa.Table:
+        def _c(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+        subj = _c(
+            pc.binary_join_element_wise(
+                "urn:cust:", pc.cast(b.column("c_custkey"), pa.string()), ""
+            )
+        )
+        nat = _c(
+            pc.binary_join_element_wise(
+                "urn:nation:", pc.cast(b.column("c_nationkey"), pa.string()), ""
+            )
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "subj": pa.concat_arrays([subj] * 2),
+                "pred": pa.array(["basedIn"] * n + ["inSegment"] * n),
+                "obj": pa.concat_arrays(
+                    [nat, _c(b.column("c_mktsegment").combine_chunks().cast(pa.string()))]
+                ),
+                "obj_kind": pa.array(["iri"] * n + ["string"] * n),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="kg_forget_")
+    try:
+        materialize_triples(
+            cust.map_batches(_triples, batch_format="pyarrow"),
+            out,
+            num_partitions=8,
+            config={"q": "kg_delete_subjects"},
+        )
+        forget = cust.filter(
+            lambda r: r["c_custkey"] % 7 == 0
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "subj": pc.binary_join_element_wise(
+                        "urn:cust:", pc.cast(b.column("c_custkey"), pa.string()), ""
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        delete_subjects(out, forget, delete_input="gdpr-batch-1")
+        kept = (
+            read_layout(out, "spo")
+            .select_columns(["subj", "pred", "obj", "obj_kind"])
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return kept
+
+
+SQL_KG_DELETE = """
+WITH t AS (
+  SELECT 'urn:cust:' || c_custkey AS subj, 'basedIn' AS pred,
+         'urn:nation:' || c_nationkey AS obj, 'iri' AS obj_kind
+  FROM customer WHERE c_custkey % 7 != 0
+  UNION ALL
+  SELECT 'urn:cust:' || c_custkey, 'inSegment', c_mktsegment, 'string'
+  FROM customer WHERE c_custkey % 7 != 0)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM t
+"""
+
+
 EXTRAS5_REGISTRY.update(
     {
         "embed_scatter_matrix": QueryDef(q_embed_scatter_matrix, SQL_SCATTER),
+        "events_rolling_sum": QueryDef(q_events_rolling_sum, SQL_ROLLING_SUM),
+        "embed_knn_classify": QueryDef(q_embed_knn_classify, SQL_KNN_CLASSIFY),
+        "kg_delete_subjects": QueryDef(q_kg_delete_subjects, SQL_KG_DELETE),
         "layout_zorder": QueryDef(q_layout_zorder, _sql_zorder()),
         "dedup_bloom_cross": QueryDef(q_dedup_bloom_cross, SQL_BLOOM_CROSS),
         "events_dedup_window": QueryDef(q_events_dedup_window, SQL_DEDUP_WINDOW),

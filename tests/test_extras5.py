@@ -144,3 +144,37 @@ def test_compact_parquet_reduces_files_preserves_rows():
         assert back.v.tolist() == [2 * i for i in range(1000)]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rolling_sum_rows_halo_across_blocks():
+    # windows must be correct when a key's trailing-k rows span block
+    # boundaries: force 1-row-ish blocks via repartition and compare to
+    # pandas groupby.rolling on the same (key, order, id)-sorted frame
+    import pandas as pd
+
+    from anonymization_ray.extras.window import rolling_sum_rows
+
+    rng = np.random.RandomState(7)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n),
+            "o": rng.randint(0, 40, n),
+            "i": np.arange(n, dtype=np.int64),
+            "v": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(37)
+    got = (
+        rolling_sum_rows(ds, "k", "o", "i", "v", 4)
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    sdf = df.sort_values(["k", "o", "i"]).reset_index(drop=True)
+    sdf["roll"] = (
+        sdf.groupby("k")["v"].rolling(4, min_periods=1).sum().reset_index(drop=True).values
+    )
+    want = sdf.sort_values("i").reset_index(drop=True)
+    assert got["i"].tolist() == want["i"].tolist()
+    assert got["roll_sum"].tolist() == want["roll"].astype(int).tolist()

@@ -443,3 +443,97 @@ def test_dedup_against_index_updates_and_reprobe(tmp_path):
         .tolist()
     )
     assert surv2 == [21]
+
+
+def test_dedup_pages_regimes_agree():
+    # the dup-light fast path (count pass + driver lexsort over the bounded
+    # dup slice) and the dup-heavy fullsort fallback must keep the same
+    # pages; a skewed mega-duplicate group must also route to the fallback
+    # when the ROW bound (not just the hash bound) is exceeded
+    from anonymization_ray.kg.fingerprint import (
+        _dedup_pages_exact_fullsort,
+        dedup_pages_exact,
+        page_content_hashes,
+    )
+    from anonymization_ray.kg.pages import synthesize_pages
+
+    pages = synthesize_pages(SF)
+    fp = page_content_hashes(pages.select_columns(["url", "text"])).materialize()
+    pg = pages.select_columns(["url", "html"]).materialize()
+
+    fast = sorted(r["url"] for r in dedup_pages_exact(pg, fp).take_all())
+    slow = sorted(
+        r["url"]
+        for r in _dedup_pages_exact_fullsort(pg, fp).take_all()
+    )
+    assert fast == slow and len(fast) > 0
+    # row-bound routing: broadcast_limit below the dup-row count must still
+    # produce the same answer via the fallback
+    routed = sorted(
+        r["url"] for r in dedup_pages_exact(pg, fp, broadcast_limit=1).take_all()
+    )
+    assert routed == fast
+
+
+def test_delete_subjects_touches_only_their_partitions(tmp_path):
+    from anonymization_ray.kg.incremental import delete_subjects
+    from anonymization_ray.kg.materialize import materialize_triples, read_layout
+
+    def tri(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows]),
+                    "pred": pa.array([r[1] for r in rows]),
+                    "obj": pa.array([r[2] for r in rows]),
+                    "obj_kind": pa.array(["iri"] * len(rows)),
+                }
+            )
+        )
+
+    base_rows = [(f"urn:e:{i}", "p", f"v{i}") for i in range(40)] + [
+        ("urn:e:7", "q", "extra")
+    ]
+    out = str(tmp_path / "store")
+    materialize_triples(tri(base_rows), out, num_partitions=8, config={"v": 1})
+
+    pre_mtimes = {}
+    for p in range(8):
+        d = os.path.join(out, "spo", f"part={p}")
+        pre_mtimes[p] = (
+            max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+            if os.path.isdir(d)
+            else None
+        )
+
+    forget = rd.from_arrow(pa.table({"subj": pa.array(["urn:e:7", "urn:e:13"])}))
+    rep = delete_subjects(out, forget, delete_input="gdpr-1")
+
+    got = read_layout(out, "spo").to_pandas()
+    want = {
+        (r[0], r[1], r[2]) for r in base_rows if r[0] not in ("urn:e:7", "urn:e:13")
+    }
+    assert set(map(tuple, got[["subj", "pred", "obj"]].values)) == want
+    assert rep["spo"]["deleted"] == 3  # two e:7 triples + one e:13
+
+    touched = set(rep["spo"]["touched"])
+    assert 0 < len(touched) < 8
+    for p in range(8):
+        d = os.path.join(out, "spo", f"part={p}")
+        post = (
+            max(os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d))
+            if os.path.isdir(d)
+            else None
+        )
+        if p not in touched and pre_mtimes[p] is not None:
+            assert post == pre_mtimes[p], f"untouched partition {p} was rewritten"
+    for p in touched:
+        m = json.load(open(os.path.join(out, "_manifests", f"spo_part={p}.json")))
+        assert m["inputs"][-1] == "gdpr-1"
+
+    # POS layout in lockstep; idempotent re-delete is a no-op
+    pos = read_layout(out, "pos").to_pandas()
+    assert set(map(tuple, pos[["subj", "pred", "obj"]].values)) == want
+    rep2 = delete_subjects(out, forget, delete_input="gdpr-1-retry")
+    assert rep2["spo"]["deleted"] == 0
+    assert len(read_layout(out, "spo").to_pandas()) == len(want)
