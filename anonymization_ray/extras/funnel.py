@@ -144,3 +144,143 @@ def funnel_steps(
             "users": pa.array(total, pa.int64()),
         }
     )
+
+
+def _solve_windowed(
+    k: np.ndarray, ts: np.ndarray, n_steps: int, horizon: int
+) -> np.ndarray:
+    """Greedy windowed-funnel counts over (user*S+step, ts) rows SORTED by
+    (k, ts): t0 = user's first step-0 event; t_i = first step-i event with
+    t_{i-1} < t <= t_{i-1} + horizon. Fully vectorized: per-(user,step) runs
+    are contiguous, so step-0 firsts are run heads and each later step is a
+    masked ``np.minimum.reduceat`` over its runs."""
+    out = np.zeros(n_steps, dtype=np.int64)
+    if len(k) == 0:
+        return out
+    users = k // n_steps
+    steps = k % n_steps
+    uniq = np.unique(users)
+    inv = np.searchsorted(uniq, users)
+    newrun = np.empty(len(k), dtype=bool)
+    newrun[0] = True
+    newrun[1:] = k[1:] != k[:-1]
+    run_start = np.nonzero(newrun)[0]
+    run_user = np.searchsorted(uniq, k[run_start] // n_steps)
+    run_step = k[run_start] % n_steps
+    # sentinel low enough that SENT + horizon cannot overflow int64
+    sent = (1 << 62)
+    t = np.full((len(uniq), n_steps), sent, dtype=np.int64)
+    m0 = run_step == 0
+    t[run_user[m0], 0] = ts[run_start[m0]]
+    out[0] = int((t[:, 0] < sent).sum())
+    for i in range(1, n_steps):
+        tp = t[inv, i - 1]
+        ok = (steps == i) & (ts > tp) & (ts <= tp + horizon)
+        masked = np.where(ok, ts, sent)
+        mins = np.minimum.reduceat(masked, run_start)
+        mi = run_step == i
+        t[run_user[mi], i] = mins[mi]
+        out[i] = int((t[:, i] < sent).sum())
+    return out
+
+
+def _ts_us(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Timestamps normalize to MICROSECONDS before the int64 view so horizon
+    arithmetic is unit-stable regardless of the source's timestamp unit
+    (parquet is us; pandas-built tables are ns)."""
+    if pa.types.is_timestamp(col.type):
+        col = col.cast(pa.timestamp("us"))
+    return col.cast(pa.int64())
+
+
+def funnel_steps_windowed(
+    events: rd.Dataset,
+    steps: list[str],
+    horizon_us: int,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pa.Table:
+    """Greedy windowed funnel: users must reach each step within
+    ``horizon_us`` of the previous step's matched event (conversion-window
+    semantics — the unwindowed ``funnel_steps`` compares global firsts).
+    Unlike the firsts-only funnel, the greedy match needs every step event,
+    so the narrow (user*S+step, ts) stream sorts WITHOUT the min_per_key
+    reduction; per-block solves cover interior users and boundary users'
+    rows fold on the driver (<= 2 users per block)."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    n_steps = len(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        t = batch.column(type_col)
+        mask = pc.is_in(t, value_set=pa.array(steps))
+        b = batch.filter(mask)
+        if b.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "ts": pa.array([], pa.int64())}
+            )
+        u = b.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if u.max(initial=0) >= (1 << 61) // n_steps or u.min(initial=0) < 0:
+            raise ValueError(
+                f"{user_col} magnitude exceeds the composite-key bound"
+            )
+        si = np.array(
+            [step_idx[x] for x in b.column(type_col).to_pylist()], dtype=np.int64
+        )
+        tsv = _ts_us(b.column(ts_col)).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "k": pa.array(u * n_steps + si, pa.int64()),
+                "ts": pa.array(tsv, pa.int64()),
+            }
+        )
+
+    s = (
+        coalesce_blocks(
+            events.select_columns([user_col, type_col, ts_col])
+            .map_batches(_melt, batch_format="pyarrow")
+            .materialize()
+        )
+        .sort(["k", "ts"])
+        .materialize()
+    )
+
+    @ray.remote(num_cpus=0.5)
+    def _block_fold(t: pa.Table, ns: int, hz: int):
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return np.zeros(ns, dtype=np.int64), np.empty((0, 2), np.int64)
+        users = k // ns
+        head_u, tail_u = users[0], users[-1]
+        edge = (users == head_u) | (users == tail_u)
+        interior = ~edge
+        counts = _solve_windowed(k[interior], ts[interior], ns, hz)
+        return counts, np.stack([k[edge], ts[edge]], axis=1)
+
+    refs = [r for r in s.to_arrow_refs()]
+    folds = ray.get([_block_fold.remote(r, n_steps, horizon_us) for r in refs])
+    total = np.zeros(n_steps, dtype=np.int64)
+    edge_rows = []
+    for counts, edges in folds:
+        total += counts
+        edge_rows.append(edges)
+    edges = (
+        np.concatenate(edge_rows) if edge_rows else np.empty((0, 2), np.int64)
+    )
+    if len(edges):
+        order = np.lexsort((edges[:, 1], edges[:, 0]))
+        total += _solve_windowed(
+            edges[order, 0], edges[order, 1], n_steps, horizon_us
+        )
+    return pa.table(
+        {
+            "step": pa.array(steps, pa.string()),
+            "users": pa.array(total, pa.int64()),
+        }
+    )

@@ -305,3 +305,141 @@ def fuzzy_blocked_pairs(
         .groupby(block_col)
         .map_groups(_block_pairs, batch_format="pyarrow")
     )
+
+
+def grouped_pair_counts(
+    ds: rd.Dataset,
+    group_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_group: int = 10_000,
+) -> rd.Dataset:
+    """Market-basket pair counts: for every unordered item pair appearing
+    together in >= ``min_support`` groups, the co-occurrence count —
+    the frequent-itemset / recommendation primitive.
+
+    Shape (contrast with the hash-self-join co-occurrence in
+    ``queries_kg.q_kg_entity_cooccurrence``): distinct (group, item) rows
+    sort by (group, item); pair expansion is a per-block vectorized
+    triangle over each group's contiguous run, with the <= 2 boundary
+    groups per block deferred to a single driver-folded task — no join, no
+    duplicate pair stream. Groups larger than ``max_group`` raise (the
+    quadratic guard; basket sizes are domain-bounded). Pair counts reduce
+    via ``sum_per_key`` on a packed int64 key."""
+    import numpy as np
+
+    from ..extras.graph import sum_per_key
+    from ..util import coalesce_blocks, distinct_rows
+
+    d = distinct_rows(
+        ds.select_columns([group_col, item_col]), [group_col, item_col]
+    ).materialize()
+    s = coalesce_blocks(d).sort([group_col, item_col]).materialize()
+    refs = list(s.to_arrow_refs())
+
+    def _expand(g: np.ndarray, it: np.ndarray) -> np.ndarray:
+        """Packed pair keys for every within-group (a < b) pair; input
+        sorted by (group, item)."""
+        n = len(g)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, n))
+        if sizes.max(initial=0) > max_group:
+            raise ValueError(
+                f"group of {sizes.max()} items exceeds max_group={max_group}"
+            )
+        if it.max(initial=0) >= (1 << 31) or it.min(initial=0) < 0:
+            raise ValueError("item ids must fit uint31 for pair packing")
+        outs = []
+        for sz in np.unique(sizes):
+            if sz < 2:
+                continue
+            gs = starts[sizes == sz]
+            block = it[gs[:, None] + np.arange(sz)[None, :]]  # (G, sz)
+            ia, ib = np.triu_indices(int(sz), k=1)
+            a = block[:, ia].ravel()
+            b = block[:, ib].ravel()
+            outs.append(a * (1 << 31) + b)  # sorted run => a < b
+        return np.concatenate(outs) if outs else np.empty(0, dtype=np.int64)
+
+    import ray
+
+    @ray.remote(num_cpus=0.5, num_returns=2)
+    def _block_pairs(t: pa.Table):
+        """Returns (interior-pair key table — STAYS in the object store,
+        never driver-gathered — and the small boundary-group rows)."""
+        g = t.column(group_col).to_numpy(zero_copy_only=False)
+        it = t.column(item_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(g) == 0:
+            return (
+                pa.table(
+                    {
+                        "k": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                ),
+                np.empty((0, 2), np.int64),
+            )
+        head, tail = g[0], g[-1]
+        edge = (g == head) | (g == tail)
+        keys = _expand(g[~edge], it[~edge])
+        return (
+            pa.table(
+                {
+                    "k": pa.array(keys, pa.int64()),
+                    "c": pa.array(np.ones(len(keys), np.int64)),
+                }
+            ),
+            np.stack([g[edge], it[edge]], axis=1),
+        )
+
+    pair_refs, edge_refs = [], []
+    for r in refs:
+        pr, er = _block_pairs.remote(r)
+        pair_refs.append(pr)
+        edge_refs.append(er)
+    edge_rows = [e for e in ray.get(edge_refs) if len(e)]
+    if edge_rows:
+        e = np.concatenate(edge_rows)
+        order = np.lexsort((e[:, 1], e[:, 0]))
+        keys = _expand(e[order, 0], e[order, 1])
+        if len(keys):
+            pair_refs.append(
+                ray.put(
+                    pa.table(
+                        {
+                            "k": pa.array(keys, pa.int64()),
+                            "c": pa.array(np.ones(len(keys), np.int64)),
+                        }
+                    )
+                )
+            )
+    if not pair_refs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "item_a": pa.array([], pa.int64()),
+                    "item_b": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        )
+    counts = sum_per_key(rd.from_arrow_refs(pair_refs), "k", "c")
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("c"), min_support))
+        kk = t.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "item_a": pa.array(kk >> 31, pa.int64()),
+                "item_b": pa.array(kk & ((1 << 31) - 1), pa.int64()),
+                "n": t.column("c").combine_chunks(),
+            }
+        )
+
+    return counts.map_batches(_unpack, batch_format="pyarrow")

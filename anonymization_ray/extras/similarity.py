@@ -687,3 +687,133 @@ def scatter_matrix(
             "s": pa.array([acc[k] for k in keys], pa.int64()),
         }
     )
+
+
+def kmeans_lloyd_int(
+    ds: rd.Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> pa.Table:
+    """Distributed EXACT-integer Lloyd k-means over the FULL corpus (the
+    sampled driver-side ``kmeans_centroids`` trains IVF cells; this is the
+    clustering operator itself, bit-identical at any parallelism):
+
+    - vectors quantize to q = floor(scale * v) int64 (the scatter-matrix
+      convention), so every distance, sum and centroid update is integer
+      arithmetic — no float drift across block boundaries or widths;
+    - init = the first ``k`` vectors by id (deterministic, SQL-replicable);
+    - each iteration is ONE streaming pass: blocks compute argmin-distance
+      assignments against the broadcast (k x D) centroid table and emit a
+      (k x (D+1)) integer partial (per-cluster dim sums + count); the fold
+      is k*D-bounded on the driver with Python bigints;
+    - centroid update is floor division; clusters that lose every point
+      keep their previous centroid (deterministic, mirrored in SQL via
+      coalesce).
+
+    Returns the long (cluster, dim, val) table: dim >= 0 rows carry the
+    final centroids, dim = -1 rows the final assignment counts."""
+    import numpy as np
+    import ray
+
+    # init = the k smallest ids — per-block partial min-k (np.partition) +
+    # tiny driver merge + one filtered fetch; never a corpus sort for k rows
+    def _min_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) > k:
+            ids = np.partition(ids, k - 1)[:k]
+        return pa.table({id_col: pa.array(np.sort(ids), pa.int64())})
+
+    id_parts = (
+        ds.select_columns([id_col])
+        .map_batches(_min_ids, batch_format="pyarrow")
+        .take_all()
+    )
+    first_ids = sorted(r[id_col] for r in id_parts)[:k]
+    _id_set = pa.array(first_ids, pa.int64())
+    init = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b.column(id_col), value_set=_id_set)),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    )
+    init.sort(key=lambda r: r[id_col])
+    C = np.stack(
+        [
+            np.floor(np.asarray(r[vec_col], dtype=np.float64) * float(scale)).astype(
+                np.int64
+            )
+            for r in init
+        ]
+    )
+    dim = C.shape[1]
+    counts = np.zeros(k, dtype=object)
+
+    narrow = ds.select_columns([vec_col]).materialize()
+    for _ in range(iters):
+        cref = ray.put(C)
+
+        def _partial(batch: pa.Table) -> pa.Table:
+            q = np.floor(
+                np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+                    np.float64
+                )
+                * float(scale)
+            ).astype(np.int64)
+            cc = ray.get(cref)
+            # ||q||^2 - 2 q.C^T + ||c||^2, all int64 (bounded: scale^2 * |v|^2 * D)
+            d = (
+                (q * q).sum(axis=1)[:, None]
+                - 2 * (q @ cc.T)
+                + (cc * cc).sum(axis=1)[None, :]
+            )
+            a = np.argmin(d, axis=1)  # ties -> smallest cluster id
+            sums = np.zeros((k, q.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            out = np.concatenate([cnt[:, None], sums], axis=1)  # (k, 1+D)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k), pa.int64()),
+                    "row": pa.array(list(out), pa.list_(pa.int64())),
+                }
+            )
+
+        parts = narrow.map_batches(_partial, batch_format="pyarrow").take_all()
+        # k x (D+1) fold with Python ints — exact at any corpus size
+        agg = [[0] * (dim + 1) for _ in range(k)]
+        for r in parts:
+            j = r["cluster"]
+            for i, x in enumerate(r["row"]):
+                agg[j][i] += int(x)
+        newC = C.copy()
+        for j in range(k):
+            n = agg[j][0]
+            counts[j] = n
+            if n > 0:
+                newC[j] = np.array(
+                    [s // n for s in agg[j][1:]], dtype=np.int64
+                )  # Python // floors exactly
+        C = newC
+
+    rows_c, rows_d, rows_v = [], [], []
+    for j in range(k):
+        rows_c.append(j)
+        rows_d.append(-1)
+        rows_v.append(int(counts[j]))
+        for d_i in range(dim):
+            rows_c.append(j)
+            rows_d.append(d_i)
+            rows_v.append(int(C[j, d_i]))
+    return pa.table(
+        {
+            "cluster": pa.array(rows_c, pa.int64()),
+            "dim": pa.array(rows_d, pa.int64()),
+            "val": pa.array(rows_v, pa.int64()),
+        }
+    )

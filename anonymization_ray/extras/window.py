@@ -372,15 +372,28 @@ def keyed_lead_delta(
     Shape mirrors ``rolling_sum_rows``: ONE range sort by (key, order, id),
     then lazy (start, stop) range tasks that fetch their covering sorted
     blocks plus a ONE-ROW halo AFTER the range, so every successor lookup is
-    task-local and vectorized."""
+    task-local and vectorized. Timestamp order columns normalize to
+    MICROSECONDS so ``dt`` is unit-stable across source timestamp units."""
     import numpy as np
     import ray
 
     from ..util import _block_num_rows, chunked_ranges, coalesce_blocks
 
+    def _norm(b: pa.Table) -> pa.Table:
+        c = b.column(order_col)
+        if pa.types.is_timestamp(c.type):
+            b = b.set_column(
+                b.column_names.index(order_col),
+                order_col,
+                c.cast(pa.timestamp("us")),
+            )
+        return b
+
     s = (
         coalesce_blocks(
-            ds.select_columns([key_col, order_col, id_col, val_col]).materialize()
+            ds.select_columns([key_col, order_col, id_col, val_col])
+            .map_batches(_norm, batch_format="pyarrow")
+            .materialize()
         )
         .sort([key_col, order_col, id_col])
         .materialize()
@@ -447,3 +460,227 @@ def keyed_lead_delta(
         return pa.concat_tables(outs)
 
     return range_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)
+
+
+def last_touch_attribution(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    type_col: str,
+    touch_types: list[str],
+    target_type: str,
+) -> pa.Table:
+    """Last-touch attribution: each ``target_type`` row (e.g. a purchase) is
+    credited to the most recent STRICTLY-PRECEDING ``touch_types`` row of the
+    same key (ordered by (order, id)); targets with no prior touch credit
+    'none'. Returns the tiny (touch, n) table.
+
+    Shape: one range sort by (key, order, id); per-block scans forward-fill
+    the last-seen touch code with key resets, block boundaries are stitched
+    with the same (key, running-code) carry chain as ``per_key_window`` —
+    single-row metadata per block, no second exchange. Per-block outputs are
+    (|touch_types|+1)-sized count vectors folded on the driver."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    code_of = {t: i + 1 for i, t in enumerate(touch_types)}
+    tgt_code = -1
+
+    def _encode(b: pa.Table) -> pa.Table:
+        tl = b.column(type_col).to_pylist()
+        c = np.array(
+            [code_of.get(t, tgt_code if t == target_type else 0) for t in tl],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                key_col: b.column(key_col).combine_chunks(),
+                order_col: b.column(order_col).combine_chunks(),
+                id_col: b.column(id_col).combine_chunks(),
+                "c": pa.array(c, pa.int64()),
+            }
+        )
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, id_col, type_col])
+            .map_batches(_encode, batch_format="pyarrow")
+            .materialize()
+        )
+        .sort([key_col, order_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        last = k[-1]
+        brk = np.nonzero(k != last)[0]
+        start = int(brk[-1]) + 1 if brk.size else 0
+        tail = c[start:]
+        touch = tail[tail > 0]
+        return {
+            "first": k[0],
+            "last": last,
+            "tail_code": int(touch[-1]) if touch.size else 0,
+            "whole": start == 0,
+        }
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, m in zip(refs, summaries) if m is not None]
+    summaries = [m for m in summaries if m is not None]
+
+    carries: list[tuple | None] = []
+    run_key, run_code = None, 0
+    for m in summaries:
+        carries.append(
+            (run_key, run_code)
+            if run_key is not None and m["first"] == run_key
+            else None
+        )
+        if m["whole"] and m["last"] == run_key:
+            run_code = m["tail_code"] if m["tail_code"] else run_code
+        else:
+            run_key, run_code = m["last"], m["tail_code"]
+
+    nt = len(touch_types)
+
+    @ray.remote(num_cpus=0.5)
+    def _count(t: pa.Table, carry):
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        n = len(k)
+        p = np.arange(n, dtype=np.int64)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        seg_start = np.nonzero(new_key)[0][seg_id]
+        touch_pos = np.where(c > 0, p, np.int64(-1))
+        ff = np.maximum.accumulate(touch_pos)
+        before = np.empty(n, dtype=np.int64)
+        before[0] = -1
+        before[1:] = ff[:-1]
+        valid = before >= seg_start
+        attr = np.where(valid, c[np.maximum(before, 0)], 0)
+        cont = carry is not None and k[0] == carry[0]
+        if cont and carry[1]:
+            head = (seg_id == 0) & ~valid
+            attr = np.where(head, carry[1], attr)
+        tgt = c == tgt_code
+        return np.bincount(attr[tgt], minlength=nt + 1)
+
+    folds = ray.get([_count.remote(r, c) for r, c in zip(refs, carries)])
+    total = np.zeros(nt + 1, dtype=np.int64)
+    for f in folds:
+        total += f
+    labels = ["none"] + list(touch_types)
+    keep = total > 0
+    return pa.table(
+        {
+            "touch": pa.array([l for l, kp in zip(labels, keep) if kp], pa.string()),
+            "purchases": pa.array(total[keep], pa.int64()),
+        }
+    )
+
+
+def keyed_first_broadcast(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """(key, val, first_val): every row annotated with its key's MINIMUM
+    value — the per-key ``min(...) OVER (PARTITION BY key)`` broadcast
+    window (cohort assignment, first-seen stamping). One range sort by
+    (key, val); per-block scans attach each run's first value, block
+    boundaries stitched with a (key, first_val) carry — since the sort is by
+    (key, val), a run's first value is simply its first row, and a run
+    continuing from a previous block keeps that block's carry."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    s = (
+        coalesce_blocks(ds.select_columns([key_col, val_col]).materialize())
+        .sort([key_col, val_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col)
+        v = t.column(val_col)
+        return {"first": k[0].as_py(), "last": k[-1].as_py(), "fv": v[0].as_py()}
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, m in zip(refs, summaries) if m is not None]
+    summaries = [m for m in summaries if m is not None]
+
+    @ray.remote(num_cpus=0.25)
+    def _tail_first(t: pa.Table):
+        """First value of the block's TRAILING key run (the run that may
+        continue into the next block)."""
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        last = k[-1]
+        brk = np.nonzero(k != last)[0]
+        start = int(brk[-1]) + 1 if brk.size else 0
+        return int(v[start])
+
+    tails = ray.get([_tail_first.remote(r) for r in refs])
+    carries: list[tuple | None] = []
+    run_key, run_fv = None, None
+    for m, tf in zip(summaries, tails):
+        carries.append(
+            (run_key, run_fv)
+            if run_key is not None and m["first"] == run_key
+            else None
+        )
+        if m["last"] != run_key:
+            # the trailing run STARTS in this block (keys are sorted, so a
+            # block whose last key equals the running key is entirely that
+            # key and leaves the carry unchanged)
+            run_key, run_fv = m["last"], tf
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False)
+        n = len(k)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        seg_start = np.nonzero(new_key)[0][seg_id]
+        fv = v[seg_start].astype(np.int64, copy=True)
+        if carry is not None and k[0] == carry[0] and carry[1] is not None:
+            fv[seg_id == 0] = carry[1]
+        return pa.table(
+            {
+                key_col: t.column(key_col).combine_chunks(),
+                val_col: t.column(val_col).combine_chunks(),
+                "first_val": pa.array(fv, pa.int64()),
+            }
+        )
+
+    out_refs = [_scan.remote(r, c) for r, c in zip(refs, carries)]
+    if not out_refs:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    val_col: pa.array([], pa.int64()),
+                    "first_val": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow_refs(out_refs)

@@ -91,57 +91,100 @@ def dedup_pages_exact(
     *,
     num_partitions: int | None = None,
     broadcast_limit: int = 2_000_000,
+    strategy: str = "fullsort",
 ) -> rd.Dataset:
     """Drop non-min(url) pages per content_hash, deciding from the (already
     computed) narrow fingerprint index — page payloads never ride the dedup
     shuffle.
 
-    Two regimes, chosen by the DUPLICATE-hash count:
+    Two strategies (MEASURED on the 13.4M-page replicated crawl at 16 CPUs,
+    BASELINE.md round-4 A/B — pick by what you know about the corpus):
 
-    - **dup-light fast path** (the realistic crawl: most pages unique): the
-      only corpus-sized exchange is ``exact_value_counts`` over the int64
-      content_hash column — 16 B/row with per-block combining — instead of
-      sorting the (hash, url-STRING) pairs (~4-5x the bytes). The hashes
-      with count > 1 broadcast (bounded by the dup population), the
-      min-url winners are computed on THAT SLICE only, and the loser urls
-      (slice minus winners) apply as a vectorized page filter. A corpus
-      with zero duplicates pays one integer count pass and nothing else.
-    - **dup-heavy fallback**: when the dup-hash set exceeds
-      ``broadcast_limit``, the original full (hash, url) sort + per-block
-      loser scan runs (its cost is then proportional to real work).
+    - ``"fullsort"`` (default): ONE range sort of the (hash, url) index +
+      per-block adjacent-equal loser scan + one page filter. 17.8 s on the
+      bench corpus. The single pass wins whenever duplicates exist at all,
+      because every alternative must touch the urls somehow.
+    - ``"duplight"``: sort ONLY the 8-byte hash column (~8x fewer shuffle
+      bytes), detect duplicated hashes by adjacent-equal scan, and resolve
+      winners on the gathered dup slice. A truly duplicate-FREE corpus pays
+      just the integer sort and skips the page filter entirely — but ANY
+      duplicates force a second (hash, url) scan of the fingerprint index,
+      which measured SLOWER overall (29.2 s) on the bench corpus's 21.5k
+      dup hashes. Choose it only when dedup has already run upstream (e.g.
+      re-processing a cleaned corpus) and this pass is a safety net; it
+      falls back to fullsort past ``broadcast_limit``.
     """
+    if strategy == "fullsort":
+        return _dedup_pages_exact_fullsort(
+            pages,
+            fingerprints,
+            num_partitions=num_partitions,
+            broadcast_limit=broadcast_limit,
+        )
+    if strategy != "duplight":
+        raise ValueError(f"unknown dedup strategy {strategy!r}")
+    import numpy as np
     import ray
 
-    from ..extras.stats import exact_value_counts
-
-    import numpy as np
-
-    counts = exact_value_counts(
-        fingerprints.select_columns(["content_hash"]), "content_hash"
+    s = (
+        fingerprints.select_columns(["content_hash"])
+        .sort(["content_hash"])
+        .materialize()
     )
-    dup_tbls = [
-        t
-        for t in ray.get(
-            counts.map_batches(
-                lambda b: b.filter(pc.greater(b.column("n"), 1)),
-                batch_format="pyarrow",
-            ).to_arrow_refs()
-        )
-        if t.num_rows
-    ]
-    n_dup_hashes = sum(t.num_rows for t in dup_tbls)
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _edge_hash(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        c = t.column("content_hash")
+        return c[0].as_py(), c[-1].as_py()
+
+    bounds = ray.get([_edge_hash.remote(r) for r in refs])
+    refs = [r for r, b in zip(refs, bounds) if b is not None]
+    bounds = [b for b in bounds if b is not None]
+
+    # per-block cap keeps the driver gather <= broadcast_limit + n_blocks
+    # entries even on an adversarial all-duplicate corpus (a block over its
+    # cap forces the fullsort fallback without shipping its array)
+    per_block_cap = broadcast_limit // max(1, len(refs)) + 1
+
+    @ray.remote(num_cpus=0.5)
+    def _dups(t: pa.Table, prev_last, cap: int):
+        """Distinct duplicated hashes in this block (plus boundary run):
+        values equal to their predecessor — the predecessor of row 0 is the
+        previous block's last value."""
+        h = t.column("content_hash").to_numpy(zero_copy_only=False)
+        n = len(h)
+        eq = np.empty(n, dtype=bool)
+        eq[0] = prev_last is not None and h[0] == prev_last
+        eq[1:] = h[1:] == h[:-1]
+        d = np.unique(h[eq])
+        # dup-ROW upper bound (run members + one head each): bounds the
+        # later driver gather of the dup slice
+        rows_bound = int(eq.sum()) * 2
+        return len(d), rows_bound, (d if len(d) <= cap else None)
+
+    folds = ray.get(
+        [
+            _dups.remote(refs[i], bounds[i - 1][1] if i > 0 else None, per_block_cap)
+            for i in range(len(refs))
+        ]
+    )
+    n_dup_hashes = sum(nd for nd, _, _ in folds)  # upper bound (boundary overlap)
+    n_dup_rows = sum(rb for _, rb, _ in folds)
     if n_dup_hashes == 0:
         return pages
-    n_dup_rows = sum(
-        int(pc.sum(t.column("n")).as_py() or 0) for t in dup_tbls
-    )
     # both the dup-hash broadcast AND the driver-gathered dup slice must be
     # bounded — a single mega-duplicated hash can blow the row bound even
     # when the hash count is tiny
-    if n_dup_hashes <= broadcast_limit and n_dup_rows <= broadcast_limit:
-        dup_hashes = (
-            pa.concat_tables(dup_tbls).column("content_hash").combine_chunks()
-        )
+    if (
+        n_dup_hashes <= broadcast_limit
+        and n_dup_rows <= broadcast_limit
+        and all(d is not None for _, _, d in folds)
+    ):
+        dup_np = np.unique(np.concatenate([d for _, _, d in folds if len(d)]))
+        dup_hashes = pa.array(dup_np, pa.int64())
         dup_ref = ray.put(dup_hashes)
 
         def _dup_slice(batch: pa.Table) -> pa.Table:
@@ -196,9 +239,10 @@ def _dedup_pages_exact_fullsort(
     num_partitions: int | None = None,
     broadcast_limit: int = 2_000_000,
 ) -> rd.Dataset:
-    """Dup-heavy regime: sort the narrow (hash, url) index, mark every row
-    whose hash equals its predecessor as a loser (per-block vectorized scan,
-    single-row boundary lookups), then broadcast-or-join the loser urls."""
+    """The default single-pass shape: sort the narrow (hash, url) index,
+    mark every row whose hash equals its predecessor as a loser (per-block
+    vectorized scan, single-row boundary lookups), then broadcast-or-join
+    the loser urls."""
     # Loser detection WITHOUT a many-group aggregate (Ray's groupby pays a
     # per-group cost — ruinous when nearly every page is its own group):
     # sort the narrow (hash, url) index, then a vectorized per-block scan

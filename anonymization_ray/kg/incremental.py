@@ -412,3 +412,124 @@ def delete_subjects(
             "untouched": [p for p in range(nparts) if p not in touched],
         }
     return report
+
+
+def merge_upsert(
+    out_dir: str,
+    updates: rd.Dataset,
+    *,
+    key_cols: tuple[str, str] = ("subj", "pred"),
+    layouts: tuple[str, ...] = ("spo", "pos"),
+    delta_input: str = "upsert",
+    num_partitions: int | None = None,
+) -> dict:
+    """UPSERT into the materialized triple store: every base row whose
+    ``key_cols`` (default (subj, pred)) appear in ``updates`` is REPLACED by
+    the update rows for that key (multi-valued keys replace as a set); keys
+    absent from the base insert. ``merge_delta`` is insert-with-set-semantics
+    (re-ingest is a no-op); this is the mutation sibling — the MERGE INTO /
+    SCD-overwrite shape a living KG needs when an entity's attribute CHANGES
+    rather than accretes.
+
+    Same touched-partition discipline as ``merge_delta``: updates are
+    subject-hash partitioned, only their partitions are read back, anti-
+    filtered on an exact composite string key (no hash-collision risk), and
+    rewritten sorted; untouched partitions keep files and manifests
+    byte-identical. Work ~ touched partitions + update size."""
+    import shutil
+
+    from ..util import coalesce_blocks, distinct_rows
+
+    nparts = num_partitions or store_num_partitions(out_dir)
+    ka, kb = key_cols
+
+    parted = updates.map_batches(
+        lambda b: _partition_col(b, nparts), batch_format="pyarrow"
+    )
+    parted = coalesce_blocks(parted.materialize())
+    touched = sorted({r["part"] for r in parted.groupby("part").count().take_all()})
+    report: dict = {}
+    if not touched:
+        for layout in layouts:
+            report[layout] = {
+                "rows": 0,
+                "touched": [],
+                "untouched": list(range(nparts)),
+            }
+        return report
+
+    def _with_key(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b.column(ka), pa.string()),
+            pc.cast(b.column(kb), pa.string()),
+            "\x00",
+        )
+        return b.append_column("__k", k)
+
+    cols = parted.schema().names  # includes 'part'
+    merged = None
+    for layout in layouts:
+        keys = LAYOUT_KEYS[layout]
+        layout_dir = os.path.join(out_dir, layout)
+        if merged is None:
+            base_files = []
+            for p in touched:
+                pdir = os.path.join(layout_dir, f"part={p}")
+                if os.path.isdir(pdir):
+                    base_files += [
+                        os.path.join(pdir, f)
+                        for f in os.listdir(pdir)
+                        if f.endswith(".parquet")
+                    ]
+            streams = [parted.select_columns(cols)]
+            if base_files:
+                from ..extras.joins import semi_anti_join
+
+                base = rd.read_parquet(base_files).map_batches(
+                    lambda b: _partition_col(
+                        b.drop_columns(["part"]) if "part" in b.column_names else b,
+                        nparts,
+                    ),
+                    batch_format="pyarrow",
+                )
+                survivors = semi_anti_join(
+                    base.map_batches(_with_key, batch_format="pyarrow"),
+                    parted.map_batches(_with_key, batch_format="pyarrow").select_columns(
+                        ["__k"]
+                    ),
+                    on="__k",
+                    anti=True,
+                ).map_batches(
+                    lambda b: b.drop_columns(["__k"]), batch_format="pyarrow"
+                )
+                streams.append(survivors.select_columns(cols))
+            uni = streams[0]
+            for s in streams[1:]:
+                uni = uni.union(s)
+            merged = coalesce_blocks(distinct_rows(uni, cols).materialize())
+        for p in touched:
+            pdir = os.path.join(layout_dir, f"part={p}")
+            if os.path.isdir(pdir):
+                shutil.rmtree(pdir)
+        if merged.count():
+            merged.sort(keys).write_parquet(layout_dir, partition_cols=["part"])
+        counts = {
+            r["part"]: r["count()"]
+            for r in merged.groupby("part").count().take_all()
+        }
+        for p in touched:
+            mp = _manifest_path(out_dir, layout, p)
+            try:
+                m = json.load(open(mp))
+            except (OSError, json.JSONDecodeError):
+                m = {"partition": p, "layout": layout, "config_hash": "", "inputs": []}
+            m["rows"] = int(counts.get(p, 0))
+            m["inputs"] = list(m.get("inputs", [])) + [delta_input]
+            with open(mp, "w") as f:
+                json.dump(m, f)
+        report[layout] = {
+            "rows": int(merged.count()),
+            "touched": touched,
+            "untouched": [p for p in range(nparts) if p not in touched],
+        }
+    return report

@@ -614,7 +614,16 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 13 (newest operators get driver-gate coverage)
+    # round-4 wave 15 (newest operators get driver-gate coverage)
+    "kg_upsert_store",
+    "events_funnel_windowed",
+    "orders_market_basket",
+    # round-4 wave 14
+    "embed_kmeans",
+    "events_cohort_matrix",
+    "events_attribution",
+    "stats_group_corr",
+    # round-4 wave 13
     "events_funnel",
     "events_twap",
     "join_fuzzy_names",

@@ -1,7 +1,9 @@
-"""Round-4 wave-13 operators with DuckDB oracles — the product-analytics and
-entity-resolution family: ordered-step funnels, time-weighted averages
-(lead-delta windows), blocked fuzzy record linkage, winsorized group means,
-and hierarchical ROLLUP aggregates. Every query value-gated hash-exact.
+"""Round-4 wave-13/14 operators with DuckDB oracles — the product-analytics,
+entity-resolution and clustering family: ordered-step funnels, time-weighted
+averages (lead-delta windows), blocked fuzzy record linkage, winsorized group
+means, hierarchical ROLLUP aggregates, exact-integer distributed k-means,
+cohort retention matrices, last-touch attribution, and grouped correlation
+moments. Every query value-gated hash-exact.
 """
 
 from __future__ import annotations
@@ -308,5 +310,422 @@ EXTRAS6_REGISTRY.update(
         "join_fuzzy_names": QueryDef(q_join_fuzzy_names, SQL_FUZZY),
         "stats_group_winsorized": QueryDef(q_stats_group_winsorized, SQL_WINSOR),
         "agg_rollup_priority": QueryDef(q_agg_rollup_priority, SQL_ROLLUP),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# distributed exact-integer k-means (Lloyd)
+# --------------------------------------------------------------------------
+
+KM_K, KM_ITERS = 4, 2
+
+
+def q_embed_kmeans(sf_dir: str):
+    """Full-corpus Lloyd k-means, k=4, 2 iterations, exact int64 fixed-point
+    arithmetic end to end (`extras/similarity.kmeans_lloyd_int`): every
+    iteration is one streaming assignment pass emitting (k x (D+1)) integer
+    partials; the oracle unrolls both iterations in SQL and matches every
+    centroid component and count hash-exact."""
+    from .extras.similarity import kmeans_lloyd_int
+
+    emb = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_lloyd_int(emb, k=KM_K, iters=KM_ITERS)
+
+
+def _kmeans_sql() -> str:
+    # floor division on possibly-negative integer sums, replicated exactly:
+    # (s - ((s % n + n) % n)) / n  — the numerator is divisible by n
+    fdiv = "CAST((s - ((s % n + n) % n)) / n AS BIGINT)"
+    return f"""
+WITH e AS (
+  SELECT vec_id,
+         CAST(unnest(range(len(embedding))) AS BIGINT) AS dim,
+         CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) AS BIGINT) AS q
+  FROM embeddings),
+ids AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j
+        FROM embeddings ORDER BY vec_id LIMIT {KM_K}),
+c0 AS (SELECT ids.j, e.dim, e.q AS c FROM e JOIN ids USING (vec_id)),
+d1 AS (SELECT e.vec_id, c0.j,
+              sum((e.q - c0.c) * (e.q - c0.c)) AS dist
+       FROM e JOIN c0 USING (dim) GROUP BY e.vec_id, c0.j),
+a1 AS (SELECT vec_id, j FROM (
+         SELECT vec_id, j,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         FROM d1) WHERE rn = 1),
+s1 AS (SELECT a1.j, e.dim, sum(e.q) AS s, count(*) AS n
+       FROM e JOIN a1 USING (vec_id) GROUP BY a1.j, e.dim),
+c1 AS (SELECT c0.j, c0.dim,
+              coalesce((SELECT {fdiv} FROM s1
+                        WHERE s1.j = c0.j AND s1.dim = c0.dim), c0.c) AS c
+       FROM c0),
+d2 AS (SELECT e.vec_id, c1.j,
+              sum((e.q - c1.c) * (e.q - c1.c)) AS dist
+       FROM e JOIN c1 USING (dim) GROUP BY e.vec_id, c1.j),
+a2 AS (SELECT vec_id, j FROM (
+         SELECT vec_id, j,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+         FROM d2) WHERE rn = 1),
+s2 AS (SELECT a2.j, e.dim, sum(e.q) AS s, count(*) AS n
+       FROM e JOIN a2 USING (vec_id) GROUP BY a2.j, e.dim),
+c2 AS (SELECT c1.j, c1.dim,
+              coalesce((SELECT {fdiv} FROM s2
+                        WHERE s2.j = c1.j AND s2.dim = c1.dim), c1.c) AS c
+       FROM c1),
+n2 AS (SELECT ids.j, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+       FROM ids LEFT JOIN (SELECT j, count(*) AS n FROM a2 GROUP BY j) cnt
+       USING (j))
+SELECT j AS cluster, CAST(-1 AS BIGINT) AS dim, n AS val FROM n2
+UNION ALL
+SELECT j, dim, c FROM c2
+"""
+
+
+# --------------------------------------------------------------------------
+# cohort retention matrix
+# --------------------------------------------------------------------------
+
+def q_events_cohort_matrix(sf_dir: str):
+    """Daily cohort retention matrix: distinct (user, active-day) pairs
+    -> each row stamped with its user's FIRST day
+    (`extras/window.keyed_first_broadcast`: sort + carry-chained run scan,
+    no join) -> (cohort_day, offset) counts. The corpus shrinks to
+    user x days before anything wide runs."""
+    from .extras.stats import exact_value_counts
+    from .extras.window import keyed_first_broadcast
+    from .util import distinct_rows
+
+    ev = load(sf_dir, "events", ["user_id", "ts"])
+
+    _US_PER_DAY = 86_400_000_000
+
+    def _day(b: pa.Table) -> pa.Table:
+        tus = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id").combine_chunks(),
+                "m": pa.array(tus // _US_PER_DAY, pa.int64()),
+            }
+        )
+
+    um = distinct_rows(
+        ev.map_batches(_day, batch_format="pyarrow"), ["user_id", "m"]
+    )
+    stamped = keyed_first_broadcast(um, "user_id", "m")
+
+    def _cell(b: pa.Table) -> pa.Table:
+        m = b.column("m").to_numpy(zero_copy_only=False)
+        f = b.column("first_val").to_numpy(zero_copy_only=False)
+        return pa.table({"k": pa.array(f * 4096 + (m - f), pa.int64())})
+
+    cells = exact_value_counts(
+        stamped.map_batches(_cell, batch_format="pyarrow"), "k"
+    )
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        kk = b.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_d": pa.array(kk // 4096, pa.int64()),
+                "offset_d": pa.array(kk % 4096, pa.int64()),
+                "users": b.column("n").combine_chunks(),
+            }
+        )
+
+    return cells.map_batches(_unpack, batch_format="pyarrow")
+
+
+SQL_COHORT = """
+WITH um AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS m
+            FROM events),
+c AS (SELECT user_id, m, min(m) OVER (PARTITION BY user_id) AS cm FROM um)
+SELECT cm AS cohort_d, m - cm AS offset_d, CAST(count(*) AS BIGINT) AS users
+FROM c GROUP BY cm, m - cm
+"""
+
+
+# --------------------------------------------------------------------------
+# last-touch attribution
+# --------------------------------------------------------------------------
+
+TOUCHES = ["click", "view"]
+
+
+def q_events_attribution(sf_dir: str):
+    """Last-touch purchase attribution: each purchase credited to the most
+    recent strictly-preceding click/view of the same user
+    (`extras/window.last_touch_attribution`: one sort, carry-chained
+    forward-fill, per-block count vectors)."""
+    from .extras.window import last_touch_attribution
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return last_touch_attribution(
+        ev, "user_id", "ts", "event_id", "event_type", TOUCHES, "purchase"
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH w AS (
+  SELECT event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM events)
+SELECT coalesce(touch, 'none') AS touch, CAST(count(*) AS BIGINT) AS purchases
+FROM w WHERE event_type = 'purchase' GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped correlation moments
+# --------------------------------------------------------------------------
+
+def q_stats_group_corr(sf_dir: str):
+    """Per-supplier Pearson building blocks for (quantity, price-dollars):
+    the six exact integer moments (n, sx, sy, sxx, syy, sxy) melted onto a
+    composite key and reduced in ONE `sum_per_key` pass — the correlation
+    itself is a driver-side scalar formula per key, so what must be exact
+    and distributed is the moments, and that is what the oracle pins."""
+    from .extras.graph import sum_per_key
+
+    li = load(sf_dir, "lineitem", ["l_suppkey", "l_quantity", "l_extendedprice"])
+
+    def _melt(b: pa.Table) -> pa.Table:
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (s.max() >= (1 << 59) or s.min() < 0):
+            raise ValueError("l_suppkey exceeds the 2^59 composite-key bound")
+        x = (
+            pc.cast(pc.round(b.column("l_quantity")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        y = (
+            pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        base = s * 8
+        ks = np.concatenate([base, base + 1, base + 2, base + 3, base + 4, base + 5])
+        vs = np.concatenate(
+            [np.ones_like(x), x, y, x * x, y * y, x * y]
+        )
+        return pa.table({"k": pa.array(ks, pa.int64()), "v": pa.array(vs, pa.int64())})
+
+    summed = sum_per_key(li.map_batches(_melt, batch_format="pyarrow"), "k", "v")
+
+    def _unmelt(b: pa.Table) -> pa.Table:
+        kk = b.column("k").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_suppkey": pa.array(kk >> 3, pa.int64()),
+                "moment": pa.array(kk & 7, pa.int64()),
+                "val": b.column("v").combine_chunks(),
+            }
+        )
+
+    return summed.map_batches(_unmelt, batch_format="pyarrow")
+
+
+SQL_GROUP_CORR = """
+WITH b AS (SELECT l_suppkey,
+                  CAST(round(l_quantity) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem)
+SELECT l_suppkey, CAST(0 AS BIGINT) AS moment, CAST(count(*) AS BIGINT) AS val
+FROM b GROUP BY l_suppkey
+UNION ALL SELECT l_suppkey, 1, CAST(sum(x) AS BIGINT) FROM b GROUP BY l_suppkey
+UNION ALL SELECT l_suppkey, 2, CAST(sum(y) AS BIGINT) FROM b GROUP BY l_suppkey
+UNION ALL SELECT l_suppkey, 3, CAST(sum(x * x) AS BIGINT) FROM b GROUP BY l_suppkey
+UNION ALL SELECT l_suppkey, 4, CAST(sum(y * y) AS BIGINT) FROM b GROUP BY l_suppkey
+UNION ALL SELECT l_suppkey, 5, CAST(sum(x * y) AS BIGINT) FROM b GROUP BY l_suppkey
+"""
+
+
+EXTRAS6_REGISTRY.update(
+    {
+        "embed_kmeans": QueryDef(q_embed_kmeans, _kmeans_sql()),
+        "events_cohort_matrix": QueryDef(q_events_cohort_matrix, SQL_COHORT),
+        "events_attribution": QueryDef(q_events_attribution, SQL_ATTRIBUTION),
+        "stats_group_corr": QueryDef(q_stats_group_corr, SQL_GROUP_CORR),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# UPSERT (MERGE INTO) on the materialized triple store
+# --------------------------------------------------------------------------
+
+def q_kg_upsert_store(sf_dir: str):
+    """SCD-overwrite on the partitioned triple store: a customer graph is
+    materialized, then every customer with custkey % 5 == 0 has its
+    inSegment value REPLACED with 'MOVED' via `kg/incremental.merge_upsert`
+    — only the touched subject-hash partitions rewrite (exact composite-key
+    anti-filter, no hash-collision risk). The oracle pins the post-upsert
+    triple set."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .kg.incremental import merge_upsert
+    from .kg.materialize import materialize_triples, read_layout
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_mktsegment"])
+
+    def _c(a):
+        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+    def _triples(b: pa.Table) -> pa.Table:
+        subj = _c(
+            pc.binary_join_element_wise(
+                "urn:cust:", pc.cast(b.column("c_custkey"), pa.string()), ""
+            )
+        )
+        nat = _c(
+            pc.binary_join_element_wise(
+                "urn:nation:", pc.cast(b.column("c_nationkey"), pa.string()), ""
+            )
+        )
+        n = b.num_rows
+        return pa.table(
+            {
+                "subj": pa.concat_arrays([subj] * 2),
+                "pred": pa.array(["basedIn"] * n + ["inSegment"] * n),
+                "obj": pa.concat_arrays(
+                    [nat, _c(b.column("c_mktsegment").cast(pa.string()))]
+                ),
+                "obj_kind": pa.array(["iri"] * n + ["string"] * n),
+            }
+        )
+
+    def _updates(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        f = b.filter(pa.array(keys % 5 == 0))
+        subj = _c(
+            pc.binary_join_element_wise(
+                "urn:cust:", pc.cast(f.column("c_custkey"), pa.string()), ""
+            )
+        )
+        n = f.num_rows
+        return pa.table(
+            {
+                "subj": subj,
+                "pred": pa.array(["inSegment"] * n),
+                "obj": pa.array(["MOVED"] * n),
+                "obj_kind": pa.array(["string"] * n),
+            }
+        )
+
+    out = tempfile.mkdtemp(prefix="kg_upsert_")
+    try:
+        materialize_triples(
+            cust.map_batches(_triples, batch_format="pyarrow"),
+            out,
+            num_partitions=8,
+            config={"q": "kg_upsert_store"},
+        )
+        merge_upsert(
+            out,
+            cust.map_batches(_updates, batch_format="pyarrow"),
+            delta_input="segment-moves",
+        )
+        kept = (
+            read_layout(out, "spo")
+            .select_columns(["subj", "pred", "obj", "obj_kind"])
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return kept
+
+
+SQL_KG_UPSERT = """
+WITH t AS (
+  SELECT 'urn:cust:' || c_custkey AS subj, 'basedIn' AS pred,
+         'urn:nation:' || c_nationkey AS obj, 'iri' AS obj_kind
+  FROM customer
+  UNION ALL
+  SELECT 'urn:cust:' || c_custkey, 'inSegment',
+         CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END,
+         'string'
+  FROM customer)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# windowed (conversion-horizon) funnel
+# --------------------------------------------------------------------------
+
+FUNNEL_HORIZON_US = 48 * 3600 * 1_000_000  # 48h conversion window
+
+
+def q_events_funnel_windowed(sf_dir: str):
+    """Greedy windowed funnel (each step within 48 h of the previous matched
+    event) — `extras/funnel.funnel_steps_windowed`: narrow melt + one sort +
+    vectorized per-block greedy solves with boundary users driver-folded."""
+    from .extras.funnel import funnel_steps_windowed
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_steps_windowed(ev, FUNNEL, FUNNEL_HORIZON_US)
+
+
+SQL_FUNNEL_WINDOWED = f"""
+WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t1 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN t0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t0.t
+         AND epoch_us(e.ts) <= epoch_us(t0.t) + {FUNNEL_HORIZON_US}
+       GROUP BY e.user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t1.t
+         AND epoch_us(e.ts) <= epoch_us(t1.t) + {FUNNEL_HORIZON_US}
+       GROUP BY e.user_id)
+SELECT 'view' AS step, CAST(count(*) AS BIGINT) AS users FROM t0
+UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM t1
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM t2
+"""
+
+
+# --------------------------------------------------------------------------
+# market-basket pair counts
+# --------------------------------------------------------------------------
+
+BASKET_MINSUP = 2
+
+
+def q_orders_market_basket(sf_dir: str):
+    """Part pairs co-purchased in >= 2 distinct orders
+    (`extras/joins.grouped_pair_counts`): sorted contiguous-run triangle
+    expansion per order (baskets are domain-bounded), packed-key
+    `sum_per_key` — no self-join, no duplicate pair stream."""
+    from .extras.joins import grouped_pair_counts
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return grouped_pair_counts(
+        li, "l_orderkey", "l_partkey", min_support=BASKET_MINSUP
+    )
+
+
+SQL_BASKET = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING count(*) >= {BASKET_MINSUP}
+"""
+
+
+EXTRAS6_REGISTRY.update(
+    {
+        "kg_upsert_store": QueryDef(q_kg_upsert_store, SQL_KG_UPSERT),
+        "events_funnel_windowed": QueryDef(
+            q_events_funnel_windowed, SQL_FUNNEL_WINDOWED
+        ),
+        "orders_market_basket": QueryDef(q_orders_market_basket, SQL_BASKET),
     }
 )

@@ -461,16 +461,23 @@ def test_dedup_pages_regimes_agree():
     fp = page_content_hashes(pages.select_columns(["url", "text"])).materialize()
     pg = pages.select_columns(["url", "html"]).materialize()
 
-    fast = sorted(r["url"] for r in dedup_pages_exact(pg, fp).take_all())
+    fast = sorted(
+        r["url"]
+        for r in dedup_pages_exact(pg, fp, strategy="duplight").take_all()
+    )
     slow = sorted(
         r["url"]
         for r in _dedup_pages_exact_fullsort(pg, fp).take_all()
     )
     assert fast == slow and len(fast) > 0
+    assert sorted(r["url"] for r in dedup_pages_exact(pg, fp).take_all()) == slow
     # row-bound routing: broadcast_limit below the dup-row count must still
     # produce the same answer via the fallback
     routed = sorted(
-        r["url"] for r in dedup_pages_exact(pg, fp, broadcast_limit=1).take_all()
+        r["url"]
+        for r in dedup_pages_exact(
+            pg, fp, strategy="duplight", broadcast_limit=1
+        ).take_all()
     )
     assert routed == fast
 
