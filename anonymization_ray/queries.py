@@ -614,7 +614,10 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 15 (newest operators get driver-gate coverage)
+    # round-4 wave 16 (newest operators get driver-gate coverage)
+    "dq_lineitem_audit",
+    "stats_weighted_median",
+    # round-4 wave 15
     "kg_upsert_store",
     "events_funnel_windowed",
     "orders_market_basket",

@@ -729,3 +729,129 @@ EXTRAS6_REGISTRY.update(
         "orders_market_basket": QueryDef(q_orders_market_basket, SQL_BASKET),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# data-quality audit (violations, not booleans)
+# --------------------------------------------------------------------------
+
+def q_dq_lineitem_audit(sf_dir: str):
+    """Ingest-gate audit over lineitem (`extras/dq`): referential orphans
+    against a deliberately STALE supplier dimension (first half of suppliers
+    — the realistic failure: facts arrive before the dim refresh), duplicate
+    primary keys on (orderkey, linenumber) folded to one int64, and
+    null/NaN completeness of the measure columns. One summary row per
+    check; every count exact vs the SQL oracle."""
+    import ray.data as rd
+
+    from .extras.dq import fk_orphans, null_profile, pk_duplicates
+
+    li = load(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_extendedprice"],
+    )
+    sup = load(sf_dir, "supplier", ["s_suppkey"])
+    half = sup.map_batches(
+        lambda b: b.filter(
+            pa.array(
+                b.column("s_suppkey").to_numpy(zero_copy_only=False)
+                % 2
+                == 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    n_orphans = fk_orphans(li, "l_suppkey", half, "s_suppkey").count()
+
+    def _pk(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        ln = b.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"pk": pa.array(ok * 8 + ln, pa.int64())})
+
+    n_dup_pk = pk_duplicates(
+        li.map_batches(_pk, batch_format="pyarrow"), "pk"
+    ).count()
+
+    prof = null_profile(li, ["l_quantity", "l_extendedprice"])
+    rows = [("fk_orphans", n_orphans), ("dup_pk", n_dup_pk)]
+    for r in prof.to_pylist():
+        rows.append((f"null_{r['column']}", r["n_null"]))
+    return pa.table(
+        {
+            "check": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([int(r[1]) for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_DQ_AUDIT = """
+SELECT 'fk_orphans' AS check, CAST(count(*) AS BIGINT) AS n
+FROM lineitem WHERE l_suppkey NOT IN
+  (SELECT s_suppkey FROM supplier WHERE s_suppkey % 2 = 0)
+UNION ALL
+SELECT 'dup_pk', CAST(count(*) AS BIGINT) FROM (
+  SELECT l_orderkey * 8 + l_linenumber AS pk FROM lineitem
+  GROUP BY 1 HAVING count(*) > 1)
+UNION ALL
+SELECT 'null_l_quantity', CAST(count(*) FILTER (
+  WHERE l_quantity IS NULL OR isnan(l_quantity)) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'null_l_extendedprice', CAST(count(*) FILTER (
+  WHERE l_extendedprice IS NULL OR isnan(l_extendedprice)) AS BIGINT)
+FROM lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# exact weighted median per group
+# --------------------------------------------------------------------------
+
+def q_stats_weighted_median(sf_dir: str):
+    """Per-returnflag weighted median price (weight = quantity), exact lower
+    median: smallest value whose cumulative weight reaches half the group
+    total (`extras/dq.weighted_median_per_group`: one (group, value) sort,
+    reduceat weight partials, carry-chained threshold resolve)."""
+    from .extras.dq import weighted_median_per_group
+
+    li = load(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag").combine_chunks(),
+                "v": pc.cast(
+                    pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+                "w": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    return weighted_median_per_group(
+        li.map_batches(_prep, batch_format="pyarrow"), "l_returnflag", "v", "w"
+    )
+
+
+SQL_WEIGHTED_MEDIAN = """
+WITH b AS (SELECT l_returnflag AS g,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                  CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+c AS (SELECT g, v, w,
+             sum(w) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(w) OVER (PARTITION BY g) AS tot FROM b)
+SELECT g AS l_returnflag, CAST(min(v) AS BIGINT) AS wmedian
+FROM c WHERE 2 * cum >= tot GROUP BY g
+"""
+
+
+EXTRAS6_REGISTRY.update(
+    {
+        "dq_lineitem_audit": QueryDef(q_dq_lineitem_audit, SQL_DQ_AUDIT),
+        "stats_weighted_median": QueryDef(
+            q_stats_weighted_median, SQL_WEIGHTED_MEDIAN
+        ),
+    }
+)

@@ -264,3 +264,56 @@ def test_merge_upsert_replaces_only_touched(tmp_path):
         map(tuple, read_layout(out, "spo").to_pandas()[["subj", "pred", "obj"]].values)
     )
     assert got2 == want
+
+
+def test_weighted_median_carry_across_blocks():
+    from anonymization_ray.extras.dq import weighted_median_per_group
+
+    rng = np.random.RandomState(13)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.randint(0, 50, n).astype(np.int64),  # heavy ties
+            "w": rng.randint(0, 5, n).astype(np.int64),  # zero weights too
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(43)
+    got = (
+        weighted_median_per_group(ds, "g", "v", "w")
+        .to_pandas()
+        .set_index("g")["wmedian"]
+        .to_dict()
+    )
+    want = {}
+    for gname, grp in df.groupby("g"):
+        s = grp.sort_values("v")
+        cum = s.w.cumsum()
+        tot = s.w.sum()
+        want[gname] = int(s.v[(2 * cum >= tot)].iloc[0])
+    assert got == want
+
+
+def test_dq_fk_orphans_and_null_profile():
+    from anonymization_ray.extras.dq import fk_orphans, null_profile, pk_duplicates
+
+    fact = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5, 5], pa.int64()),
+                "fk": pa.array([10, 20, None, 40, 10, 99], pa.int64()),
+                "x": pa.array([1.0, float("nan"), 3.0, None, 5.0, 6.0]),
+            }
+        )
+    ).repartition(3)
+    dim = rd.from_arrow(pa.table({"k": pa.array([10, 20, 30], pa.int64())}))
+    orphans = fk_orphans(fact, "fk", dim, "k").to_pandas()
+    # violations: id=3 (null fk), id=4 (fk 40 unmatched), id=5 (fk 99 unmatched)
+    assert sorted(orphans["id"].tolist()) == [3, 4, 5]
+
+    dups = pk_duplicates(fact, "id").to_pandas()
+    assert dups.to_dict("records") == [{"id": 5, "n": 2}]
+
+    prof = null_profile(fact, ["fk", "x"]).to_pandas().set_index("column")
+    assert prof.loc["fk", "n_null"] == 1 and prof.loc["fk", "n_total"] == 6
+    assert prof.loc["x", "n_null"] == 2  # one None + one NaN
