@@ -858,3 +858,135 @@ def group_heavy_hitters(
 
     pairs = sums.map_batches(_unfold, batch_format="pyarrow")
     return topk_per_key(pairs, group_col, "n", k, descending=True, tie_col=val_col)
+
+
+def group_rank_auc(
+    ds: rd.Dataset, group_col: str, score_col: str, label_col: str
+) -> pa.Table:
+    """Exact tie-corrected Mann-Whitney AUC per group — P(score_pos >
+    score_neg) + 0.5*P(=) of ``score_col`` predicting the 0/1 ``label_col``
+    — the ranking-quality audit run over every trained filter/classifier
+    before its threshold ships. Scores must be non-negative int64 (fixed
+    point); labels 0/1.
+
+    Scale shape (no Ray groupby, no rank materialization): per-block Arrow
+    partials count (pos, neg) per DISTINCT (group, score) — packed into one
+    int64 (``pos·2^32 + neg``; addition distributes over the packing) and
+    folded through ``sum_per_key``'s narrow sort + boundary-carry combine.
+    The distinct-counts stream comes back globally sorted by (group, score),
+    so 2·U = Σ_v pos_v·(2·cum_neg_before_v + neg_v) accumulates per block
+    with one per-group carry folded on the driver (blocks are scanned in
+    order; every per-block partial is group-domain bounded). Output is
+    group-cardinality-bounded: (group, n_pos, n_neg, auc) with ONE float
+    division per group at the very end."""
+    from .graph import sum_per_key
+
+    SEP = "\x1f"
+    _W = 20  # zero-padded decimal keeps lexicographic == numeric order
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        lab = pc.cast(batch.column(label_col), pa.int64())
+        g = (
+            pa.table(
+                {
+                    group_col: pc.cast(batch.column(group_col), pa.string()),
+                    score_col: batch.column(score_col).combine_chunks(),
+                    "pos": lab,
+                    "neg": pc.subtract(pa.scalar(1, pa.int64()), lab),
+                }
+            )
+            .group_by([group_col, score_col])
+            .aggregate([("pos", "sum"), ("neg", "sum")])
+        )
+        v = g.column(score_col).to_numpy(zero_copy_only=False)
+        if len(v) and v.min() < 0:
+            raise ValueError("group_rank_auc requires non-negative scores")
+        key = pc.binary_join_element_wise(
+            g.column(group_col),
+            pc.utf8_lpad(pc.cast(g.column(score_col), pa.string()), _W, "0"),
+            SEP,
+        )
+        packed = (
+            g.column("pos_sum").to_numpy(zero_copy_only=False) << np.int64(32)
+        ) | g.column("neg_sum").to_numpy(zero_copy_only=False)
+        return pa.table({"gv": key, "pn": pa.array(packed, pa.int64())})
+
+    counts = sum_per_key(
+        ds.select_columns([group_col, score_col, label_col]).map_batches(
+            _partial, batch_format="pyarrow"
+        ),
+        "gv",
+        "pn",
+    )
+    # sum_per_key's blocks are each sorted but their GATHER order is not
+    # guaranteed (Ray does not preserve block order through materialize);
+    # the carry-chained scan below needs global order, so re-sort the
+    # distinct (key, packed) stream — narrow, and tiny next to the fold
+    from ..util import coalesce_blocks
+
+    counts = (
+        coalesce_blocks(counts.materialize()).sort(["gv"]).materialize()
+    )
+    refs = list(counts.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table):
+        """Per-group (pos, neg, 2U-partial-with-block-local-cum_neg) for this
+        block, in group order — the driver folds cross-block carries."""
+        if t.num_rows == 0:
+            return []
+        gv = t.column("gv").to_numpy(zero_copy_only=False)
+        g = np.array([s.rsplit(SEP, 1)[0] for s in gv], dtype=object)
+        pn = t.column("pn").to_numpy(zero_copy_only=False)
+        pos = pn >> np.int64(32)
+        neg = pn & np.int64(0xFFFFFFFF)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        seg_start = np.nonzero(new)[0]
+        cn = np.cumsum(neg)
+        # neg seen in THIS block before each row, within the row's group
+        base = cn[seg_start] - neg[seg_start]
+        cum_before = cn - neg - base[np.cumsum(new) - 1]
+        contrib = pos * (2 * cum_before + neg)
+        pos_s = np.add.reduceat(pos, seg_start)
+        neg_s = np.add.reduceat(neg, seg_start)
+        u2_s = np.add.reduceat(contrib, seg_start)
+        return [
+            (g[i], int(p), int(q), int(u))
+            for i, p, q, u in zip(seg_start, pos_s, neg_s, u2_s)
+        ]
+
+    blocks = ray.get([_scan.remote(r) for r in refs])
+    n_pos: dict = {}
+    n_neg: dict = {}
+    u2: dict = {}
+    for block in blocks:
+        for gname, p, q, u in block:
+            # every score in this block outranks the group's negs from
+            # earlier blocks: +2 * carry_neg * block_pos
+            u2[gname] = u2.get(gname, 0) + u + 2 * n_neg.get(gname, 0) * p
+            n_pos[gname] = n_pos.get(gname, 0) + p
+            n_neg[gname] = n_neg.get(gname, 0) + q
+    names = sorted(u2)
+    # every per-block partial is bounded by the group's final 2*n1*n0, so
+    # this driver-side check (exact Python ints) also certifies that no
+    # block-local reduceat wrapped int64
+    for g in names:
+        if 2 * n_pos[g] * n_neg[g] > 2**63 - 1:
+            raise ValueError(
+                f"group {g!r}: 2*n_pos*n_neg exceeds int64 — AUC rank sums "
+                "would overflow; shard the group or subsample"
+            )
+    auc = [
+        u2[g] / (2.0 * n_pos[g] * n_neg[g]) if n_pos[g] and n_neg[g] else None
+        for g in names
+    ]
+    return pa.table(
+        {
+            group_col: pa.array(names, pa.string()),
+            "n_pos": pa.array([n_pos[g] for g in names], pa.int64()),
+            "n_neg": pa.array([n_neg[g] for g in names], pa.int64()),
+            "auc": pa.array(auc, pa.float64()),
+        }
+    )

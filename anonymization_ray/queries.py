@@ -614,7 +614,11 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 16 (newest operators get driver-gate coverage)
+    # round-4 wave 17 (newest operators get driver-gate coverage)
+    "corpus_split_dedup_aware",
+    "stats_group_auc",
+    "text_gopher_rules",
+    # round-4 wave 16
     "dq_lineitem_audit",
     "stats_weighted_median",
     # round-4 wave 15
@@ -796,6 +800,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras4 import EXTRAS4_REGISTRY
     from .queries_extras5 import EXTRAS5_REGISTRY
     from .queries_extras6 import EXTRAS6_REGISTRY
+    from .queries_extras7 import EXTRAS7_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -806,6 +811,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS4_REGISTRY)
     merged.update(EXTRAS5_REGISTRY)
     merged.update(EXTRAS6_REGISTRY)
+    merged.update(EXTRAS7_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out

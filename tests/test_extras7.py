@@ -1,0 +1,164 @@
+"""Wave-17 operator tests: grouped Mann-Whitney AUC (block-boundary
+regression), Gopher rule suite edge cases, dedup-aware split invariants."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+SF_DIR = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _brute_auc(pos: np.ndarray, neg: np.ndarray) -> float:
+    gt = (pos[:, None] > neg[None, :]).sum()
+    eq = (pos[:, None] == neg[None, :]).sum()
+    return (gt + 0.5 * eq) / (len(pos) * len(neg))
+
+
+def test_group_rank_auc_many_distinct_scores_multi_block():
+    # regression: 50k rows with ~unique scores forces the distinct-counts
+    # stream across many blocks — the carry-chained scan must see blocks in
+    # global key order (a gather-order bug here once shifted AUC by ~1e-5)
+    from anonymization_ray.extras.stats import group_rank_auc
+
+    rng = np.random.RandomState(3)
+    n = 50_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], n),
+            "v": rng.randint(0, 10_000_000, n).astype(np.int64),
+            "lab": rng.randint(0, 2, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(40)
+    got = group_rank_auc(ds, "g", "v", "lab").to_pandas().set_index("g")
+    for gname, grp in df.groupby("g"):
+        pos = grp[grp.lab == 1].v.values
+        neg = grp[grp.lab == 0].v.values
+        ranks = pd.Series(grp.v.values).rank(method="average").values
+        r1 = ranks[grp.lab.values == 1].sum()
+        want = (r1 - len(pos) * (len(pos) + 1) / 2) / (len(pos) * len(neg))
+        assert abs(got.loc[gname, "auc"] - want) < 1e-12
+        assert got.loc[gname, "n_pos"] == len(pos)
+
+
+def test_group_rank_auc_ties_and_degenerate_group():
+    from anonymization_ray.extras.stats import group_rank_auc
+
+    df = pd.DataFrame(
+        {
+            "g": ["t"] * 6 + ["onlypos"] * 2,
+            "v": np.array([5, 5, 5, 1, 9, 5, 3, 4], dtype=np.int64),
+            "lab": np.array([1, 0, 1, 0, 0, 0, 1, 1], dtype=np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    got = group_rank_auc(ds, "g", "v", "lab").to_pandas().set_index("g")
+    pos = df[(df.g == "t") & (df.lab == 1)].v.values
+    neg = df[(df.g == "t") & (df.lab == 0)].v.values
+    assert abs(got.loc["t", "auc"] - _brute_auc(pos, neg)) < 1e-15
+    # a single-class group reports counts and a null AUC, not a crash
+    assert got.loc["onlypos", "n_neg"] == 0 and pd.isna(got.loc["onlypos", "auc"])
+
+
+def test_group_rank_auc_rejects_negative_scores():
+    from anonymization_ray.extras.stats import group_rank_auc
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["a", "a"]),
+                "v": pa.array([-1, 2], pa.int64()),
+                "lab": pa.array([0, 1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        group_rank_auc(ds, "g", "v", "lab")
+
+
+def _gopher_kernel():
+    """Capture the production per-batch kernel out of the query closure, so
+    the test drives the EXACT shipped code over crafted rows."""
+    import anonymization_ray.queries_extras7 as mod
+
+    class _Done(Exception):
+        pass
+
+    class _Spy:
+        def map_batches(self, fn, **kw):
+            self.fn = fn
+            raise _Done()
+
+    spy = _Spy()
+    orig_load = mod.load
+    try:
+        mod.load = lambda *a, **k: spy
+        with pytest.raises(_Done):
+            mod.q_text_gopher_rules("/nonexistent")
+    finally:
+        mod.load = orig_load
+    return spy.fn
+
+
+def test_gopher_rules_flags():
+    good = "the cat and the dog have gone to the market with some friends " * 3
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    good,  # passes everything
+                    "short text here",  # too few words
+                    # long words -> mean word length out of [3, 10]
+                    "supercalifragilistic expialidocious " * 10
+                    + "the of and that have with to be",
+                    # symbol-heavy: lots of #'s vs words
+                    "the cat ### ## # # # # # # # # # # and that have with "
+                    + "to be of words words words",
+                    "",  # empty text: zero words, all word-ratio rules fail
+                ]
+            ),
+        }
+    )
+    res = (
+        rd.from_arrow(docs)
+        .map_batches(_gopher_kernel(), batch_format="pyarrow")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert res.loc[1, "keep"] == 1
+    assert res.loc[2, "pass_len"] == 0 and res.loc[2, "keep"] == 0
+    assert res.loc[3, "pass_wordlen"] == 0
+    assert res.loc[4, "pass_symbol"] == 0
+    assert res.loc[5, "n_words"] == 0 and res.loc[5, "keep"] == 0
+
+
+def test_dedup_aware_split_keeps_clusters_together():
+    from anonymization_ray.extras.dedup import minhash_lsh_pairs
+    from anonymization_ray.queries_extras import _corpus_with_dups
+    from anonymization_ray.queries_extras7 import q_corpus_split_dedup_aware
+
+    split = (
+        q_corpus_split_dedup_aware(SF_DIR).to_pandas().set_index("doc_id")["split"]
+    )
+    pairs = (
+        minhash_lsh_pairs(
+            _corpus_with_dups(SF_DIR),
+            "text",
+            "doc_id",
+            bands=32,
+            verify_threshold=0.5,
+        )
+        .select_columns(["id_a", "id_b"])
+        .to_pandas()
+    )
+    assert len(pairs) > 0  # the perturbed corpus must actually have near-dups
+    for a, b in pairs.itertuples(index=False):
+        assert split[a] == split[b], f"near-dup pair ({a},{b}) straddles the split"
+    # both splits are populated and fractions are roughly honored
+    frac_train = (split == "train").mean()
+    assert 0.6 < frac_train < 0.95
