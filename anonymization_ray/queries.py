@@ -614,7 +614,11 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 17 (newest operators get driver-gate coverage)
+    # round-4 wave 18 (newest operators get driver-gate coverage)
+    "kg_sameas_rewrite",
+    "kg_validate_shacl",
+    "kg_concept_tags",
+    # round-4 wave 17
     "corpus_split_dedup_aware",
     "stats_group_auc",
     "text_gopher_rules",

@@ -1,8 +1,10 @@
-"""Round-4 wave-17 operators with DuckDB oracles — the model-audit and
-split-hygiene family: dedup-aware train/val splitting (near-dup clusters
-never straddle the split boundary), exact tie-corrected Mann-Whitney AUC per
-group, and a Gopher-style document quality rule suite. Every query
-value-gated hash-exact.
+"""Round-4 wave-17/18 operators with DuckDB oracles — the model-audit,
+split-hygiene and KG-lifecycle family: dedup-aware train/val splitting
+(near-dup clusters never straddle the split boundary), exact tie-corrected
+Mann-Whitney AUC per group, a Gopher-style document quality rule suite,
+owl:sameAs equivalence rewrite over the canonical triple store, SHACL-lite
+domain/range/datatype validation (violations out), and broadcast-gazetteer
+concept tagging. Every query value-gated hash-exact.
 """
 
 from __future__ import annotations
@@ -272,5 +274,317 @@ EXTRAS7_REGISTRY.update(
         ),
         "stats_group_auc": QueryDef(q_stats_group_auc, SQL_GROUP_AUC),
         "text_gopher_rules": QueryDef(q_text_gopher_rules, SQL_GOPHER),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# owl:sameAs equivalence rewrite over the canonical store
+# --------------------------------------------------------------------------
+
+SAMEAS_STRIDE = 100  # urn:cust:k ~ urn:cust:k+1 for k % STRIDE == 0
+
+
+def q_kg_sameas_rewrite(sf_dir: str):
+    """owl:sameAs closure applied to the triple stream: an external alias
+    edge set (here the deterministic `urn:cust:k ~ urn:cust:k+1` for
+    k % 100 == 0, both ends existing) closes into equivalence classes
+    (`kg/canonicalize.canonicalize_components` — driver union-find under the
+    edge cap, distributed min-label contraction above), every class maps to
+    its min IRI, and the corpus-scale triple stream rewrites subj/obj
+    through ONE broadcast gather (alias sets are ontology-scale, not
+    corpus-scale) followed by a distinct fold — merged duplicates collapse
+    to set semantics. The triples never shuffle for the closure itself."""
+    import ray
+
+    from .kg.canonicalize import canonicalize_components
+    from .kg.pipeline import kg_pipeline
+    from .util import distinct_rows
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    cust = load(sf_dir, "customer", ["c_custkey"])
+
+    # keep only edges whose +1 endpoint exists (the max custkey has no +1)
+    maxk_tbl = cust.map_batches(
+        lambda b: pa.table(
+            {"m": pa.array([int(b.column("c_custkey").to_numpy().max())], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    maxk = int(maxk_tbl["m"].max())
+
+    def _edges_capped(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        src = k[(k % SAMEAS_STRIDE == 0) & (k + 1 <= maxk)]
+        return pa.table(
+            {
+                "edge_a": pa.array([f"urn:cust:{x}" for x in src], pa.string()),
+                "edge_b": pa.array([f"urn:cust:{x + 1}" for x in src], pa.string()),
+            }
+        )
+
+    mapping = canonicalize_components(
+        cust.map_batches(_edges_capped, batch_format="pyarrow")
+    )
+    if not isinstance(mapping, pa.Table):
+        mapping = pa.concat_tables(
+            [t for t in ray.get(mapping.to_arrow_refs()) if t.num_rows]
+        )
+    mref = ray.put(
+        (mapping.column("node").combine_chunks(), mapping.column("canonical").combine_chunks())
+    )
+
+    def _rewrite(b: pa.Table) -> pa.Table:
+        nodes, canon = ray.get(mref)
+
+        def _sub(col):
+            idx = pc.index_in(col, value_set=nodes)
+            rep = pc.take(canon, idx)
+            return pc.if_else(pc.is_valid(idx), rep, col)
+
+        return pa.table(
+            {
+                "subj": _sub(b.column("subj").combine_chunks()),
+                "pred": b.column("pred").combine_chunks(),
+                "obj": pc.if_else(
+                    pc.equal(b.column("obj_kind"), "iri"),
+                    _sub(b.column("obj").combine_chunks()),
+                    b.column("obj").combine_chunks(),
+                ),
+                "obj_kind": b.column("obj_kind").combine_chunks(),
+            }
+        )
+
+    return distinct_rows(
+        tri.map_batches(_rewrite, batch_format="pyarrow"),
+        ["subj", "pred", "obj", "obj_kind"],
+    )
+
+
+def _sql_sameas() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH canon AS ({SQL_KG_CANONICAL}),
+mx AS (SELECT max(c_custkey) AS m FROM customer),
+alias AS (SELECT 'urn:cust:' || c_custkey AS a, 'urn:cust:' || (c_custkey + 1) AS b
+          FROM customer, mx
+          WHERE c_custkey % {SAMEAS_STRIDE} = 0 AND c_custkey + 1 <= mx.m),
+-- closure is trivial for stride pairs (min = the even end), expressed
+-- generally: every node maps to the min of its 2-node component
+map AS (SELECT a AS node, least(a, b) AS canon FROM alias
+        UNION ALL SELECT b, least(a, b) FROM alias)
+SELECT DISTINCT
+  coalesce(ms.canon, canon.subj) AS subj, pred,
+  CASE WHEN obj_kind = 'iri' THEN coalesce(mo.canon, obj) ELSE obj END AS obj,
+  obj_kind
+FROM canon
+LEFT JOIN map ms ON ms.node = canon.subj
+LEFT JOIN map mo ON canon.obj_kind = 'iri' AND mo.node = canon.obj
+"""
+
+
+# --------------------------------------------------------------------------
+# SHACL-lite constraint validation (violations out, not booleans)
+# --------------------------------------------------------------------------
+
+def q_kg_validate_shacl(sf_dir: str):
+    """Domain/range/datatype validation of the triple stream against a
+    broadcast shape table (SHACL NodeShape essentials): `basedIn` must run
+    urn:cust: -> urn:nation:, `partOf` urn:nation: -> urn:region:,
+    `hasAccountBalance` must carry a double literal. A deterministic
+    corruption (every custkey % 13 == 0 basedIn retargeted to its REGION —
+    the classic wrong-granularity link) makes the violation set non-empty
+    and exactly predictable. One vectorized starts_with/equality scan per
+    constraint column; the stream never shuffles. Output: violating triples
+    + the rule they break."""
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.select_columns(
+        ["subj", "pred", "obj", "obj_kind"]
+    )
+    nat = load(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    n2r = {
+        int(r["n_nationkey"]): int(r["n_regionkey"]) for r in nat.take_all()
+    }  # ontology-sized
+
+    reg_of = np.zeros(max(n2r) + 1, dtype=np.int64)
+    for nk, rk in n2r.items():
+        reg_of[nk] = rk
+
+    def _corrupt(b: pa.Table) -> pa.Table:
+        pred = b.column("pred").combine_chunks()
+        obj = b.column("obj").combine_chunks()
+        is_based = pc.equal(pred, "basedIn")
+        if not pc.any(is_based).as_py():
+            return b
+        # vectorized id surgery: numeric tail of subj/obj via one slice each
+        # (non-basedIn rows get a parse-safe placeholder before the cast)
+        k = pc.cast(
+            pc.utf8_slice_codeunits(
+                pc.if_else(
+                    is_based,
+                    b.column("subj").combine_chunks(),
+                    pa.scalar("urn:cust:0"),
+                ),
+                9,
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        hit = is_based.to_numpy(zero_copy_only=False) & (k % 13 == 0)
+        nk = np.where(
+            hit,
+            pc.cast(
+                pc.utf8_slice_codeunits(
+                    pc.if_else(is_based, obj, pa.scalar("urn:nation:0")), 11
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False),
+            0,
+        )
+        retarget = pa.array(
+            np.char.add("urn:region:", reg_of[nk].astype(str)), pa.string()
+        )
+        new_obj = pc.if_else(pa.array(hit), retarget, obj)
+        return b.set_column(b.column_names.index("obj"), "obj", new_obj)
+
+    def _validate(b: pa.Table) -> pa.Table:
+        pred = b.column("pred")
+        subj = b.column("subj")
+        obj = b.column("obj")
+        kind = b.column("obj_kind")
+        rules = [
+            ("basedIn", "urn:cust:", "urn:nation:", "iri", "range:basedIn"),
+            ("partOf", "urn:nation:", "urn:region:", "iri", "range:partOf"),
+            ("hasAccountBalance", "urn:cust:", None, "double", "datatype"),
+        ]
+        bad_mask = None
+        rule_col = np.full(b.num_rows, "", dtype=object)
+        for p, dom, rng, k, name in rules:
+            m = pc.equal(pred, p)
+            ok = pc.starts_with(subj, dom)
+            if rng is not None:
+                ok = pc.and_(ok, pc.starts_with(obj, rng))
+            ok = pc.and_(ok, pc.equal(kind, k))
+            viol = pc.and_(m, pc.invert(ok)).to_numpy(zero_copy_only=False)
+            rule_col[viol] = name
+            bad_mask = viol if bad_mask is None else (bad_mask | viol)
+        out = b.append_column("rule", pa.array(rule_col, pa.string()))
+        return out.filter(pa.array(bad_mask))
+
+    return tri.map_batches(_corrupt, batch_format="pyarrow").map_batches(
+        _validate, batch_format="pyarrow"
+    )
+
+
+def _sql_shacl() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH canon AS ({SQL_KG_CANONICAL}),
+corrupted AS (
+  SELECT subj, pred,
+         CASE WHEN pred = 'basedIn'
+               AND CAST(split_part(subj, ':', 3) AS BIGINT) % 13 = 0
+              THEN 'urn:region:' || (SELECT n_regionkey FROM nation
+                    WHERE n_nationkey = CAST(split_part(obj, ':', 3) AS BIGINT))
+              ELSE obj END AS obj,
+         obj_kind
+  FROM canon)
+SELECT subj, pred, obj, obj_kind, 'range:basedIn' AS rule FROM corrupted
+WHERE pred = 'basedIn' AND NOT (subj LIKE 'urn:cust:%'
+      AND obj LIKE 'urn:nation:%' AND obj_kind = 'iri')
+UNION ALL
+SELECT subj, pred, obj, obj_kind, 'range:partOf' FROM corrupted
+WHERE pred = 'partOf' AND NOT (subj LIKE 'urn:nation:%'
+      AND obj LIKE 'urn:region:%' AND obj_kind = 'iri')
+UNION ALL
+SELECT subj, pred, obj, obj_kind, 'datatype' FROM corrupted
+WHERE pred = 'hasAccountBalance'
+  AND NOT (subj LIKE 'urn:cust:%' AND obj_kind = 'double')
+"""
+
+
+# --------------------------------------------------------------------------
+# broadcast-gazetteer concept tagging
+# --------------------------------------------------------------------------
+
+GAZETTEER = {
+    "spark": "urn:term:spark",
+    "hash": "urn:term:hash",
+    "join": "urn:term:join",
+    "sort": "urn:term:sort",
+    "window": "urn:term:window",
+    "stream": "urn:term:stream",
+}
+
+
+def q_kg_concept_tags(sf_dir: str):
+    """Dictionary-based entity linking (gazetteer/wikification shape):
+    a broadcast concept dictionary tags every document with (doc_id,
+    concept IRI, n_mentions). Tokens flatten once per batch, membership is
+    one `index_in` against the broadcast term array, per-(doc, term) counts
+    come from a single bincount over `parent·|gaz| + term_idx` codes —
+    complete within the batch because a document's text is one row; no
+    cross-batch fold, no shuffle, no per-row Python."""
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+    terms = list(GAZETTEER)
+    term_arr = pa.array(terms, pa.string())
+    iris = np.array([GAZETTEER[t] for t in terms], dtype=object)
+    nt = len(terms)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        text = pc.utf8_trim_whitespace(b.column("text").combine_chunks())
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.utf8_lower(pc.list_flatten(toks))
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        tid = pc.index_in(flat, value_set=term_arr)
+        hit = pc.is_valid(tid).to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "concept": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        codes = parent[hit] * nt + tid.to_numpy(zero_copy_only=False)[hit].astype(
+            np.int64
+        )
+        cnt = np.bincount(codes, minlength=b.num_rows * nt)
+        nz = np.nonzero(cnt)[0]
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz // nt], pa.int64()),
+                "concept": pa.array(iris[nz % nt], pa.string()),
+                "n": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_tag, batch_format="pyarrow")
+
+
+_GAZ_SQL = ", ".join(f"('{t}', '{GAZETTEER[t]}')" for t in GAZETTEER)
+
+SQL_CONCEPT_TAGS = rf"""
+WITH gaz(term, iri) AS (VALUES {_GAZ_SQL}),
+tok AS (
+  SELECT doc_id, lower(unnest(list_filter(
+           regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))) AS w
+  FROM documents)
+SELECT doc_id, gaz.iri AS concept, CAST(count(*) AS BIGINT) AS n
+FROM tok JOIN gaz ON tok.w = gaz.term
+GROUP BY doc_id, gaz.iri
+"""
+
+
+EXTRAS7_REGISTRY.update(
+    {
+        "kg_sameas_rewrite": QueryDef(q_kg_sameas_rewrite, _sql_sameas()),
+        "kg_validate_shacl": QueryDef(q_kg_validate_shacl, _sql_shacl()),
+        "kg_concept_tags": QueryDef(q_kg_concept_tags, SQL_CONCEPT_TAGS),
     }
 )

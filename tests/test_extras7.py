@@ -162,3 +162,55 @@ def test_dedup_aware_split_keeps_clusters_together():
     # both splits are populated and fractions are roughly honored
     frac_train = (split == "train").mean()
     assert 0.6 < frac_train < 0.95
+
+
+def test_sameas_rewrite_merges_aliases():
+    from anonymization_ray.queries_extras7 import SAMEAS_STRIDE, q_kg_sameas_rewrite
+
+    out = q_kg_sameas_rewrite(SF_DIR).to_pandas()
+    subs = set(out.subj) | set(out[out.obj_kind == "iri"].obj)
+    # no odd alias endpoint survives: urn:cust:(k+1) for k % stride == 0
+    import duckdb
+
+    maxk = duckdb.sql(
+        f"SELECT max(c_custkey) FROM read_parquet('{SF_DIR}/customer.parquet')"
+    ).fetchone()[0]
+    gone = [
+        f"urn:cust:{k + 1}"
+        for k in range(0, maxk, SAMEAS_STRIDE)
+        if k % SAMEAS_STRIDE == 0 and k + 1 <= maxk
+    ]
+    assert gone and not (set(gone) & subs)
+    # set semantics: no duplicate triples after the merge
+    assert not out.duplicated(["subj", "pred", "obj", "obj_kind"]).any()
+
+
+def test_shacl_violations_exactly_the_corrupted_rows():
+    from anonymization_ray.queries_extras7 import q_kg_validate_shacl
+
+    out = q_kg_validate_shacl(SF_DIR).to_pandas()
+    assert (out.rule == "range:basedIn").all()
+    # every violation is a custkey % 13 == 0 basedIn retargeted to a region
+    ks = out.subj.str.rsplit(":", n=1).str[1].astype(int)
+    assert (ks % 13 == 0).all()
+    assert out.obj.str.startswith("urn:region:").all()
+
+
+def test_concept_tags_counts_match_python():
+    from anonymization_ray.queries_extras7 import GAZETTEER, q_kg_concept_tags
+    import pyarrow.parquet as pq
+
+    got = (
+        q_kg_concept_tags(SF_DIR)
+        .to_pandas()
+        .set_index(["doc_id", "concept"])["n"]
+        .to_dict()
+    )
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    want = {}
+    for did, text in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()):
+        for w in text.strip().lower().split():
+            if w in GAZETTEER:
+                key = (did, GAZETTEER[w])
+                want[key] = want.get(key, 0) + 1
+    assert got == want
