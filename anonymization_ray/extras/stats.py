@@ -990,3 +990,100 @@ def group_rank_auc(
             "auc": pa.array(auc, pa.float64()),
         }
     )
+
+
+def group_gini(ds: rd.Dataset, group_col: str, val_col: str) -> pa.Table:
+    """Exact Gini coefficient per group over non-negative int64 values —
+    the inequality audit (token-count concentration across sources, spend
+    concentration across users). Formula on ascending-sorted values:
+    ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))`` with 1-based ranks;
+    tied values contribute the same regardless of order within the tie, so
+    the sort's tie order is immaterial.
+
+    Scale shape: ONE range sort by (group, value); per block a vectorized
+    local rank-weighted sum — the true rank of a row is its local rank plus
+    the rows of its group in earlier blocks, so each block's partial fixes
+    up as ``local_rank_sum + offset * block_value_sum`` with a driver-folded
+    per-group row-count carry (metadata-sized). Output is group-cardinality
+    bounded: (group, n, sum_v, gini) with ONE float division per group.
+    Like :func:`group_rank_auc`, the final ``n * sum_v`` bound (exact
+    Python ints) certifies no intermediate int64 wrap occurred."""
+    from ..util import coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([group_col, val_col]).materialize()
+        )
+        .sort([group_col, val_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table):
+        if t.num_rows == 0:
+            return []
+        g = np.asarray(t.column(group_col).to_pylist(), dtype=object)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and v.min() < 0:
+            raise ValueError("group_gini requires non-negative values")
+        # per-block soundness guard (float bound with 2x slack): the largest
+        # partial is sum(local*v) <= len(v)*sum(v); checking BEFORE the int64
+        # reduceat means a wrapped block sum can never fool the driver check
+        if float(np.sum(v, dtype=np.float64)) * len(v) > 2.0**61:
+            raise ValueError(
+                "group_gini: block rank-weighted sum would overflow int64; "
+                "rescale values"
+            )
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = g[1:] != g[:-1]
+        seg_start = np.nonzero(new)[0]
+        seg_id = np.cumsum(new) - 1
+        # 1-based local rank within the row's group segment
+        local = np.arange(len(g), dtype=np.int64) - seg_start[seg_id] + 1
+        rv = local * v
+        return [
+            (g[i], int(nrow), int(sv), int(rs))
+            for i, nrow, sv, rs in zip(
+                seg_start,
+                np.diff(np.append(seg_start, len(g))),
+                np.add.reduceat(v, seg_start),
+                np.add.reduceat(rv, seg_start),
+            )
+        ]
+
+    blocks = ray.get([_scan.remote(r) for r in refs])
+    n_tot: dict = {}
+    sum_v: dict = {}
+    rank_sum: dict = {}
+    for block in blocks:
+        for gname, nrow, sv, rs in block:
+            off = n_tot.get(gname, 0)  # rows of this group in earlier blocks
+            rank_sum[gname] = rank_sum.get(gname, 0) + rs + off * sv
+            n_tot[gname] = off + nrow
+            sum_v[gname] = sum_v.get(gname, 0) + sv
+    names = sorted(rank_sum)
+    for gname in names:
+        if n_tot[gname] * sum_v[gname] > 2**62:
+            raise ValueError(
+                f"group {gname!r}: n*sum exceeds the int64 safety bound — "
+                "rank-weighted sums would overflow; rescale values"
+            )
+    gini = [
+        (
+            (2 * rank_sum[g] - (n_tot[g] + 1) * sum_v[g])
+            / float(n_tot[g] * sum_v[g])
+            if sum_v[g] > 0
+            else None
+        )
+        for g in names
+    ]
+    return pa.table(
+        {
+            group_col: pa.array(names, pa.string()),
+            "n": pa.array([n_tot[g] for g in names], pa.int64()),
+            "sum_v": pa.array([sum_v[g] for g in names], pa.int64()),
+            "gini": pa.array(gini, pa.float64()),
+        }
+    )

@@ -615,6 +615,7 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
     # round-4 wave 18 (newest operators get driver-gate coverage)
+    "stats_gini",
     "kg_sameas_rewrite",
     "kg_validate_shacl",
     "kg_concept_tags",

@@ -588,3 +588,38 @@ EXTRAS7_REGISTRY.update(
         "kg_concept_tags": QueryDef(q_kg_concept_tags, SQL_CONCEPT_TAGS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# exact per-group Gini coefficient
+# --------------------------------------------------------------------------
+
+def q_stats_gini(sf_dir: str):
+    """Per-source Gini coefficient of document length (n_chars) — the
+    corpus-concentration audit (is one crawl source dominated by a few huge
+    pages?). `extras/stats.group_gini`: one (source, value) range sort,
+    per-block rank-weighted partials, driver-folded row-count carries, one
+    float division per group."""
+    from .extras.stats import group_gini
+
+    docs = load(sf_dir, "documents", ["source", "n_chars"])
+    out = group_gini(docs, "source", "n_chars")
+    return out
+
+
+SQL_GINI = """
+WITH s AS (SELECT source, n_chars AS v,
+                  row_number() OVER (PARTITION BY source ORDER BY n_chars)
+                    AS i
+           FROM documents),
+a AS (SELECT source, count(*) AS n, sum(v) AS sv, sum(i * v) AS rs
+      FROM s GROUP BY source)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sum_v,
+       CAST(2 * rs - (n + 1) * sv AS DOUBLE) / (1.0 * n * sv) AS gini
+FROM a
+"""
+
+
+EXTRAS7_REGISTRY.update(
+    {"stats_gini": QueryDef(q_stats_gini, SQL_GINI)}
+)

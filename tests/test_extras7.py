@@ -214,3 +214,39 @@ def test_concept_tags_counts_match_python():
                 key = (did, GAZETTEER[w])
                 want[key] = want.get(key, 0) + 1
     assert got == want
+
+
+def test_group_gini_matches_reference_and_handles_blocks():
+    from anonymization_ray.extras.stats import group_gini
+
+    rng = np.random.RandomState(11)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.randint(0, 1000, n).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(31)
+    got = group_gini(ds, "g", "v").to_pandas().set_index("g")
+    for gname, grp in df.groupby("g"):
+        x = np.sort(grp.v.values).astype(object)
+        i = np.arange(1, len(x) + 1, dtype=object)
+        want = float(2 * (i * x).sum() - (len(x) + 1) * x.sum()) / (len(x) * x.sum())
+        assert abs(got.loc[gname, "gini"] - want) < 1e-12
+        assert got.loc[gname, "n"] == len(x) and got.loc[gname, "sum_v"] == x.sum()
+
+
+def test_group_gini_extremes():
+    from anonymization_ray.extras.stats import group_gini
+
+    t = pa.table(
+        {
+            "g": pa.array(["eq"] * 4 + ["conc"] * 4 + ["zero"] * 2),
+            "v": pa.array([5, 5, 5, 5, 0, 0, 0, 100, 0, 0], pa.int64()),
+        }
+    )
+    got = group_gini(rd.from_arrow(t).repartition(3), "g", "v").to_pandas().set_index("g")
+    assert got.loc["eq", "gini"] == 0.0  # perfect equality
+    assert abs(got.loc["conc", "gini"] - 0.75) < 1e-15  # all mass on one of 4
+    assert pd.isna(got.loc["zero", "gini"])  # zero total -> undefined, not a crash
