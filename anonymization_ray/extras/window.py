@@ -684,3 +684,143 @@ def keyed_first_broadcast(
             )
         )
     return rd.from_arrow_refs(out_refs)
+
+
+def scd2_history(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    state_col: str,
+) -> rd.Dataset:
+    """SCD-type-2 history build: collapse each key's ordered state stream
+    into validity intervals — one row per STATE CHANGE with
+    ``valid_from = ts`` and ``valid_to = next change's ts`` (null while
+    current). The lakehouse dimension-table primitive: an event log in,
+    a versioned dimension out.
+
+    Shape: ONE range sort by (key, order, id); per block a vectorized
+    change-point mask (row differs from its predecessor's state within the
+    same key) with a single (last_key, last_state) carry per boundary; then
+    ``valid_to`` closes each interval from the NEXT change row — within the
+    block a shift, across blocks a driver-chained (first_change_key,
+    first_change_ts) forward halo, because all rows of a key are contiguous
+    after the sort so the next change row globally is the same key's next
+    change iff the keys match. No per-group UDF, one row of metadata per
+    block in each direction."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, id_col, state_col]).materialize()
+        )
+        .sort([key_col, order_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        """(first_key, first_state, last_key, last_state, first_change_key,
+        first_change_ts) — single rows of metadata."""
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        st = t.column(state_col).to_numpy(zero_copy_only=False)
+        o = _i64(t.column(order_col))
+        new = np.empty(len(k), dtype=bool)
+        new[0] = True
+        new[1:] = (k[1:] != k[:-1]) | (st[1:] != st[:-1])
+        # the block-local mask is pessimistic for row 0 (fixed by the carry
+        # at scan time); for the forward halo we need the first change row
+        # ASSUMING row 0 continues the previous block — report row 0
+        # separately so the driver can decide
+        idx = np.nonzero(new)[0]
+        return {
+            "first_key": k[0],
+            "first_state": st[0],
+            "last_key": k[-1],
+            "last_state": st[-1],
+            "changes": [(k[i], st[i], int(o[i])) for i in idx[:2]],
+        }
+
+    sums = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, m in zip(refs, sums) if m is not None]
+    sums = [m for m in sums if m is not None]
+    n = len(refs)
+
+    # backward pass: carry into each block = (prev_last_key, prev_last_state);
+    # forward halo out of each block = first REAL change row at or after the
+    # next block (key, ts), resolved in reverse block order
+    prev_carry: list = [None] * n
+    for b in range(1, n):
+        prev_carry[b] = (sums[b - 1]["last_key"], sums[b - 1]["last_state"])
+
+    def _first_real_change(b: int):
+        """First change row of block b given its entry carry. changes[0] is
+        always row 0 (the block-local mask is pessimistic there); it only
+        counts when it differs from the carry — otherwise the second local
+        change (if any) is the first real one."""
+        carry = prev_carry[b]
+        ch = sums[b]["changes"]
+        row0_continues = (
+            carry is not None
+            and carry[0] == sums[b]["first_key"]
+            and carry[1] == sums[b]["first_state"]
+        )
+        real = ch[1:] if row0_continues else ch
+        return (real[0][0], real[0][2]) if real else None
+
+    nxt: list = [None] * n
+    after = None
+    for b in range(n - 1, -1, -1):
+        nxt[b] = after
+        fc = _first_real_change(b)
+        if fc is not None:
+            after = fc
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry, halo) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        st = t.column(state_col).to_numpy(zero_copy_only=False)
+        o = _i64(t.column(order_col))
+        new = np.empty(len(k), dtype=bool)
+        new[0] = (
+            carry is None or carry[0] != k[0] or carry[1] != st[0]
+        )
+        new[1:] = (k[1:] != k[:-1]) | (st[1:] != st[:-1])
+        idx = np.nonzero(new)[0]
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    key_col: t.column(key_col).slice(0, 0),
+                    "state": t.column(state_col).slice(0, 0),
+                    "valid_from": pa.array([], pa.int64()),
+                    "valid_to": pa.array([], pa.int64()),
+                }
+            )
+        ck, cs, cts = k[idx], st[idx], o[idx]
+        vt = np.empty(len(idx), dtype=np.float64)
+        vt[:-1] = np.where(ck[1:] == ck[:-1], cts[1:], np.nan)
+        if halo is not None and halo[0] == ck[-1]:
+            vt[-1] = halo[1]
+        else:
+            vt[-1] = np.nan
+        valid_to = pa.array(
+            [None if np.isnan(x) else int(x) for x in vt], pa.int64()
+        )
+        return pa.table(
+            {
+                key_col: pa.array(ck),
+                "state": pa.array(cs),
+                "valid_from": pa.array(cts, pa.int64()),
+                "valid_to": valid_to,
+            }
+        )
+
+    out = [
+        _scan.remote(refs[b], prev_carry[b], nxt[b]) for b in range(n)
+    ]
+    return rd.from_arrow_refs(out)

@@ -623,3 +623,38 @@ FROM a
 EXTRAS7_REGISTRY.update(
     {"stats_gini": QueryDef(q_stats_gini, SQL_GINI)}
 )
+
+
+# --------------------------------------------------------------------------
+# SCD-type-2 history build
+# --------------------------------------------------------------------------
+
+def q_events_scd2(sf_dir: str):
+    """Slowly-changing-dimension type-2 build over the event log: each
+    user's ordered event_type stream collapses to validity intervals
+    (state, valid_from, valid_to-null-while-current). One range sort +
+    per-block change-point masks with a (key, state) boundary carry and a
+    driver-chained forward halo for interval close (`extras/window.
+    scd2_history`); timestamps exchanged as int64 microseconds."""
+    from .extras.window import scd2_history
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    return scd2_history(ev, "user_id", "ts", "event_id", "event_type")
+
+
+SQL_SCD2 = """
+WITH s AS (SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+c AS (SELECT user_id, event_id, event_type AS state,
+             CAST(epoch_us(ts) AS BIGINT) AS valid_from
+      FROM s WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to
+FROM c
+"""
+
+
+EXTRAS7_REGISTRY.update({"events_scd2": QueryDef(q_events_scd2, SQL_SCD2)})

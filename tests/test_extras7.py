@@ -250,3 +250,66 @@ def test_group_gini_extremes():
     assert got.loc["eq", "gini"] == 0.0  # perfect equality
     assert abs(got.loc["conc", "gini"] - 0.75) < 1e-15  # all mass on one of 4
     assert pd.isna(got.loc["zero", "gini"])  # zero total -> undefined, not a crash
+
+
+def test_scd2_history_matches_pandas_reference():
+    from anonymization_ray.extras.window import scd2_history
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "u": rng.randint(0, 40, n).astype(np.int64),
+            "ts": rng.randint(0, 10_000, n).astype(np.int64),
+            "id": np.arange(n, dtype=np.int64),
+            "st": rng.choice(["A", "B", "C"], n),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(29)
+    got = (
+        scd2_history(ds, "u", "ts", "id", "st")
+        .to_pandas()
+        .sort_values(["u", "valid_from", "state"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    for uname, grp in df.sort_values(["ts", "id"]).groupby("u"):
+        prev = None
+        changes = []
+        for _, r in grp.iterrows():
+            if prev is None or r.st != prev:
+                changes.append((r.st, int(r.ts)))
+            prev = r.st
+        for i, (stt, vf) in enumerate(changes):
+            vt = changes[i + 1][1] if i + 1 < len(changes) else None
+            rows.append({"u": uname, "state": stt, "valid_from": vf, "valid_to": vt})
+    want = (
+        pd.DataFrame(rows)
+        .sort_values(["u", "valid_from", "state"])
+        .reset_index(drop=True)
+    )
+    got["valid_to"] = got["valid_to"].astype("float64")
+    want["valid_to"] = want["valid_to"].astype("float64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_scd2_single_state_per_key_never_closes():
+    from anonymization_ray.extras.window import scd2_history
+
+    t = pa.table(
+        {
+            "u": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([10, 20, 30, 5], pa.int64()),
+            "id": pa.array([0, 1, 2, 3], pa.int64()),
+            "st": pa.array(["A", "A", "A", "B"]),
+        }
+    )
+    got = (
+        scd2_history(rd.from_arrow(t).repartition(3), "u", "ts", "id", "st")
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 2
+    assert got.loc[0, "valid_from"] == 10 and pd.isna(got.loc[0, "valid_to"])
+    assert got.loc[1, "u"] == 2 and pd.isna(got.loc[1, "valid_to"])
