@@ -341,3 +341,58 @@ def kcore(
         )
 
     return deg.map_batches(_core, batch_format="pyarrow")
+
+
+def seeded_walk_step(
+    edges: rd.Dataset, src_col: str, dst_col: str, *, salt: int = 0
+) -> rd.Dataset:
+    """(src, next) — ONE seeded uniform random-walk step per source node
+    (the node2vec/DeepWalk corpus-generation primitive): the sampled
+    neighbor is the argmin of SplitMix64(src·2^32 + dst, salt) over the
+    node's out-edges, i.e. a deterministic uniform draw that needs NO
+    degree lookup, no rank materialization and no per-group UDF — just one
+    ``min_per_key`` (narrow sort + boundary scan) over (src,
+    zfill20(h):dst) packed values. Replayable in SQL via the HUGEINT
+    SplitMix64 chain + row_number argmin.
+
+    Ids must be non-negative and < 2^31 so the packed edge key fits int64
+    losslessly (raised otherwise — the same guard family as
+    ``duplicate_span_stats``)."""
+    from ..util import min_per_key
+    from .shuffle import sm64_key
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(s) and (
+            s.min() < 0 or d.min() < 0 or s.max() >= 2**31 or d.max() >= 2**31
+        ):
+            raise ValueError("seeded_walk_step needs node ids in [0, 2^31)")
+        h = sm64_key((s << np.int64(32)) | d, salt)
+        # dst zero-padded too: an h collision between two dsts of one src
+        # must tie-break numerically, exactly like the oracle's ORDER BY
+        # (h, dst)
+        val = np.char.add(
+            np.char.add(np.char.zfill(h.astype("U20"), 20), ":"),
+            np.char.zfill(d.astype("U11"), 11),
+        )
+        return pa.table(
+            {
+                "src": pa.array(s, pa.int64()),
+                "hv": pa.array(val, pa.string()),
+            }
+        )
+
+    packed = edges.map_batches(_pack, batch_format="pyarrow")
+    chosen = min_per_key(packed, "src", "hv")
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("hv"), ":")
+        return pa.table(
+            {
+                "src": batch.column("src").combine_chunks(),
+                "next": pc.cast(pc.list_element(parts, 1), pa.int64()),
+            }
+        )
+
+    return chosen.map_batches(_unpack, batch_format="pyarrow")

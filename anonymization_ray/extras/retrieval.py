@@ -132,3 +132,51 @@ def bm25_topk(
     scores = sum_per_key(hits.map_batches(_score, batch_format="pyarrow"), "doc_id", "c")
     top = scores.sort(["c", "doc_id"], descending=[True, False]).limit(k)
     return top.rename_columns({"c": "score"})
+
+
+def phrase_match_counts(
+    ds: rd.Dataset, text_col: str, id_col: str, phrase: tuple[str, ...]
+) -> rd.Dataset:
+    """(id, n_matches) for documents containing the exact token phrase —
+    OVERLAPPING occurrences counted (token positions i where
+    tok[i+j] == phrase[j] for all j), which substring regex counting gets
+    wrong on self-overlapping phrases.
+
+    Per-document positional matching is batch-local (a phrase never spans
+    documents): one ``split_pattern_regex`` per batch, numpy shift-AND over
+    the flattened token array masked to same-document runs — the grep
+    engine shape; no shuffle, streams at input-byte rate."""
+    k = len(phrase)
+    assert k >= 1
+
+    def _count(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                pc.utf8_lower(pc.fill_null(batch.column(text_col).combine_chunks(), ""))
+            ),
+            _TOKEN_SPLIT,
+        )
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        n = len(flat)
+        m = np.ones(max(n - k + 1, 0), dtype=bool)
+        for j, w in enumerate(phrase):
+            mj = pc.equal(flat, w).to_numpy(zero_copy_only=False)
+            m &= mj[j : j + len(m)]
+        if k > 1 and len(m):
+            # all k tokens must sit in the SAME document
+            m &= parent[: len(m)] == parent[k - 1 : k - 1 + len(m)]
+        hits = np.bincount(parent[: len(m)][m], minlength=batch.num_rows).astype(
+            np.int64
+        )
+        keep = hits > 0
+        return pa.table(
+            {
+                id_col: batch.column(id_col).combine_chunks().filter(
+                    pa.array(keep)
+                ),
+                "n_matches": pa.array(hits[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_count, batch_format="pyarrow")

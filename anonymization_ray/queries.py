@@ -806,6 +806,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras5 import EXTRAS5_REGISTRY
     from .queries_extras6 import EXTRAS6_REGISTRY
     from .queries_extras7 import EXTRAS7_REGISTRY
+    from .queries_extras8 import EXTRAS8_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -817,6 +818,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS5_REGISTRY)
     merged.update(EXTRAS6_REGISTRY)
     merged.update(EXTRAS7_REGISTRY)
+    merged.update(EXTRAS8_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out
