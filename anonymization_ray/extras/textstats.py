@@ -571,3 +571,126 @@ def winnowing_fingerprints(
     return ds.select_columns([id_col, text_col]).map_batches(
         _win, batch_format="pyarrow"
     )
+
+
+def bigram_nll(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> rd.Dataset:
+    """(id, n_bigrams, nll_micro): bigram conditional-LM negative
+    log-likelihood per document — the order-2 sibling of :func:`unigram_nll`
+    (a sharper CCNet-style quality signal: repeated-phrase spam scores LOW,
+    incoherent token salad scores HIGH). Each in-document adjacent pair
+    (w1, w2) contributes ``floor(scale·(ln h(w1) − ln c(w1,w2)))`` micro-nats
+    where h(w1) = Σ_w c(w1, w) (history counts, so P(·|w1) sums to 1);
+    per-doc scores are INTEGER sums — reduction order can never move them.
+
+    Shape: bigram counts via ``exact_value_counts`` over a tab-packed pair
+    key (sort+boundary-scan, never a Ray groupby at bigram cardinality);
+    history counts derive from the BIGRAM table (vocab-sized, not
+    corpus-sized) in one ``sum_per_key``; both gather once and broadcast.
+    At web scale swap the exact tables for a fixed top-V model with an OOV
+    bucket — the oracle pins the exact variant.
+    """
+    import ray
+
+    from .graph import sum_per_key
+    from .stats import exact_value_counts
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.to_numpy(zero_copy_only=False)[keep]
+        d = parent[keep]
+        if len(w) < 2:
+            return pa.table({"bg": pa.array([], pa.string())})
+        adj = d[:-1] == d[1:]
+        bg = np.char.add(np.char.add(w[:-1].astype("U"), "\t"), w[1:].astype("U"))[adj]
+        return pa.table({"bg": pa.array(bg, pa.string())})
+
+    pair_stream = ds.select_columns([id_col, text_col]).map_batches(
+        _pairs, batch_format="pyarrow"
+    )
+    c2 = exact_value_counts(pair_stream, "bg").materialize()
+
+    def _left(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("bg"), "\t")
+        return pa.table(
+            {"w1": pc.list_element(parts, 0), "n": batch.column("n")}
+        )
+
+    hist = sum_per_key(
+        c2.map_batches(_left, batch_format="pyarrow"), "w1", "n"
+    ).materialize()
+
+    bparts = [t for t in ray.get(c2.to_arrow_refs()) if t.num_rows]
+    hparts = [t for t in ray.get(hist.to_arrow_refs()) if t.num_rows]
+    if bparts:
+        bt = pa.concat_tables(bparts)
+        bgs = np.asarray(bt.column("bg").to_pylist())
+        c2n = bt.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(bgs)
+        bgs, c2n = bgs[o], c2n[o]
+        ht = pa.concat_tables(hparts)
+        h1 = np.asarray(ht.column("w1").to_pylist())
+        hn = ht.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        ho = np.argsort(h1)
+        h1, hn = h1[ho], hn[ho]
+        left = np.asarray([b.split("\t", 1)[0] for b in bgs])
+        hmatch = hn[np.searchsorted(h1, left)]
+        # per-bigram integer micro-nats, once per distinct bigram
+        nll_bg = np.floor(
+            scale * (np.log(hmatch.astype(np.float64)) - np.log(c2n.astype(np.float64)))
+        ).astype(np.int64)
+    else:
+        bgs, nll_bg = np.array([], dtype=str), np.array([], np.int64)
+    ref = ray.put((bgs, nll_bg))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        bs, nb = ray.get(ref)
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        w = flat.to_numpy(zero_copy_only=False)[keep]
+        d = parent[keep]
+        ids = batch.column(id_col).combine_chunks()
+        n_rows = len(batch)
+        if len(w) < 2:
+            return pa.table(
+                {
+                    id_col: pa.array([], ids.type),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "nll_micro": pa.array([], pa.int64()),
+                }
+            )
+        adj = d[:-1] == d[1:]
+        bg = np.char.add(np.char.add(w[:-1].astype("U"), "\t"), w[1:].astype("U"))[adj]
+        dd = d[:-1][adj]
+        idx = np.searchsorted(bs, bg)
+        np.clip(idx, 0, max(len(bs) - 1, 0), out=idx)
+        nll = np.bincount(dd, weights=nb[idx], minlength=n_rows).astype(np.int64)
+        n_bg = np.bincount(dd, minlength=n_rows)
+        nz = np.nonzero(n_bg)[0]
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(nz, pa.int64())),
+                "n_bigrams": pa.array(n_bg[nz], pa.int64()),
+                "nll_micro": pa.array(nll[nz], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow"
+    )

@@ -13,6 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .queries import QueryDef, load
+from .queries_kg import SQL_KG_CANONICAL as SQL_KG_CANONICAL_REF
 
 EXTRAS8_REGISTRY: dict[str, QueryDef] = {}
 
@@ -296,5 +297,808 @@ EXTRAS8_REGISTRY.update(
         "events_valid_at": QueryDef(q_events_valid_at, SQL_EVENTS_VALID_AT),
         "text_phrase_search": QueryDef(q_text_phrase_search, SQL_TEXT_PHRASE),
         "graph_walk_sample": QueryDef(q_graph_walk_sample, _sql_walk()),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 21: link-graph PageRank, boilerplate detection, stratified sampling
+# --------------------------------------------------------------------------
+
+def _int_link_edges(sf_dir: str):
+    """The canonical hyperlink graph as int (src, dst) doc-id edges —
+    multigraph semantics preserved (two distinct surface forms landing on
+    the same target stay two edges, exactly as in the SQL edge CTE)."""
+    edges = _canonical_edges(sf_dir)
+
+    def _ints(batch: pa.Table) -> pa.Table:
+        s = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch.column("src_url"), r"/doc/(?P<d>\d+)"), "d"
+            ),
+            pa.int64(),
+        )
+        d = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(batch.column("dst_url"), r"/doc/(?P<d>\d+)"), "d"
+            ),
+            pa.int64(),
+        )
+        return pa.table({"src": s, "dst": d})
+
+    return edges.map_batches(_ints, batch_format="pyarrow")
+
+
+def q_kg_link_pagerank(sf_dir: str):
+    """Page-level PageRank over the EXTRACTED hyperlink graph (the classic
+    web-authority signal, distinct from `kg_pagerank`'s entity-triple
+    graph): 2 damped iterations of `extras/graph.pagerank_int` in exact
+    int64 millionth-units; top-25 pages by (rank desc, node)."""
+    from .extras.graph import pagerank_int
+
+    ranks = pagerank_int(_int_link_edges(sf_dir), iterations=2)
+    top = ranks.sort(["rank", "node"], descending=[True, False]).limit(25)
+    return top.rename_columns({"rank": "pr"})
+
+
+def _sql_link_pagerank(iterations: int = 2, scale: int = 1_000_000) -> str:
+    base = (15 * scale) // 100
+    ctes = [
+        _SQL_LINKS_CTE.strip(),
+        "edges AS (SELECT doc_id AS src, t AS dst FROM e)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT eg.dst AS node, sum(r{i-1}.r // deg.d) AS s "
+            f"FROM edges eg JOIN deg ON deg.src = eg.src "
+            f"JOIN r{i-1} ON r{i-1}.node = eg.src GROUP BY eg.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST({base} + (85 * COALESCE(s{i}.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS pr FROM r{iterations} ORDER BY r DESC, node LIMIT 25"
+    )
+
+
+BOILERPLATE_FRAC = (4, 5)  # term must appear in >= 4/5 of a source's docs
+
+
+def q_corpus_boilerplate_terms(sf_dir: str):
+    """Template/boilerplate detection (the RefinedWeb line-dedup shape at
+    token granularity): terms present in >= 80% of a source's documents.
+    Per batch the (source, doc, term) distinct is LOCAL (a document never
+    spans rows), so partial per-(source, term) doc-counts fold through one
+    `sum_per_key` over a tab-packed key; docs-per-source is a bounded
+    broadcast. Integer 5·n >= 4·nd compare — no floats."""
+    import numpy as np
+    import pandas as pd
+
+    from .extras.graph import sum_per_key
+    from .extras.stats import exact_value_counts
+
+    docs = load(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text").combine_chunks(), " ")
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        # batch-local distinct (doc, term): factorize the (parent, term)
+        # pair via term codes — no object sort
+        codes, uniq = pd.factorize(flat)
+        key = parent.astype(np.int64) * len(uniq) + codes
+        _, first = np.unique(key, return_index=True)
+        k = np.char.add(
+            np.char.add(src[parent[first]].astype("U"), "\t"),
+            flat[first].astype("U"),
+        )
+        return pa.table(
+            {
+                "st": pa.array(k, pa.string()),
+                "c": pa.array(np.ones(len(k), np.int64)),
+            }
+        )
+
+    counts = sum_per_key(
+        docs.map_batches(_pairs, batch_format="pyarrow"), "st", "c"
+    )
+    nd = {
+        r["source"]: r["n"]
+        for r in exact_value_counts(
+            docs.select_columns(["source"]), "source"
+        ).take_all()
+    }
+    num, den = BOILERPLATE_FRAC
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("st"), "\t")
+        src = pc.list_element(parts, 0)
+        term = pc.list_element(parts, 1)
+        n = batch.column("c").to_numpy(zero_copy_only=False)
+        nds = np.array([nd[s] for s in src.to_pylist()], np.int64)
+        keep = den * n >= num * nds
+        t = pa.table({"source": src, "term": term, "n_docs": pa.array(n, pa.int64())})
+        return t.filter(pa.array(keep))
+
+    return counts.map_batches(_gate, batch_format="pyarrow")
+
+
+SQL_BOILERPLATE = f"""
+WITH tok AS (SELECT DISTINCT source, doc_id,
+                    unnest(string_split(text, ' ')) AS term
+             FROM documents),
+sc AS (SELECT source, count(DISTINCT doc_id) AS nd FROM documents GROUP BY source),
+tc AS (SELECT source, term, count(*) AS n FROM tok GROUP BY source, term)
+SELECT tc.source, term, CAST(n AS BIGINT) AS n_docs
+FROM tc JOIN sc USING (source)
+WHERE {BOILERPLATE_FRAC[1]} * n >= {BOILERPLATE_FRAC[0]} * nd
+"""
+
+
+SAMPLE_K = 25
+SAMPLE_SALT = 777
+
+
+def q_corpus_stratified_sample(sf_dir: str):
+    """Deterministic fixed-k-per-stratum sample (balanced subcorpus
+    construction): the k docs of each source with the smallest
+    SplitMix64(doc_id) — a seeded uniform draw that is reproducible at any
+    parallelism and needs no per-group UDF (`util.topk_per_key` ascending,
+    doc_id tie-break)."""
+    from .extras.shuffle import sm64_key
+    from .util import topk_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id", "source"])
+
+    def _h(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = sm64_key(ids, SAMPLE_SALT)
+        return pa.table(
+            {
+                "source": batch.column("source").combine_chunks(),
+                "doc_id": batch.column("doc_id").combine_chunks(),
+                "h": pa.array(h, pa.uint64()),
+            }
+        )
+
+    picked = topk_per_key(
+        docs.map_batches(_h, batch_format="pyarrow"),
+        "source", "h", SAMPLE_K, descending=False, tie_col="doc_id",
+    )
+    return picked.select_columns(["source", "doc_id"])
+
+
+def _sql_stratified_sample() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain("documents", "doc_id", SAMPLE_SALT)
+    return f"""
+WITH {chain}
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM h3) WHERE rn <= {SAMPLE_K}
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_link_pagerank": QueryDef(q_kg_link_pagerank, _sql_link_pagerank()),
+        "corpus_boilerplate_terms": QueryDef(
+            q_corpus_boilerplate_terms, SQL_BOILERPLATE
+        ),
+        "corpus_stratified_sample": QueryDef(
+            q_corpus_stratified_sample, _sql_stratified_sample()
+        ),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 22: crawl frontier, anchor naming, redirect-chain resolution
+# --------------------------------------------------------------------------
+
+def q_kg_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery: canonical link targets NOT yet in the page
+    table, ranked by in-link evidence — the queue a crawler feeds on.
+    Distinct-dst counts fold first (frontier-sized), then ONE hash-partition
+    anti join against the corpus-sized crawled-url set (broadcast=False: the
+    right side is the corpus, never gathered to the driver)."""
+    from .extras.joins import semi_anti_join
+    from .extras.stats import exact_value_counts
+    from .kg.pages import synthesize_pages
+
+    inlinks = exact_value_counts(
+        _canonical_edges(sf_dir).select_columns(["dst_url"]), "dst_url"
+    ).rename_columns(["url", "n_inlinks"])
+    crawled = synthesize_pages(sf_dir).select_columns(["url"])
+    return semi_anti_join(
+        inlinks, crawled, on="url", anti=True, broadcast=False
+    )
+
+
+SQL_KG_CRAWL_FRONTIER = f"""
+WITH {_SQL_LINKS_CTE},
+ce AS (
+  SELECT CASE j WHEN 0 THEN 'https://example.org/doc/' || t
+                WHEN 1 THEN 'https://example.org/doc/' || t || '?id=' || t
+                ELSE 'https://h' || (t % 8) || '.example.org/doc/' || t
+         END AS dst_url
+  FROM e
+)
+SELECT dst_url AS url, count(*) AS n_inlinks FROM ce
+WHERE dst_url NOT IN (SELECT 'https://example.org/doc/' || doc_id FROM documents)
+GROUP BY dst_url
+"""
+
+
+def q_kg_anchor_naming(sf_dir: str):
+    """Entity naming from anchor-text evidence: the majority anchor per
+    canonical target (votes desc, anchor asc tie) — how web-KG construction
+    picks surface names for linked pages. (dst, anchor) vote counts via one
+    packed-key `exact_value_counts`, argmax via `topk_per_key` k=1."""
+    from .extras.stats import exact_value_counts
+    from .util import topk_per_key
+
+    edges = _canonical_edges(sf_dir, with_anchor=True)
+
+    def _pack(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("dst_url"), ""),
+            pc.fill_null(batch.column("anchor"), ""),
+            "\t",
+        )
+        return pa.table({"da": k})
+
+    votes = exact_value_counts(
+        edges.map_batches(_pack, batch_format="pyarrow"), "da"
+    )
+
+    def _unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("da"), "\t")
+        return pa.table(
+            {
+                "dst_url": pc.list_element(parts, 0),
+                "anchor": pc.list_element(parts, 1),
+                "n_votes": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    pairs = votes.map_batches(_unpack, batch_format="pyarrow")
+    top = topk_per_key(
+        pairs, "dst_url", "n_votes", 1, descending=True, tie_col="anchor"
+    )
+    return top.rename_columns({"anchor": "name"})
+
+
+SQL_KG_ANCHOR_NAMING = f"""
+WITH {_SQL_LINKS_CTE},
+ce AS (
+  SELECT CASE j WHEN 0 THEN 'https://example.org/doc/' || t
+                WHEN 1 THEN 'https://example.org/doc/' || t || '?id=' || t
+                ELSE 'https://h' || (t % 8) || '.example.org/doc/' || t
+         END AS dst_url,
+         CASE j WHEN 0 THEN 'ref ' || t
+                WHEN 1 THEN 'see ' || t
+                ELSE 'doc ' || t END AS anchor
+  FROM e
+),
+v AS (SELECT dst_url, anchor, count(*) AS n_votes FROM ce GROUP BY dst_url, anchor)
+SELECT dst_url, anchor AS name, CAST(n_votes AS BIGINT) AS n_votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY dst_url
+                               ORDER BY n_votes DESC, anchor) AS rn
+  FROM v) WHERE rn = 1
+"""
+
+
+# deterministic redirect fixture: every doc_id d with d % 5 == 1 owns a
+# 3-hop alias chain  r/<d>/2 -> r/<d>/1 -> r/<d>/0 -> doc/<d>
+_R = "https://example.org/r/"
+_D = "https://example.org/doc/"
+
+
+def _redirect_edges(sf_dir: str):
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    def _chain(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % 5 == 1]
+        s = ids.astype("U20")
+        src = np.concatenate(
+            [
+                np.char.add(np.char.add(_R, s), "/2"),
+                np.char.add(np.char.add(_R, s), "/1"),
+                np.char.add(np.char.add(_R, s), "/0"),
+            ]
+        )
+        dst = np.concatenate(
+            [
+                np.char.add(np.char.add(_R, s), "/1"),
+                np.char.add(np.char.add(_R, s), "/0"),
+                np.char.add(_D, s),
+            ]
+        )
+        return pa.table(
+            {"src": pa.array(src, pa.string()), "dst": pa.array(dst, pa.string())}
+        )
+
+    return docs.map_batches(_chain, batch_format="pyarrow")
+
+
+def q_kg_redirect_resolve(sf_dir: str):
+    """HTTP-redirect chain resolution (the url-alias closure that feeds
+    crawl dedup): every redirect source mapped to its FINAL target by
+    pointer doubling — ``rounds`` self-joins of the (src -> dst) map, each
+    round squaring the followed distance, so chains up to 2^rounds resolve
+    in O(log chain) edge-sized joins; no driver-side walking."""
+    from .util import hash_join
+
+    m = _redirect_edges(sf_dir).materialize()
+    cur = m
+    for _ in range(2):  # chains of length <= 4
+        nxt = cur.rename_columns(["hop", "dst2"])
+        j = hash_join(
+            cur.rename_columns(["src", "hop"]), nxt, on="hop", join_type="left_outer"
+        )
+
+        def _step(batch: pa.Table) -> pa.Table:
+            d2 = batch.column("dst2")
+            return pa.table(
+                {
+                    "src": batch.column("src").combine_chunks(),
+                    "dst": pc.coalesce(d2, batch.column("hop")).combine_chunks(),
+                }
+            )
+
+        cur = j.map_batches(_step, batch_format="pyarrow").materialize()
+    return cur.rename_columns({"dst": "final_url"})
+
+
+SQL_KG_REDIRECT = f"""
+WITH RECURSIVE d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 1),
+redirects AS (
+  SELECT '{_R}' || doc_id || '/2' AS src, '{_R}' || doc_id || '/1' AS dst FROM d
+  UNION ALL
+  SELECT '{_R}' || doc_id || '/1', '{_R}' || doc_id || '/0' FROM d
+  UNION ALL
+  SELECT '{_R}' || doc_id || '/0', '{_D}' || doc_id FROM d
+),
+r(src, cur) AS (
+  SELECT src, dst FROM redirects
+  UNION ALL
+  SELECT r.src, e.dst FROM r JOIN redirects e ON e.src = r.cur
+)
+SELECT src, cur AS final_url FROM r
+WHERE cur NOT IN (SELECT src FROM redirects)
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_crawl_frontier": QueryDef(q_kg_crawl_frontier, SQL_KG_CRAWL_FRONTIER),
+        "kg_anchor_naming": QueryDef(q_kg_anchor_naming, SQL_KG_ANCHOR_NAMING),
+        "kg_redirect_resolve": QueryDef(q_kg_redirect_resolve, SQL_KG_REDIRECT),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 23: KG schema profiling, negative sampling, CSV interchange
+# --------------------------------------------------------------------------
+
+def q_kg_predicate_stats(sf_dir: str):
+    """KG schema profile: per predicate the triple count, distinct-subject
+    and distinct-object counts (the ontology-summary report that guides
+    partitioning and SHACL authoring). Distinct counts via `distinct_rows`
+    sort-scans + `exact_value_counts` folds; the three PREDICATE-sized
+    count tables merge on the driver (bounded by schema size, not data —
+    a hash join here trips Ray's empty-partition schema-loss quirk at high
+    partition counts and is overkill for a schema-profile output)."""
+    from .extras.stats import exact_value_counts
+    from .kg.pipeline import kg_pipeline
+    from .util import distinct_rows
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.select_columns(
+        ["subj", "pred", "obj"]
+    )
+    n_tri = exact_value_counts(tri.select_columns(["pred"]), "pred").rename_columns(
+        ["pred", "n_triples"]
+    )
+    n_subj = exact_value_counts(
+        distinct_rows(tri.select_columns(["pred", "subj"]), ["pred", "subj"])
+        .select_columns(["pred"]),
+        "pred",
+    ).rename_columns(["pred", "n_subjects"])
+    n_obj = exact_value_counts(
+        distinct_rows(tri.select_columns(["pred", "obj"]), ["pred", "obj"])
+        .select_columns(["pred"]),
+        "pred",
+    ).rename_columns(["pred", "n_objects"])
+    t = {r["pred"]: r["n_triples"] for r in n_tri.take_all()}
+    s = {r["pred"]: r["n_subjects"] for r in n_subj.take_all()}
+    o = {r["pred"]: r["n_objects"] for r in n_obj.take_all()}
+    preds = sorted(t)
+    return pa.table(
+        {
+            "pred": pa.array(preds, pa.string()),
+            "n_triples": pa.array([t[p] for p in preds], pa.int64()),
+            "n_subjects": pa.array([s[p] for p in preds], pa.int64()),
+            "n_objects": pa.array([o[p] for p in preds], pa.int64()),
+        }
+    )
+
+
+SQL_KG_PREDICATE_STATS = f"""
+WITH canon AS ({SQL_KG_CANONICAL_REF})
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects,
+       count(DISTINCT obj) AS n_objects
+FROM canon GROUP BY pred
+"""
+
+
+NEG_SALT = 424242
+
+
+def q_kg_negative_samples(sf_dir: str):
+    """Corrupted-tail negative sampling for KG-embedding training (the
+    TransE/DistMult data-prep primitive): for every `basedIn` triple, a
+    seeded uniform draw from the predicate's object vocabulary, skip-if-
+    positive (+1 cyclic). The vocabulary is a distinct fold broadcast once
+    (bounded by the predicate's object domain); the corpus streams through
+    one vectorized gather — no shuffle, reproducible at any parallelism."""
+    import numpy as np
+
+    from .extras.shuffle import sm64_key
+    from .kg.pipeline import kg_pipeline
+    from .util import distinct_rows
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _based(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("pred"), "basedIn"))
+        return pa.table(
+            {"subj": t.column("subj").combine_chunks(), "obj": t.column("obj").combine_chunks()}
+        )
+
+    edges = tri.map_batches(_based, batch_format="pyarrow")
+    vocab = np.sort(
+        np.array(
+            [r["obj"] for r in distinct_rows(
+                edges.select_columns(["obj"]), ["obj"]
+            ).take_all()],
+            dtype=object,
+        )
+    )
+    nv = len(vocab)
+    pos_of = {v: i for i, v in enumerate(vocab)}
+
+    def _neg(batch: pa.Table) -> pa.Table:
+        subj = batch.column("subj")
+        k = pc.cast(
+            pc.struct_field(pc.extract_regex(subj, r"urn:cust:(?P<k>\d+)"), "k"),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        idx = (sm64_key(k, NEG_SALT) % np.uint64(nv)).astype(np.int64)
+        true_idx = np.array(
+            [pos_of[o] for o in batch.column("obj").to_pylist()], np.int64
+        )
+        idx = np.where(idx == true_idx, (idx + 1) % nv, idx)
+        return pa.table(
+            {
+                "subj": subj.combine_chunks(),
+                "pred": pa.array(["basedIn"] * len(k), pa.string()),
+                "pos_obj": batch.column("obj").combine_chunks(),
+                "neg_obj": pa.array(vocab[idx], pa.string()),
+            }
+        )
+
+    return edges.map_batches(_neg, batch_format="pyarrow")
+
+
+def _sql_negative_samples() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain("b", "k", NEG_SALT)
+    return f"""
+WITH b AS (SELECT c_custkey AS k, c_nationkey AS nk FROM customer),
+u AS (SELECT 'urn:nation:' || n_nationkey AS v,
+             row_number() OVER (ORDER BY 'urn:nation:' || n_nationkey) - 1 AS idx
+      FROM nation),
+c AS (SELECT count(*) AS nv FROM nation),
+{chain},
+pick AS (
+  SELECT h3.k, h3.nk, CAST(h3.h % c.nv AS BIGINT) AS idx0,
+         (SELECT idx FROM u WHERE v = 'urn:nation:' || h3.nk) AS tidx, c.nv
+  FROM h3, c
+),
+adj AS (SELECT k, nk,
+               CASE WHEN idx0 = tidx THEN (idx0 + 1) % nv ELSE idx0 END AS idx
+        FROM pick)
+SELECT 'urn:cust:' || k AS subj, 'basedIn' AS pred,
+       'urn:nation:' || nk AS pos_obj,
+       (SELECT v FROM u WHERE u.idx = adj.idx) AS neg_obj
+FROM adj
+"""
+
+
+def q_corpus_csv_roundtrip(sf_dir: str):
+    """documents -> sharded CSV export (`Dataset.write_csv`) ->
+    `read_csv_documents` back -> (doc_id, text). Identity oracle: CSV
+    quoting/escaping must round-trip text exactly, ids survive as ints."""
+    import shutil
+    import tempfile
+
+    from .sources.csvsrc import read_csv_documents
+
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out_dir = tempfile.mkdtemp(prefix="csv_rt_")
+    try:
+        docs.write_csv(out_dir)
+        back = read_csv_documents(out_dir).select_columns(["doc_id", "text"])
+        return pa.Table.from_pandas(back.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_CSV_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_predicate_stats": QueryDef(q_kg_predicate_stats, SQL_KG_PREDICATE_STATS),
+        "kg_negative_samples": QueryDef(
+            q_kg_negative_samples, _sql_negative_samples()
+        ),
+        "corpus_csv_roundtrip": QueryDef(q_corpus_csv_roundtrip, SQL_CSV_ROUNDTRIP),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 24: dedup observability + bigram-LM quality scoring
+# --------------------------------------------------------------------------
+
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram (dedup observability: how much of the
+    corpus sits in how-big duplicate families): minhash pairs -> connected
+    components (`cluster_keepers`, singletons included) -> per-keeper sizes
+    -> counts-of-counts. Two `exact_value_counts` sort-scan folds; the
+    second operates on cluster-count-sized data."""
+    from .extras.dedup import cluster_keepers, minhash_lsh_pairs
+    from .extras.stats import exact_value_counts
+    from .queries_extras import _corpus_with_dups
+
+    corpus = _corpus_with_dups(sf_dir)
+    pairs = minhash_lsh_pairs(
+        corpus, "text", "doc_id", bands=32, verify_threshold=0.5
+    ).select_columns(["id_a", "id_b"])
+    keepers = cluster_keepers(corpus, pairs, id_col="doc_id")
+    sizes = exact_value_counts(
+        keepers.select_columns(["keeper_id"]), "keeper_id"
+    ).rename_columns(["keeper_id", "cluster_size"])
+    hist = exact_value_counts(
+        sizes.select_columns(["cluster_size"]), "cluster_size"
+    ).rename_columns(["cluster_size", "n_clusters"])
+    return hist
+
+
+def _sql_cluster_sizes() -> str:
+    from .queries_extras import _SQL_DUP_CTES
+
+    return f"""
+WITH RECURSIVE {_SQL_DUP_CTES},
+edges AS (SELECT id_a AS a, id_b AS b FROM dup
+          UNION ALL SELECT id_b, id_a FROM dup),
+reach(id, r) AS (
+  SELECT id, id FROM corpus
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+),
+keep AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+sz AS (SELECT keeper, count(*) AS cluster_size FROM keep GROUP BY keeper)
+SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY cluster_size
+"""
+
+
+def q_text_bigram_nll(sf_dir: str):
+    """Bigram conditional-LM scoring (`extras/textstats.bigram_nll`): each
+    adjacent pair contributes floor(1e6·(ln h(w1) − ln c(w1,w2))) micro-nats
+    (h = history counts, so P(·|w1) sums to 1); integer per-doc sums are
+    reduction-order-proof."""
+    from .extras.textstats import bigram_nll
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_nll(ds, "text", "doc_id")
+
+
+SQL_TEXT_BIGRAM_NLL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS arr
+  FROM documents
+),
+bg AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+       FROM tok, UNNEST(range(1, len(arr))) AS r(i)),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+h AS (SELECT w1, count(*) AS hc FROM bg GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(sum(CAST(floor(1000000.0 * (ln(CAST(hc AS DOUBLE))
+                                        - ln(CAST(c AS DOUBLE)))) AS BIGINT))
+            AS BIGINT) AS nll_micro
+FROM bg JOIN c2 USING (w1, w2) JOIN h USING (w1)
+GROUP BY doc_id
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "dedup_cluster_sizes": QueryDef(q_dedup_cluster_sizes, _sql_cluster_sizes()),
+        "text_bigram_nll": QueryDef(q_text_bigram_nll, SQL_TEXT_BIGRAM_NLL),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 25: rolling DAU, graph reciprocity, global id assignment
+# --------------------------------------------------------------------------
+
+def q_events_rolling_dau(sf_dir: str):
+    """Daily-active-users with a trailing 7-day VALUE-range window (the
+    engagement dashboard primitive): distinct (day, user) via one sort-scan
+    fold, per-day counts via a second, then the rolling sum over the
+    DAY-DOMAIN-sized count table on the driver (bounded by corpus span in
+    days, not corpus size) with searchsorted value-range edges — gaps in
+    the calendar behave like SQL RANGE, not ROWS."""
+    import numpy as np
+
+    from .extras.stats import exact_value_counts
+    from .util import distinct_rows
+
+    ev = load(sf_dir, "events", ["user_id", "ts"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 86_400_000_000),
+            pa.int64(),
+        )
+        return pa.table(
+            {"day": d, "user_id": batch.column("user_id").combine_chunks()}
+        )
+
+    du = distinct_rows(
+        ev.map_batches(_day, batch_format="pyarrow"), ["day", "user_id"]
+    )
+    daily = exact_value_counts(du.select_columns(["day"]), "day").rename_columns(
+        ["day", "dau"]
+    )
+    rows = sorted((r["day"], r["dau"]) for r in daily.take_all())
+    days = np.array([r[0] for r in rows], np.int64)
+    dau = np.array([r[1] for r in rows], np.int64)
+    cum = np.concatenate([[0], np.cumsum(dau)])
+    lo = np.searchsorted(days, days - 6, side="left")
+    dau7 = cum[np.arange(1, len(days) + 1)] - cum[lo]
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "dau": pa.array(dau, pa.int64()),
+            "dau_7d": pa.array(dau7, pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_ROLLING_DAU = """
+WITH du AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                   user_id
+            FROM events),
+d AS (SELECT day, count(*) AS dau FROM du GROUP BY day)
+SELECT day, CAST(dau AS BIGINT) AS dau,
+       CAST(sum(dau) OVER (ORDER BY day
+                           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS dau_7d
+FROM d
+"""
+
+
+def q_graph_reciprocity(sf_dir: str):
+    """Hyperlink reciprocity (mutual-link rate, the web-spam / community
+    signal): distinct int edges packed into one int64, probed against their
+    own swapped set with a hash-partition semi join (broadcast=False — the
+    edge set never gathers). Output: one row (n_edges, n_reciprocal)."""
+    import numpy as np
+
+    from .extras.joins import semi_anti_join
+    from .util import distinct_rows
+
+    edges = distinct_rows(_int_link_edges(sf_dir), ["src", "dst"])
+
+    def _pack(flip: bool):
+        def _p(batch: pa.Table) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            a, b = (d, s) if flip else (s, d)
+            return pa.table({"pk": pa.array((a << np.int64(32)) | b, pa.int64())})
+
+        return _p
+
+    fwd = edges.map_batches(_pack(False), batch_format="pyarrow").materialize()
+    rev = edges.map_batches(_pack(True), batch_format="pyarrow")
+    recip = semi_anti_join(fwd, rev, on="pk", broadcast=False)
+    return pa.table(
+        {
+            "n_edges": pa.array([fwd.count()], pa.int64()),
+            "n_reciprocal": pa.array([recip.count()], pa.int64()),
+        }
+    )
+
+
+SQL_GRAPH_RECIPROCITY = f"""
+WITH {_SQL_LINKS_CTE},
+de AS (SELECT DISTINCT doc_id AS src, t AS dst FROM e)
+SELECT (SELECT count(*) FROM de) AS n_edges,
+       (SELECT count(*) FROM de a
+        WHERE EXISTS (SELECT 1 FROM de b
+                      WHERE b.src = a.dst AND b.dst = a.src)) AS n_reciprocal
+"""
+
+
+def q_corpus_assign_ids(sf_dir: str):
+    """Global dense id assignment (zipWithIndex) in (source, doc_id) order:
+    ONE narrow range sort, per-block offsets from driver-folded block row
+    counts (one int per block — no data moves twice), new_id = offset +
+    arange within the block. The re-keying primitive every corpus merge
+    needs."""
+    import numpy as np
+    import ray
+
+    from .util import coalesce_blocks
+
+    docs = load(sf_dir, "documents", ["doc_id", "source"])
+    s = coalesce_blocks(docs.materialize()).sort(["source", "doc_id"]).materialize()
+    refs = s.to_arrow_refs()
+    counts = ray.get(
+        [ray.remote(num_cpus=0.25)(lambda t: t.num_rows).remote(r) for r in refs]
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.5)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks(),
+                "new_id": pa.array(off + np.arange(t.num_rows, dtype=np.int64)),
+            }
+        )
+
+    import ray.data as rd
+
+    return rd.from_arrow_refs(
+        [_stamp.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
+SQL_CORPUS_ASSIGN_IDS = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY source, doc_id) - 1 AS new_id
+FROM documents
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "events_rolling_dau": QueryDef(q_events_rolling_dau, SQL_EVENTS_ROLLING_DAU),
+        "graph_reciprocity": QueryDef(q_graph_reciprocity, SQL_GRAPH_RECIPROCITY),
+        "corpus_assign_ids": QueryDef(q_corpus_assign_ids, SQL_CORPUS_ASSIGN_IDS),
     }
 )
