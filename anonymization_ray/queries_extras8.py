@@ -1102,3 +1102,132 @@ EXTRAS8_REGISTRY.update(
         "corpus_assign_ids": QueryDef(q_corpus_assign_ids, SQL_CORPUS_ASSIGN_IDS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 26: ntile bucketing + equal-width histogram
+# --------------------------------------------------------------------------
+
+NTILE_G = 10
+
+
+def q_stats_ntile(sf_dir: str):
+    """Exact ntile(10) over (c_acctbal, c_custkey) — equal-frequency
+    bucketing with SQL's remainder rule (first k%g tiles get the extra
+    row). ONE narrow (value, id) range sort, g−1 boundary POINT LOOKUPS
+    (`util.SortedColumn.rows_at_ranks` — never a rank materialization),
+    boundaries broadcast into a stateless lexicographic-searchsorted
+    assignment pass over the unsorted table (the `stages/generalization`
+    machinery with ntile's start ranks)."""
+    import numpy as np
+
+    from .stages.generalization import assign_buckets_np
+    from .util import sorted_column
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    sc = sorted_column(
+        cust, "c_acctbal", "c_custkey",
+        lambda c: pc.cast(c.combine_chunks(), pa.float64()),
+    )
+    k, g = sc.total, NTILE_G
+    base, rem = k // g, k % g
+    starts = [b * base + min(b, rem) for b in range(1, g)]
+    cut = sc.rows_at_ranks(starts)
+    cut_v = cut.column("c_acctbal").to_numpy(zero_copy_only=False)
+    cut_id = cut.column("c_custkey").to_numpy(zero_copy_only=False)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column("c_acctbal")))
+        v = t.column("c_acctbal").to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = t.column("c_custkey").to_numpy(zero_copy_only=False)
+        tile = assign_buckets_np(v, ids, cut_v, cut_id).astype(np.int64) + 1
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey").combine_chunks(),
+                "tile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return cust.map_batches(_assign, batch_format="pyarrow")
+
+
+SQL_STATS_NTILE = f"""
+SELECT c_custkey,
+       CAST(ntile({NTILE_G}) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS tile
+FROM customer WHERE c_acctbal IS NOT NULL
+"""
+
+
+HIST_BINS = 16
+
+
+def q_stats_histogram(sf_dir: str):
+    """Equal-WIDTH histogram of o_totalprice in integer cents (the
+    profiling sibling of the equal-frequency generalization buckets): one
+    streaming min/max fold, then per-batch `np.bincount` partials over the
+    broadcast bin edges folded on the driver (bin-count-sized). Bin rule
+    replicated exactly: idx = clamp((v−lo)·B / (hi−lo+1), 0, B−1) in pure
+    int64 — no float division anywhere."""
+    import numpy as np
+
+    orders = load(sf_dir, "orders", ["o_totalprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"v": c})
+
+    cents = orders.map_batches(_cents, batch_format="pyarrow").materialize()
+    import ray
+
+    agg = cents.aggregate(
+        *[a for a in (ray.data.aggregate.Min("v"), ray.data.aggregate.Max("v"))]
+    )
+    lo, hi = int(agg["min(v)"]), int(agg["max(v)"])
+    span = hi - lo + 1
+
+    def _bins(batch: pa.Table) -> pa.Table:
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        idx = (v - lo) * HIST_BINS // span
+        counts = np.bincount(idx, minlength=HIST_BINS).astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(HIST_BINS, dtype=np.int64)),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = cents.map_batches(_bins, batch_format="pyarrow").take_all()
+    total = np.zeros(HIST_BINS, np.int64)
+    for r in parts:
+        total[r["bin"]] += r["n"]
+    bins = np.arange(HIST_BINS, dtype=np.int64)
+    return pa.table(
+        {
+            "bin": pa.array(bins, pa.int64()),
+            "lo_cents": pa.array(lo + bins * span // HIST_BINS, pa.int64()),
+            "n": pa.array(total, pa.int64()),
+        }
+    )
+
+
+SQL_STATS_HISTOGRAM = f"""
+WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+mm AS (SELECT min(v) AS lo, max(v) AS hi, max(v) - min(v) + 1 AS span FROM c),
+b AS (SELECT i AS bin FROM UNNEST(range(0, {HIST_BINS})) AS r(i)),
+h AS (SELECT (v - lo) * {HIST_BINS} // span AS bin, count(*) AS n
+      FROM c, mm GROUP BY 1)
+SELECT b.bin, mm.lo + b.bin * mm.span // {HIST_BINS} AS lo_cents,
+       COALESCE(h.n, 0) AS n
+FROM b LEFT JOIN h USING (bin), mm
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "stats_ntile": QueryDef(q_stats_ntile, SQL_STATS_NTILE),
+        "stats_histogram": QueryDef(q_stats_histogram, SQL_STATS_HISTOGRAM),
+    }
+)
