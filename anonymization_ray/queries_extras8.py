@@ -1231,3 +1231,159 @@ EXTRAS8_REGISTRY.update(
         "stats_histogram": QueryDef(q_stats_histogram, SQL_STATS_HISTOGRAM),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 27: IFP sameAs candidates, incremental view maintenance, hive layout
+# --------------------------------------------------------------------------
+
+def q_kg_ifp_candidates(sf_dir: str):
+    """Inverse-functional-property key inference (the silk/dedupe
+    entity-resolution rule): two subjects sharing the SAME normalized value
+    of an IFP-like predicate become owl:sameAs candidates — the key is the
+    balance BAND floor(balance/100) (IFP matching always runs on normalized
+    keys: phones strip punctuation, emails lowercase; raw doubles would
+    never collide). Reuses `extras/joins.grouped_pair_counts` — distinct
+    (value, subj) rows, sorted contiguous-run triangle expansion per value,
+    packed-key fold; no self-join, quadratic guard on pathological value
+    groups."""
+    from .extras.joins import grouped_pair_counts
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _bal(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("pred"), "hasAccountBalance"))
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t.column("subj"), r"urn:cust:(?P<k>\d+)"), "k"
+            ),
+            pa.int64(),
+        )
+        band = pc.cast(
+            pc.floor(pc.divide(pc.cast(t.column("obj"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({"val": band, "subj": k})
+
+    pairs = grouped_pair_counts(
+        tri.map_batches(_bal, batch_format="pyarrow"), "val", "subj",
+        min_support=1,
+    )
+
+    def _iri(batch: pa.Table) -> pa.Table:
+        def f(col):
+            return pc.binary_join_element_wise(
+                "urn:cust:", pc.cast(batch.column(col), pa.string()), ""
+            )
+
+        return pa.table(
+            {
+                "subj_a": f("item_a"),
+                "subj_b": f("item_b"),
+                "n_shared": batch.column("n").combine_chunks(),
+            }
+        )
+
+    return pairs.map_batches(_iri, batch_format="pyarrow")
+
+
+SQL_KG_IFP = """
+WITH v AS (SELECT DISTINCT CAST(floor(c_acctbal / 100.0) AS BIGINT) AS val,
+                  c_custkey AS k
+           FROM customer WHERE c_acctbal IS NOT NULL)
+SELECT 'urn:cust:' || a.k AS subj_a, 'urn:cust:' || b.k AS subj_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM v a JOIN v b ON a.val = b.val AND a.k < b.k
+GROUP BY a.k, b.k
+"""
+
+
+def q_kg_incremental_degree(sf_dir: str):
+    """Incremental materialized-view maintenance: entity degree counts
+    refreshed from a delta WITHOUT rescanning the base — base counts and
+    delta counts (both `sum_per_key` folds) union into one final
+    count-sized `sum_per_key`. The oracle pins equivalence to a full
+    recompute over base ∪ delta (the invariant that makes the shortcut
+    legal). Base = subjects of customer triples; delta = nation triples."""
+    from .extras.graph import sum_per_key
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _deg(pred_filter):
+        def _f(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pred_filter(batch))
+            import numpy as np
+
+            return pa.table(
+                {
+                    "node": t.column("subj").combine_chunks(),
+                    "c": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            )
+
+        return _f
+
+    base = sum_per_key(
+        tri.map_batches(
+            _deg(lambda b: pc.starts_with(b.column("subj"), "urn:cust:")),
+            batch_format="pyarrow",
+        ),
+        "node", "c",
+    )
+    delta = sum_per_key(
+        tri.map_batches(
+            _deg(lambda b: pc.starts_with(b.column("subj"), "urn:nation:")),
+            batch_format="pyarrow",
+        ),
+        "node", "c",
+    )
+    merged = sum_per_key(base.union(delta), "node", "c")
+    return merged.rename_columns(["node", "degree"])
+
+
+SQL_KG_INCR_DEGREE = f"""
+WITH canon AS ({SQL_KG_CANONICAL_REF})
+SELECT subj AS node, count(*) AS degree FROM canon GROUP BY subj
+"""
+
+
+def q_corpus_partitioned_write(sf_dir: str):
+    """Hive-partitioned sink + pruned read-back (the resumable-output
+    layout: one directory per partition key, failed runs skip finished
+    partitions; readers touch ONLY the partition they ask for):
+    `write_parquet(partition_cols=['lang'])`, then a read of the single
+    `lang=en` directory — the oracle pins that the pruned read equals the
+    filtered table."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang"])
+    out_dir = tempfile.mkdtemp(prefix="hive_rt_")
+    try:
+        docs.write_parquet(out_dir, partition_cols=["lang"])
+        back = rd.read_parquet(f"{out_dir}/lang=en").select_columns(
+            ["doc_id", "text"]
+        )
+        return pa.Table.from_pandas(back.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_PARTITIONED_WRITE = "SELECT doc_id, text FROM documents WHERE lang = 'en'"
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_ifp_candidates": QueryDef(q_kg_ifp_candidates, SQL_KG_IFP),
+        "kg_incremental_degree": QueryDef(
+            q_kg_incremental_degree, SQL_KG_INCR_DEGREE
+        ),
+        "corpus_partitioned_write": QueryDef(
+            q_corpus_partitioned_write, SQL_PARTITIONED_WRITE
+        ),
+    }
+)
