@@ -1387,3 +1387,166 @@ EXTRAS8_REGISTRY.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 28: skyline (Pareto frontier) + grouping sets
+# --------------------------------------------------------------------------
+
+def q_orders_skyline(sf_dir: str):
+    """Skyline / Pareto frontier of orders over (price, date) — rows no
+    other row weakly dominates with one strict inequality (the multi-
+    criteria shortlist operator). Distributed by the skyline-of-skylines
+    identity: per-block VECTORIZED local skylines (sort desc + running
+    maxima, no row loop), then one final pass over the partials (frontier-
+    sized, orders of magnitude below the input; duplicates of a frontier
+    point all survive, as in SQL's NOT EXISTS form)."""
+    import numpy as np
+
+    orders = load(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        p = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        d = pc.divide(
+            pc.cast(batch.column("o_orderdate"), pa.int64()), 86_400_000_000
+        )
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").combine_chunks(),
+                "price_cents": p,
+                "day": d,
+            }
+        )
+
+    def _skyline_np(p: np.ndarray, d: np.ndarray) -> np.ndarray:
+        """Boolean keep mask: not weakly-dominated-with-a-strict-part."""
+        order = np.lexsort((-d, -p))  # price desc, then date desc
+        ps, ds = p[order], d[order]
+        n = len(ps)
+        keep_sorted = np.ones(n, dtype=bool)
+        if n:
+            # best date among STRICTLY higher prices: prefix max over the
+            # previous price groups
+            grp_start = np.ones(n, dtype=bool)
+            grp_start[1:] = ps[1:] != ps[:-1]
+            # running max date up to end of previous group
+            run_max = np.maximum.accumulate(ds)
+            # for each row, max date over all strictly-higher-price rows
+            prev_group_end = np.maximum.accumulate(
+                np.where(grp_start, np.arange(n) - 1, -1)
+            )
+            hi_max = np.where(prev_group_end >= 0, run_max[np.maximum(prev_group_end, 0)], np.iinfo(np.int64).min)
+            # dominated by a strictly-higher-price row with date >= mine
+            dom_hi = hi_max >= ds
+            # dominated by an equal-price row with a strictly greater date:
+            # within a price group (sorted date desc) that's any non-first
+            # row whose date < the group's first date
+            grp_first_idx = np.maximum.accumulate(np.where(grp_start, np.arange(n), 0))
+            dom_eq = ds < ds[grp_first_idx]
+            keep_sorted = ~(dom_hi | dom_eq)
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = keep_sorted
+        return keep
+
+    def _local(batch: pa.Table) -> pa.Table:
+        p = batch.column("price_cents").to_numpy(zero_copy_only=False)
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(_skyline_np(p, d)))
+
+    partials = (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .map_batches(_local, batch_format="pyarrow")
+        .take_all()
+    )
+    p = np.array([r["price_cents"] for r in partials], np.int64)
+    d = np.array([r["day"] for r in partials], np.int64)
+    k = np.array([r["o_orderkey"] for r in partials], np.int64)
+    m = _skyline_np(p, d)
+    return pa.table(
+        {
+            "o_orderkey": pa.array(k[m], pa.int64()),
+            "price_cents": pa.array(p[m], pa.int64()),
+            "day": pa.array(d[m], pa.int64()),
+        }
+    )
+
+
+SQL_ORDERS_SKYLINE = """
+WITH c AS (SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+                  CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day
+           FROM orders)
+SELECT o_orderkey, price_cents, day FROM c a
+WHERE NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.price_cents >= a.price_cents AND b.day >= a.day
+    AND (b.price_cents > a.price_cents OR b.day > a.day)
+)
+"""
+
+
+def q_events_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((event_type), (day)): two independent bounded-domain
+    count folds unioned with a NULL filler column each — the multi-
+    dimensional report shape without a CUBE shuffle."""
+    from .extras.stats import exact_value_counts
+
+    ev = load(sf_dir, "events", ["event_type", "ts"])
+
+    def _day(batch: pa.Table) -> pa.Table:
+        d = pc.cast(
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), 86_400_000_000),
+            pa.int64(),
+        )
+        return pa.table(
+            {"event_type": batch.column("event_type").combine_chunks(), "day": d}
+        )
+
+    base = ev.map_batches(_day, batch_format="pyarrow").materialize()
+    by_type = exact_value_counts(base.select_columns(["event_type"]), "event_type")
+
+    def _t(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").combine_chunks(),
+                "day": pa.nulls(batch.num_rows, pa.int64()),
+                "n": batch.column("n").combine_chunks(),
+            }
+        )
+
+    by_day = exact_value_counts(base.select_columns(["day"]), "day")
+
+    def _d(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": pa.nulls(batch.num_rows, pa.string()),
+                "day": batch.column("day").combine_chunks(),
+                "n": batch.column("n").combine_chunks(),
+            }
+        )
+
+    return by_type.map_batches(_t, batch_format="pyarrow").union(
+        by_day.map_batches(_d, batch_format="pyarrow")
+    )
+
+
+SQL_EVENTS_GROUPING_SETS = """
+WITH b AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+           FROM events)
+SELECT event_type, day, count(*) AS n
+FROM b GROUP BY GROUPING SETS ((event_type), (day))
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "orders_skyline": QueryDef(q_orders_skyline, SQL_ORDERS_SKYLINE),
+        "events_grouping_sets": QueryDef(
+            q_events_grouping_sets, SQL_EVENTS_GROUPING_SETS
+        ),
+    }
+)
