@@ -1550,3 +1550,116 @@ EXTRAS8_REGISTRY.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 29: SPARQL CONSTRUCT + DESCRIBE-style subgraph extraction
+# --------------------------------------------------------------------------
+
+def q_kg_construct_query(sf_dir: str):
+    """SPARQL CONSTRUCT-shaped graph transformation: match the BGP
+    (?c basedIn ?n)(?n partOf ?r) and EMIT new `locatedInRegion` triples —
+    rule-based enrichment, the inference step that completes the query
+    surface (SELECT = `kg_bgp_query`, CONSTRUCT = this). Bindings from
+    `kg/bgp.match_bgp` (left-deep joins, dimension-bound arm first), the
+    template projection is one stateless vectorized pass; set semantics via
+    `distinct_rows` as CONSTRUCT de-duplicates its output graph."""
+    from .kg.bgp import match_bgp
+    from .kg.pipeline import kg_pipeline
+    from .util import distinct_rows
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.materialize()
+    b = match_bgp(
+        tri,
+        [("?n", "partOf", "?r"), ("?c", "basedIn", "?n")],
+        select=["?c", "?r"],
+    )
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "subj": batch.column("c").combine_chunks(),
+                "pred": pa.array(["locatedInRegion"] * n, pa.string()),
+                "obj": batch.column("r").combine_chunks(),
+            }
+        )
+
+    return distinct_rows(
+        b.map_batches(_emit, batch_format="pyarrow"), ["subj", "pred", "obj"]
+    )
+
+
+SQL_KG_CONSTRUCT = """
+SELECT DISTINCT 'urn:cust:' || c_custkey AS subj,
+       'locatedInRegion' AS pred,
+       'urn:region:' || n_regionkey AS obj
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+DESCRIBE_SEED = "urn:region:0"
+DESCRIBE_HOPS = 2
+
+
+def q_kg_describe_subgraph(sf_dir: str):
+    """DESCRIBE-style k-hop subgraph extraction around a seed entity: all
+    triples whose subject is reachable within 2 REVERSE hops of the seed
+    (region <- nations <- customers), the entity-page / debugging query.
+    Frontier expansion by k semi joins — each hop the corpus-sized triple
+    stream is probed against the (bounded) frontier, never the reverse;
+    the final filter is one broadcast `is_in` pass."""
+    import ray
+
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.materialize()
+    frontier = {DESCRIBE_SEED}
+    seen = set(frontier)
+    for _ in range(DESCRIBE_HOPS):
+        fr = ray.put(pa.array(sorted(frontier), pa.string()))
+
+        def _in_edges(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(batch.column("obj_kind"), "iri"),
+                pc.is_in(batch.column("obj"), value_set=ray.get(fr)),
+            )
+            t = batch.filter(m)
+            return pa.table({"subj": pc.unique(t.column("subj").combine_chunks())})
+
+        nxt = set()
+        for r in tri.map_batches(_in_edges, batch_format="pyarrow").take_all():
+            nxt.add(r["subj"])
+        frontier = nxt - seen
+        seen |= nxt
+        if not frontier:
+            break
+    keep = ray.put(pa.array(sorted(seen), pa.string()))
+
+    def _sub(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch.column("subj"), value_set=ray.get(keep))
+        ).select(["subj", "pred", "obj"])
+
+    return tri.map_batches(_sub, batch_format="pyarrow")
+
+
+SQL_KG_DESCRIBE = f"""
+WITH n0 AS (SELECT 'urn:nation:' || n_nationkey AS n FROM nation
+            WHERE n_regionkey = 0),
+c0 AS (SELECT 'urn:cust:' || c_custkey AS c FROM customer
+       JOIN nation ON n_nationkey = c_nationkey WHERE n_regionkey = 0),
+canon AS ({SQL_KG_CANONICAL_REF})
+SELECT subj, pred, obj FROM canon
+WHERE subj = '{DESCRIBE_SEED}'
+   OR subj IN (SELECT n FROM n0)
+   OR subj IN (SELECT c FROM c0)
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_construct_query": QueryDef(q_kg_construct_query, SQL_KG_CONSTRUCT),
+        "kg_describe_subgraph": QueryDef(q_kg_describe_subgraph, SQL_KG_DESCRIBE),
+    }
+)
