@@ -1663,3 +1663,160 @@ EXTRAS8_REGISTRY.update(
         "kg_describe_subgraph": QueryDef(q_kg_describe_subgraph, SQL_KG_DESCRIBE),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 30: entity salience + key-skew audit
+# --------------------------------------------------------------------------
+
+def q_kg_entity_salience(sf_dir: str):
+    """Per-page salient entity: tf·idf over LINKED nation mentions — the
+    signal KG construction uses to pick a page's primary topic. Mentions
+    come from the REAL extraction pass (`kg/extract.extract_mentions` over
+    genuine html), variant surface forms normalize via
+    upper(replace(_,'_',' ')); counts fold per (url, entity), document
+    frequency per entity, score = n_mentions · floor(1e6·(ln N − ln df))
+    integer micro-nats; top-1 per page via `topk_per_key` (score desc,
+    entity asc)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .extras.graph import sum_per_key
+    from .extras.stats import exact_value_counts
+    from .kg.extract import extract_mentions
+    from .kg.pages import synthesize_pages
+    from .util import topk_per_key
+
+    n_pages = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    mentions = extract_mentions(
+        synthesize_pages(sf_dir).select_columns(["url", "html"])
+    )
+
+    def _ent(batch: pa.Table) -> pa.Table:
+        based = batch.filter(pc.equal(batch.column("pred"), "basedIn"))
+        part = batch.filter(pc.equal(batch.column("pred"), "partOf"))
+        ent_b = pc.utf8_upper(
+            pc.replace_substring(based.column("obj").combine_chunks(), "_", " ")
+        )
+        t1 = pa.table({"url": based.column("url").combine_chunks(), "ent": ent_b})
+        t2 = pa.table(
+            {
+                "url": part.column("url").combine_chunks(),
+                "ent": part.column("subj").combine_chunks(),
+            }
+        )
+        out = pa.concat_tables([t1, t2])
+        k = pc.binary_join_element_wise(out.column("url"), out.column("ent"), "\t")
+        return pa.table({"ue": k})
+
+    cnt = exact_value_counts(
+        mentions.map_batches(_ent, batch_format="pyarrow"), "ue"
+    ).materialize()
+
+    def _split(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("ue"), "\t")
+        return pa.table(
+            {
+                "url": pc.list_element(parts, 0),
+                "ent": pc.list_element(parts, 1),
+                "c": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    ue = cnt.map_batches(_split, batch_format="pyarrow").materialize()
+    import ray
+
+    df_tbl = exact_value_counts(ue.select_columns(["ent"]), "ent")
+    dfs = {r["ent"]: r["n"] for r in df_tbl.take_all()}  # entity-domain-sized
+    ents = np.asarray(sorted(dfs))
+    idf = np.floor(
+        1e6 * (np.log(float(n_pages)) - np.log(np.array([dfs[e] for e in ents], np.float64)))
+    ).astype(np.int64)
+    ref = ray.put((ents, idf))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        es, iv = ray.get(ref)
+        e = batch.column("ent").to_numpy(zero_copy_only=False)
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        s = c * iv[np.searchsorted(es, e)]
+        return pa.table(
+            {
+                "url": batch.column("url").combine_chunks(),
+                "ent": batch.column("ent").combine_chunks(),
+                "score_micro": pa.array(s, pa.int64()),
+            }
+        )
+
+    scored = ue.map_batches(_score, batch_format="pyarrow")
+    return topk_per_key(
+        scored, "url", "score_micro", 1, descending=True, tie_col="ent"
+    )
+
+
+def _sql_entity_salience() -> str:
+    from .queries_kg import _SQL_VARIANT, BASE
+
+    return f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+var AS (SELECT c_custkey, {_SQL_VARIANT} AS nv
+        FROM customer JOIN nation ON c_nationkey = n_nationkey),
+m AS (
+  SELECT '{BASE}' || (c_custkey % nd.n) AS url,
+         upper(replace(nv, '_', ' ')) AS ent
+  FROM var, nd
+  UNION ALL
+  SELECT '{BASE}' || (n_nationkey % nd.n), n_name FROM nation, nd
+),
+cnt AS (SELECT url, ent, count(*) AS c FROM m GROUP BY url, ent),
+df AS (SELECT ent, count(*) AS d FROM cnt GROUP BY ent),
+sc AS (SELECT url, cnt.ent,
+              c * CAST(floor(1000000.0 * (ln(CAST(nd.n AS DOUBLE))
+                                          - ln(CAST(d AS DOUBLE)))) AS BIGINT)
+                AS score_micro
+       FROM cnt JOIN df ON df.ent = cnt.ent, nd)
+SELECT url, ent, score_micro FROM (
+  SELECT *, row_number() OVER (PARTITION BY url
+                               ORDER BY score_micro DESC, ent) AS rn
+  FROM sc) WHERE rn = 1
+"""
+
+
+def q_stats_key_skew(sf_dir: str):
+    """Join-key skew audit: the Gini coefficient of the per-key row-count
+    distribution (shuffle-planning observability — a high Gini says salt
+    your hot keys). Counts via `exact_value_counts`, inequality via
+    `group_gini` over a constant group; both sort-scan folds."""
+    from .extras.stats import exact_value_counts, group_gini
+
+    li = load(sf_dir, "lineitem", ["l_suppkey"])
+    counts = exact_value_counts(li, "l_suppkey")
+
+    def _tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "g": pa.array(["l_suppkey"] * batch.num_rows, pa.string()),
+                "v": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    return group_gini(counts.map_batches(_tag, batch_format="pyarrow"), "g", "v")
+
+
+SQL_STATS_KEY_SKEW = """
+WITH c AS (SELECT l_suppkey, count(*) AS v FROM lineitem GROUP BY l_suppkey),
+s AS (SELECT 'l_suppkey' AS g, v,
+             row_number() OVER (ORDER BY v) AS i
+      FROM c),
+a AS (SELECT g, count(*) AS n, sum(v) AS sv, sum(i * v) AS rs FROM s GROUP BY g)
+SELECT g, CAST(n AS BIGINT) AS n, CAST(sv AS BIGINT) AS sum_v,
+       CAST(2 * rs - (n + 1) * sv AS DOUBLE) / (1.0 * n * sv) AS gini
+FROM a
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_entity_salience": QueryDef(q_kg_entity_salience, _sql_entity_salience()),
+        "stats_key_skew": QueryDef(q_stats_key_skew, SQL_STATS_KEY_SKEW),
+    }
+)
