@@ -824,3 +824,77 @@ def scd2_history(
         _scan.remote(refs[b], prev_carry[b], nxt[b]) for b in range(n)
     ]
     return rd.from_arrow_refs(out)
+
+
+def ordered_concat_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    *,
+    sep: str = "|",
+    out_col: str = "path",
+) -> rd.Dataset:
+    """(key, concat(val, sep ORDER BY order_cols)) — the generalized
+    ordered-string-agg (the `events_user_path` shape lifted to ANY key
+    type): ONE range sort by (key, *order_cols); runs complete inside a
+    block concatenate there; only each block's FIRST and LAST key runs ship
+    to the driver (2 fragments/block, metadata-sized), where spanning keys
+    merge in block order. Per-key output length is bounded by that key's
+    row count — the documented hot-key caveat."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    cols = list(dict.fromkeys([key_col] + list(order_cols) + [val_col]))
+    s = (
+        coalesce_blocks(ds.select_columns(cols).materialize())
+        .sort([key_col] + list(order_cols))
+        .materialize()
+    )
+    key_type = s.schema().base_schema.field(key_col).type
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def _block(t: pa.Table, idx: int):
+        if t.num_rows == 0:
+            return None, []
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(val_col).to_pylist()
+        brk = (np.flatnonzero(k[1:] != k[:-1]) + 1).tolist()
+        starts = [0] + brk
+        ends = brk + [len(k)]
+        frags = []
+        inner_k, inner_v = [], []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            frag = sep.join(str(x) for x in vals[a:b])
+            if i == 0 or i == len(starts) - 1:
+                frags.append((k[a], frag, idx))
+            else:
+                inner_k.append(k[a])
+                inner_v.append(frag)
+        inner = pa.table(
+            {key_col: pa.array(inner_k, key_type), out_col: pa.array(inner_v, pa.string())}
+        ) if inner_k else None
+        return inner, frags
+
+    got = ray.get([_block.remote(r, i) for i, r in enumerate(refs)])
+    inner_tables = [g[0] for g in got if g[0] is not None]
+    frags = [f for g in got for f in g[1]]
+    # merge boundary fragments in block order per key (same key is contiguous
+    # across block boundaries after the global sort)
+    merged: dict = {}
+    for key, frag, idx in sorted(frags, key=lambda x: x[2]):
+        merged[key] = merged[key] + sep + frag if key in merged else frag
+    edge = pa.table(
+        {
+            key_col: pa.array(list(merged.keys()), key_type),
+            out_col: pa.array(list(merged.values()), pa.string()),
+        }
+    )
+    out = inner_tables + ([edge] if edge.num_rows else [])
+    if not out:
+        return rd.from_arrow(
+            pa.table({key_col: pa.array([], key_type), out_col: pa.array([], pa.string())})
+        )
+    return rd.from_arrow_refs([ray.put(t) for t in out])

@@ -9,6 +9,7 @@ match by actually extracting and normalizing the messy surface forms.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1818,5 +1819,133 @@ EXTRAS8_REGISTRY.update(
     {
         "kg_entity_salience": QueryDef(q_kg_entity_salience, _sql_entity_salience()),
         "stats_key_skew": QueryDef(q_stats_key_skew, SQL_STATS_KEY_SKEW),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 31: adjacency-list export, seeded A/B experiment analysis
+# --------------------------------------------------------------------------
+
+def q_kg_adjacency_export(sf_dir: str):
+    """Per-page ordered adjacency list over the canonical link graph — the
+    graph-interchange export shape (one row per source, destinations joined
+    '|' in lexicographic order). Runs on the generalized
+    ``ordered_concat_per_key``: one range sort by (src, dst), runs
+    concatenate inside blocks, only 2 boundary fragments per block reach the
+    driver."""
+    from .extras.window import ordered_concat_per_key
+
+    edges = _canonical_edges(sf_dir)
+    return ordered_concat_per_key(
+        edges, "src_url", ["dst_url"], "dst_url", sep="|", out_col="adj"
+    )
+
+
+SQL_KG_ADJACENCY = f"""
+WITH {_SQL_LINKS_CTE},
+ce AS (
+  SELECT 'https://example.org/doc/' || doc_id AS src_url,
+         CASE j WHEN 0 THEN 'https://example.org/doc/' || t
+                WHEN 1 THEN 'https://example.org/doc/' || t || '?id=' || t
+                ELSE 'https://h' || (t % 8) || '.example.org/doc/' || t
+         END AS dst_url
+  FROM e)
+SELECT src_url, string_agg(dst_url, '|' ORDER BY dst_url) AS adj
+FROM ce GROUP BY src_url
+"""
+
+
+AB_SALT = 77
+
+
+def q_ab_experiment(sf_dir: str):
+    """Seeded A/B experiment read-out: deterministic 50/50 variant
+    assignment by SplitMix64(customer) — the unit of randomization is the
+    CUSTOMER, so every order of a customer lands in the same arm — then
+    exact per-arm aggregates (n, integer-dollar sum, mean, unbiased
+    variance). The combiner pattern: per-batch partial sums, a 2-group
+    final fold; sums are order-independent integers so the read-out is
+    bit-reproducible at any parallelism; mean/variance derive from the
+    exact integer sums in a fixed IEEE-754 expression order the SQL oracle
+    mirrors."""
+    from .extras.shuffle import sm64_key
+
+    ds = load(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    edge = np.uint64(1) << np.uint64(63)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        cust = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        variant = np.where(sm64_key(cust, AB_SALT) < edge, "A", "B")
+        # floor, not round: x.50 dollar ties would split between Arrow's
+        # half-to-even and DuckDB's half-away; floor has no tie to break
+        d = (
+            pc.cast(pc.floor(b.column("o_totalprice")), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        t = pa.table(
+            {
+                "variant": pa.array(variant, pa.string()),
+                "d": pa.array(d, pa.int64()),
+                "dd": pa.array(d * d, pa.int64()),
+            }
+        )
+        g = t.group_by("variant").aggregate(
+            [("d", "sum"), ("dd", "sum"), ("d", "count")]
+        )
+        return g.rename_columns(["variant", "sum_d", "sum_dd", "n"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    final = partials.groupby("variant").sum(["sum_d", "sum_dd", "n"])
+
+    def _finish(b: pa.Table) -> pa.Table:
+        n = b.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = b.column("sum(sum_d)").to_numpy(zero_copy_only=False).astype(np.int64)
+        ss = b.column("sum(sum_dd)").to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = n.astype(np.float64)
+        sf = s.astype(np.float64)
+        mean = sf / nf
+        # a - b*c/d association mirrors the SQL text exactly
+        var = (ss.astype(np.float64) - sf * sf / nf) / (nf - 1.0)
+        return pa.table(
+            {
+                "variant": b.column("variant").combine_chunks(),
+                "n_orders": pa.array(n, pa.int64()),
+                "sum_price_d": pa.array(s, pa.int64()),
+                "mean_price": pa.array(mean, pa.float64()),
+                "var_price": pa.array(var, pa.float64()),
+            }
+        )
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+def _sql_ab_experiment() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        "(SELECT o_custkey, o_totalprice FROM orders)", "o_custkey", AB_SALT
+    )
+    return f"""
+WITH {chain},
+v AS (SELECT CASE WHEN h < {1 << 63} THEN 'A' ELSE 'B' END AS variant,
+             CAST(floor(o_totalprice) AS BIGINT) AS d
+      FROM h3),
+a AS (SELECT variant, count(*) AS n, sum(d) AS s, sum(d * d) AS ss
+      FROM v GROUP BY variant)
+SELECT variant,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(s AS BIGINT) AS sum_price_d,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean_price,
+       (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         / (CAST(n AS DOUBLE) - 1.0) AS var_price
+FROM a
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_adjacency_export": QueryDef(q_kg_adjacency_export, SQL_KG_ADJACENCY),
+        "ab_experiment": QueryDef(q_ab_experiment, _sql_ab_experiment()),
     }
 )
