@@ -396,3 +396,131 @@ def seeded_walk_step(
         )
 
     return chosen.map_batches(_unpack, batch_format="pyarrow")
+
+
+def wl_colors(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+    salt: int = 101,
+) -> rd.Dataset:
+    """Weisfeiler-Lehman-style structural color refinement over a directed
+    int-id edge Dataset -> Dataset[(node, wl_color)] — the canonical-labeling
+    primitive (RDF blank-node canonicalization, structural page dedup,
+    graph-isomorphism bucketing): two nodes get the same color only if their
+    (rounds)-hop in/out neighborhoods aggregate identically.
+
+    Colors are 32-bit (``sm64(x) >> 32``) so neighbor-color SUMS stay exact
+    int64 up to ~2^30 aggregate degree — order-independent commutative sums
+    instead of sorted-multiset hashing keeps every op a vectorized
+    sort-scan fold and makes the refinement bit-replicable in SQL BIGINT.
+    Init color = sm64(outdeg·2^20 + indeg); round r folds
+    ``5·c(v) + 3·Σ_out c(u) + 2·Σ_in c(u)`` through the finalizer again.
+    Per round: two edge-sized hash joins (attach colors) + two sort-scan
+    ``sum_per_key`` folds + one node-sized merge — the PageRank cost profile.
+    """
+    from .shuffle import sm64_key
+
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+    nparts = _clamp_parts(edges.count())
+
+    def _proj(col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": b.column(col).combine_chunks(),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            )
+        return _f
+
+    od = sum_per_key(
+        edges.map_batches(_proj(src_col), batch_format="pyarrow"), "node", "one"
+    ).rename_columns({"one": "od"})
+    idg = sum_per_key(
+        edges.map_batches(_proj(dst_col), batch_format="pyarrow"), "node", "one"
+    ).rename_columns({"one": "idg"})
+    nodes = distinct_rows(
+        edges.map_batches(
+            lambda b: pa.table({"node": b.column(src_col).combine_chunks()}),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda b: pa.table({"node": b.column(dst_col).combine_chunks()}),
+                batch_format="pyarrow",
+            )
+        ),
+        ["node"],
+    ).materialize()
+    node_parts = _clamp_parts(nodes.count())
+
+    both = hash_join(
+        hash_join(nodes, od, on="node", join_type="left_outer", num_partitions=node_parts),
+        idg,
+        on="node",
+        join_type="left_outer",
+        num_partitions=node_parts,
+    )
+
+    def _seed(b: pa.Table) -> pa.Table:
+        o = b.column("od").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b.column("idg").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        c = (sm64_key(o * (1 << 20) + i, salt) >> np.uint64(32)).astype(np.int64)
+        return pa.table({"node": b.column("node").combine_chunks(), "c": pa.array(c)})
+
+    colors = both.map_batches(_seed, batch_format="pyarrow").materialize()
+
+    for r in range(1, rounds + 1):
+        outs = sum_per_key(
+            hash_join(
+                edges,
+                colors.rename_columns({"node": dst_col}),
+                on=dst_col,
+                join_type="inner",
+                num_partitions=nparts,
+            ).map_batches(
+                lambda b: pa.table(
+                    {"node": b.column(src_col).combine_chunks(), "s": b.column("c").combine_chunks()}
+                ),
+                batch_format="pyarrow",
+            ),
+            "node",
+            "s",
+        ).rename_columns({"s": "os"})
+        ins = sum_per_key(
+            hash_join(
+                edges,
+                colors.rename_columns({"node": src_col}),
+                on=src_col,
+                join_type="inner",
+                num_partitions=nparts,
+            ).map_batches(
+                lambda b: pa.table(
+                    {"node": b.column(dst_col).combine_chunks(), "s": b.column("c").combine_chunks()}
+                ),
+                batch_format="pyarrow",
+            ),
+            "node",
+            "s",
+        ).rename_columns({"s": "is_"})
+        merged = hash_join(
+            hash_join(colors, outs, on="node", join_type="left_outer", num_partitions=node_parts),
+            ins,
+            on="node",
+            join_type="left_outer",
+            num_partitions=node_parts,
+        )
+
+        def _refine(b: pa.Table, _r=r) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            os_ = b.column("os").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            is_ = b.column("is_").fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            x = 5 * c + 3 * os_ + 2 * is_
+            nc = (sm64_key(x, salt + _r) >> np.uint64(32)).astype(np.int64)
+            return pa.table({"node": b.column("node").combine_chunks(), "c": pa.array(nc)})
+
+        colors = merged.map_batches(_refine, batch_format="pyarrow").materialize()
+
+    return colors.rename_columns({"c": "wl_color"})

@@ -80,10 +80,18 @@ def match_bgp(
     *,
     select: list[str] | None = None,
     num_partitions: int | None = None,
+    optional: list[list[tuple[str, str, str]]] | None = None,
 ) -> rd.Dataset:
     """Match a conjunction of triple patterns; returns one row per variable
     binding (bag semantics, like SPARQL SELECT without DISTINCT). Joins run
-    left-deep in pattern order — put the most selective pattern first."""
+    left-deep in pattern order — put the most selective pattern first.
+
+    ``optional`` adds SPARQL OPTIONAL groups: each group is a pattern list
+    joined inner internally (left-deep, same rules), then LEFT-OUTER joined
+    to the required bindings on its shared variables — unmatched bindings
+    keep their row with the group's new variables null, exactly the SPARQL
+    left-join semantics (well-designed patterns only: a group's shared vars
+    must be bound by the REQUIRED block)."""
     if not patterns:
         raise ValueError("empty pattern list")
     nparts = num_partitions or max(2, min(default_num_partitions(), 8))
@@ -105,6 +113,35 @@ def match_bgp(
             on=tuple(shared),
         )
         bound_vars = bound_vars + [v for v in arm_vars if v not in bound_vars]
+    for group in optional or []:
+        if not group:
+            continue
+        g_bound, g_vars = _arm(triples, group[0])
+        for pat in group[1:]:
+            arm, arm_vars = _arm(triples, pat)
+            shared = [v for v in arm_vars if v in g_vars]
+            if not shared:
+                raise ValueError(
+                    f"optional pattern {pat} shares no variable inside its group"
+                )
+            g_bound = g_bound.join(
+                arm.materialize(), join_type="inner", num_partitions=nparts,
+                on=tuple(shared),
+            )
+            g_vars = g_vars + [v for v in arm_vars if v not in g_vars]
+        shared = [v for v in g_vars if v in bound_vars]
+        if not shared:
+            raise ValueError(
+                f"optional group {group} shares no variable with the required "
+                f"bindings {bound_vars}"
+            )
+        bound = bound.join(
+            g_bound.materialize(),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=tuple(shared),
+        )
+        bound_vars = bound_vars + [v for v in g_vars if v not in bound_vars]
     if select:
         missing = [v for v in select if v not in bound_vars]
         if missing:

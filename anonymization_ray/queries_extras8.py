@@ -1949,3 +1949,176 @@ EXTRAS8_REGISTRY.update(
         "ab_experiment": QueryDef(q_ab_experiment, _sql_ab_experiment()),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 32: WL structural colors, SPARQL ASK + OPTIONAL
+# --------------------------------------------------------------------------
+
+def q_kg_wl_colors(sf_dir: str):
+    """Weisfeiler-Lehman structural refinement over the EXTRACTED hyperlink
+    graph (2 rounds) — canonical structural labels for isomorphism
+    bucketing / blank-node canonicalization. Exact integer pipeline
+    (32-bit colors, commutative int64 neighbor sums, SplitMix64 finalizer
+    per round) so the refinement is bit-replicable in SQL."""
+    from .extras.graph import wl_colors
+
+    return wl_colors(_int_link_edges(sf_dir), rounds=2, salt=101)
+
+
+def _sm64_pref(p: str, table: str, col: str, salt: int) -> str:
+    """Prefixed variant of extras.shuffle.sql_sm64_chain so several hash
+    applications can coexist in one WITH clause."""
+    from .rng import SM64_GAMMA, _SM64_M1, _SM64_M2
+    from .sqlrng import _mul64, _xsh
+
+    return f"""
+{p}0 AS (SELECT *, {_mul64(f"CAST({col} AS HUGEINT) + {salt + 1}", SM64_GAMMA)} AS z FROM {table}),
+{p}1 AS (SELECT * EXCLUDE (z), {_mul64(_xsh("z", 30), _SM64_M1)} AS z FROM {p}0),
+{p}2 AS (SELECT * EXCLUDE (z), {_mul64(_xsh("z", 27), _SM64_M2)} AS z FROM {p}1),
+{p}3 AS (SELECT * EXCLUDE (z, {col}), {_xsh("z", 31)} AS h FROM {p}2)"""
+
+
+def _sql_wl_colors(rounds: int = 2, salt: int = 101) -> str:
+    shift = 1 << 32
+    ctes = [
+        _SQL_LINKS_CTE.strip(),
+        "edges AS (SELECT doc_id AS src, t AS dst FROM e)",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "od AS (SELECT src AS node, count(*) AS o FROM edges GROUP BY src)",
+        "idg AS (SELECT dst AS node, count(*) AS i FROM edges GROUP BY dst)",
+        "seed AS (SELECT n.node, COALESCE(od.o, 0) * 1048576 + COALESCE(idg.i, 0) AS x "
+        "FROM nodes n LEFT JOIN od ON od.node = n.node LEFT JOIN idg ON idg.node = n.node)",
+        _sm64_pref("w0_", "seed", "x", salt).strip(),
+        f"c0 AS (SELECT node, CAST(h // {shift} AS BIGINT) AS c FROM w0_3)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"os{r} AS (SELECT e.src AS node, sum(c{r-1}.c) AS s FROM edges e "
+            f"JOIN c{r-1} ON c{r-1}.node = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"ins{r} AS (SELECT e.dst AS node, sum(c{r-1}.c) AS s FROM edges e "
+            f"JOIN c{r-1} ON c{r-1}.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"m{r} AS (SELECT c{r-1}.node, 5 * c{r-1}.c + 3 * COALESCE(os{r}.s, 0) "
+            f"+ 2 * COALESCE(ins{r}.s, 0) AS x FROM c{r-1} "
+            f"LEFT JOIN os{r} ON os{r}.node = c{r-1}.node "
+            f"LEFT JOIN ins{r} ON ins{r}.node = c{r-1}.node)"
+        )
+        ctes.append(_sm64_pref(f"w{r}_", f"m{r}", "x", salt + r).strip())
+        ctes.append(f"c{r} AS (SELECT node, CAST(h // {shift} AS BIGINT) AS c FROM w{r}_3)")
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, c AS wl_color FROM c{rounds}"
+    )
+
+
+def _supplier_triples(sf_dir: str):
+    sup = load(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def _lift(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            "urn:supp:", pc.cast(b.column("s_suppkey"), pa.string()), ""
+        )
+        n = pc.binary_join_element_wise(
+            "urn:nation:", pc.cast(b.column("s_nationkey"), pa.string()), ""
+        )
+        k = b.num_rows
+        return pa.table(
+            {
+                "subj": s,
+                "pred": pa.array(["operatesIn"] * k, pa.string()),
+                "obj": n,
+                "obj_kind": pa.array(["iri"] * k, pa.string()),
+            }
+        )
+
+    return sup.map_batches(_lift, batch_format="pyarrow")
+
+
+def q_kg_optional_bgp(sf_dir: str):
+    """SPARQL OPTIONAL (left-join) over the KG: every nation with its
+    region (required BGP) and its suppliers IF ANY (optional group — at
+    small sf most nations have none, so the left-join semantics are
+    genuinely exercised: unmatched bindings survive with ?s null)."""
+    from .kg.bgp import match_bgp
+    from .kg.pipeline import kg_pipeline
+
+    tri = (
+        kg_pipeline(sf_dir, anonymize=False)
+        .triples.select_columns(["subj", "pred", "obj", "obj_kind"])
+        .union(_supplier_triples(sf_dir))
+        .materialize()
+    )
+    return match_bgp(
+        tri,
+        [("?n", "partOf", "?r")],
+        optional=[[("?s", "operatesIn", "?n")]],
+        select=["?n", "?r", "?s"],
+    )
+
+
+SQL_KG_OPTIONAL = """
+SELECT 'urn:nation:' || n_nationkey AS n,
+       'urn:region:' || n_regionkey AS r,
+       CASE WHEN s_suppkey IS NULL THEN NULL
+            ELSE 'urn:supp:' || s_suppkey END AS s
+FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+"""
+
+
+ASK_BALANCE = 9000.0
+
+
+def q_kg_ask_query(sf_dir: str):
+    """SPARQL ASK — boolean existence probes with streaming early-exit:
+    the filtered triple stream is cut by ``limit(1)`` so the executor
+    stops pulling blocks at the first witness (backpressure does the
+    short-circuit). Two probes, one satisfiable and one not."""
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.materialize()
+
+    def _probe(pred: str, test) -> bool:
+        def _f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("pred"), pred)
+            t = b.filter(m)
+            return t.filter(test(t)).select(["subj"])
+
+        return tri.map_batches(_f, batch_format="pyarrow").limit(1).count() > 0
+
+    high_bal = _probe(
+        "hasAccountBalance",
+        lambda t: pc.greater(
+            pc.cast(t.column("obj"), pa.float64()), ASK_BALANCE
+        ),
+    )
+    ghost_region = _probe(
+        "partOf", lambda t: pc.equal(t.column("obj"), "urn:region:99")
+    )
+    return pa.table(
+        {
+            "probe": pa.array(["balance_gt_9000", "region_99_exists"], pa.string()),
+            "ask": pa.array([high_bal, ghost_region], pa.bool_()),
+        }
+    )
+
+
+SQL_KG_ASK = f"""
+SELECT 'balance_gt_9000' AS probe,
+       EXISTS(SELECT 1 FROM customer WHERE CAST(c_acctbal AS DOUBLE) > {ASK_BALANCE}) AS ask
+UNION ALL
+SELECT 'region_99_exists',
+       EXISTS(SELECT 1 FROM nation WHERE n_regionkey = 99)
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_wl_colors": QueryDef(q_kg_wl_colors, _sql_wl_colors()),
+        "kg_optional_bgp": QueryDef(q_kg_optional_bgp, SQL_KG_OPTIONAL),
+        "kg_ask_query": QueryDef(q_kg_ask_query, SQL_KG_ASK),
+    }
+)
