@@ -443,3 +443,77 @@ def grouped_pair_counts(
         )
 
     return counts.map_batches(_unpack, batch_format="pyarrow")
+
+
+def build_bloom(
+    ds: rd.Dataset, col: str, *, m_bits: int = 1 << 20, k: int = 4, salt: int = 0
+):
+    """Bloom filter over an int key column -> packed uint8 bit array
+    (m_bits/8 bytes). Per-batch partial bit arrays (vectorized SplitMix64
+    probes, np.bitwise_or fan-in) — only #batches × m_bits/8 bytes ever
+    reach the driver, never the keys themselves. That is the point: at
+    100 TB the build side's DISTINCT keys can be 100× the broadcast cap
+    while 1–16 MB of bloom bits still ship to every probe task."""
+    import numpy as np
+
+    from .shuffle import sm64_key
+
+    nbytes = m_bits // 8
+
+    def _partial(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, np.uint8)
+        v = pc.drop_null(b.column(col)).to_numpy(zero_copy_only=False)
+        if len(v):
+            for j in range(k):
+                h = (sm64_key(v, salt * 31 + j) % np.uint64(m_bits)).astype(np.int64)
+                np.bitwise_or.at(bits, h >> 3, np.uint8(1) << (h & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    out = np.zeros(nbytes, np.uint8)
+    for row in partials:
+        out |= np.frombuffer(row["bits"], np.uint8)
+    return out
+
+
+def bloom_semi_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: int = 0,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """EXACT semi join through a bloom prefilter — the middle path between
+    `semi_anti_join`'s two extremes: when the build side's distinct keys
+    blow the broadcast cap but shuffling the full probe stream is the
+    bottleneck, broadcast m_bits of bloom instead, drop the (1-ε) of probe
+    rows that cannot match WITHOUT any shuffle, and run the exact
+    hash-partitioned semi join only on the surviving sliver. False
+    positives are removed by the confirm join; false negatives don't exist
+    — so the result is exactly `left SEMI JOIN right`."""
+    import numpy as np
+
+    from .shuffle import sm64_key
+
+    right_on = right_on or on
+    bits = build_bloom(right.select_columns([right_on]), right_on, m_bits=m_bits, k=k, salt=salt)
+    ref = ray.put(bits)
+
+    def _probe(b: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        v = b.column(on).to_numpy(zero_copy_only=False)
+        m = np.ones(len(v), bool)
+        for j in range(k):
+            h = (sm64_key(v, salt * 31 + j) % np.uint64(m_bits)).astype(np.int64)
+            m &= (arr[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
+        return b.filter(pa.array(m))
+
+    candidates = left.map_batches(_probe, batch_format="pyarrow")
+    return semi_anti_join(
+        candidates, right, on=on, right_on=right_on,
+        broadcast=False, num_partitions=num_partitions,
+    )

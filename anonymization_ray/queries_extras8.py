@@ -2122,3 +2122,77 @@ EXTRAS8_REGISTRY.update(
         "kg_ask_query": QueryDef(q_kg_ask_query, SQL_KG_ASK),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 33: bloom-prefiltered semi join, z-order clustering keys
+# --------------------------------------------------------------------------
+
+def q_join_bloom_semi(sf_dir: str):
+    """EXACT semi join through a bloom prefilter (extras/joins.
+    bloom_semi_join): lineitems of URGENT orders. The bloom bits (128 KB)
+    broadcast instead of the key set; (1-ε) of non-matching lineitems are
+    dropped with NO shuffle; only the surviving sliver pays the exact
+    hash-partitioned confirm join — the middle path when the build side
+    overflows the broadcast cap and the probe side is the 100-TB stream."""
+    from .extras.joins import bloom_semi_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    urgent = load(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).filter(
+        lambda r: r["o_orderpriority"] == "1-URGENT"
+    )
+    return bloom_semi_join(
+        li, urgent.select_columns(["o_orderkey"]), on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+
+SQL_JOIN_BLOOM_SEMI = """
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_orders_zorder(sf_dir: str):
+    """Z-order clustering keys over (customer, price-in-hundreds): the
+    Morton interleave as ONE exact int64 sort key whose ranges are 2-D
+    locality buckets (row-group pruning on either dimension after one
+    narrow sort). 20 bits/dim; zbucket = top byte = the 256-way cluster a
+    range partitioner would cut."""
+    from .extras.zorder import zorder_key
+
+    ds = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey").combine_chunks(),
+                "ck": pc.cast(b.column("o_custkey"), pa.int64()),
+                "ph": pc.cast(
+                    pc.floor(pc.divide(b.column("o_totalprice"), 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    z = zorder_key(
+        ds.map_batches(_prep, batch_format="pyarrow"), "ck", "ph", bits=20
+    )
+    return z.select_columns(["o_orderkey", "zval", "zbucket"])
+
+
+def _sql_orders_zorder() -> str:
+    from .extras.zorder import sql_zorder_expr
+
+    z = sql_zorder_expr("o_custkey", "CAST(floor(o_totalprice / 100.0) AS BIGINT)")
+    return f"""
+WITH z AS (SELECT o_orderkey, {z} AS zval FROM orders)
+SELECT o_orderkey, zval, zval // {1 << 32} AS zbucket FROM z
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "join_bloom_semi": QueryDef(q_join_bloom_semi, SQL_JOIN_BLOOM_SEMI),
+        "orders_zorder": QueryDef(q_orders_zorder, _sql_orders_zorder()),
+    }
+)

@@ -313,3 +313,52 @@ def test_scd2_single_state_per_key_never_closes():
     assert len(got) == 2
     assert got.loc[0, "valid_from"] == 10 and pd.isna(got.loc[0, "valid_to"])
     assert got.loc[1, "u"] == 2 and pd.isna(got.loc[1, "valid_to"])
+
+
+def test_bloom_semi_join_exact_and_prefilter_reduces():
+    import ray
+
+    from anonymization_ray.extras.joins import bloom_semi_join, build_bloom
+    from anonymization_ray.extras.shuffle import sm64_key
+
+    rng = np.random.default_rng(7)
+    left_keys = rng.integers(0, 10_000, 5_000).astype(np.int64)
+    right_keys = np.unique(rng.integers(0, 10_000, 200).astype(np.int64))
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(left_keys), "v": pa.array(np.arange(5_000))})
+    ).repartition(4)
+    right = rd.from_arrow(pa.table({"k": pa.array(right_keys)})).repartition(2)
+
+    got = bloom_semi_join(left, right, on="k", m_bits=1 << 14).to_pandas()
+    want = np.isin(left_keys, right_keys)
+    assert len(got) == int(want.sum())
+    assert set(got["k"]) == set(left_keys[want])
+
+    # no false negatives on the raw bits; prefilter passes < everything
+    bits = build_bloom(right, "k", m_bits=1 << 14)
+    hits = np.ones(len(left_keys), bool)
+    for j in range(4):
+        h = (sm64_key(left_keys, j) % np.uint64(1 << 14)).astype(np.int64)
+        hits &= (bits[h >> 3] & (np.uint8(1) << (h & 7).astype(np.uint8))) != 0
+    assert hits[want].all()           # every true match survives the bloom
+    assert hits.sum() < len(left_keys)  # and the prefilter actually prunes
+
+
+def test_zorder_key_locality_and_bounds():
+    from anonymization_ray.extras.zorder import zorder_key
+
+    t = pa.table(
+        {"x": pa.array([0, 1, 2, 3], pa.int64()), "y": pa.array([0, 1, 2, 3], pa.int64())}
+    )
+    got = (
+        zorder_key(rd.from_arrow(t), "x", "y", bits=2, bucket_bits=2)
+        .to_pandas()
+        .sort_values("x")
+    )
+    # interleave of (x,y): (0,0)=0, (1,1)=3, (2,2)=12, (3,3)=15
+    assert list(got["zval"]) == [0, 3, 12, 15]
+    assert list(got["zbucket"]) == [0, 0, 3, 3]
+
+    bad = pa.table({"x": pa.array([4], pa.int64()), "y": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="out of"):
+        zorder_key(rd.from_arrow(bad), "x", "y", bits=2).materialize()
