@@ -2196,3 +2196,166 @@ EXTRAS8_REGISTRY.update(
         "orders_zorder": QueryDef(q_orders_zorder, _sql_orders_zorder()),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 34: calendar gap-fill, schema-drift audit
+# --------------------------------------------------------------------------
+
+GAPFILL_MIN_VALUE = 150.0
+
+
+def q_events_gapfill(sf_dir: str):
+    """Calendar gap-fill: daily counts of high-value purchases with MISSING
+    days emitted as zero over the observed [min_day, max_day] span — the
+    time-series densification every monitoring consumer needs (a sparse
+    groupby silently drops empty days; downstream rolling windows then skip
+    them). Day counts via one sort-scan fold; the calendar grid is
+    day-domain-sized, so the fill is a bounded driver merge like the other
+    grid queries (rolling DAU, anomaly z-scores)."""
+    from .extras.stats import exact_value_counts
+
+    ev = load(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(b.column("event_type"), "purchase"),
+            pc.greater(b.column("value"), GAPFILL_MIN_VALUE),
+        )
+        t = b.filter(pc.fill_null(m, False))
+        return pa.table({"day": pc.cast(t.column("ts"), pa.date32())})
+
+    counts = exact_value_counts(
+        ev.map_batches(_days, batch_format="pyarrow"), "day"
+    ).take_all()  # bounded: one row per OBSERVED day
+    have = {r["day"]: r["n"] for r in counts}
+    if not have:
+        return pa.table(
+            {"day": pa.array([], pa.timestamp("us")), "n": pa.array([], pa.int64())}
+        )
+    import datetime
+
+    lo, hi = min(have), max(have)
+    grid = [lo + datetime.timedelta(days=i) for i in range((hi - lo).days + 1)]
+    return pa.table(
+        {
+            # timestamp, not date32: the driver compare canonicalizes
+            # datetimes on both engines; raw date32 arrives as python dates
+            "day": pa.array(grid, pa.date32()).cast(pa.timestamp("us")),
+            "n": pa.array([int(have.get(d, 0)) for d in grid], pa.int64()),
+        }
+    )
+
+
+SQL_EVENTS_GAPFILL = f"""
+WITH f AS (SELECT CAST(ts AS DATE) AS day FROM events
+           WHERE event_type = 'purchase' AND value > {GAPFILL_MIN_VALUE}),
+c AS (SELECT day, count(*) AS n FROM f GROUP BY day),
+g AS (SELECT unnest(generate_series((SELECT min(day) FROM c),
+                                    (SELECT max(day) FROM c),
+                                    INTERVAL 1 DAY))::DATE AS day)
+SELECT CAST(g.day AS TIMESTAMP) AS day, COALESCE(c.n, 0) AS n FROM g LEFT JOIN c ON c.day = g.day
+"""
+
+
+def q_corpus_schema_drift(sf_dir: str):
+    """Schema-drift audit between two corpus snapshots — the ingestion
+    regression check (a refreshed crawl silently dropping a column or
+    spiking a null rate must fail loudly, not three stages later).
+    Snapshot B is a deterministic drift of A (rows doc_id%3!=0, text nulled
+    for lang='de', `source` column dropped). Per column: presence in each
+    snapshot + exact null counts, computed in ONE streaming pass per
+    snapshot (per-batch per-column valid counts, #batches × #cols partial
+    rows folded on the driver)."""
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def _drift(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.not_equal(
+                pc.subtract(
+                    b.column("doc_id"),
+                    pc.multiply(pc.divide(b.column("doc_id"), 3), 3),
+                ),
+                0,
+            )
+        )
+        text = pc.if_else(
+            pc.equal(t.column("lang"), "de"),
+            pa.scalar(None, pa.string()),
+            t.column("text"),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").combine_chunks(),
+                "text": text,
+                "lang": t.column("lang").combine_chunks(),
+                "n_chars": t.column("n_chars").combine_chunks(),
+            }
+        )
+
+    snap_b = docs.map_batches(_drift, batch_format="pyarrow")
+
+    def _null_partials(b: pa.Table) -> pa.Table:
+        cols, nulls, rows = [], [], []
+        for c in b.column_names:
+            cols.append(c)
+            nulls.append(b.column(c).null_count)
+            rows.append(b.num_rows)
+        return pa.table(
+            {
+                "col": pa.array(cols, pa.string()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "n_rows": pa.array(rows, pa.int64()),
+            }
+        )
+
+    def _fold(ds) -> dict:
+        out: dict = {}
+        for r in ds.map_batches(_null_partials, batch_format="pyarrow").take_all():
+            nn, nr = out.get(r["col"], (0, 0))
+            out[r["col"]] = (nn + r["n_null"], nr + r["n_rows"])
+        return out
+
+    a, b = _fold(docs), _fold(snap_b)
+    cols = sorted(set(a) | set(b))
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "in_a": pa.array([c in a for c in cols], pa.bool_()),
+            "in_b": pa.array([c in b for c in cols], pa.bool_()),
+            "null_a": pa.array([a.get(c, (0, 0))[0] for c in cols], pa.int64()),
+            "null_b": pa.array([b.get(c, (0, 0))[0] for c in cols], pa.int64()),
+            "rows_a": pa.array([a.get(c, (0, 0))[1] for c in cols], pa.int64()),
+            "rows_b": pa.array([b.get(c, (0, 0))[1] for c in cols], pa.int64()),
+        }
+    )
+
+
+SQL_SCHEMA_DRIFT = """
+WITH b AS (SELECT doc_id, CASE WHEN lang = 'de' THEN NULL ELSE text END AS text,
+                  lang, n_chars
+           FROM documents WHERE doc_id % 3 <> 0),
+cols(col, in_a, in_b) AS (VALUES ('doc_id', true, true), ('lang', true, true),
+       ('n_chars', true, true), ('source', true, false), ('text', true, true)),
+na AS (SELECT 'doc_id' AS col, count(*) FILTER (doc_id IS NULL) AS n, count(*) AS r FROM documents
+  UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), count(*) FROM documents
+  UNION ALL SELECT 'n_chars', count(*) FILTER (n_chars IS NULL), count(*) FROM documents
+  UNION ALL SELECT 'source', count(*) FILTER (source IS NULL), count(*) FROM documents
+  UNION ALL SELECT 'text', count(*) FILTER (text IS NULL), count(*) FROM documents),
+nb AS (SELECT 'doc_id' AS col, count(*) FILTER (doc_id IS NULL) AS n, count(*) AS r FROM b
+  UNION ALL SELECT 'lang', count(*) FILTER (lang IS NULL), count(*) FROM b
+  UNION ALL SELECT 'n_chars', count(*) FILTER (n_chars IS NULL), count(*) FROM b
+  UNION ALL SELECT 'text', count(*) FILTER (text IS NULL), count(*) FROM b)
+SELECT cols.col, cols.in_a, cols.in_b,
+       na.n AS null_a, COALESCE(nb.n, 0) AS null_b,
+       na.r AS rows_a, COALESCE(nb.r, 0) AS rows_b
+FROM cols JOIN na ON na.col = cols.col LEFT JOIN nb ON nb.col = cols.col
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "events_gapfill": QueryDef(q_events_gapfill, SQL_EVENTS_GAPFILL),
+        "corpus_schema_drift": QueryDef(q_corpus_schema_drift, SQL_SCHEMA_DRIFT),
+    }
+)
