@@ -2359,3 +2359,134 @@ EXTRAS8_REGISTRY.update(
         "corpus_schema_drift": QueryDef(q_corpus_schema_drift, SQL_SCHEMA_DRIFT),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 35: fuzzy alias linking, time-boxed funnel conversion
+# --------------------------------------------------------------------------
+
+def q_er_fuzzy_link(sf_dir: str):
+    """Dictionary fuzzy linking (extras/er.fuzzy_link): a corpus-scale
+    stream of typo'd nation mentions (deterministic char-drop at position
+    (7·custkey+3) mod len — the rule the oracle replays) is linked back to
+    the canonical nation dictionary at edit distance <= 1. Dictionary
+    broadcast once; per batch: local factorize-dedup of surface forms,
+    vectorized length/end-char candidate pruning, banded O(len) distance
+    check on the survivors only; the stream never shuffles."""
+    from .extras.er import fuzzy_link
+
+    nat = load(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    names = {int(k): str(v) for k, v in zip(nat["n_nationkey"], nat["n_name"])}
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _mention(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = b.column("c_nationkey").to_numpy(zero_copy_only=False)
+        out = []
+        for c, n in zip(ck, nk):
+            nm = names[int(n)]
+            p = (7 * int(c) + 3) % len(nm)
+            out.append(nm[:p] + nm[p + 1 :])
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "mention": pa.array(out, pa.string()),
+            }
+        )
+
+    mentions = cust.map_batches(_mention, batch_format="pyarrow")
+    return fuzzy_link(
+        mentions, "mention", list(names.values()), keep_cols=["c_custkey"]
+    )
+
+
+SQL_ER_FUZZY = """
+WITH m AS (
+  SELECT c_custkey,
+         substr(n_name, 1, (7 * c_custkey + 3) % length(n_name))
+           || substr(n_name, (7 * c_custkey + 3) % length(n_name) + 2) AS mention
+  FROM customer JOIN nation ON n_nationkey = c_nationkey)
+SELECT c_custkey, mention, n_name AS match,
+       CAST(levenshtein(mention, n_name) AS BIGINT) AS dist
+FROM m, nation WHERE levenshtein(mention, n_name) <= 1
+"""
+
+
+FUNNEL_WINDOW_H = 24
+
+
+def q_events_funnel_window(sf_dir: str):
+    """Time-boxed funnel conversion: users whose FIRST signup is followed by
+    a purchase within 24 h (the product-analytics staple `events_funnel`
+    doesn't time-bound). Per-user first signup via one `min_per_key`
+    sort-scan; purchases then SEMI-probe that user-keyed table through one
+    hash join and a vectorized window compare — converted user ids dedup
+    through a distinct fold; output is one count row per conversion day."""
+    from .extras.stats import exact_value_counts
+    from .util import distinct_rows, hash_join, min_per_key
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def _typed(t: str):
+        def _f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("event_type"), t)
+            x = b.filter(m)
+            return pa.table(
+                {
+                    "user_id": x.column("user_id").combine_chunks(),
+                    "ts": pc.cast(x.column("ts"), pa.int64()),
+                }
+            )
+        return _f
+
+    signups = min_per_key(
+        ev.map_batches(_typed("signup"), batch_format="pyarrow"), "user_id", "ts"
+    ).rename_columns({"ts": "ts0"})
+    purchases = ev.map_batches(_typed("purchase"), batch_format="pyarrow")
+    joined = hash_join(purchases, signups, on="user_id", join_type="inner")
+
+    win = FUNNEL_WINDOW_H * 3_600_000_000
+
+    def _conv(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        t0 = b.column("ts0").to_numpy(zero_copy_only=False)
+        m = (ts > t0) & (ts <= t0 + win)
+        t = b.filter(pa.array(m))
+        day = pc.cast(
+            pc.floor_temporal(pc.cast(t.column("ts0"), pa.timestamp("us")), unit="day"),
+            pa.timestamp("us"),
+        )
+        return pa.table({"user_id": t.column("user_id").combine_chunks(), "day": day})
+
+    conv = distinct_rows(
+        joined.map_batches(_conv, batch_format="pyarrow"), ["user_id", "day"]
+    )
+    out = exact_value_counts(
+        conv.map_batches(
+            lambda b: pa.table({"day": b.column("day").combine_chunks()}),
+            batch_format="pyarrow",
+        ),
+        "day",
+    )
+    return out.rename_columns({"n": "n_converted"})
+
+
+SQL_FUNNEL_WINDOW = f"""
+WITH s AS (SELECT user_id, min(ts) AS ts0 FROM events
+           WHERE event_type = 'signup' GROUP BY user_id),
+c AS (SELECT DISTINCT s.user_id, date_trunc('day', s.ts0) AS day
+      FROM s JOIN events p ON p.user_id = s.user_id
+      WHERE p.event_type = 'purchase'
+        AND p.ts > s.ts0
+        AND p.ts <= s.ts0 + INTERVAL {FUNNEL_WINDOW_H} HOURS)
+SELECT CAST(day AS TIMESTAMP) AS day, count(*) AS n_converted FROM c GROUP BY day
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "er_fuzzy_link": QueryDef(q_er_fuzzy_link, SQL_ER_FUZZY),
+        "events_funnel_window": QueryDef(q_events_funnel_window, SQL_FUNNEL_WINDOW),
+    }
+)

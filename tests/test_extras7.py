@@ -362,3 +362,35 @@ def test_zorder_key_locality_and_bounds():
     bad = pa.table({"x": pa.array([4], pa.int64()), "y": pa.array([0], pa.int64())})
     with pytest.raises(Exception, match="out of"):
         zorder_key(rd.from_arrow(bad), "x", "y", bits=2).materialize()
+
+
+def test_fuzzy_link_edge_cases():
+    from anonymization_ray.extras.er import _within1, fuzzy_link
+
+    assert _within1("abc", "abc") == 0
+    assert _within1("abc", "abd") == 1      # substitution
+    assert _within1("abc", "ab") == 1       # deletion at end
+    assert _within1("abc", "bc") == 1       # deletion at front
+    assert _within1("abc", "axbc") == 1     # insertion middle
+    assert _within1("abc", "axd") is None
+    assert _within1("a", "b") == 1          # single-char substitution
+    assert _within1("ab", "ba") is None
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "m": pa.array(["a", "zoin", "sortx", "qqq"], pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = (
+        fuzzy_link(ds, "m", ["b", "join", "sort", "coin"], keep_cols=["id"])
+        .to_pandas()
+        .sort_values(["id", "match"])
+        .reset_index(drop=True)
+    )
+    # 'a'~'b' (len-1 sub), 'zoin'~'join'+'coin', 'sortx'~'sort', 'qqq' drops
+    assert list(got["id"]) == [1, 2, 2, 3]
+    assert list(got["match"]) == ["b", "coin", "join", "sort"]
+    assert list(got["dist"]) == [1, 1, 1, 1]
