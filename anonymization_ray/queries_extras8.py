@@ -2490,3 +2490,115 @@ EXTRAS8_REGISTRY.update(
         "events_funnel_window": QueryDef(q_events_funnel_window, SQL_FUNNEL_WINDOW),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 36: KLL quantile sketch, zone-map pruned range read
+# --------------------------------------------------------------------------
+
+KLL_K = 256
+KLL_DECILES = (10, 25, 50, 75, 90)
+
+
+def q_stats_kll(sf_dir: str):
+    """KLL mergeable quantile sketch over lineitem price cents (one pass,
+    k·log(n/k) memory, partial sketches fold associatively — the
+    approximate complement of the exact narrow-sort quantiles),
+    scoreboarded the CMS/HLL way: for each target quantile the EXACT rank
+    of the estimate (one vectorized counting pass) must sit within the
+    5×(1.33/k) KLL bound — an estimator regression flips within_ok and
+    hash-mismatches. n rides along so the oracle certifies row count."""
+    from .extras.kll import kll_sketch
+
+    li = load(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pc.cast(
+                    pc.round(pc.multiply(b.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                )
+            }
+        )
+
+    cents = li.map_batches(_cents, batch_format="pyarrow")
+    sk = kll_sketch(cents, "c", k=KLL_K)
+    n = sk.n
+    ests = np.array([sk.quantile(q / 100.0) for q in KLL_DECILES], np.int64)
+
+    # exact ranks of the estimates: one more streaming pass
+    import ray
+
+    ref = ray.put(np.sort(ests))
+
+    def _ranks(b: pa.Table) -> pa.Table:
+        e = ray.get(ref)
+        v = np.sort(b.column("c").to_numpy(zero_copy_only=False))
+        r = np.searchsorted(v, e, side="right").astype(np.int64)
+        return pa.table({"i": pa.array(np.arange(len(e), dtype=np.int64)), "r": r})
+
+    totals = np.zeros(len(ests), np.int64)
+    for row in cents.map_batches(_ranks, batch_format="pyarrow").take_all():
+        totals[row["i"]] += row["r"]
+    order = np.argsort(ests, kind="stable")
+    ranks = np.empty(len(ests), np.int64)
+    ranks[order] = totals
+    bound = int(np.ceil(5 * 1.33 / KLL_K * n))
+    ok = np.abs(ranks - np.array(KLL_DECILES) * n / 100.0) <= bound
+    return pa.table(
+        {
+            "q_pct": pa.array(list(KLL_DECILES), pa.int64()),
+            "n": pa.array([n] * len(KLL_DECILES), pa.int64()),
+            "within_ok": pa.array(ok.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+SQL_STATS_KLL = f"""
+SELECT unnest({list(KLL_DECILES)}) AS q_pct,
+       (SELECT count(*) FROM lineitem) AS n,
+       CAST(1 AS BIGINT) AS within_ok
+"""
+
+
+ZONE_LO, ZONE_HI = 200, 400
+
+
+def q_corpus_zonemap_prune(sf_dir: str):
+    """Zone-map pruned range read (extras/zonemap): the corpus is clustered
+    by n_chars (one narrow sort), written one file per block, and the
+    [{ZONE_LO}, {ZONE_HI}] range query reads ONLY the files whose footer
+    min/max zone overlaps — the manifest lives in the Parquet footers, so
+    it cannot drift from the data. Exactness comes from the residual
+    in-file filter; the pruning ratio is asserted in the unit test."""
+    import shutil
+    import tempfile
+
+    from .extras.zonemap import read_pruned, write_zonemapped
+
+    docs = load(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = tempfile.mkdtemp(prefix="zonemap_", dir="/tmp")
+    try:
+        write_zonemapped(docs, out, "n_chars", num_files=8)
+        ds, _read, _total = read_pruned(out, "n_chars", ZONE_LO, ZONE_HI)
+        return pa.Table.from_pandas(
+            ds.select_columns(["doc_id", "n_chars"]).to_pandas(),
+            preserve_index=False,
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+SQL_ZONEMAP = f"""
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN {ZONE_LO} AND {ZONE_HI}
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "stats_kll": QueryDef(q_stats_kll, SQL_STATS_KLL),
+        "corpus_zonemap_prune": QueryDef(q_corpus_zonemap_prune, SQL_ZONEMAP),
+    }
+)

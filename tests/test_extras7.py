@@ -394,3 +394,49 @@ def test_fuzzy_link_edge_cases():
     assert list(got["id"]) == [1, 2, 2, 3]
     assert list(got["match"]) == ["b", "coin", "join", "sort"]
     assert list(got["dist"]) == [1, 1, 1, 1]
+
+
+def test_kll_merge_order_invariant_bounds_and_mergeability():
+    from anonymization_ray.extras.kll import KLL
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1_000_000, 20_000).astype(np.int64)
+    chunks = np.array_split(v, 11)
+    a = KLL(128)
+    for c in chunks:
+        a.merge(KLL(128).update(c))
+    b = KLL(128)
+    for c in reversed(chunks):
+        b.merge(KLL(128).update(c))
+    assert a.n == b.n == len(v)
+    sv = np.sort(v)
+    for s in (a, b):
+        for q in (0.1, 0.5, 0.9):
+            est = s.quantile(q)
+            rank = np.searchsorted(sv, est, side="right")
+            assert abs(rank - q * len(v)) <= 5 * 1.33 / 128 * len(v)
+
+
+def test_zonemap_write_prunes_files():
+    import shutil
+    import tempfile
+
+    from anonymization_ray.extras.zonemap import read_pruned, write_zonemapped
+
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(4000), pa.int64()),
+            "v": pa.array(np.arange(4000) % 1000, pa.int64()),
+        }
+    )
+    out = tempfile.mkdtemp(prefix="zm_test_", dir="/tmp")
+    try:
+        man = write_zonemapped(rd.from_arrow(t).repartition(4), out, "v", num_files=8)
+        assert len(man) > 1
+        ds, nread, ntotal = read_pruned(out, "v", 0, 100)
+        got = ds.to_pandas()
+        assert nread < ntotal            # pruning actually happened
+        assert len(got) == 4 * 101       # exact: residual filter applied
+        assert got["v"].between(0, 100).all()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
