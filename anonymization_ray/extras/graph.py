@@ -524,3 +524,123 @@ def wl_colors(
         colors = merged.map_batches(_refine, batch_format="pyarrow").materialize()
 
     return colors.rename_columns({"c": "wl_color"})
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 2,
+) -> rd.Dataset:
+    """Synchronous label propagation (community detection) over an int-id
+    edge Dataset -> Dataset[(node, label)] after ``rounds`` sweeps: labels
+    start as node ids; each round every node takes the MODE of its
+    neighbors' labels (undirected — edges are symmetrized), ties broken by
+    the smallest label, so the sweep is fully deterministic and unrollable
+    in SQL. Distinct from min-label contraction (= connected components,
+    kg/canonicalize): the mode keeps dense cores together instead of
+    flooding the whole component.
+
+    Per round: one edge-sized hash join (attach labels), one packed-key
+    sort-scan count fold, one ``topk_per_key(k=1)`` argmax, one node-sized
+    left merge — never a Ray groupby at node/edge cardinality. Node and
+    label ids must fit 2^31 (the pack guard raises otherwise)."""
+    from ..util import topk_per_key
+
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+    nparts = _clamp_parts(edges.count())
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks()
+        d = b.column(dst_col).combine_chunks()
+        return pa.table(
+            {"a": pa.concat_arrays([s, d]), "b": pa.concat_arrays([d, s])}
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    nodes = distinct_rows(
+        sym.map_batches(
+            lambda b: pa.table({"node": b.column("a").combine_chunks()}),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+    ).materialize()
+    node_parts = _clamp_parts(nodes.count())
+
+    labels = nodes.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node").combine_chunks(), "lab": b.column("node").combine_chunks()}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    CAP = np.int64(1) << np.int64(31)
+
+    for _ in range(rounds):
+        nbr = hash_join(
+            sym,
+            labels.rename_columns({"node": "a"}),
+            on="a",
+            join_type="inner",
+            num_partitions=nparts,
+        )
+
+        def _pack(t: pa.Table) -> pa.Table:
+            n = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            l = t.column("lab").to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(n) and (
+                n.min() < 0 or n.max() >= CAP or l.min() < 0 or l.max() >= CAP
+            ):
+                raise ValueError("node/label ids must fit 2^31 for packing")
+            return pa.table({"k": pa.array(n * CAP + l, pa.int64())})
+
+        counts = exact_value_counts_local(
+            nbr.map_batches(_pack, batch_format="pyarrow"), "k"
+        )
+
+        def _unpack(t: pa.Table) -> pa.Table:
+            k = t.column("k").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "node": pa.array(k // CAP, pa.int64()),
+                    "lab": pa.array(k % CAP, pa.int64()),
+                    "c": t.column("n").combine_chunks(),
+                }
+            )
+
+        arg = topk_per_key(
+            counts.map_batches(_unpack, batch_format="pyarrow"),
+            "node",
+            "c",
+            1,
+            descending=True,
+            tie_col="lab",
+        ).select_columns(["node", "lab"])
+        merged = hash_join(
+            nodes, arg, on="node", join_type="left_outer", num_partitions=node_parts
+        )
+
+        def _coalesce(b: pa.Table) -> pa.Table:
+            lab = pc.coalesce(b.column("lab"), b.column("node"))
+            return pa.table(
+                {"node": b.column("node").combine_chunks(), "lab": pc.cast(lab, pa.int64())}
+            )
+
+        labels = merged.map_batches(_coalesce, batch_format="pyarrow").materialize()
+
+    return labels.rename_columns({"lab": "label"})
+
+
+def exact_value_counts_local(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """(col, n) counts via partial Arrow group_by + one sort-scan fold —
+    re-exported here to avoid a circular import with extras.stats."""
+    def _partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table({col: b.column(col).combine_chunks()})
+            .group_by(col)
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns([col, "n"])
+
+    return sum_per_key(ds.map_batches(_partial, batch_format="pyarrow"), col, "n")

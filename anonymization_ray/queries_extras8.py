@@ -2602,3 +2602,97 @@ EXTRAS8_REGISTRY.update(
         "corpus_zonemap_prune": QueryDef(q_corpus_zonemap_prune, SQL_ZONEMAP),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 37: label-propagation communities, named-graph (quad) scoped BGP
+# --------------------------------------------------------------------------
+
+def q_graph_label_prop(sf_dir: str):
+    """Community detection by synchronous label propagation over the
+    extracted hyperlink graph (2 sweeps, mode-of-neighbor-labels with
+    smallest-label tie-break — deterministic and SQL-unrollable; distinct
+    from min-label contraction, which computes components, not
+    communities)."""
+    from .extras.graph import label_propagation
+
+    return label_propagation(_int_link_edges(sf_dir), rounds=2)
+
+
+def _sql_label_prop(rounds: int = 2) -> str:
+    ctes = [
+        _SQL_LINKS_CTE.strip(),
+        "ed AS (SELECT doc_id AS src, t AS dst FROM e)",
+        "sym AS (SELECT src AS a, dst AS b FROM ed UNION ALL SELECT dst, src FROM ed)",
+        "nodes AS (SELECT DISTINCT a AS node FROM sym)",
+        "l0 AS (SELECT node, node AS lab FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"nb{r} AS (SELECT s.b AS node, l{r-1}.lab, count(*) AS c "
+            f"FROM sym s JOIN l{r-1} ON l{r-1}.node = s.a GROUP BY s.b, l{r-1}.lab)"
+        )
+        ctes.append(
+            f"am{r} AS (SELECT node, lab FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY node ORDER BY c DESC, lab) AS rn FROM nb{r}) WHERE rn = 1)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT n.node, COALESCE(am{r}.lab, n.node) AS lab "
+            f"FROM nodes n LEFT JOIN am{r} ON am{r}.node = n.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, lab AS label FROM l{rounds}"
+    )
+
+
+def q_kg_named_graph_query(sf_dir: str):
+    """Named-graph (quad) scoped BGP: the canonical triples are tagged with
+    a provenance graph by subject family (customer facts -> urn:g:cust,
+    geo facts -> urn:g:geo), and GRAPH scoping compiles down to the triple
+    engine by fusing the graph into the predicate (g || '#' || pred) — the
+    classic quad-on-triple-store encoding, zero core changes. The query
+    matches basedIn ONLY inside the cust graph and partOf ONLY inside the
+    geo graph."""
+    from .kg.bgp import match_bgp
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _scope(b: pa.Table) -> pa.Table:
+        g = pc.if_else(
+            pc.starts_with(b.column("subj"), "urn:cust:"),
+            pa.scalar("urn:g:cust"),
+            pa.scalar("urn:g:geo"),
+        )
+        return pa.table(
+            {
+                "subj": b.column("subj").combine_chunks(),
+                "pred": pc.binary_join_element_wise(g, b.column("pred"), "#"),
+                "obj": b.column("obj").combine_chunks(),
+            }
+        )
+
+    quads = tri.map_batches(_scope, batch_format="pyarrow").materialize()
+    return match_bgp(
+        quads,
+        [
+            ("?n", "urn:g:geo#partOf", "urn:region:1"),
+            ("?c", "urn:g:cust#basedIn", "?n"),
+        ],
+        select=["?c", "?n"],
+    )
+
+
+SQL_KG_NAMED_GRAPH = """
+SELECT 'urn:cust:' || c_custkey AS c, 'urn:nation:' || n_nationkey AS n
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE n_regionkey = 1
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "graph_label_prop": QueryDef(q_graph_label_prop, _sql_label_prop()),
+        "kg_named_graph_query": QueryDef(q_kg_named_graph_query, SQL_KG_NAMED_GRAPH),
+    }
+)
