@@ -1,0 +1,138 @@
+"""SPARQL 1.1 property-path evaluation over a triple Dataset — the
+non-transitive core: sequence (`a/b`), alternation (`a|b`), inverse (`^a`)
+and grouping. (Transitive `+` is served by the pointer-doubling /
+frontier-expansion ops: `kg_redirect_resolve`, `kg_path_reach`.)
+
+Compilation is algebraic, Ray-Data-first:
+
+- an atom is ONE filtered projection of the triple stream (constant-pred
+  scans read only their POS row-group range at scale);
+- `^` swaps the projection (free);
+- `/` is one hash-partitioned join per step on the shared node column;
+- `|` is a stream union (no shuffle).
+
+Bag semantics, as in SPARQL path evaluation for non-transitive operators —
+the oracle mirrors with UNION ALL + joins. Grammar (recursive descent):
+
+    alt  := seq ('|' seq)*
+    seq  := unary ('/' unary)*
+    unary:= '^' unary | '(' alt ')' | predicate
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..util import default_num_partitions
+
+_TOKEN = re.compile(r"\s*([/|()^]|[^\s/|()^]+)")
+
+
+def _tokenize(s: str) -> list[str]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN.match(s, i)
+        if not m:
+            raise ValueError(f"bad path syntax at {s[i:]!r}")
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+def parse_path(s: str):
+    toks = _tokenize(s)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def eat(t=None):
+        nonlocal pos
+        if pos >= len(toks) or (t is not None and toks[pos] != t):
+            raise ValueError(f"expected {t or 'token'} at position {pos} in {s!r}")
+        pos += 1
+        return toks[pos - 1]
+
+    def unary():
+        if peek() == "^":
+            eat("^")
+            return ("inv", unary())
+        if peek() == "(":
+            eat("(")
+            e = alt()
+            eat(")")
+            return e
+        t = eat()
+        if t in "/|()^":
+            raise ValueError(f"expected predicate, got {t!r} in {s!r}")
+        return ("pred", t)
+
+    def seq():
+        parts = [unary()]
+        while peek() == "/":
+            eat("/")
+            parts.append(unary())
+        return parts[0] if len(parts) == 1 else ("seq", parts)
+
+    def alt():
+        parts = [seq()]
+        while peek() == "|":
+            eat("|")
+            parts.append(seq())
+        return parts[0] if len(parts) == 1 else ("alt", parts)
+
+    e = alt()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in {s!r}")
+    return e
+
+
+def eval_path(
+    triples: rd.Dataset, path, *, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Pairs Dataset[(s, o)] reachable via ``path`` (a string or a parsed
+    tree). Bag semantics."""
+    if isinstance(path, str):
+        path = parse_path(path)
+    nparts = num_partitions or max(2, min(default_num_partitions(), 8))
+
+    def go(e) -> rd.Dataset:
+        kind = e[0]
+        if kind == "pred":
+            p = e[1]
+
+            def _scan(b: pa.Table, _p=p) -> pa.Table:
+                t = b.filter(pc.equal(b.column("pred"), _p))
+                return pa.table(
+                    {"s": t.column("subj").combine_chunks(), "o": t.column("obj").combine_chunks()}
+                )
+
+            return triples.map_batches(_scan, batch_format="pyarrow")
+        if kind == "inv":
+            return go(e[1]).rename_columns({"s": "o", "o": "s"}).select_columns(["s", "o"])
+        if kind == "seq":
+            cur = go(e[1][0])
+            for step in e[1][1:]:
+                nxt = go(step).rename_columns({"s": "o", "o": "o2"})
+                cur = (
+                    cur.join(
+                        nxt.materialize(), join_type="inner",
+                        num_partitions=nparts, on=("o",),
+                    )
+                    .select_columns(["s", "o2"])
+                    .rename_columns({"o2": "o"})
+                )
+            return cur
+        if kind == "alt":
+            parts = [go(p) for p in e[1]]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.union(p)
+            return out
+        raise ValueError(f"unknown node {e!r}")
+
+    return go(path)

@@ -2696,3 +2696,62 @@ EXTRAS8_REGISTRY.update(
         "kg_named_graph_query": QueryDef(q_kg_named_graph_query, SQL_KG_NAMED_GRAPH),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 38: SPARQL property paths, BGP GROUP BY aggregate
+# --------------------------------------------------------------------------
+
+def q_kg_property_path(sf_dir: str):
+    """SPARQL 1.1 property path `(basedIn|operatesIn)/partOf` over the
+    canonical KG + lifted supplier triples (kg/paths.eval_path): the
+    alternation is a stream union, the sequence one hash join — every
+    entity (customer or supplier) paired with its region. Also exercises
+    the inverse operator in the unit grammar tests."""
+    from .kg.paths import eval_path
+    from .kg.pipeline import kg_pipeline
+
+    tri = (
+        kg_pipeline(sf_dir, anonymize=False)
+        .triples.select_columns(["subj", "pred", "obj", "obj_kind"])
+        .union(_supplier_triples(sf_dir))
+        .materialize()
+    )
+    return eval_path(tri, "(basedIn|operatesIn)/partOf")
+
+
+SQL_KG_PROPERTY_PATH = """
+SELECT 'urn:cust:' || c_custkey AS s, 'urn:region:' || n_regionkey AS o
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+UNION ALL
+SELECT 'urn:supp:' || s_suppkey, 'urn:region:' || n_regionkey
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+"""
+
+
+def q_kg_select_aggregate(sf_dir: str):
+    """SPARQL SELECT + GROUP BY aggregate: `SELECT ?n (COUNT(?c) AS
+    n_cust) WHERE { ?c basedIn ?nat } GROUP BY ?nat` — BGP bindings from
+    match_bgp, the count one sort-scan fold (never a Ray groupby at
+    binding cardinality)."""
+    from .extras.stats import exact_value_counts
+    from .kg.bgp import match_bgp
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples.materialize()
+    b = match_bgp(tri, [("?c", "basedIn", "?nat")], select=["?nat"])
+    return exact_value_counts(b, "nat").rename_columns({"n": "n_cust"})
+
+
+SQL_KG_SELECT_AGG = """
+SELECT 'urn:nation:' || c_nationkey AS nat, count(*) AS n_cust
+FROM customer GROUP BY c_nationkey
+"""
+
+
+EXTRAS8_REGISTRY.update(
+    {
+        "kg_property_path": QueryDef(q_kg_property_path, SQL_KG_PROPERTY_PATH),
+        "kg_select_aggregate": QueryDef(q_kg_select_aggregate, SQL_KG_SELECT_AGG),
+    }
+)

@@ -440,3 +440,30 @@ def test_zonemap_write_prunes_files():
         assert got["v"].between(0, 100).all()
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_property_path_grammar_and_inverse():
+    import pytest as _pt
+
+    from anonymization_ray.kg.paths import eval_path, parse_path
+
+    assert parse_path("a/b|c") == ("alt", [("seq", [("pred", "a"), ("pred", "b")]), ("pred", "c")])
+    assert parse_path("^(a|b)") == ("inv", ("alt", [("pred", "a"), ("pred", "b")]))
+    with _pt.raises(ValueError):
+        parse_path("a//b")
+    with _pt.raises(ValueError):
+        parse_path("(a|b")
+
+    tri = rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array(["x", "y", "n1"], pa.string()),
+                "pred": pa.array(["p", "p", "q"], pa.string()),
+                "obj": pa.array(["n1", "n2", "r1"], pa.string()),
+            }
+        )
+    )
+    got = eval_path(tri, "p/q").to_pandas().sort_values("s").reset_index(drop=True)
+    assert list(got["s"]) == ["x"] and list(got["o"]) == ["r1"]
+    inv = eval_path(tri, "^q").to_pandas()
+    assert list(inv["s"]) == ["r1"] and list(inv["o"]) == ["n1"]
