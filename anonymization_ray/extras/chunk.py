@@ -89,3 +89,68 @@ def chunk_documents(
         )
 
     return ds.map_batches(_chunk, batch_format="pyarrow")
+
+
+def cdc_chunk_stats(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 13,
+) -> rd.Dataset:
+    """Content-defined chunking (rolling-hash boundaries) ->
+    Dataset[(id, chunk_id, n_tokens)] — the dedup-friendly alternative to
+    fixed windows: a boundary falls AFTER token i when the window hash
+    ``(7·len(t_{i-2}) + 31·len(t_{i-1}) + 101·len(t_i)) % mod == 0``
+    (needs a full 3-token window), so inserting text shifts only the
+    chunks it touches, not every window downstream — fixed-size chunking
+    reshuffles everything after an insertion, CDC re-aligns.
+
+    Fully vectorized and shuffle-free: a document is one row, so chunk ids
+    are a batch-local cumsum of boundary flags reset at document starts."""
+
+    def _cdc(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).combine_chunks()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ln)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        # boundary after position i (needs i-2, i-1, i in the SAME doc)
+        b = np.zeros(n, bool)
+        if n >= 3:
+            h = 7 * ln[:-2] + 31 * ln[1:-1] + 101 * ln[2:]
+            same = (parent[2:] == parent[1:-1]) & (parent[1:-1] == parent[:-2])
+            b[2:] = (h % mod == 0) & same
+        # chunk id = count of boundaries strictly BEFORE this token, reset
+        # per doc: global cumsum minus the cumsum at each doc's first token
+        before = np.concatenate([[0], np.cumsum(b)[:-1]])
+        starts = np.concatenate([[True], parent[1:] != parent[:-1]])
+        start_idx = np.flatnonzero(starts)
+        base = np.repeat(before[start_idx], np.diff(np.append(start_idx, n)))
+        chunk = (before - base).astype(np.int64)
+        # fold (doc, chunk) -> count, batch-local (a doc never spans rows)
+        key = parent.astype(np.int64) * (chunk.max() + 1) + chunk
+        uk, inv, cnt = np.unique(key, return_inverse=True, return_counts=True)
+        first = np.zeros(len(uk), np.int64)
+        first[inv[::-1]] = np.arange(n)[::-1]
+        return pa.table(
+            {
+                id_col: pa.array(ids[parent[first]], pa.int64()),
+                "chunk_id": pa.array(chunk[first], pa.int64()),
+                "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_cdc, batch_format="pyarrow")

@@ -614,6 +614,60 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 wave 39
+    "corpus_cdc_chunks",
+    "orders_rank_per_key",
+    # round-4 waves 19-38 (landed after the round-3 driver gate ran — never
+    # driver-hash-verified yet, so they surface before the older entries;
+    # newest wave first)
+    "kg_select_aggregate",
+    "kg_property_path",
+    "kg_named_graph_query",
+    "graph_label_prop",
+    "corpus_zonemap_prune",
+    "stats_kll",
+    "events_funnel_window",
+    "er_fuzzy_link",
+    "corpus_schema_drift",
+    "events_gapfill",
+    "orders_zorder",
+    "kg_ask_query",
+    "kg_optional_bgp",
+    "kg_wl_colors",
+    "ab_experiment",
+    "kg_adjacency_export",
+    "stats_key_skew",
+    "kg_entity_salience",
+    "kg_describe_subgraph",
+    "kg_construct_query",
+    "events_grouping_sets",
+    "orders_skyline",
+    "corpus_partitioned_write",
+    "kg_incremental_degree",
+    "kg_ifp_candidates",
+    "stats_histogram",
+    "stats_ntile",
+    "corpus_assign_ids",
+    "graph_reciprocity",
+    "events_rolling_dau",
+    "text_bigram_nll",
+    "dedup_cluster_sizes",
+    "corpus_csv_roundtrip",
+    "kg_negative_samples",
+    "kg_predicate_stats",
+    "kg_redirect_resolve",
+    "kg_anchor_naming",
+    "kg_crawl_frontier",
+    "corpus_stratified_sample",
+    "corpus_boilerplate_terms",
+    "kg_link_pagerank",
+    "graph_walk_sample",
+    "text_phrase_search",
+    "events_valid_at",
+    "kg_anchor_stats",
+    "kg_host_graph",
+    "kg_link_canonical",
+    "kg_link_graph",
     # round-4 wave 18 (newest operators get driver-gate coverage)
     "stats_gini",
     "kg_sameas_rewrite",
@@ -807,6 +861,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras6 import EXTRAS6_REGISTRY
     from .queries_extras7 import EXTRAS7_REGISTRY
     from .queries_extras8 import EXTRAS8_REGISTRY
+    from .queries_extras9 import EXTRAS9_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -819,6 +874,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS6_REGISTRY)
     merged.update(EXTRAS7_REGISTRY)
     merged.update(EXTRAS8_REGISTRY)
+    merged.update(EXTRAS9_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out

@@ -1,0 +1,97 @@
+"""Round-4 wave-39 operators with DuckDB oracles: content-defined chunking
+(the dedup-friendly alternative to fixed windows — boundaries come from a
+rolling hash of token lengths, so an insertion only re-chunks the document
+locally) and per-key dense rank as a COLUMN (``row_number() - 1`` without a
+per-group UDF: one range sort + carry-chained per-block ranks).
+"""
+
+from __future__ import annotations
+
+from .queries import QueryDef, load
+
+EXTRAS9_REGISTRY: dict[str, QueryDef] = {}
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking
+# --------------------------------------------------------------------------
+
+def q_corpus_cdc_chunks(sf_dir: str):
+    """Content-defined chunk stats over the document corpus: a chunk
+    boundary falls after token i when the 3-token window hash
+    ``(7·len(t_{i-2}) + 31·len(t_{i-1}) + 101·len(t_i)) % 13 == 0`` —
+    insert-stable chunking (CDC), fully vectorized, shuffle-free (a doc is
+    one row, chunk ids are a per-batch cumsum reset at doc starts)."""
+    from .extras.chunk import cdc_chunk_stats
+
+    docs = load(sf_dir, "documents", columns=["doc_id", "text"])
+    return cdc_chunk_stats(docs, text_col="text", id_col="doc_id", mod=13)
+
+
+# the oracle replays the rolling hash with window functions: per-doc token
+# positions from generate_series, the 3-token window via lag, chunk id =
+# boundaries strictly BEFORE the token (exclusive running sum)
+SQL_CORPUS_CDC_CHUNKS = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+),
+t AS (
+  SELECT doc_id, i, length(toks[i]) AS ln
+  FROM tok, unnest(generate_series(1, len(toks))) AS u(i)
+),
+b AS (
+  SELECT doc_id, i,
+         CASE WHEN i >= 3
+              AND (7 * lag(ln, 2) OVER w + 31 * lag(ln, 1) OVER w
+                   + 101 * ln) % 13 = 0
+              THEN 1 ELSE 0 END AS bnd
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+c AS (
+  SELECT doc_id,
+         coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_id
+  FROM b
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens
+FROM c GROUP BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+# per-key rank column
+# --------------------------------------------------------------------------
+
+def q_orders_rank_per_key(sf_dir: str):
+    """Per-customer 0-based order rank as a column (``row_number() - 1``
+    partitioned by customer, ordered by date with key tie-break) —
+    util.rank_per_key: one range sort, per-block segment ranks, driver-folded
+    boundary carries; no per-group UDF at any key cardinality."""
+    from .util import rank_per_key
+
+    orders = load(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    ranked = rank_per_key(
+        orders, "o_custkey", "o_orderdate", tie_col="o_orderkey", rank_col="rn"
+    )
+    return ranked.select_columns(["o_orderkey", "o_custkey", "rn"])
+
+
+SQL_ORDERS_RANK_PER_KEY = """
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) - 1 AS BIGINT) AS rn
+FROM orders
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "corpus_cdc_chunks": QueryDef(q_corpus_cdc_chunks, SQL_CORPUS_CDC_CHUNKS),
+        "orders_rank_per_key": QueryDef(q_orders_rank_per_key, SQL_ORDERS_RANK_PER_KEY),
+    }
+)

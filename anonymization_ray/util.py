@@ -452,3 +452,60 @@ def actor_pool_size(divisor: int = 2) -> tuple[int, int]:
     lo = max(1, min(cpus - 1, max(2, cpus // divisor)))
     hi = max(lo, cpus)
     return lo, hi
+
+
+def rank_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    order_col: str,
+    *,
+    descending: bool = False,
+    tie_col: str | None = None,
+    rank_col: str = "rn",
+) -> ray.data.Dataset:
+    """Per-key 0-based rank (``row_number() - 1``) as a COLUMN — the
+    emit-everything sibling of ``topk_per_key``: one range sort by
+    (key, order[, tie]), per-block within-key ranks, boundary carry from
+    driver-folded per-block edge summaries. No per-group UDF, works at any
+    key cardinality."""
+    import ray as _ray
+
+    cols = [key_col, order_col] + ([tie_col] if tie_col else [])
+    desc = [False, descending] + ([False] if tie_col else [])
+    s = coalesce_blocks(ds.materialize()).sort(cols, descending=desc).materialize()
+    refs = s.to_arrow_refs()
+
+    @_ray.remote(num_cpus=0.25)
+    def _edges(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        kc = t.column(key_col)
+        first, last = kc[0].as_py(), kc[-1].as_py()
+        eq_last = pc.sum(pc.cast(pc.equal(kc, kc[-1]), pa.int64())).as_py()
+        return (first, last, int(eq_last), t.num_rows)
+
+    edges = _ray.get([_edges.remote(r) for r in refs])
+    refs = [r for r, e in zip(refs, edges) if e is not None]
+    edges = [e for e in edges if e is not None]
+    carry_in = [0] * len(refs)
+    prev_key, cum = None, 0
+    for bidx, (fk, lk, nl, rows) in enumerate(edges):
+        carry_in[bidx] = cum if prev_key == fk else 0
+        cum = carry_in[bidx] + rows if fk == lk else nl
+        prev_key = lk
+
+    @_ray.remote(num_cpus=0.5)
+    def _stamp(t: pa.Table, carry: int) -> pa.Table:
+        kv = t.column(key_col).to_numpy(zero_copy_only=False)
+        n = len(kv)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = kv[1:] != kv[:-1]
+        seg = np.nonzero(new)[0]
+        rank = np.arange(n, dtype=np.int64) - np.repeat(seg, np.diff(np.append(seg, n)))
+        rank[: (seg[1] if len(seg) > 1 else n)] += carry
+        return t.append_column(rank_col, pa.array(rank, pa.int64()))
+
+    return ray.data.from_arrow_refs(
+        [_stamp.remote(refs[b], carry_in[b]) for b in range(len(refs))]
+    )

@@ -1,0 +1,116 @@
+"""Wave-39 operator tests: CDC chunking edge cases (short/empty docs,
+insert-stability — the property fixed-size chunking lacks) and rank_per_key
+carry correctness when one key spans many blocks."""
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def _cdc_df(texts, mod=13):
+    from anonymization_ray.extras.chunk import cdc_chunk_stats
+
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64), "text": texts})
+    )
+    return (
+        cdc_chunk_stats(ds, mod=mod)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+
+
+def _brute_cdc(text, mod=13):
+    toks = text.strip().lower().split()
+    if text.strip() == "":
+        toks = [""]  # Arrow split of '' yields one empty token
+    ln = [len(t) for t in toks]
+    chunks = {}
+    cid = 0
+    for i in range(len(ln)):
+        chunks[cid] = chunks.get(cid, 0) + 1
+        if i >= 2 and (7 * ln[i - 2] + 31 * ln[i - 1] + 101 * ln[i]) % mod == 0:
+            cid += 1
+    return chunks
+
+
+def test_cdc_matches_bruteforce_and_short_docs():
+    texts = [
+        "a bb ccc dddd eeeee ff g hh iii jjjj",
+        "one two",  # < 3 tokens: single chunk
+        "solo",
+        "",  # empty: one chunk of one empty token
+        "x " * 50,
+    ]
+    got = _cdc_df(texts)
+    for d, text in enumerate(texts):
+        want = _brute_cdc(text)
+        sub = got[got.doc_id == d]
+        assert dict(zip(sub.chunk_id, sub.n_tokens)) == want, f"doc {d}"
+
+
+def test_cdc_insert_stability():
+    # the CDC property: appending a sentence leaves every earlier chunk
+    # boundary (and so every earlier chunk's token count) unchanged —
+    # fixed-size windows would shift everything after the insertion point
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    got = _cdc_df([base, base + " tail words appended here"])
+    a = got[got.doc_id == 0]
+    b = got[got.doc_id == 1]
+    shared = min(len(a), len(b)) - 1  # all but the last chunk of the shorter
+    assert shared >= 1
+    assert list(a.n_tokens[:shared]) == list(b.n_tokens[:shared])
+
+
+def test_rank_per_key_single_key_spans_blocks():
+    # one hot key across many input blocks: the driver-folded carry chain
+    # must produce a 0..n-1 permutation, not per-block restarts
+    from anonymization_ray.util import rank_per_key
+
+    n = 5000
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(n) < 0.8, 1, rng.randint(2, 5, n)).astype(np.int64),
+            "v": rng.permutation(n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(16)
+    out = rank_per_key(ds, "k", "v").to_pandas()
+    want = (
+        df.sort_values(["k", "v"])
+        .groupby("k")
+        .cumcount()
+        .reindex(df.sort_values(["k", "v"]).index)
+    )
+    merged = out.sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(merged["rn"]) == list(want.values)
+    # hot key is a clean permutation
+    hot = out[out.k == 1].sort_values("v")
+    assert list(hot["rn"]) == list(range(len(hot)))
+
+
+def test_rank_per_key_descending_and_ties():
+    from anonymization_ray.util import rank_per_key
+
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "v": [10, 10, 5, 7, 7],
+            "id": [3, 1, 2, 5, 4],
+        }
+    )
+    out = (
+        rank_per_key(
+            rd.from_pandas(df), "k", "v", descending=True, tie_col="id"
+        )
+        .to_pandas()
+        .sort_values(["k", "rn"])
+        .reset_index(drop=True)
+    )
+    # k=1 desc by v, ties by id asc: (10,1)->0 (10,3)->1 (5,2)->2
+    assert list(out[out.k == 1]["id"]) == [1, 3, 2]
+    assert list(out[out.k == 1]["rn"]) == [0, 1, 2]
+    assert list(out[out.k == 2]["id"]) == [4, 5]
+    assert list(out[out.k == 2]["rn"]) == [0, 1]
