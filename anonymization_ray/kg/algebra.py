@@ -1,0 +1,152 @@
+"""SPARQL 1.1 solution-sequence algebra over BGP binding streams — FILTER,
+VALUES and MINUS, the three modifiers that turn `match_bgp` conjunctions
+into the full WHERE-clause surface (reference parity: the Jena service
+evaluates these inside ARQ; here each is a stateless vectorized pass or a
+filter-join over the lazy binding Dataset — bindings never collect on the
+driver).
+
+Scale notes
+-----------
+- FILTER is embarrassingly parallel: one `pyarrow.compute` kernel per
+  condition per batch, conditions ANDed.
+- VALUES is inline data (small by construction — it's literally typed into
+  the query), so it broadcasts: the tuple set rides `ray.put` once and each
+  batch checks membership with one `is_in` over a packed key.
+- MINUS removes bindings that agree with some minus-binding on the shared
+  variables — an anti semi-join on the packed shared-var key; broadcast when
+  the minus side is small, hash-partitioned `left_anti` otherwise
+  (``extras.joins.semi_anti_join`` picks per the flag).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+_SEP = "\x1f"  # cannot appear in IRIs or our literal surface forms
+
+_CMP = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+def filter_bindings(
+    bindings: rd.Dataset,
+    conditions: list[tuple],
+) -> rd.Dataset:
+    """SPARQL FILTER: keep bindings where every condition holds (&&).
+
+    Each condition is ``(var, op, value)`` with op in ``== != < <= > >=
+    regex``. ``value`` may be:
+
+    - another variable name (column-to-column compare),
+    - an int/float (the var column is cast to float64 first — the
+      ``xsd:double(?v) > k`` idiom over literal surface forms),
+    - a string (plain term compare; for ``regex`` it is the pattern).
+
+    Errors (uncastable literals) follow SPARQL: an error eliminates the
+    row — the cast uses a null-on-failure path and nulls never pass."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        mask = None
+        for var, op, value in conditions:
+            col = batch.column(var)
+            if op == "regex":
+                m = pc.match_substring_regex(col, value)
+            else:
+                kern = _CMP[op]
+                if isinstance(value, (int, float)) and not isinstance(value, bool):
+                    # null-on-failure cast (Arrow's cast raises on garbage,
+                    # so non-numeric surface forms are nulled first):
+                    # FILTER type errors eliminate the row, per SPARQL
+                    numeric = pc.match_substring_regex(
+                        col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"
+                    )
+                    clean = pc.if_else(
+                        pc.fill_null(numeric, False), col, pa.scalar(None, pa.string())
+                    )
+                    num = pc.cast(clean, pa.float64())
+                    m = kern(num, pa.scalar(float(value), pa.float64()))
+                elif isinstance(value, str) and value in batch.column_names:
+                    m = kern(col, batch.column(value))
+                else:
+                    m = kern(col, pa.scalar(value, pa.string()))
+            m = pc.fill_null(m, False)
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask) if mask is not None else batch
+
+    return bindings.map_batches(_apply, batch_format="pyarrow")
+
+
+def _packed(batch_cols: list[pa.ChunkedArray | pa.Array]) -> pa.Array:
+    parts: list = []
+    for c in batch_cols:
+        parts.append(pc.cast(c, pa.string()))
+        parts.append(_SEP)
+    return pc.binary_join_element_wise(*parts[:-1], "")
+
+
+def values_bindings(
+    bindings: rd.Dataset,
+    variables: list[str],
+    rows: list[tuple],
+) -> rd.Dataset:
+    """SPARQL VALUES: restrict bindings to the inline tuple block. Inline
+    data is small by construction, so the packed tuple set broadcasts once
+    and each batch filters with one `is_in` — no shuffle, no join."""
+    import ray
+
+    keyset = pa.array(
+        [_SEP.join(str(v) for v in r) for r in rows], pa.string()
+    )
+    key_ref = ray.put(pc.unique(keyset))
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        ks = ray.get(key_ref)
+        key = _packed([batch.column(v) for v in variables])
+        return batch.filter(pc.fill_null(pc.is_in(key, value_set=ks), False))
+
+    return bindings.map_batches(_apply, batch_format="pyarrow")
+
+
+def minus_bindings(
+    bindings: rd.Dataset,
+    minus: rd.Dataset,
+    *,
+    broadcast: bool = True,
+) -> rd.Dataset:
+    """SPARQL MINUS: drop bindings that agree with at least one minus-side
+    binding on the variables the two sides share (column-name intersection;
+    SPARQL's disjoint-domain corner — no shared vars removes nothing — is
+    honored by returning ``bindings`` unchanged)."""
+    # a lazy rename_columns can leave stale '?var' names in Dataset.schema()
+    # metadata while the blocks already carry bare names — strip the prefix
+    # on BOTH sides so the intersection never silently misses (a miss would
+    # make MINUS a no-op, which is exactly the failure mode SPARQL's
+    # disjoint-domain rule would mask)
+    b_names = [c.lstrip("?") for c in bindings.schema().names]
+    m_names = {c.lstrip("?") for c in minus.schema().names}
+    shared = [c for c in b_names if c in m_names]
+    if not shared:
+        return bindings
+
+    from ..extras.joins import semi_anti_join
+
+    def _key(cols: list[str]):
+        def _f(batch: pa.Table) -> pa.Table:
+            return batch.append_column("__mk", _packed([batch.column(c) for c in cols]))
+
+        return _f
+
+    keyed = bindings.map_batches(_key(shared), batch_format="pyarrow")
+    mkeyed = minus.map_batches(_key(shared), batch_format="pyarrow").select_columns(
+        ["__mk"]
+    )
+    out = semi_anti_join(keyed, mkeyed, on="__mk", anti=True, broadcast=broadcast)
+    return out.drop_columns(["__mk"])

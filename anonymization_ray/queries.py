@@ -614,6 +614,10 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 wave 40
+    "kg_filter_query",
+    "kg_values_query",
+    "kg_minus_query",
     # round-4 wave 39
     "corpus_cdc_chunks",
     "orders_rank_per_key",

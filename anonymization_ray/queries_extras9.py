@@ -95,3 +95,101 @@ EXTRAS9_REGISTRY.update(
         "orders_rank_per_key": QueryDef(q_orders_rank_per_key, SQL_ORDERS_RANK_PER_KEY),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 40: SPARQL solution modifiers — FILTER, VALUES, MINUS
+# --------------------------------------------------------------------------
+
+def _canonical_triples(sf_dir: str):
+    from .kg.pipeline import kg_pipeline
+
+    return (
+        kg_pipeline(sf_dir, anonymize=False)
+        .triples.select_columns(["subj", "pred", "obj", "obj_kind"])
+        .materialize()
+    )
+
+
+def q_kg_filter_query(sf_dir: str):
+    """SPARQL FILTER over BGP bindings: `?c hasAccountBalance ?bal . ?c
+    basedIn ?n . FILTER(xsd:double(?bal) > 5000 && ?n != <urn:nation:3>)` —
+    one vectorized compute-kernel pass per batch, numeric casts null (and so
+    eliminate) non-numeric surface forms per SPARQL error semantics."""
+    from .kg.algebra import filter_bindings
+    from .kg.bgp import match_bgp
+
+    b = match_bgp(
+        _canonical_triples(sf_dir),
+        [("?c", "hasAccountBalance", "?bal"), ("?c", "basedIn", "?n")],
+        select=["?c", "?bal", "?n"],
+    )
+    return filter_bindings(b, [("bal", ">", 5000), ("n", "!=", "urn:nation:3")])
+
+
+SQL_KG_FILTER = """
+SELECT 'urn:cust:' || c_custkey AS c, CAST(c_acctbal AS VARCHAR) AS bal,
+       'urn:nation:' || c_nationkey AS n
+FROM customer
+WHERE c_acctbal IS NOT NULL AND c_acctbal > 5000 AND c_nationkey != 3
+"""
+
+
+def q_kg_values_query(sf_dir: str):
+    """SPARQL VALUES inline-data restriction: `?c basedIn ?n . VALUES (?n)
+    {(<urn:nation:1>) (<urn:nation:4>) (<urn:nation:7>)}` — the tuple block
+    broadcasts once (ray.put) and every batch filters with one is_in over a
+    packed key; no shuffle for inline data."""
+    from .kg.algebra import values_bindings
+    from .kg.bgp import match_bgp
+
+    b = match_bgp(
+        _canonical_triples(sf_dir),
+        [("?c", "basedIn", "?n")],
+        select=["?c", "?n"],
+    )
+    return values_bindings(
+        b, ["n"], [("urn:nation:1",), ("urn:nation:4",), ("urn:nation:7",)]
+    )
+
+
+SQL_KG_VALUES = """
+SELECT 'urn:cust:' || c_custkey AS c, 'urn:nation:' || c_nationkey AS n
+FROM customer WHERE c_nationkey IN (1, 4, 7)
+"""
+
+
+def q_kg_minus_query(sf_dir: str):
+    """SPARQL MINUS: `{ ?n partOf ?r } MINUS { ?s operatesIn ?n }` — nations
+    (with their region) that no supplier operates in. Anti semi-join on the
+    shared variable's packed key; broadcast because the minus side's
+    distinct key set is nation-sized."""
+    from .kg.algebra import minus_bindings
+    from .kg.bgp import match_bgp
+
+    tri = _canonical_triples(sf_dir).union(_supplier_triples_w40(sf_dir)).materialize()
+    req = match_bgp(tri, [("?n", "partOf", "?r")], select=["?n", "?r"])
+    sub = match_bgp(tri, [("?s", "operatesIn", "?n")], select=["?s", "?n"])
+    return minus_bindings(req, sub)
+
+
+def _supplier_triples_w40(sf_dir: str):
+    from .queries_extras8 import _supplier_triples
+
+    return _supplier_triples(sf_dir)
+
+
+SQL_KG_MINUS = """
+SELECT 'urn:nation:' || n_nationkey AS n, 'urn:region:' || n_regionkey AS r
+FROM nation
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_filter_query": QueryDef(q_kg_filter_query, SQL_KG_FILTER),
+        "kg_values_query": QueryDef(q_kg_values_query, SQL_KG_VALUES),
+        "kg_minus_query": QueryDef(q_kg_minus_query, SQL_KG_MINUS),
+    }
+)

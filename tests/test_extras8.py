@@ -114,3 +114,56 @@ def test_rank_per_key_descending_and_ties():
     assert list(out[out.k == 1]["rn"]) == [0, 1, 2]
     assert list(out[out.k == 2]["id"]) == [4, 5]
     assert list(out[out.k == 2]["rn"]) == [0, 1]
+
+
+def _b(df):
+    return rd.from_pandas(pd.DataFrame(df))
+
+
+def test_filter_bindings_error_semantics_and_var_compare():
+    from anonymization_ray.kg.algebra import filter_bindings
+
+    b = _b(
+        {
+            "v": ["5", "abc", "", "12.5", None],
+            "w": ["5", "zzz", "x", "99", "q"],
+        }
+    )
+    # numeric FILTER: type errors (abc, '', null) eliminate the row
+    out = filter_bindings(b, [("v", ">", 4)]).to_pandas()
+    assert sorted(out["v"]) == ["12.5", "5"]
+    # column-to-column compare
+    out = filter_bindings(b, [("v", "==", "w")]).to_pandas()
+    assert list(out["v"]) == ["5"]
+    # regex
+    out = filter_bindings(b, [("w", "regex", "^z")]).to_pandas()
+    assert list(out["w"]) == ["zzz"]
+
+
+def test_values_bindings_multi_var_tuples():
+    from anonymization_ray.kg.algebra import values_bindings
+
+    b = _b({"a": ["x", "x", "y"], "c": ["1", "2", "1"]})
+    out = (
+        values_bindings(b, ["a", "c"], [("x", "1"), ("y", "1")])
+        .to_pandas()
+        .sort_values(["a", "c"])
+    )
+    assert list(zip(out["a"], out["c"])) == [("x", "1"), ("y", "1")]
+
+
+def test_minus_disjoint_domain_is_noop():
+    from anonymization_ray.kg.algebra import minus_bindings
+
+    req = _b({"a": ["1", "2"]})
+    sub = _b({"z": ["1", "2"]})  # no shared variable: SPARQL removes nothing
+    assert minus_bindings(req, sub).count() == 2
+
+
+def test_minus_removes_on_any_shared_agreement():
+    from anonymization_ray.kg.algebra import minus_bindings
+
+    req = _b({"a": ["1", "2", "3"], "b": ["x", "y", "z"]})
+    sub = _b({"a": ["2", "9"], "c": ["q", "r"]})
+    out = minus_bindings(req, sub).to_pandas().sort_values("a")
+    assert list(out["a"]) == ["1", "3"]
