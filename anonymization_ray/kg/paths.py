@@ -1,7 +1,8 @@
-"""SPARQL 1.1 property-path evaluation over a triple Dataset — the
-non-transitive core: sequence (`a/b`), alternation (`a|b`), inverse (`^a`)
-and grouping. (Transitive `+` is served by the pointer-doubling /
-frontier-expansion ops: `kg_redirect_resolve`, `kg_path_reach`.)
+"""SPARQL 1.1 property-path evaluation over a triple Dataset: sequence
+(`a/b`), alternation (`a|b`), inverse (`^a`), grouping, and the transitive
+operators `a+` / `a*` (ArbitraryLengthPath — SET semantics per the spec,
+closed by iterated squaring in O(log diameter) hash joins; `*` adds the
+zero-length (t, t) identity over every graph term).
 
 Compilation is algebraic, Ray-Data-first:
 
@@ -11,12 +12,15 @@ Compilation is algebraic, Ray-Data-first:
 - `/` is one hash-partitioned join per step on the shared node column;
 - `|` is a stream union (no shuffle).
 
-Bag semantics, as in SPARQL path evaluation for non-transitive operators —
-the oracle mirrors with UNION ALL + joins. Grammar (recursive descent):
+Bag semantics for the non-transitive operators (the oracle mirrors with
+UNION ALL + joins); `+`/`*` are set-valued as SPARQL specifies, so a
+transitive subexpression contributes each (s, o) pair once regardless of
+how many paths witness it. Grammar (recursive descent):
 
-    alt  := seq ('|' seq)*
-    seq  := unary ('/' unary)*
-    unary:= '^' unary | '(' alt ')' | predicate
+    alt    := seq ('|' seq)*
+    seq    := postfix ('/' postfix)*
+    postfix:= unary ('+' | '*')*
+    unary  := '^' unary | '(' alt ')' | predicate
 """
 
 from __future__ import annotations
@@ -27,9 +31,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..util import default_num_partitions
+from ..util import default_num_partitions, distinct_rows
 
-_TOKEN = re.compile(r"\s*([/|()^]|[^\s/|()^]+)")
+_TOKEN = re.compile(r"\s*([/|()^+*]|[^\s/|()^+*]+)")
 
 
 def _tokenize(s: str) -> list[str]:
@@ -67,15 +71,21 @@ def parse_path(s: str):
             eat(")")
             return e
         t = eat()
-        if t in "/|()^":
+        if t in "/|()^+*":
             raise ValueError(f"expected predicate, got {t!r} in {s!r}")
         return ("pred", t)
 
+    def postfix():
+        e = unary()
+        while peek() in ("+", "*"):
+            e = ("plus" if eat() == "+" else "star", e)
+        return e
+
     def seq():
-        parts = [unary()]
+        parts = [postfix()]
         while peek() == "/":
             eat("/")
-            parts.append(unary())
+            parts.append(postfix())
         return parts[0] if len(parts) == 1 else ("seq", parts)
 
     def alt():
@@ -133,6 +143,56 @@ def eval_path(
             for p in parts[1:]:
                 out = out.union(p)
             return out
+        if kind in ("plus", "star"):
+            closed = _transitive(go(e[1]), nparts)
+            if kind == "star":
+                # zero-length paths: (t, t) for every term of the graph
+                # (subject/object positions — predicates are edge labels
+                # here, not nodes). The distinct fold after the union
+                # absorbs cycles already present in the closure.
+                def _terms(b: pa.Table) -> pa.Table:
+                    t = pc.unique(
+                        pa.concat_arrays(
+                            [
+                                b.column("subj").combine_chunks().cast(pa.string()),
+                                b.column("obj").combine_chunks().cast(pa.string()),
+                            ]
+                        )
+                    )
+                    return pa.table({"s": t, "o": t})
+
+                ident = triples.map_batches(_terms, batch_format="pyarrow")
+                closed = distinct_rows(closed.union(ident), ["s", "o"])
+            return closed
         raise ValueError(f"unknown node {e!r}")
 
     return go(path)
+
+
+def _transitive(pairs: rd.Dataset, nparts: int, *, max_iter: int = 16) -> rd.Dataset:
+    """Transitive closure of a pair stream by iterated squaring — after k
+    rounds every path of length <= 2^k is closed, so a chain of diameter d
+    costs O(log d) hash joins (the SPARQL ArbitraryLengthPath contract is
+    SET semantics, so each round ends in one ``distinct_rows`` sort-scan
+    fold, which also makes the fixpoint test an exact count compare).
+    Cycles converge: distinct pairs are bounded by n^2 and monotone."""
+    cur = distinct_rows(pairs, ["s", "o"]).materialize()
+    n = cur.count()
+    for _ in range(max_iter):
+        if n == 0:
+            return cur
+        hop = cur.rename_columns({"s": "o", "o": "o2"}).materialize()
+        nxt = (
+            cur.join(hop, join_type="inner", num_partitions=nparts, on=("o",))
+            .select_columns(["s", "o2"])
+            .rename_columns({"o2": "o"})
+        )
+        merged = distinct_rows(cur.union(nxt), ["s", "o"]).materialize()
+        m = merged.count()
+        if m == n:
+            return merged
+        cur, n = merged, m
+    raise RuntimeError(
+        f"transitive closure did not converge in {max_iter} squaring rounds "
+        f"(paths of length 2^{max_iter} exist?) — raise max_iter"
+    )

@@ -193,3 +193,32 @@ EXTRAS9_REGISTRY.update(
         "kg_minus_query": QueryDef(q_kg_minus_query, SQL_KG_MINUS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 41: transitive property paths (SPARQL ArbitraryLengthPath)
+# --------------------------------------------------------------------------
+
+def q_kg_path_kleene(sf_dir: str):
+    """SPARQL 1.1 transitive property path `basedIn/partOf*`: every
+    customer paired with its nation (zero hops of partOf) AND its region
+    (one hop) — `*` is the set-valued ArbitraryLengthPath closed by
+    iterated-squaring hash joins plus the zero-length identity over graph
+    terms; the outer sequence join stays bag-semantics per the spec."""
+    from .kg.paths import eval_path
+
+    return eval_path(_canonical_triples(sf_dir), "basedIn/partOf*")
+
+
+SQL_KG_PATH_KLEENE = """
+SELECT 'urn:cust:' || c_custkey AS s, 'urn:nation:' || c_nationkey AS o
+FROM customer
+UNION ALL
+SELECT 'urn:cust:' || c_custkey, 'urn:region:' || n_regionkey
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_path_kleene": QueryDef(q_kg_path_kleene, SQL_KG_PATH_KLEENE)}
+)

@@ -167,3 +167,62 @@ def test_minus_removes_on_any_shared_agreement():
     sub = _b({"a": ["2", "9"], "c": ["q", "r"]})
     out = minus_bindings(req, sub).to_pandas().sort_values("a")
     assert list(out["a"]) == ["1", "3"]
+
+
+def _pairs(rows):
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def test_path_plus_closes_cycle_to_fixpoint():
+    from anonymization_ray.kg.paths import eval_path
+
+    tri = _pairs([("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a")])
+    out = eval_path(tri, "p+").to_pandas()
+    got = set(zip(out["s"], out["o"]))
+    nodes = {"a", "b", "c"}
+    assert got == {(x, y) for x in nodes for y in nodes}  # 9 pairs, once each
+
+
+def test_path_star_adds_identity_over_all_terms():
+    from anonymization_ray.kg.paths import eval_path
+
+    tri = _pairs([("a", "p", "b"), ("x", "q", "y")])
+    out = eval_path(tri, "p*").to_pandas()
+    got = set(zip(out["s"], out["o"]))
+    # identity covers terms of BOTH predicates (all graph terms), plus a->b
+    assert got == {("a", "a"), ("b", "b"), ("x", "x"), ("y", "y"), ("a", "b")}
+
+
+def test_path_plus_in_sequence_stays_bag_outside():
+    from anonymization_ray.kg.paths import eval_path
+
+    # two customers in the same chain start: seq join multiplicity preserved
+    tri = _pairs(
+        [
+            ("c1", "in", "n"),
+            ("c2", "in", "n"),
+            ("n", "part", "r"),
+            ("r", "part", "w"),
+        ]
+    )
+    out = eval_path(tri, "in/part+").to_pandas()
+    got = sorted(zip(out["s"], out["o"]))
+    assert got == [("c1", "r"), ("c1", "w"), ("c2", "r"), ("c2", "w")]
+
+
+def test_path_postfix_parse():
+    from anonymization_ray.kg.paths import parse_path
+
+    assert parse_path("a+") == ("plus", ("pred", "a"))
+    assert parse_path("^a*") == ("star", ("inv", ("pred", "a")))
+    assert parse_path("(a|b)+") == ("plus", ("alt", [("pred", "a"), ("pred", "b")]))
+    assert parse_path("a/b+") == ("seq", [("pred", "a"), ("plus", ("pred", "b"))])
