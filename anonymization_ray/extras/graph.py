@@ -644,3 +644,134 @@ def exact_value_counts_local(ds: rd.Dataset, col: str) -> rd.Dataset:
         return g.rename_columns([col, "n"])
 
     return sum_per_key(ds.map_batches(_partial, batch_format="pyarrow"), col, "n")
+
+
+def degree_assortativity(
+    edges: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Degree assortativity (Newman): Pearson correlation of endpoint
+    degrees over the SYMMETRIZED edge multiset (each edge contributes both
+    orientations, so the marginals coincide) -> one row
+    (n_pairs, r) with r a double.
+
+    Exactness contract (the stats_corr pattern): all moments accumulate as
+    exact int64 partials (degrees are counts; per-batch products guarded
+    against overflow), the driver folds them in arbitrary-precision Python
+    ints, and the single double division at the end is applied to the SAME
+    exact integers the SQL oracle's HUGEINT moments produce — bit-equal
+    doubles, no float reduction order anywhere.
+
+    Scale shape: degree table via ``exact_value_counts`` (sort-scan, no Ray
+    groupby), two hash-partitioned joins decorate each edge with its
+    endpoint degrees, moments stream as 1-row partials. The edge stream
+    never gathers."""
+    from ..util import default_num_partitions
+    from .stats import exact_value_counts
+
+    nparts = num_partitions or max(2, min(default_num_partitions(), 8))
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks()
+        d = b.column(dst_col).combine_chunks()
+        return pa.table(
+            {"a": pa.concat_arrays([s.cast(pa.int64()), d.cast(pa.int64())]),
+             "b": pa.concat_arrays([d.cast(pa.int64()), s.cast(pa.int64())])}
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow")
+    deg = exact_value_counts(sym, "a").rename_columns({"n": "da"}).materialize()
+    e1 = sym.join(deg, join_type="inner", num_partitions=nparts, on=("a",))
+    degb = deg.rename_columns({"a": "b", "da": "db"}).materialize()
+    e2 = e1.join(degb, join_type="inner", num_partitions=nparts, on=("b",))
+
+    def _moments(b: pa.Table) -> pa.Table:
+        x = b.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) and int(x.max()) > 3_000_000_000:
+            raise ValueError("degree exceeds int64 product guard; shard moments")
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    parts = e2.map_batches(_moments, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    sx = sum(r["sx"] for r in parts)
+    sxx = sum(r["sxx"] for r in parts)
+    sxy = sum(r["sxy"] for r in parts)
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = float(num) / float(den) if den else 0.0
+    return pa.table({"n_pairs": pa.array([n], pa.int64()), "r": pa.array([r], pa.float64())})
+
+
+def modularity(
+    edges: rd.Dataset,
+    labels: rd.Dataset,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Newman modularity Q of a node partition over the symmetrized edge
+    multiset: Q = intra/m2 − Σ_c (D_c/m2)² with m2 = |sym edges| (= 2m) and
+    D_c the summed degree of community c. One row (m2, intra, q).
+
+    ``labels`` is Dataset[(node, label)] (e.g. ``label_propagation``
+    output). Two hash joins tag each symmetric edge with its endpoint
+    communities (intra = count of agreeing rows); D_c folds through
+    ``sum_per_key`` at any community cardinality, and ΣD_c² accumulates as
+    exact int64 per-batch partials (guarded) folded in Python ints — the
+    final doubles are bit-equal to a HUGEINT SQL replica."""
+    from ..util import default_num_partitions
+    from .stats import exact_value_counts
+
+    nparts = num_partitions or max(2, min(default_num_partitions(), 8))
+
+    def _sym(b: pa.Table) -> pa.Table:
+        s = b.column(src_col).combine_chunks()
+        d = b.column(dst_col).combine_chunks()
+        return pa.table(
+            {"a": pa.concat_arrays([s.cast(pa.int64()), d.cast(pa.int64())]),
+             "b": pa.concat_arrays([d.cast(pa.int64()), s.cast(pa.int64())])}
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    m2 = sym.count()
+    la = labels.rename_columns({"node": "a", "label": "la"}).materialize()
+    lb = labels.rename_columns({"node": "b", "label": "lb"}).materialize()
+    tagged = sym.join(la, join_type="inner", num_partitions=nparts, on=("a",)).join(
+        lb, join_type="inner", num_partitions=nparts, on=("b",)
+    )
+    def _eq(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("la"), b.column("lb")))
+
+    intra = tagged.map_batches(_eq, batch_format="pyarrow").count()
+
+    deg = exact_value_counts(sym, "a").rename_columns({"n": "d"})
+    degl = deg.join(la, join_type="inner", num_partitions=nparts, on=("a",))
+    dc = sum_per_key(degl.select_columns(["la", "d"]), "la", "d")
+
+    def _sq(b: pa.Table) -> pa.Table:
+        v = b.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) and int(v.max()) > 3_000_000_000:
+            raise ValueError("community degree exceeds int64 square guard")
+        return pa.table({"ssq": pa.array([int((v * v).sum())], pa.int64())})
+
+    ssq = sum(r["ssq"] for r in dc.map_batches(_sq, batch_format="pyarrow").take_all())
+    q = float(intra) / m2 - float(ssq) / (float(m2) * m2) if m2 else 0.0
+    return pa.table(
+        {
+            "m2": pa.array([m2], pa.int64()),
+            "intra": pa.array([intra], pa.int64()),
+            "q": pa.array([q], pa.float64()),
+        }
+    )

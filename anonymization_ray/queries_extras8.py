@@ -2619,7 +2619,9 @@ def q_graph_label_prop(sf_dir: str):
     return label_propagation(_int_link_edges(sf_dir), rounds=2)
 
 
-def _sql_label_prop(rounds: int = 2) -> str:
+def _label_prop_ctes(rounds: int = 2) -> list[str]:
+    """The label-propagation recurrence as a reusable CTE list (wave-42's
+    modularity oracle extends it with degree / intra-edge CTEs)."""
     ctes = [
         _SQL_LINKS_CTE.strip(),
         "ed AS (SELECT doc_id AS src, t AS dst FROM e)",
@@ -2640,8 +2642,14 @@ def _sql_label_prop(rounds: int = 2) -> str:
             f"l{r} AS (SELECT n.node, COALESCE(am{r}.lab, n.node) AS lab "
             f"FROM nodes n LEFT JOIN am{r} ON am{r}.node = n.node)"
         )
+    return ctes
+
+
+def _sql_label_prop(rounds: int = 2) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT node, lab AS label FROM l{rounds}"
+        "WITH "
+        + ",\n".join(_label_prop_ctes(rounds))
+        + f"\nSELECT node, lab AS label FROM l{rounds}"
     )
 
 

@@ -1,11 +1,12 @@
-"""Round-4 wave-39 operators with DuckDB oracles: content-defined chunking
-(the dedup-friendly alternative to fixed windows — boundaries come from a
-rolling hash of token lengths, so an insertion only re-chunks the document
-locally) and per-key dense rank as a COLUMN (``row_number() - 1`` without a
-per-group UDF: one range sort + carry-chained per-block ranks).
+"""Round-4 waves 39+ operators with DuckDB oracles: content-defined
+chunking, per-key rank columns, the SPARQL solution-modifier surface
+(FILTER / VALUES / MINUS), transitive property paths, link-graph structure
+metrics (assortativity, modularity) and the temporal as-of KG snapshot.
 """
 
 from __future__ import annotations
+
+import pyarrow as pa
 
 from .queries import QueryDef, load
 
@@ -221,4 +222,150 @@ FROM customer JOIN nation ON n_nationkey = c_nationkey
 
 EXTRAS9_REGISTRY.update(
     {"kg_path_kleene": QueryDef(q_kg_path_kleene, SQL_KG_PATH_KLEENE)}
+)
+
+
+# --------------------------------------------------------------------------
+# wave 42: link-graph structure metrics — assortativity, modularity
+# --------------------------------------------------------------------------
+
+def q_graph_assortativity(sf_dir: str):
+    """Degree assortativity of the extracted hyperlink graph (Newman's r:
+    do well-linked pages link to well-linked pages?) — exact int64 degree
+    moments over the symmetrized edge multiset, folded in Python ints, one
+    double division at the end (bit-equal to the oracle's HUGEINT replica).
+
+    Runs on the deterministic (src+dst)%7 != 0 edge subsample: the full
+    fixture link graph is 3-regular in BOTH directions (the link
+    coefficients are bijections mod n_docs), so its degree variance is zero
+    and r is undefined — the mod-7 subsample breaks the regularity (7 is
+    coprime to the fixture's n_docs, unlike 4, where the residue collapses
+    to an affine invariant that never hits 0) while staying a one-line SQL
+    mirror."""
+    import pyarrow.compute as _pc
+
+    from .extras.graph import degree_assortativity
+    from .queries_extras8 import _int_link_edges
+
+    def _sample(b: pa.Table) -> pa.Table:
+        s = b.column("src")
+        d = b.column("dst")
+        import numpy as np
+
+        sv = s.to_numpy(zero_copy_only=False)
+        dv = d.to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((sv + dv) % 7 != 0))
+
+    edges = _int_link_edges(sf_dir).map_batches(_sample, batch_format="pyarrow")
+    return degree_assortativity(edges)
+
+
+def _sql_assortativity() -> str:
+    from .queries_extras8 import _SQL_LINKS_CTE
+
+    return f"""
+WITH {_SQL_LINKS_CTE.strip()},
+ed AS (SELECT doc_id AS src, t AS dst FROM e),
+eds AS (SELECT src, dst FROM ed WHERE (src + dst) % 7 <> 0),
+sym AS (SELECT src AS a, dst AS b FROM eds UNION ALL SELECT dst, src FROM eds),
+deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+dd AS (SELECT da.d AS x, db.d AS y
+       FROM sym JOIN deg da ON da.node = sym.a JOIN deg db ON db.node = sym.b),
+m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      FROM dd)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       CAST(n * sxy - sx * sx AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS r
+FROM m
+"""
+
+
+def q_graph_modularity(sf_dir: str):
+    """Newman modularity Q of the label-propagation communities over the
+    hyperlink graph — the standard 'did community detection find real
+    structure?' check. intra-edge count via two hash joins tagging each
+    symmetric edge with its endpoint communities; per-community degree sums
+    through sort-scan sum_per_key; ΣD_c² as guarded int64 partials. Doubles
+    are computed from exact ints in the same expression shape as the SQL."""
+    from .extras.graph import label_propagation, modularity
+    from .queries_extras8 import _int_link_edges
+
+    edges = _int_link_edges(sf_dir).materialize()
+    labels = label_propagation(edges, rounds=2)
+    return modularity(edges, labels)
+
+
+def _sql_modularity() -> str:
+    from .queries_extras8 import _label_prop_ctes
+
+    ctes = _label_prop_ctes(2)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """,
+lab AS (SELECT node, lab FROM l2),
+deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+mm AS (SELECT count(*) AS m2 FROM sym),
+ii AS (SELECT count(*) AS intra
+       FROM sym JOIN lab x ON x.node = sym.a JOIN lab y ON y.node = sym.b
+       WHERE x.lab = y.lab),
+dc AS (SELECT x.lab, CAST(sum(d.d) AS BIGINT) AS dsum
+       FROM deg d JOIN lab x ON x.node = d.node GROUP BY x.lab),
+sq AS (SELECT CAST(sum(CAST(dsum AS HUGEINT) * dsum) AS HUGEINT) AS ssq FROM dc)
+SELECT CAST(mm.m2 AS BIGINT) AS m2, CAST(ii.intra AS BIGINT) AS intra,
+       CAST(ii.intra AS DOUBLE) / mm.m2
+         - CAST(sq.ssq AS DOUBLE) / (CAST(mm.m2 AS DOUBLE) * mm.m2) AS q
+FROM mm, ii, sq
+"""
+    )
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "graph_assortativity": QueryDef(q_graph_assortativity, _sql_assortativity()),
+        "graph_modularity": QueryDef(q_graph_modularity, _sql_modularity()),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 43: temporal as-of KG snapshot (multi-crawl supersedence)
+# --------------------------------------------------------------------------
+
+def q_kg_asof_snapshot(sf_dir: str):
+    """KG 'as of' time T over a multi-crawl page store: per url, the latest
+    capture with warc_ts <= T wins (v2 recrawls with bumped balances
+    supersede the base crawl; the post-T v3 crawl is invisible), then the
+    standard extract→link→canonicalize pass runs on exactly that snapshot.
+    Winner selection is one full-row topk_per_key(k=1) sort-scan — no
+    per-group UDF, html rides one all-to-all (kg/temporal.pages_asof)."""
+    from .kg.pipeline import kg_pipeline
+    from .kg.temporal import ASOF_T_US, pages_asof, synthesize_recrawls
+
+    pages = pages_asof(synthesize_recrawls(sf_dir), ASOF_T_US)
+    return kg_pipeline(
+        sf_dir, pages=pages, anonymize=False, dedup_pages=False
+    ).triples.select_columns(["subj", "pred", "obj", "obj_kind"])
+
+
+SQL_KG_ASOF = """
+WITH nn AS (SELECT count(*) AS c FROM documents)
+SELECT 'urn:cust:' || c_custkey AS subj, 'hasAccountBalance' AS pred,
+       CAST(CASE WHEN (c_custkey % nn.c) % 5 = 0 THEN c_acctbal + 1000.0
+                 ELSE c_acctbal END AS VARCHAR) AS obj,
+       'double' AS obj_kind
+FROM customer, nn WHERE c_acctbal IS NOT NULL
+UNION ALL
+SELECT 'urn:cust:' || c_custkey, 'basedIn', 'urn:nation:' || c_nationkey, 'iri'
+FROM customer
+UNION ALL
+SELECT 'urn:nation:' || n_nationkey, 'partOf', 'urn:region:' || n_regionkey, 'iri'
+FROM nation
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_asof_snapshot": QueryDef(q_kg_asof_snapshot, SQL_KG_ASOF)}
 )

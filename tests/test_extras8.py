@@ -226,3 +226,44 @@ def test_path_postfix_parse():
     assert parse_path("^a*") == ("star", ("inv", ("pred", "a")))
     assert parse_path("(a|b)+") == ("plus", ("alt", [("pred", "a"), ("pred", "b")]))
     assert parse_path("a/b+") == ("seq", [("pred", "a"), ("plus", ("pred", "b"))])
+
+
+def test_pages_asof_picks_latest_not_future():
+    import pyarrow as pa
+
+    from anonymization_ray.kg.temporal import pages_asof
+
+    def pg(url, ts_s, body):
+        return {
+            "url": url,
+            "warc_ts": ts_s * 1_000_000,
+            "html": body.encode(),
+            "text": body,
+            "lang": "en",
+        }
+
+    t = pa.table(
+        {
+            "url": ["u1", "u1", "u1", "u2"],
+            "warc_ts": pa.array(
+                [100 * 10**6, 200 * 10**6, 900 * 10**6, 150 * 10**6],
+                pa.timestamp("us"),
+            ),
+            "html": [b"v1", b"v2", b"v3-future", b"only"],
+            "text": ["v1", "v2", "v3", "only"],
+            "lang": ["en"] * 4,
+        }
+    )
+    out = pages_asof(rd.from_arrow(t), 500 * 10**6).to_pandas()
+    got = dict(zip(out["url"], out["html"]))
+    assert got == {"u1": b"v2", "u2": b"only"}  # latest <= T; future invisible
+
+
+def test_bump_balances_repr_roundtrip():
+    from anonymization_ray.kg.temporal import _bump_balances
+
+    h = b'<li><span>1234.56</span></li><li><span></span></li><li><span>-5.5</span></li>'
+    out = _bump_balances(h, 1000.0).decode()
+    assert "<span>2234.56</span>" in out
+    assert "<span></span>" in out  # null balance untouched
+    assert "<span>994.5</span>" in out
