@@ -62,6 +62,16 @@ def filter_bindings(
             else:
                 kern = _CMP[op]
                 if isinstance(value, (int, float)) and not isinstance(value, bool):
+                    ct = col.type if hasattr(col, "type") else col.chunks[0].type
+                    if pa.types.is_integer(ct) or pa.types.is_floating(ct):
+                        # already-numeric column (HAVING over aggregates)
+                        m = kern(
+                            pc.cast(col, pa.float64()),
+                            pa.scalar(float(value), pa.float64()),
+                        )
+                        m = pc.fill_null(m, False)
+                        mask = m if mask is None else pc.and_(mask, m)
+                        continue
                     # null-on-failure cast (Arrow's cast raises on garbage,
                     # so non-numeric surface forms are nulled first):
                     # FILTER type errors eliminate the row, per SPARQL
@@ -150,3 +160,73 @@ def minus_bindings(
     )
     out = semi_anti_join(keyed, mkeyed, on="__mk", anti=True, broadcast=broadcast)
     return out.drop_columns(["__mk"])
+
+
+def aggregate_bindings(
+    bindings: rd.Dataset,
+    group_vars: list[str],
+    aggs: list[tuple[str, str | None, str]],
+    *,
+    having: list[tuple] | None = None,
+) -> rd.Dataset:
+    """SPARQL GROUP BY + aggregates (+ HAVING) over a binding stream.
+
+    ``aggs`` entries are ``(op, var, out)`` with op in ``sum count min
+    max``; ``count`` ignores var (COUNT(*)). Sum columns must be
+    exact-integer (derive fixed-point micro-units upstream — the repo-wide
+    reduction-order-proof contract); AVG is a post-map over (sum, count).
+
+    One ``util.fold_per_key`` pass: per-batch Arrow-C partials on the packed
+    group key, one narrow range sort, per-block folds, driver merge of the
+    block-spanning edge keys only. Group variables are recovered through a
+    ``min`` fold (they are constant within a group by construction).
+    ``having`` reuses the FILTER condition surface on aggregate columns."""
+    spec: dict[str, tuple[str, str | None]] = {}
+    for v in group_vars:
+        spec[v] = ("min", v)
+    for op, var, out in aggs:
+        spec[out] = (op, var)
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__gk", _packed([batch.column(v) for v in group_vars])
+        )
+
+    from ..util import fold_per_key
+
+    keyed = bindings.map_batches(_key, batch_format="pyarrow")
+    folded = fold_per_key(keyed, "__gk", spec).drop_columns(["__gk"])
+    if having:
+        folded = filter_bindings(folded, having)
+    return folded
+
+
+def distinct_bindings(bindings: rd.Dataset, cols: list[str] | None = None) -> rd.Dataset:
+    """SELECT DISTINCT: set-fold the binding stream (sort + boundary scan,
+    never a Ray groupby)."""
+    from ..util import distinct_rows
+
+    names = cols or [c.lstrip("?") for c in bindings.schema().names]
+    return distinct_rows(bindings.select_columns(names), names)
+
+
+def order_limit_bindings(
+    bindings: rd.Dataset,
+    order: list[tuple[str, bool]],
+    limit: int,
+    *,
+    offset: int = 0,
+) -> pa.Table:
+    """ORDER BY ... LIMIT ... OFFSET ... — the top-k solution modifier.
+    One range sort + limit(offset+limit); the OFFSET slice gathers only the
+    (offset+limit)-sized head (inline-small by construction — SPARQL LIMIT
+    is typed into the query). Ties must be broken by a trailing unique
+    column in ``order`` or the boundary row is partition-dependent."""
+    cols = [c for c, _ in order]
+    desc = [d for _, d in order]
+    head = bindings.sort(cols, descending=desc).limit(offset + limit)
+    t = pa.concat_tables(
+        [pa.table(b) for b in head.iter_batches(batch_format="pyarrow")]
+    )
+    t = t.take(pc.sort_indices(t, sort_keys=[(c, "descending" if d else "ascending") for c, d in order]))
+    return t.slice(offset, limit)

@@ -369,3 +369,121 @@ FROM nation
 EXTRAS9_REGISTRY.update(
     {"kg_asof_snapshot": QueryDef(q_kg_asof_snapshot, SQL_KG_ASOF)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 44: SPARQL SELECT modifiers — GROUP BY + HAVING, ORDER/LIMIT/OFFSET,
+# DISTINCT
+# --------------------------------------------------------------------------
+
+def _balance_bindings(sf_dir: str, with_nation: bool):
+    """Bindings with an exact-cents column derived from the literal surface
+    form (shortest-roundtrip repr parses back to the identical double, so
+    cents match the oracle's round(c_acctbal * 100) bit-for-bit)."""
+    import pyarrow.compute as _pc
+
+    from .kg.bgp import match_bgp
+
+    pats = [("?c", "hasAccountBalance", "?bal")]
+    sel = ["?c", "?bal"]
+    if with_nation:
+        pats.append(("?c", "basedIn", "?n"))
+        sel.append("?n")
+    b = match_bgp(_canonical_triples(sf_dir), pats, select=sel)
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = _pc.cast(
+            _pc.round(_pc.multiply(_pc.cast(t.column("bal"), pa.float64()), 100.0)),
+            pa.int64(),
+        )
+        return t.append_column("bal_cents", v)
+
+    return b.map_batches(_cents, batch_format="pyarrow")
+
+
+def q_kg_group_having(sf_dir: str):
+    """SPARQL GROUP BY + HAVING with SUM/COUNT/AVG: `SELECT ?n (SUM ...)
+    (COUNT ...) (AVG ...) GROUP BY ?n HAVING (COUNT(*) >= 7)` — one
+    fold_per_key pass (Arrow-C partials, narrow sort, per-block folds,
+    edge-key driver merge), sums in exact cents so the fold is
+    reduction-order-proof, AVG as one double expression over (sum, count)
+    mirrored verbatim in SQL."""
+    import pyarrow.compute as _pc
+
+    from .kg.algebra import aggregate_bindings
+
+    b = _balance_bindings(sf_dir, with_nation=True)
+    g = aggregate_bindings(
+        b,
+        ["n"],
+        [("sum", "bal_cents", "sum_cents"), ("count", None, "n_cust")],
+        having=[("n_cust", ">=", 7)],
+    )
+
+    def _avg(t: pa.Table) -> pa.Table:
+        s = _pc.cast(t.column("sum_cents"), pa.float64())
+        n = _pc.cast(t.column("n_cust"), pa.float64())
+        return t.append_column("avg_bal", _pc.divide(s, _pc.multiply(n, 100.0)))
+
+    return g.map_batches(_avg, batch_format="pyarrow")
+
+
+SQL_KG_GROUP_HAVING = """
+WITH b AS (SELECT c_nationkey AS nk,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer WHERE c_acctbal IS NOT NULL),
+g AS (SELECT nk, sum(cents) AS sum_cents, count(*) AS n_cust
+      FROM b GROUP BY nk HAVING count(*) >= 7)
+SELECT 'urn:nation:' || nk AS n, CAST(sum_cents AS BIGINT) AS sum_cents,
+       CAST(n_cust AS BIGINT) AS n_cust,
+       CAST(sum_cents AS DOUBLE) / (CAST(n_cust AS DOUBLE) * 100.0) AS avg_bal
+FROM g
+"""
+
+
+def q_kg_order_limit(sf_dir: str):
+    """SPARQL ORDER BY ... LIMIT ... OFFSET ...: the 10 highest-balance
+    customers after skipping the top 2 (ties broken by the customer IRI so
+    the window is partition-independent). One range sort + head gather
+    bounded by offset+limit."""
+    from .kg.algebra import order_limit_bindings
+
+    b = _balance_bindings(sf_dir, with_nation=False).select_columns(
+        ["c", "bal_cents"]
+    )
+    return order_limit_bindings(b, [("bal_cents", True), ("c", False)], 10, offset=2)
+
+
+SQL_KG_ORDER_LIMIT = """
+SELECT 'urn:cust:' || c_custkey AS c,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+FROM customer WHERE c_acctbal IS NOT NULL
+ORDER BY bal_cents DESC, c LIMIT 10 OFFSET 2
+"""
+
+
+def q_kg_distinct_query(sf_dir: str):
+    """SELECT DISTINCT ?n WHERE { ?c basedIn ?n } — the solution-sequence
+    DISTINCT modifier as a sort + boundary-scan set fold (never a Ray
+    groupby)."""
+    from .kg.algebra import distinct_bindings
+    from .kg.bgp import match_bgp
+
+    b = match_bgp(
+        _canonical_triples(sf_dir), [("?c", "basedIn", "?n")], select=["?n"]
+    )
+    return distinct_bindings(b, ["n"])
+
+
+SQL_KG_DISTINCT = """
+SELECT DISTINCT 'urn:nation:' || c_nationkey AS n FROM customer
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_group_having": QueryDef(q_kg_group_having, SQL_KG_GROUP_HAVING),
+        "kg_order_limit": QueryDef(q_kg_order_limit, SQL_KG_ORDER_LIMIT),
+        "kg_distinct_query": QueryDef(q_kg_distinct_query, SQL_KG_DISTINCT),
+    }
+)

@@ -509,3 +509,99 @@ def rank_per_key(
     return ray.data.from_arrow_refs(
         [_stamp.remote(refs[b], carry_in[b]) for b in range(len(refs))]
     )
+
+
+_FOLD_OPS = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def fold_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    spec: dict[str, tuple[str, str | None]],
+) -> ray.data.Dataset:
+    """Multi-aggregate per-key fold WITHOUT a Ray groupby — the n-ary
+    sibling of ``sum_per_key`` / ``min_per_key``: one Arrow-C per-batch
+    partial, one range sort of the narrow partial stream, per-block Arrow
+    folds, and a driver-side merge of ONLY the block-spanning edge keys
+    (2 rows per block gather, heavy rows never move).
+
+    ``spec`` maps output column -> (op, src_col); ops: sum, min, max, count
+    (count ignores src_col). Sum columns must be exact-integer (derive
+    fixed-point upstream) so the fold is reduction-order-proof."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        aggs, renames = [], {key_col: key_col}
+        proj = {key_col: b.column(key_col)}
+        for out, (op, src) in spec.items():
+            if op == "count":
+                aggs.append((key_col, "count"))
+                renames[f"{key_col}_count"] = out
+            else:
+                proj[f"__{out}"] = b.column(src)
+                aggs.append((f"__{out}", op))
+                renames[f"__{out}_{op}"] = out
+        g = pa.table(proj).group_by([key_col]).aggregate(aggs)
+        cols = {renames.get(n, n): g.column(n) for n in g.column_names}
+        return pa.table({key_col: cols[key_col], **{o: cols[o] for o in spec}})
+
+    part = ds.map_batches(_partial, batch_format="pyarrow")
+    s = coalesce_blocks(part.materialize()).sort([key_col]).materialize()
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def _fold_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        aggs = [(o, _FOLD_OPS[spec[o][0]]) for o in spec]
+        g = t.group_by([key_col]).aggregate(aggs)
+        g = g.rename_columns(
+            [key_col if n == key_col else n.rsplit("_", 1)[0] for n in g.column_names]
+        )
+        g = g.select([key_col] + list(spec))
+        return g.take(pc.sort_indices(g.column(key_col)))
+
+    folded = ray.get([_fold_block.remote(r) for r in refs])
+    folded = [t for t in folded if t.num_rows > 0]
+    if not folded:
+        return s  # empty, schema already (key, *spec) from the partial pass
+    # block-spanning keys: sorted blocks can only share keys at their edges
+    firsts = [t.column(key_col)[0].as_py() for t in folded]
+    lasts = [t.column(key_col)[-1].as_py() for t in folded]
+    spanning: set = set()
+    for i in range(1, len(folded)):
+        if firsts[i] == lasts[i - 1]:
+            spanning.add(firsts[i])
+    merged_rows: list[pa.Table] = []
+    if spanning:
+        edge_slices = []
+        for t in folded:
+            keep = pc.is_in(
+                t.column(key_col), value_set=pa.array(sorted(spanning))
+            )
+            edge_slices.append(t.filter(keep))
+        edges = pa.concat_tables(edge_slices)
+        if edges.num_rows:
+            aggs = [(o, _FOLD_OPS[spec[o][0]]) for o in spec]
+            m = edges.group_by([key_col]).aggregate(aggs)
+            m = m.rename_columns(
+                [key_col if n == key_col else n.rsplit("_", 1)[0] for n in m.column_names]
+            )
+            merged_rows.append(m.select([key_col] + list(spec)))
+
+    @ray.remote(num_cpus=0.25)
+    def _strip(t: pa.Table, span_keys) -> pa.Table:
+        if not span_keys:
+            return t
+        return t.filter(
+            pc.invert(pc.is_in(t.column(key_col), value_set=pa.array(span_keys)))
+        )
+
+    span_list = sorted(spanning)
+    out_refs = [_strip.remote(t, span_list) for t in folded]
+    parts = [ray.data.from_arrow_refs(out_refs)]
+    if merged_rows:
+        parts.append(ray.data.from_arrow(merged_rows[0]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

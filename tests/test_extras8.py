@@ -267,3 +267,54 @@ def test_bump_balances_repr_roundtrip():
     assert "<span>2234.56</span>" in out
     assert "<span></span>" in out  # null balance untouched
     assert "<span>994.5</span>" in out
+
+
+def test_fold_per_key_spanning_keys_across_blocks():
+    from anonymization_ray.util import fold_per_key
+
+    # one hot key dominating many blocks + a tail of singletons: the
+    # driver-side edge merge must combine every spanning fragment exactly once
+    n = 20_000
+    rng = np.random.RandomState(11)
+    k = np.where(rng.rand(n) < 0.7, 0, rng.randint(1, 50, n)).astype(np.int64)
+    v = rng.randint(-100, 100, n).astype(np.int64)
+    df = pd.DataFrame({"k": k, "v": v})
+    ds = rd.from_pandas(df).repartition(16)
+    out = (
+        fold_per_key(
+            ds,
+            "k",
+            {
+                "s": ("sum", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+                "n": ("count", None),
+            },
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k")["v"]
+        .agg(s="sum", mn="min", mx="max", n="count")
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want)
+    for c in ("s", "mn", "mx", "n"):
+        assert list(out[c]) == list(want[c]), c
+
+
+def test_order_limit_offset_window():
+    import pyarrow as pa
+
+    from anonymization_ray.kg.algebra import order_limit_bindings
+
+    df = pd.DataFrame({"x": [5, 3, 9, 1, 7, 3], "id": ["a", "b", "c", "d", "e", "f"]})
+    t = order_limit_bindings(
+        rd.from_pandas(df).repartition(3), [("x", True), ("id", False)], 3, offset=1
+    )
+    # desc by x, tie by id: 9c 7e 5a 3b 3f 1d -> offset 1, limit 3 = 7e 5a 3b
+    assert t.column("id").to_pylist() == ["e", "a", "b"]
