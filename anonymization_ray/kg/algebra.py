@@ -230,3 +230,41 @@ def order_limit_bindings(
     )
     t = t.take(pc.sort_indices(t, sort_keys=[(c, "descending" if d else "ascending") for c, d in order]))
     return t.slice(offset, limit)
+
+
+def union_bindings(groups: list[rd.Dataset]) -> rd.Dataset:
+    """SPARQL UNION over binding groups with DIFFERENT variable sets: the
+    output schema is the variable union (first-seen order) and each group is
+    null-padded for the variables it does not bind — exactly the spec's
+    solution-sequence union. A stateless per-batch pad, then stream unions
+    (no shuffle, no driver gather)."""
+    if not groups:
+        raise ValueError("empty UNION")
+    all_vars: list[str] = []
+    for g in groups:
+        for c in g.schema().names:
+            c = c.lstrip("?")
+            if c not in all_vars:
+                all_vars.append(c)
+
+    def _pad(have: list[str]):
+        def _f(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for v in all_vars:
+                if v in batch.column_names:
+                    cols[v] = batch.column(v)
+                else:
+                    cols[v] = pa.nulls(batch.num_rows, pa.string())
+            return pa.table(cols)
+
+        return _f
+
+    padded = [
+        g.map_batches(_pad([c.lstrip("?") for c in g.schema().names]),
+                      batch_format="pyarrow")
+        for g in groups
+    ]
+    out = padded[0]
+    for p in padded[1:]:
+        out = out.union(p)
+    return out

@@ -487,3 +487,76 @@ EXTRAS9_REGISTRY.update(
         "kg_distinct_query": QueryDef(q_kg_distinct_query, SQL_KG_DISTINCT),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 45: hash-bucketed layout + shuffle-free co-located join
+# --------------------------------------------------------------------------
+
+def q_join_bucketed_colocated(sf_dir: str):
+    """The pay-the-shuffle-ONCE layout pattern: orders and customer are each
+    hash-bucketed by custkey into parquet directories (one all-to-all per
+    table, at write time), then the equi-join runs as B independent
+    in-memory Arrow bucket joins — zero repartition, zero join shuffle at
+    read; on a real cluster bucket b of both tables co-locates on one node.
+    The oracle is the plain SQL join: any bucket-function mismatch between
+    the two sides would lose rows and fail the compare."""
+    from .extras.bucketed import bucketed_join, write_bucketed
+
+    base = f"/tmp/anonray_bucketed_{abs(hash(sf_dir)) % 10**8}"
+    B = 8
+    orders = load(sf_dir, "orders", ["o_orderkey", "o_custkey"]).rename_columns(
+        {"o_custkey": "custkey"}
+    )
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"]).rename_columns(
+        {"c_custkey": "custkey"}
+    )
+    da = write_bucketed(orders, f"{base}/orders", "custkey", B)
+    db = write_bucketed(cust, f"{base}/customer", "custkey", B)
+    return bucketed_join(da, db, "custkey", B)
+
+
+SQL_JOIN_BUCKETED = """
+SELECT o_orderkey, o_custkey AS custkey, c_nationkey
+FROM orders JOIN customer ON c_custkey = o_custkey
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"join_bucketed_colocated": QueryDef(q_join_bucketed_colocated, SQL_JOIN_BUCKETED)}
+)
+
+
+# --------------------------------------------------------------------------
+# wave 46: SPARQL UNION (null-padded binding union)
+# --------------------------------------------------------------------------
+
+def q_kg_union_query(sf_dir: str):
+    """SPARQL UNION of two BGP groups with different variable sets:
+    `{ ?c basedIn ?n } UNION { ?n partOf ?r }` — output schema is the
+    variable union, each branch null-padded for its unbound variables
+    (solution-sequence union per the spec); stateless pad + stream union,
+    no shuffle."""
+    from .kg.algebra import union_bindings
+    from .kg.bgp import match_bgp
+
+    tri = _canonical_triples(sf_dir)
+    g1 = match_bgp(tri, [("?c", "basedIn", "?n")], select=["?c", "?n"])
+    g2 = match_bgp(tri, [("?n", "partOf", "?r")], select=["?n", "?r"])
+    return union_bindings([g1, g2])
+
+
+SQL_KG_UNION = """
+SELECT 'urn:cust:' || c_custkey AS c, 'urn:nation:' || c_nationkey AS n,
+       CAST(NULL AS VARCHAR) AS r
+FROM customer
+UNION ALL
+SELECT CAST(NULL AS VARCHAR), 'urn:nation:' || n_nationkey,
+       'urn:region:' || n_regionkey
+FROM nation
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_union_query": QueryDef(q_kg_union_query, SQL_KG_UNION)}
+)

@@ -318,3 +318,47 @@ def test_order_limit_offset_window():
     )
     # desc by x, tie by id: 9c 7e 5a 3b 3f 1d -> offset 1, limit 3 = 7e 5a 3b
     assert t.column("id").to_pylist() == ["e", "a", "b"]
+
+
+def test_bucketed_layout_partitions_and_joins_without_loss():
+    import os
+
+    from anonymization_ray.extras.bucketed import (
+        bucket_of,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    n = 1000
+    rng = np.random.RandomState(5)
+    a = pd.DataFrame({"k": rng.randint(0, 200, n).astype(np.int64),
+                      "va": np.arange(n, dtype=np.int64)})
+    b = pd.DataFrame({"k": np.arange(200, dtype=np.int64),
+                      "vb": np.arange(200, dtype=np.int64) * 10})
+    da = write_bucketed(rd.from_pandas(a), "/tmp/test_bucketed/a", "k", 4)
+    db = write_bucketed(rd.from_pandas(b), "/tmp/test_bucketed/b", "k", 4)
+    # layout really is bucketed: each directory exists and holds only its keys
+    import pyarrow.parquet as pq
+
+    for bkt in range(4):
+        p = os.path.join(da, f"__bucket={bkt}")
+        assert os.path.isdir(p)
+        keys = pq.read_table(p).column("k").to_numpy()
+        assert (bucket_of(keys, 4) == bkt).all()
+    out = bucketed_join(da, db, "k", 4).to_pandas()
+    want = a.merge(b, on="k")
+    assert len(out) == len(want) == n
+    got = out.sort_values(["k", "va"]).reset_index(drop=True)
+    want = want.sort_values(["k", "va"]).reset_index(drop=True)
+    assert (got["vb"].to_numpy() == want["vb"].to_numpy()).all()
+
+
+def test_write_bucketed_rejects_null_keys():
+    import pytest as _pytest
+
+    from anonymization_ray.extras.bucketed import write_bucketed
+
+    df = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"), "v": [1, 2]})
+    with _pytest.raises(Exception, match="null"):
+        write_bucketed(rd.from_pandas(df), "/tmp/test_bucketed/nulls", "k", 2).__str__()
+        # force execution
