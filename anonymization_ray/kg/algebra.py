@@ -268,3 +268,42 @@ def union_bindings(groups: list[rd.Dataset]) -> rd.Dataset:
     for p in padded[1:]:
         out = out.union(p)
     return out
+
+
+def bind_bindings(bindings: rd.Dataset, out: str, expr: tuple) -> rd.Dataset:
+    """SPARQL BIND(expr AS ?out): append a computed variable. Expression
+    forms (vectorized, one kernel chain per batch):
+
+    - ``("concat", [p1, p2, ...])`` — parts are variable names (current
+      columns) or string literals;
+    - ``("add"|"sub"|"mul", a, b)`` — a/b are variable names or numeric
+      literals, evaluated in float64."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        kind = expr[0]
+        if kind == "concat":
+            parts = [
+                pc.cast(batch.column(p), pa.string())
+                if isinstance(p, str) and p in batch.column_names
+                else pa.scalar(str(p), pa.string())
+                for p in expr[1]
+            ]
+            # binary_join_element_wise needs array operands; broadcast
+            # literals against the batch length
+            arrs = [
+                p if not isinstance(p, pa.Scalar)
+                else pa.array([p.as_py()] * batch.num_rows, pa.string())
+                for p in parts
+            ]
+            val = pc.binary_join_element_wise(*arrs, "")
+        else:
+            def _term(t):
+                if isinstance(t, str) and t in batch.column_names:
+                    return pc.cast(batch.column(t), pa.float64())
+                return pa.scalar(float(t), pa.float64())
+
+            a, b = _term(expr[1]), _term(expr[2])
+            val = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply}[kind](a, b)
+        return batch.append_column(out, val)
+
+    return bindings.map_batches(_apply, batch_format="pyarrow")

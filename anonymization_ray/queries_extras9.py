@@ -560,3 +560,88 @@ FROM nation
 EXTRAS9_REGISTRY.update(
     {"kg_union_query": QueryDef(q_kg_union_query, SQL_KG_UNION)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 47: triple provenance witnesses + SPARQL BIND
+# --------------------------------------------------------------------------
+
+def q_kg_provenance_witness(sf_dir: str):
+    """Per-entity provenance (the lineage the north star requires at the
+    row level): for every linked entity, how many DISTINCT pages witness it
+    and the lexicographically first witness url — mention stream from the
+    real extraction pass, variant surface forms normalized, distinct
+    (entity, url) set fold, then ONE fold_per_key pass (count + min)."""
+    import pyarrow.compute as _pc
+
+    from .kg.extract import extract_mentions
+    from .kg.pages import synthesize_pages
+    from .util import distinct_rows, fold_per_key
+
+    mentions = extract_mentions(
+        synthesize_pages(sf_dir).select_columns(["url", "html"])
+    )
+
+    def _ent(batch: pa.Table) -> pa.Table:
+        based = batch.filter(_pc.equal(batch.column("pred"), "basedIn"))
+        part = batch.filter(_pc.equal(batch.column("pred"), "partOf"))
+        ent_b = _pc.utf8_upper(
+            _pc.replace_substring(based.column("obj").combine_chunks(), "_", " ")
+        )
+        t1 = pa.table({"ent": ent_b, "url": based.column("url").combine_chunks()})
+        t2 = pa.table(
+            {
+                "ent": part.column("subj").combine_chunks(),
+                "url": part.column("url").combine_chunks(),
+            }
+        )
+        return pa.concat_tables([t1, t2])
+
+    pairs = distinct_rows(
+        mentions.map_batches(_ent, batch_format="pyarrow"), ["ent", "url"]
+    )
+    return fold_per_key(
+        pairs, "ent", {"n_witness": ("count", None), "first_url": ("min", "url")}
+    )
+
+
+SQL_KG_PROVENANCE = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+w AS (
+  SELECT upper(replace(n.n_name, '_', ' ')) AS ent,
+         'https://example.org/doc/' || (c_custkey % nn.c) AS url
+  FROM customer JOIN nation n ON n_nationkey = c_nationkey, nn
+  UNION
+  SELECT n_name, 'https://example.org/doc/' || (n_nationkey % nn.c)
+  FROM nation, nn
+)
+SELECT ent, CAST(count(*) AS BIGINT) AS n_witness, min(url) AS first_url
+FROM w GROUP BY ent
+"""
+
+
+def q_kg_bind_query(sf_dir: str):
+    """SPARQL BIND(CONCAT(?n, '>', ?r) AS ?nr): computed variables appended
+    by one vectorized kernel chain per batch — no shuffle, no UDF rows."""
+    from .kg.algebra import bind_bindings
+    from .kg.bgp import match_bgp
+
+    b = match_bgp(
+        _canonical_triples(sf_dir), [("?n", "partOf", "?r")], select=["?n", "?r"]
+    )
+    return bind_bindings(b, "nr", ("concat", ["n", ">", "r"]))
+
+
+SQL_KG_BIND = """
+SELECT 'urn:nation:' || n_nationkey AS n, 'urn:region:' || n_regionkey AS r,
+       'urn:nation:' || n_nationkey || '>' || 'urn:region:' || n_regionkey AS nr
+FROM nation
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_provenance_witness": QueryDef(q_kg_provenance_witness, SQL_KG_PROVENANCE),
+        "kg_bind_query": QueryDef(q_kg_bind_query, SQL_KG_BIND),
+    }
+)
