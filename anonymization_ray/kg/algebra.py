@@ -307,3 +307,36 @@ def bind_bindings(bindings: rd.Dataset, out: str, expr: tuple) -> rd.Dataset:
         return batch.append_column(out, val)
 
     return bindings.map_batches(_apply, batch_format="pyarrow")
+
+
+def exists_filter(
+    bindings: rd.Dataset,
+    group: rd.Dataset,
+    *,
+    negate: bool = False,
+    broadcast: bool = True,
+) -> rd.Dataset:
+    """SPARQL FILTER EXISTS / NOT EXISTS { pattern } for well-designed
+    patterns (the group's shared variables are bound by the outer block):
+    a semi join (EXISTS) or anti join (NOT EXISTS) on the packed shared-var
+    key — the correlated-subquery semantics without row-at-a-time
+    evaluation."""
+    b_names = [c.lstrip("?") for c in bindings.schema().names]
+    g_names = {c.lstrip("?") for c in group.schema().names}
+    shared = [c for c in b_names if c in g_names]
+    if not shared:
+        raise ValueError(
+            "FILTER EXISTS group shares no variable with the outer block"
+        )
+
+    from ..extras.joins import semi_anti_join
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__ek", _packed([batch.column(c) for c in shared])
+        )
+
+    keyed = bindings.map_batches(_key, batch_format="pyarrow")
+    gkeyed = group.map_batches(_key, batch_format="pyarrow").select_columns(["__ek"])
+    out = semi_anti_join(keyed, gkeyed, on="__ek", anti=negate, broadcast=broadcast)
+    return out.drop_columns(["__ek"])

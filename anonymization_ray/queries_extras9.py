@@ -645,3 +645,106 @@ EXTRAS9_REGISTRY.update(
         "kg_bind_query": QueryDef(q_kg_bind_query, SQL_KG_BIND),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 48: VoID dataset description + FILTER (NOT) EXISTS
+# --------------------------------------------------------------------------
+
+def q_kg_void_description(sf_dir: str):
+    """VoID dataset statistics for the constructed KG (the standard RDF
+    ecosystem artifact: void:triples, void:distinctSubjects, void:properties,
+    void:distinctObjects) — distinct counts via per-batch unique partials
+    folded through exact_value_counts (sort-scan, no Ray groupby), one row
+    out."""
+    import pyarrow.compute as _pc
+
+    from .extras.stats import exact_value_counts
+
+    tri = _canonical_triples(sf_dir)
+    n_triples = tri.count()
+
+    def _distinct_count(col: str) -> int:
+        proj = tri.map_batches(
+            lambda b, _c=col: pa.table({_c: _pc.unique(b.column(_c))}),
+            batch_format="pyarrow",
+        )
+        return exact_value_counts(proj, col).count()
+
+    return pa.table(
+        {
+            "n_triples": pa.array([n_triples], pa.int64()),
+            "n_subjects": pa.array([_distinct_count("subj")], pa.int64()),
+            "n_properties": pa.array([_distinct_count("pred")], pa.int64()),
+            "n_objects": pa.array([_distinct_count("obj")], pa.int64()),
+        }
+    )
+
+
+SQL_KG_VOID = """
+WITH canon AS (
+  SELECT 'urn:cust:' || c_custkey AS subj, 'hasAccountBalance' AS pred,
+         CAST(c_acctbal AS VARCHAR) AS obj
+  FROM customer WHERE c_acctbal IS NOT NULL
+  UNION ALL
+  SELECT 'urn:cust:' || c_custkey, 'basedIn', 'urn:nation:' || c_nationkey
+  FROM customer
+  UNION ALL
+  SELECT 'urn:nation:' || n_nationkey, 'partOf', 'urn:region:' || n_regionkey
+  FROM nation
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_properties,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+FROM canon
+"""
+
+
+def _order_triples(sf_dir: str):
+    """Lifted placedOrder arm (urn:cust -> urn:order), 1997 orders."""
+    import pyarrow.compute as _pc
+
+    orders = load(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def _lift(b: pa.Table) -> pa.Table:
+        # 1997 orders only — the group must actually split the outer block
+        # (every customer has SOME order in this corpus)
+        b = b.filter(_pc.equal(_pc.year(b.column("o_orderdate")), 1997))
+        c = _pc.binary_join_element_wise(
+            "urn:cust:", _pc.cast(b.column("o_custkey"), pa.string()), ""
+        )
+        o = _pc.binary_join_element_wise(
+            "urn:order:", _pc.cast(b.column("o_orderkey"), pa.string()), ""
+        )
+        return pa.table({"c": c, "o": o})
+
+    return orders.map_batches(_lift, batch_format="pyarrow")
+
+
+def q_kg_not_exists(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS: customers (with nation) that placed no
+    order in 1997 — anti semi-join on the shared variable's packed key (the
+    correlated-subquery semantics, set-at-a-time)."""
+    from .kg.algebra import exists_filter
+    from .kg.bgp import match_bgp
+
+    b = match_bgp(
+        _canonical_triples(sf_dir), [("?c", "basedIn", "?n")], select=["?c", "?n"]
+    )
+    return exists_filter(b, _order_triples(sf_dir), negate=True)
+
+
+SQL_KG_NOT_EXISTS = """
+SELECT 'urn:cust:' || c_custkey AS c, 'urn:nation:' || c_nationkey AS n
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_void_description": QueryDef(q_kg_void_description, SQL_KG_VOID),
+        "kg_not_exists": QueryDef(q_kg_not_exists, SQL_KG_NOT_EXISTS),
+    }
+)

@@ -362,3 +362,23 @@ def test_write_bucketed_rejects_null_keys():
     with _pytest.raises(Exception, match="null"):
         write_bucketed(rd.from_pandas(df), "/tmp/test_bucketed/nulls", "k", 2).__str__()
         # force execution
+
+
+def test_exists_filter_semi_and_anti():
+    from anonymization_ray.kg.algebra import exists_filter
+
+    outer = _b({"c": ["1", "2", "3"], "n": ["a", "b", "c"]})
+    grp = _b({"c": ["2", "2", "9"], "o": ["x", "y", "z"]})
+    semi = exists_filter(outer, grp).to_pandas()
+    assert list(semi["c"]) == ["2"]  # membership, not multiplication
+    anti = exists_filter(outer, grp, negate=True).to_pandas().sort_values("c")
+    assert list(anti["c"]) == ["1", "3"]
+
+
+def test_exists_filter_requires_shared_var():
+    import pytest as _pytest
+
+    from anonymization_ray.kg.algebra import exists_filter
+
+    with _pytest.raises(ValueError, match="share"):
+        exists_filter(_b({"a": ["1"]}), _b({"z": ["1"]}))
