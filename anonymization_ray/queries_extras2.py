@@ -843,70 +843,12 @@ def q_events_user_path(sf_dir: str):
     from .util import coalesce_blocks
 
     ev = load(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
-    s = (
-        coalesce_blocks(ev.materialize())
-        .sort(["user_id", "ts", "event_id"])
-        .materialize()
-    )
-    refs = [r for r in s.to_arrow_refs()]
+    from .util import string_agg_per_key
 
-    @ray.remote(num_cpus=0.5)
-    def _block(t: pa.Table, idx: int):
-        if t.num_rows == 0:
-            return None, []
-        u = t.column("user_id").to_numpy(zero_copy_only=False)
-        types = t.column("event_type").to_pylist()
-        # run starts: index where user changes
-        brk = np.flatnonzero(u[1:] != u[:-1]) + 1
-        starts = np.concatenate([[0], brk])
-        ends = np.concatenate([brk, [len(u)]])
-        frags = []  # (user, frag, idx) for first and last runs
-        inner_users, inner_paths = [], []
-        for i, (a, b) in enumerate(zip(starts, ends)):
-            frag = "->".join(types[a:b])
-            if i == 0 or i == len(starts) - 1:
-                frags.append((int(u[a]), frag, idx))
-            else:
-                inner_users.append(int(u[a]))
-                inner_paths.append(frag)
-        inner = pa.table(
-            {
-                "user_id": pa.array(inner_users, pa.int64()),
-                "path": pa.array(inner_paths, pa.string()),
-            }
-        )
-        return inner, frags
-
-    results = ray.get([_block.remote(r, i) for i, r in enumerate(refs)])
-    inner_tbls = [t for t, _ in results if t is not None and t.num_rows]
-    frags = sorted(
-        (f for _, fs in results for f in fs), key=lambda x: (x[0], x[2])
+    return string_agg_per_key(
+        ev, "user_id", "event_type", sep="->",
+        order_cols=["ts", "event_id"], out_col="path",
     )
-    merged_users, merged_paths = [], []
-    i = 0
-    while i < len(frags):
-        j = i
-        parts = []
-        while j < len(frags) and frags[j][0] == frags[i][0]:
-            parts.append(frags[j][1])
-            j += 1
-        merged_users.append(frags[i][0])
-        merged_paths.append("->".join(parts))
-        i = j
-    merged = pa.table(
-        {
-            "user_id": pa.array(merged_users, pa.int64()),
-            "path": pa.array(merged_paths, pa.string()),
-        }
-    )
-    all_tbls = inner_tbls + ([merged] if merged.num_rows else [])
-    if not all_tbls:
-        return pa.table(
-            {"user_id": pa.array([], pa.int64()), "path": pa.array([], pa.string())}
-        )
-    import ray.data as rd
-
-    return rd.from_arrow(all_tbls)
 
 
 SQL_EVENTS_USER_PATH = """

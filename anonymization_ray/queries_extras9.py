@@ -748,3 +748,35 @@ EXTRAS9_REGISTRY.update(
         "kg_not_exists": QueryDef(q_kg_not_exists, SQL_KG_NOT_EXISTS),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 49: SPARQL GROUP_CONCAT (ordered string aggregate)
+# --------------------------------------------------------------------------
+
+def q_kg_group_concat(sf_dir: str):
+    """SPARQL GROUP_CONCAT(?n; separator='|') with ORDER: per region, the
+    '|'-joined lexicographically-sorted member-nation IRIs —
+    util.string_agg_per_key (one range sort, in-block run joins, 2 edge
+    fragments per block to the driver; the events_user_path machinery,
+    generalized)."""
+    from .kg.bgp import match_bgp
+    from .util import string_agg_per_key
+
+    b = match_bgp(
+        _canonical_triples(sf_dir), [("?n", "partOf", "?r")], select=["?r", "?n"]
+    )
+    return string_agg_per_key(b, "r", "n", sep="|", out_col="members")
+
+
+SQL_KG_GROUP_CONCAT = """
+SELECT 'urn:region:' || n_regionkey AS r,
+       string_agg('urn:nation:' || n_nationkey, '|'
+                  ORDER BY 'urn:nation:' || n_nationkey) AS members
+FROM nation GROUP BY n_regionkey
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_group_concat": QueryDef(q_kg_group_concat, SQL_KG_GROUP_CONCAT)}
+)

@@ -605,3 +605,87 @@ def fold_per_key(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def string_agg_per_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    val_col: str,
+    *,
+    sep: str,
+    order_cols: list[str] | None = None,
+    out_col: str = "agg",
+) -> ray.data.Dataset:
+    """Ordered per-key string concatenation (``string_agg(val, sep ORDER BY
+    order_cols)``) without a per-group UDF: ONE range sort by
+    (key, *order_cols); keys complete inside a block concatenate there
+    (boundary-scan run detection, one str.join per key); only each block's
+    FIRST and LAST key runs travel to the driver (2 fragments per block),
+    where spanning keys merge in block order. Per-key output length is
+    bounded by that key's row count — the documented hot-key caveat."""
+    order_cols = order_cols or [val_col]
+    cols = [key_col] + [c for c in order_cols if c != key_col]
+    s = coalesce_blocks(ds.materialize()).sort(cols).materialize()
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.5)
+    def _block(t: pa.Table, idx: int):
+        if t.num_rows == 0:
+            return None, []
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        vals = t.column(val_col).to_pylist()
+        brk = np.flatnonzero(k[1:] != k[:-1]) + 1
+        starts = np.concatenate([[0], brk]).astype(np.int64)
+        ends = np.concatenate([brk, [len(k)]]).astype(np.int64)
+        frags = []
+        inner_keys, inner_aggs = [], []
+        for i, (a, b) in enumerate(zip(starts, ends)):
+            frag = sep.join(str(v) for v in vals[a:b])
+            if i == 0 or i == len(starts) - 1:
+                frags.append((k[a].item() if hasattr(k[a], "item") else k[a], frag, idx))
+            else:
+                inner_keys.append(k[a])
+                inner_aggs.append(frag)
+        inner = pa.table(
+            {
+                key_col: pa.array(inner_keys, t.schema.field(key_col).type),
+                out_col: pa.array(inner_aggs, pa.string()),
+            }
+        )
+        return inner, frags
+
+    results = ray.get([_block.remote(r, i) for i, r in enumerate(refs)])
+    inner_tbls = [t for t, _ in results if t is not None and t.num_rows]
+    key_type = (
+        inner_tbls[0].schema.field(key_col).type
+        if inner_tbls
+        else pa.string()
+    )
+    frags = sorted(
+        (f for _, fs in results for f in fs), key=lambda x: (x[0], x[2])
+    )
+    merged_keys, merged_aggs = [], []
+    i = 0
+    while i < len(frags):
+        j = i
+        parts = []
+        while j < len(frags) and frags[j][0] == frags[i][0]:
+            parts.append(frags[j][1])
+            j += 1
+        merged_keys.append(frags[i][0])
+        merged_aggs.append(sep.join(parts))
+        i = j
+    merged = pa.table(
+        {
+            key_col: pa.array(merged_keys, key_type if inner_tbls else None),
+            out_col: pa.array(merged_aggs, pa.string()),
+        }
+    )
+    all_tbls = inner_tbls + ([merged] if merged.num_rows else [])
+    if not all_tbls:
+        return ray.data.from_arrow(
+            pa.table(
+                {key_col: pa.array([], key_type), out_col: pa.array([], pa.string())}
+            )
+        )
+    return ray.data.from_arrow(all_tbls)

@@ -382,3 +382,28 @@ def test_exists_filter_requires_shared_var():
 
     with _pytest.raises(ValueError, match="share"):
         exists_filter(_b({"a": ["1"]}), _b({"z": ["1"]}))
+
+
+def test_string_agg_per_key_spanning_blocks():
+    from anonymization_ray.util import string_agg_per_key
+
+    n = 3000
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(n) < 0.6, 1, rng.randint(2, 6, n)).astype(np.int64),
+            "o": np.arange(n, dtype=np.int64),
+            "v": [f"v{i}" for i in range(n)],
+        }
+    )
+    out = (
+        string_agg_per_key(
+            rd.from_pandas(df).repartition(12), "k", "v", sep=",", order_cols=["o"]
+        )
+        .to_pandas()
+        .set_index("k")["agg"]
+    )
+    want = df.sort_values(["k", "o"]).groupby("k")["v"].agg(",".join)
+    assert len(out) == len(want)
+    for k in want.index:
+        assert out[k] == want[k], k
