@@ -161,17 +161,32 @@ FROM customer WHERE c_nationkey IN (1, 4, 7)
 
 
 def q_kg_minus_query(sf_dir: str):
-    """SPARQL MINUS: `{ ?n partOf ?r } MINUS { ?s operatesIn ?n }` — nations
-    (with their region) that no supplier operates in. Anti semi-join on the
-    shared variable's packed key; broadcast because the minus side's
-    distinct key set is nation-sized."""
+    """SPARQL MINUS: `{ ?n partOf ?r } MINUS { ?s operatesIn ?n . FILTER(?s
+    in first six) }` — nations (with their region) where none of the first
+    six suppliers operates. Anti semi-join on the shared variable's packed
+    key; broadcast because the minus side's distinct key set is
+    nation-sized. (The fixed supplier set keeps the result nonempty at
+    EVERY sf — an unrestricted minus side covers all 25 nations from
+    sf0.01 up, which would degenerate the query to an empty result.)"""
+    import pyarrow.compute as _pc
+
     from .kg.algebra import minus_bindings
     from .kg.bgp import match_bgp
 
     tri = _canonical_triples(sf_dir).union(_supplier_triples_w40(sf_dir)).materialize()
     req = match_bgp(tri, [("?n", "partOf", "?r")], select=["?n", "?r"])
     sub = match_bgp(tri, [("?s", "operatesIn", "?n")], select=["?s", "?n"])
-    return minus_bindings(req, sub)
+
+    def _first_six(b: pa.Table) -> pa.Table:
+        k = _pc.cast(
+            _pc.struct_field(
+                _pc.extract_regex(b.column("s"), r"urn:supp:(?P<k>\d+)"), "k"
+            ),
+            pa.int64(),
+        )
+        return b.filter(_pc.less(k, 6))
+
+    return minus_bindings(req, sub.map_batches(_first_six, batch_format="pyarrow"))
 
 
 def _supplier_triples_w40(sf_dir: str):
@@ -183,7 +198,7 @@ def _supplier_triples_w40(sf_dir: str):
 SQL_KG_MINUS = """
 SELECT 'urn:nation:' || n_nationkey AS n, 'urn:region:' || n_regionkey AS r
 FROM nation
-WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier WHERE s_suppkey < 6)
 """
 
 
