@@ -795,3 +795,106 @@ FROM nation GROUP BY n_regionkey
 EXTRAS9_REGISTRY.update(
     {"kg_group_concat": QueryDef(q_kg_group_concat, SQL_KG_GROUP_CONCAT)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 50: KG snapshot diff + vertically-partitioned triple store
+# --------------------------------------------------------------------------
+
+def q_kg_snapshot_diff(sf_dir: str):
+    """Triple-level delta between two KG snapshots (base crawl vs as-of-T,
+    the wave-43 temporal fixture): every (subj, pred, obj) tagged 'added'
+    or 'removed'. Set difference in both directions via packed-key anti
+    semi-joins — triples never gather; the recrawl bumps balances, so the
+    delta is exactly the old/new hasAccountBalance rows of recrawled
+    customers."""
+    import pyarrow.compute as _pc
+
+    from .extras.joins import semi_anti_join
+    from .kg.pipeline import kg_pipeline
+    from .kg.temporal import ASOF_T_US, pages_asof, synthesize_recrawls
+
+    def _triples(pages=None):
+        r = kg_pipeline(
+            sf_dir, pages=pages, anonymize=False,
+            dedup_pages=pages is None,
+        )
+        return r.triples.select_columns(["subj", "pred", "obj"])
+
+    old = _triples().materialize()
+    new = _triples(pages_asof(synthesize_recrawls(sf_dir), ASOF_T_US)).materialize()
+
+    def _key(b: pa.Table) -> pa.Table:
+        k = _pc.binary_join_element_wise(
+            b.column("subj"), b.column("pred"), b.column("obj"), "\x1f"
+        )
+        return b.append_column("__k", k)
+
+    ko = old.map_batches(_key, batch_format="pyarrow")
+    kn = new.map_batches(_key, batch_format="pyarrow")
+    removed = semi_anti_join(
+        ko, kn.select_columns(["__k"]), on="__k", anti=True
+    ).drop_columns(["__k"])
+    added = semi_anti_join(
+        kn, ko.select_columns(["__k"]), on="__k", anti=True
+    ).drop_columns(["__k"])
+
+    def _tag(label: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "change", pa.array([label] * b.num_rows, pa.string())
+            )
+
+        return _f
+
+    return removed.map_batches(_tag("removed"), batch_format="pyarrow").union(
+        added.map_batches(_tag("added"), batch_format="pyarrow")
+    )
+
+
+SQL_KG_SNAPSHOT_DIFF = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+rec AS (SELECT c_custkey, c_acctbal FROM customer, nn
+        WHERE c_acctbal IS NOT NULL AND (c_custkey % nn.c) % 5 = 0)
+SELECT 'urn:cust:' || c_custkey AS subj, 'hasAccountBalance' AS pred,
+       CAST(c_acctbal AS VARCHAR) AS obj, 'removed' AS change
+FROM rec
+UNION ALL
+SELECT 'urn:cust:' || c_custkey, 'hasAccountBalance',
+       CAST(c_acctbal + 1000.0 AS VARCHAR), 'added'
+FROM rec
+"""
+
+
+def q_kg_vertical_partition(sf_dir: str):
+    """Vertically-partitioned triple store (Abadi/SW-Store layout: one
+    parquet directory PER PREDICATE): a constant-predicate pattern scan
+    then reads ONLY its predicate's files — file-level pushdown, no
+    filtering, no other predicate's bytes leave storage. Returns the
+    basedIn partition read back, proving the partition is complete and
+    exclusive (the oracle is the full basedIn arm)."""
+    import ray.data as _rd
+
+    tri = _canonical_triples(sf_dir)
+    base = f"/tmp/anonray_vpart_{abs(hash(sf_dir)) % 10**8}"
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    tri.write_parquet(base, partition_cols=["pred"])
+    part = _rd.read_parquet(f"{base}/pred=basedIn")
+    return part.select_columns(["subj", "obj", "obj_kind"])
+
+
+SQL_KG_VERTICAL = """
+SELECT 'urn:cust:' || c_custkey AS subj, 'urn:nation:' || c_nationkey AS obj,
+       'iri' AS obj_kind
+FROM customer
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_snapshot_diff": QueryDef(q_kg_snapshot_diff, SQL_KG_SNAPSHOT_DIFF),
+        "kg_vertical_partition": QueryDef(q_kg_vertical_partition, SQL_KG_VERTICAL),
+    }
+)
