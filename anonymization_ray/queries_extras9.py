@@ -898,3 +898,62 @@ EXTRAS9_REGISTRY.update(
         "kg_vertical_partition": QueryDef(q_kg_vertical_partition, SQL_KG_VERTICAL),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 51: SPARQL subquery (inner SELECT + scalar-correlated outer FILTER)
+# --------------------------------------------------------------------------
+
+def q_kg_subquery(sf_dir: str):
+    """SPARQL 1.1 subquery: `SELECT ?n ?cnt WHERE { { SELECT ?n (COUNT(?c)
+    AS ?cnt) WHERE { ?c basedIn ?n } GROUP BY ?n } FILTER(?cnt >
+    <corpus average>) }` — the inner SELECT is one fold_per_key pass; the
+    comparison scalar folds from the SAME aggregate stream (two exact
+    integers -> one double, driver-side, bounded) and the outer FILTER is a
+    broadcast compare. Nations with above-average customer count."""
+    import pyarrow.compute as _pc
+
+    from .kg.algebra import aggregate_bindings
+    from .kg.bgp import match_bgp
+
+    b = match_bgp(
+        _canonical_triples(sf_dir), [("?c", "basedIn", "?n")], select=["?c", "?n"]
+    )
+    inner = aggregate_bindings(
+        b, ["n"], [("count", None, "cnt")]
+    ).materialize()
+    # scalar: avg group count = total bindings / group count (exact ints)
+    parts = inner.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array([int(_pc.sum(t.column("cnt")).as_py() or 0)], pa.int64()),
+                "g": pa.array([t.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    total = sum(r["s"] for r in parts)
+    groups = sum(r["g"] for r in parts)
+    avg = float(total) / float(groups)
+
+    def _flt(t: pa.Table) -> pa.Table:
+        return t.filter(
+            _pc.greater(_pc.cast(t.column("cnt"), pa.float64()), avg)
+        )
+
+    return inner.map_batches(_flt, batch_format="pyarrow")
+
+
+SQL_KG_SUBQUERY = """
+WITH g AS (SELECT 'urn:nation:' || c_nationkey AS n,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM customer GROUP BY c_nationkey)
+SELECT n, cnt FROM g
+WHERE CAST(cnt AS DOUBLE) >
+      (SELECT CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE) FROM g)
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_subquery": QueryDef(q_kg_subquery, SQL_KG_SUBQUERY)}
+)
