@@ -898,3 +898,94 @@ def ordered_concat_per_key(
             pa.table({key_col: pa.array([], key_type), out_col: pa.array([], pa.string())})
         )
     return rd.from_arrow_refs([ray.put(t) for t in out])
+
+
+def per_key_prefix_max(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    val_col: str,
+) -> rd.Dataset:
+    """(key, order, prev_max): per-key running maximum of ``val_col`` over
+    STRICTLY earlier rows in (key, order) order — the watermark primitive
+    (`max(ts) OVER (PARTITION BY key ORDER BY o ROWS UNBOUNDED PRECEDING
+    AND 1 PRECEDING)`). Null on each key's first row. One range sort,
+    per-block numpy running max with key resets, driver-chained carries
+    (per-block single-row summaries only)."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    NEG = np.iinfo(np.int64).min
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, val_col]).materialize()
+        )
+        .sort([key_col, order_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = _i64(t.column(val_col))
+        last = k[-1]
+        brk = np.nonzero(k != last)[0]
+        start = int(brk[-1]) + 1 if brk.size else 0
+        return {
+            "first": k[0],
+            "last": last,
+            "max_last": int(v[start:].max()),
+            "whole": start == 0,
+        }
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, m in zip(refs, summaries) if m is not None]
+    summaries = [m for m in summaries if m is not None]
+    carries = []
+    prev_key, cum = None, NEG
+    for m in summaries:
+        carry = cum if prev_key is not None and m["first"] == prev_key else NEG
+        carries.append(carry)
+        if m["whole"] and m["first"] == prev_key:
+            cum = max(carry, m["max_last"])
+        else:
+            cum = m["max_last"]
+        prev_key = m["last"]
+
+    @ray.remote(num_cpus=0.5)
+    def _stamp(t: pa.Table, carry: int) -> pa.Table:
+        import pandas as pd
+
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = _i64(t.column(val_col))
+        n = len(k)
+        new_seg = np.concatenate([[False], k[1:] != k[:-1]])
+        seg = np.cumsum(new_seg.astype(np.int64))
+        cummax = pd.Series(v).groupby(seg).cummax().to_numpy()
+        prev = np.empty(n, np.int64)
+        prev[0] = NEG
+        prev[1:] = np.where(new_seg[1:], NEG, cummax[:-1])
+        if carry != NEG:
+            first_rows = seg == 0  # the block's first key-run
+            prev[first_rows] = np.maximum(prev[first_rows], carry)
+        mask = prev != NEG
+        return pa.table(
+            {
+                key_col: t.column(key_col).combine_chunks(),
+                order_col: t.column(order_col).combine_chunks(),
+                "prev_max": pc.if_else(
+                    pa.array(mask),
+                    pa.array(np.where(mask, prev, 0), pa.int64()),
+                    pa.scalar(None, pa.int64()),
+                ),
+            }
+        )
+
+    out = [_stamp.remote(refs[i], carries[i]) for i in range(len(refs))]
+    if not out:
+        return s
+    return rd.from_arrow_refs(out)

@@ -957,3 +957,149 @@ WHERE CAST(cnt AS DOUBLE) >
 EXTRAS9_REGISTRY.update(
     {"kg_subquery": QueryDef(q_kg_subquery, SQL_KG_SUBQUERY)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 52: watermark lateness + vocabulary-coverage (OOV) audit
+# --------------------------------------------------------------------------
+
+def q_events_watermark_late(sf_dir: str):
+    """Streaming watermark semantics over the event log: an event is LATE
+    when its timestamp trails the per-user high-water mark (max ts over
+    earlier arrivals, arrival order = event_id) by more than one hour —
+    the out-of-order classification every streaming ingest needs.
+    `extras/window.per_key_prefix_max`: one range sort, per-block C cummax
+    with key resets, driver-chained single-row carries."""
+    import pyarrow.compute as _pc
+
+    from .extras.window import per_key_prefix_max
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def _us(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").combine_chunks(),
+                "event_id": b.column("event_id").combine_chunks(),
+                "ts_us": _pc.cast(b.column("ts"), pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    pm = per_key_prefix_max(
+        ev.map_batches(_us, batch_format="pyarrow"), "user_id", "event_id", "ts_us"
+    )
+    # late = ts < prev_max - 1h; first event per user is never late
+    joined = pm.join(
+        ev.map_batches(_us, batch_format="pyarrow").materialize(),
+        join_type="inner",
+        num_partitions=4,
+        on=("user_id", "event_id"),
+    )
+
+    def _late(b: pa.Table) -> pa.Table:
+        late = _pc.and_(
+            _pc.is_valid(b.column("prev_max")),
+            _pc.less(
+                b.column("ts_us"),
+                _pc.subtract(b.column("prev_max"), pa.scalar(3_600_000_000)),
+            ),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "late": _pc.cast(_pc.fill_null(late, False), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_late, batch_format="pyarrow")
+
+
+SQL_EVENTS_WATERMARK = """
+SELECT event_id,
+       CAST(COALESCE(
+         epoch_us(ts) < max(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600000000,
+         FALSE) AS BIGINT) AS late
+FROM events
+"""
+
+
+def q_text_oov_rate(sf_dir: str):
+    """Tokenizer-vocabulary coverage audit: build the corpus top-100
+    vocabulary (count desc, token asc — deterministic), broadcast it, and
+    report per-doc total vs out-of-vocabulary token counts. The pre-training
+    sanity check that a tokenizer's vocab actually covers the corpus.
+    One exact_value_counts fold for the vocab, one is_in scan for the
+    audit; the corpus never shuffles."""
+    import pyarrow.compute as _pc
+
+    from .extras.stats import exact_value_counts
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        toks = _pc.split_pattern_regex(
+            _pc.utf8_trim_whitespace(_pc.utf8_lower(b.column("text"))), r"\s+"
+        )
+        flat = _pc.list_flatten(toks)
+        parent = _pc.list_parent_indices(toks)
+        ids = b.column("doc_id").combine_chunks().take(parent)
+        keep = _pc.not_equal(flat, "")
+        return pa.table({"doc_id": ids.filter(keep), "t": flat.filter(keep)})
+
+    tf = docs.map_batches(_tok, batch_format="pyarrow").materialize()
+    counts = exact_value_counts(tf.select_columns(["t"]), "t")
+    top = counts.sort(["n", "t"], descending=[True, False]).limit(100)
+    import ray
+
+    vocab_ref = ray.put(
+        pa.concat_tables(
+            [pa.table(b) for b in top.iter_batches(batch_format="pyarrow")]
+        ).column("t").combine_chunks()
+    )
+
+    def _audit(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        oov = _pc.cast(
+            _pc.invert(_pc.fill_null(_pc.is_in(b.column("t"), value_set=v), False)),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"doc_id": b.column("doc_id"), "oov": oov})
+            .group_by(["doc_id"])
+            .aggregate([("oov", "sum"), ("oov", "count")])
+        )
+        return g.rename_columns(["doc_id", "n_oov", "n_tokens"])
+
+    from .util import fold_per_key
+
+    part = tf.map_batches(_audit, batch_format="pyarrow")
+    return fold_per_key(
+        part, "doc_id", {"n_oov": ("sum", "n_oov"), "n_tokens": ("sum", "n_tokens")}
+    )
+
+
+SQL_TEXT_OOV = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+  FROM documents
+),
+tf AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM tf GROUP BY t
+                         ORDER BY c DESC, t LIMIT 100)),
+a AS (SELECT doc_id,
+             CAST(sum(CASE WHEN t NOT IN (SELECT t FROM vocab)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tf GROUP BY doc_id)
+SELECT doc_id, n_oov, n_tokens FROM a
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "events_watermark_late": QueryDef(q_events_watermark_late, SQL_EVENTS_WATERMARK),
+        "text_oov_rate": QueryDef(q_text_oov_rate, SQL_TEXT_OOV),
+    }
+)

@@ -407,3 +407,33 @@ def test_string_agg_per_key_spanning_blocks():
     assert len(out) == len(want)
     for k in want.index:
         assert out[k] == want[k], k
+
+
+def test_per_key_prefix_max_spanning_blocks():
+    from anonymization_ray.extras.window import per_key_prefix_max
+
+    n = 4000
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame(
+        {
+            "k": np.where(rng.rand(n) < 0.7, 1, rng.randint(2, 5, n)).astype(np.int64),
+            "o": np.arange(n, dtype=np.int64),
+            "v": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    out = (
+        per_key_prefix_max(rd.from_pandas(df).repartition(13), "k", "o", "v")
+        .to_pandas()
+        .sort_values(["k", "o"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .apply(lambda s: s.cummax().shift(1))
+        .reset_index(drop=True)
+    )
+    got = out["prev_max"].astype("float64")
+    assert len(got) == len(want)
+    both_nan = got.isna() & want.isna()
+    assert (both_nan | (got == want.to_numpy())).all()
