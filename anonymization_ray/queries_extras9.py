@@ -1103,3 +1103,106 @@ EXTRAS9_REGISTRY.update(
         "text_oov_rate": QueryDef(q_text_oov_rate, SQL_TEXT_OOV),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 53: generalization lattice search (Incognito-style minimal level)
+# --------------------------------------------------------------------------
+
+_LATTICE_LEVELS = (1, 2, 4, 8, 16)
+_LATTICE_K = 4
+
+
+def q_anonymize_lattice_search(sf_dir: str):
+    """Incognito-style generalization-lattice search: for each candidate
+    bucket count g (coarsest -> finest), the minimum joint equivalence-class
+    size of (acctbal-bucket, nation) and whether it clears k=4 — the
+    anonymizer then picks the finest accepted level (least information
+    loss). One narrow (value, id) sort is SHARED by all levels (cut ranks
+    are arithmetic on the same sorted column); per level one broadcast
+    searchsorted assignment + packed-key sort-scan class counts + a bounded
+    min fold. Null balances are excluded from the quasi-identifier, as in
+    the reference's rank-based generalization."""
+    import numpy as np
+    import pyarrow.compute as _pc
+
+    from .extras.stats import exact_value_counts
+    from .stages.generalization import CODECS, _assignment_cut_pairs, assign_buckets_np
+    from .util import sorted_column, valid_mask
+
+    ds = load(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+    codec = CODECS["numeric"]
+    sc = sorted_column(ds, "c_acctbal", "c_custkey", codec.to_numeric)
+    k_total = sc.total
+
+    rows = {"g": [], "min_class": [], "accepted": []}
+    for g in _LATTICE_LEVELS:
+        cut_v, cut_id = (
+            _assignment_cut_pairs(sc, g) if g > 1 else (np.array([]), np.array([]))
+        )
+
+        def _classes(batch: pa.Table, _cv=cut_v, _ci=cut_id, _g=g) -> pa.Table:
+            varr = codec.to_numeric(batch.column("c_acctbal"))
+            valid = np.asarray(valid_mask(varr))
+            v = varr.to_numpy(zero_copy_only=False).astype(np.float64)
+            ids = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+            nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            b = np.zeros(len(v), dtype=np.int64)
+            if _g > 1 and valid.any():
+                b[valid] = assign_buckets_np(v[valid], ids[valid], _cv, _ci)
+            key = b * 1000 + nk
+            return pa.table({"cls": pa.array(key[valid], pa.int64())})
+
+        counts = exact_value_counts(
+            ds.map_batches(_classes, batch_format="pyarrow"), "cls"
+        )
+        mins = counts.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(_pc.min(t.column("n")).as_py())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        mc = min(r["m"] for r in mins) if mins else 0
+        rows["g"].append(g)
+        rows["min_class"].append(mc)
+        rows["accepted"].append(int(mc >= _LATTICE_K))
+    return pa.table(
+        {
+            "g": pa.array(rows["g"], pa.int64()),
+            "min_class": pa.array(rows["min_class"], pa.int64()),
+            "accepted": pa.array(rows["accepted"], pa.int64()),
+        }
+    )
+
+
+def _sql_lattice() -> str:
+    levels = []
+    for g in _LATTICE_LEVELS:
+        levels.append(f"""
+SELECT {g} AS g, min_class,
+       CAST(min_class >= {_LATTICE_K} AS BIGINT) AS accepted
+FROM (
+  SELECT CAST(min(cnt) AS BIGINT) AS min_class FROM (
+    SELECT (({g} * s.rnk) // st.k) * 1000 + c2.c_nationkey AS cls,
+           count(*) AS cnt
+    FROM (SELECT c_custkey AS id,
+                 row_number() OVER (ORDER BY c_acctbal, c_custkey) - 1 AS rnk
+          FROM customer WHERE c_acctbal IS NOT NULL) s
+    CROSS JOIN (SELECT count(*) AS k FROM customer
+                WHERE c_acctbal IS NOT NULL) st
+    JOIN customer c2 ON c2.c_custkey = s.id
+    GROUP BY 1
+  )
+)""")
+    return "\nUNION ALL\n".join(levels)
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "anonymize_lattice_search": QueryDef(
+            q_anonymize_lattice_search, _sql_lattice()
+        )
+    }
+)
