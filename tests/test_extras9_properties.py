@@ -1,0 +1,147 @@
+"""Property-based tests (hypothesis) for the round-4 per-key primitives —
+fold_per_key, rank_per_key, string_agg_per_key, per_key_prefix_max and CDC
+chunking — each checked against a pandas reference on randomized frames
+whose block layouts are deliberately awkward (hot keys spanning many blocks,
+single-row blocks, negative values, duplicate order keys)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+from hypothesis import given, settings, strategies as st
+
+frame_strategy = st.tuples(
+    st.integers(min_value=1, max_value=60),  # rows
+    st.integers(min_value=1, max_value=5),  # distinct keys
+    st.integers(min_value=1, max_value=6),  # partitions
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+)
+
+
+def _frame(n, k, seed):
+    rng = np.random.RandomState(seed % 2**31)
+    return pd.DataFrame(
+        {
+            "k": rng.randint(0, k, n).astype(np.int64),
+            "o": rng.permutation(n).astype(np.int64),
+            "v": rng.randint(-40, 40, n).astype(np.int64),
+        }
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(frame_strategy)
+def test_fold_per_key_matches_pandas(args):
+    from anonymization_ray.util import fold_per_key
+
+    n, k, p, seed = args
+    df = _frame(n, k, seed)
+    out = (
+        fold_per_key(
+            rd.from_pandas(df).repartition(p),
+            "k",
+            {"s": ("sum", "v"), "mn": ("min", "v"),
+             "mx": ("max", "v"), "c": ("count", None)},
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.groupby("k")["v"].agg(s="sum", mn="min", mx="max", c="count").reset_index()
+    )
+    assert len(out) == len(want)
+    for col in ("s", "mn", "mx", "c"):
+        assert list(out[col]) == list(want[col]), col
+
+
+@settings(max_examples=8, deadline=None)
+@given(frame_strategy)
+def test_rank_per_key_is_dense_permutation(args):
+    from anonymization_ray.util import rank_per_key
+
+    n, k, p, seed = args
+    df = _frame(n, k, seed)
+    out = rank_per_key(
+        rd.from_pandas(df).repartition(p), "k", "o"
+    ).to_pandas()
+    want = (
+        df.sort_values(["k", "o"]).groupby("k").cumcount().to_numpy()
+    )
+    got = out.sort_values(["k", "o"])["rn"].to_numpy()
+    assert (got == want).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(frame_strategy)
+def test_string_agg_matches_pandas(args):
+    from anonymization_ray.util import string_agg_per_key
+
+    n, k, p, seed = args
+    df = _frame(n, k, seed)
+    df["t"] = df["v"].astype(str)
+    out = (
+        string_agg_per_key(
+            rd.from_pandas(df).repartition(p), "k", "t", sep=",", order_cols=["o"]
+        )
+        .to_pandas()
+        .set_index("k")["agg"]
+    )
+    want = df.sort_values(["k", "o"]).groupby("k")["t"].agg(",".join)
+    assert len(out) == len(want)
+    for key in want.index:
+        assert out[key] == want[key]
+
+
+@settings(max_examples=8, deadline=None)
+@given(frame_strategy)
+def test_prefix_max_matches_pandas(args):
+    from anonymization_ray.extras.window import per_key_prefix_max
+
+    n, k, p, seed = args
+    df = _frame(n, k, seed)
+    out = (
+        per_key_prefix_max(rd.from_pandas(df).repartition(p), "k", "o", "v")
+        .to_pandas()
+        .sort_values(["k", "o"])["prev_max"]
+        .astype("float64")
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["k", "o"])
+        .groupby("k")["v"]
+        .apply(lambda s: s.cummax().shift(1))
+        .reset_index(drop=True)
+    )
+    both_nan = out.isna() & want.isna()
+    assert (both_nan | (out == want.to_numpy())).all()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "bb", "ccc", "dddd"]), min_size=0,
+                 max_size=10).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cdc_chunks_partition_token_stream(texts):
+    """CDC chunk sizes per doc sum to the doc's token count and chunk ids
+    are dense from 0."""
+    import pyarrow as pa
+
+    from anonymization_ray.extras.chunk import cdc_chunk_stats
+
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+    ).repartition(2)
+    got = cdc_chunk_stats(ds).to_pandas()
+    for i, txt in enumerate(texts):
+        toks = txt.strip().lower().split() or [""]
+        mine = got[got.doc_id == i].sort_values("chunk_id")
+        assert mine.n_tokens.sum() == len(toks)
+        assert list(mine.chunk_id) == list(range(len(mine)))
