@@ -149,3 +149,59 @@ def match_bgp(
         bound = bound.select_columns(select)
     # strip the '?' for writable/SQL-comparable column names
     return bound.rename_columns({v: v.lstrip("?") for v in (select or bound_vars)})
+
+
+def optimize_pattern_order(
+    triples: rd.Dataset,
+    patterns: list[tuple[str, str, str]],
+    *,
+    pred_counts: dict[str, int] | None = None,
+) -> list[tuple[str, str, str]]:
+    """Cost-based join ordering for a BGP conjunction (the ARQ-style
+    optimization the docstring of :func:`match_bgp` asks callers to do by
+    hand): estimate each pattern's arm cardinality — a constant-predicate
+    pattern scans exactly its predicate's triple count, a variable-predicate
+    pattern scans the whole stream — then greedily pick the smallest
+    CONNECTED pattern next (left-deep joins must share a variable with the
+    bound set; the first pick is the global smallest). Extra constants on
+    subj/obj halve the estimate per bound position (a coarse but monotone
+    selectivity prior).
+
+    ``pred_counts`` may be supplied (e.g. from a stats table kept alongside
+    the store); otherwise ONE narrow fold over the pred column computes it —
+    predicate cardinality is vocabulary-sized, never corpus-sized."""
+    if pred_counts is None:
+        from ..extras.stats import exact_value_counts
+
+        proj = triples.map_batches(
+            lambda b: pa.table({"pred": b.column("pred")}), batch_format="pyarrow"
+        )
+        pred_counts = {
+            r["pred"]: int(r["n"]) for r in exact_value_counts(proj, "pred").take_all()
+        }
+    total = sum(pred_counts.values()) or 1
+
+    def _cost(pat: tuple[str, str, str]) -> float:
+        s, p, o = pat
+        base = float(pred_counts.get(p, 0)) if not _is_var(p) else float(total)
+        for term in (s, o):
+            if not _is_var(term):
+                base /= 2.0
+        return base
+
+    def _vars(pat) -> set[str]:
+        return {t for t in pat if _is_var(t)}
+
+    remaining = list(patterns)
+    ordered: list[tuple[str, str, str]] = []
+    bound: set[str] = set()
+    while remaining:
+        connected = [
+            p for p in remaining if not ordered or (_vars(p) & bound)
+        ]
+        pool = connected if connected else remaining  # cartesian-free inputs
+        pick = min(pool, key=lambda p: (_cost(p), remaining.index(p)))
+        ordered.append(pick)
+        remaining.remove(pick)
+        bound |= _vars(pick)
+    return ordered

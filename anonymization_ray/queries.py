@@ -614,6 +614,8 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 wave 54
+    "kg_bgp_optimized",
     # round-4 wave 53
     "anonymize_lattice_search",
     # round-4 wave 52

@@ -1206,3 +1206,40 @@ EXTRAS9_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 54: cost-based BGP join ordering
+# --------------------------------------------------------------------------
+
+def q_kg_bgp_optimized(sf_dir: str):
+    """Cost-based BGP join ordering (`kg/bgp.optimize_pattern_order`): the
+    query is WRITTEN worst-first — the huge hasAccountBalance scan leads,
+    the single-nation partOf probe (one row after constants) comes last —
+    and the optimizer reorders it most-selective-first under the
+    connectivity constraint before the left-deep joins run. The result is
+    join-order-invariant, so the oracle pins correctness while the unit
+    test pins the chosen order."""
+    from .kg.bgp import match_bgp, optimize_pattern_order
+
+    tri = _canonical_triples(sf_dir)
+    written = [
+        ("?c", "hasAccountBalance", "?bal"),   # biggest arm first, on purpose
+        ("?c", "basedIn", "?n"),
+        ("?n", "partOf", "urn:region:2"),      # most selective, written last
+    ]
+    ordered = optimize_pattern_order(tri, written)
+    return match_bgp(tri, ordered, select=["?c", "?bal", "?n"])
+
+
+SQL_KG_BGP_OPTIMIZED = """
+SELECT 'urn:cust:' || c_custkey AS c, CAST(c_acctbal AS VARCHAR) AS bal,
+       'urn:nation:' || c_nationkey AS n
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal IS NOT NULL AND n_regionkey = 2
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_bgp_optimized": QueryDef(q_kg_bgp_optimized, SQL_KG_BGP_OPTIMIZED)}
+)

@@ -437,3 +437,32 @@ def test_per_key_prefix_max_spanning_blocks():
     assert len(got) == len(want)
     both_nan = got.isna() & want.isna()
     assert (both_nan | (got == want.to_numpy())).all()
+
+
+def test_bgp_optimizer_orders_most_selective_first():
+    from anonymization_ray.kg.bgp import optimize_pattern_order
+
+    counts = {"hasAccountBalance": 1000, "basedIn": 1000, "partOf": 25}
+    written = [
+        ("?c", "hasAccountBalance", "?bal"),
+        ("?c", "basedIn", "?n"),
+        ("?n", "partOf", "urn:region:2"),
+    ]
+    ordered = optimize_pattern_order(None, written, pred_counts=counts)
+    # partOf with a bound object costs 25/2; basedIn must come before the
+    # balance scan only once ?c is bound — connectivity forces it second
+    assert ordered[0] == ("?n", "partOf", "urn:region:2")
+    assert ordered[1] == ("?c", "basedIn", "?n")
+    assert ordered[2] == ("?c", "hasAccountBalance", "?bal")
+
+
+def test_bgp_optimizer_keeps_connectivity_over_cost():
+    from anonymization_ray.kg.bgp import optimize_pattern_order
+
+    counts = {"p": 10, "q": 1000, "r": 1}
+    written = [("?a", "q", "?b"), ("?b", "p", "?c"), ("?x", "r", "?y")]
+    ordered = optimize_pattern_order(None, written, pred_counts=counts)
+    # r is globally cheapest but shares no variable with anything: it can
+    # only lead (it IS first), after which p/q must follow connectivity —
+    # and since r binds nothing shared, the fallback keeps the stream legal
+    assert ordered[0] == ("?x", "r", "?y")
