@@ -22,6 +22,27 @@ import ray.data as rd
 TEXT_RE = r"<p>(?P<t>[\s\S]*?)</p>"
 
 
+def _html_utf8(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """binary html -> string, surviving invalid UTF-8 (routine in real
+    crawls: mislabeled encodings, truncated multibyte sequences). Fast path
+    is the zero-copy Arrow cast; only a batch that actually contains invalid
+    bytes pays the per-row lossy decode (U+FFFD replacement, the same policy
+    as the WARC ingestion sanitizer in pipelines/corpus.py)."""
+    try:
+        return pc.cast(col, pa.string())
+    except pa.ArrowInvalid:
+        vals = col.to_pylist()
+        # chunked so downstream kernels see the same shape as the cast path
+        return pa.chunked_array(
+            [
+                pa.array(
+                    [None if v is None else v.decode("utf-8", "replace") for v in vals],
+                    pa.string(),
+                )
+            ]
+        )
+
+
 def extract_text(pages: rd.Dataset, out_col: str = "text_extracted") -> rd.Dataset:
     """Add ``text_extracted`` — contents of the page's first <p> block.
 
@@ -30,7 +51,7 @@ def extract_text(pages: rd.Dataset, out_col: str = "text_extracted") -> rd.Datas
     """
 
     def _extract(batch: pa.Table) -> pa.Table:
-        html = pc.cast(batch.column("html"), pa.string())
+        html = _html_utf8(batch.column("html"))
         st = pc.extract_regex(html, TEXT_RE)
         txt = pc.struct_field(st, "t")
         if out_col in batch.column_names:
@@ -81,7 +102,7 @@ class MentionExtractor:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        html = pc.cast(batch.column("html"), pa.string())
+        html = _html_utf8(batch.column("html"))
         frags = pc.split_pattern(html, "<li ")
         flat = pc.list_flatten(frags).combine_chunks()
         page_urls = batch.column("url").combine_chunks().take(

@@ -145,3 +145,85 @@ def test_cdc_chunks_partition_token_stream(texts):
         mine = got[got.doc_id == i].sort_values("chunk_id")
         assert mine.n_tokens.sum() == len(toks)
         assert list(mine.chunk_id) == list(range(len(mine)))
+
+
+# ---------------------------------------------------------------------------
+# extraction robustness: crawl html is adversarial — the extractor must never
+# crash and must still extract every WELL-FORMED fact embedded in the noise
+# ---------------------------------------------------------------------------
+
+_NOISE = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_NOISE, min_size=1, max_size=5), st.integers(0, 2**31 - 1))
+def test_mention_extractor_survives_adversarial_html(noises, seed):
+    import pyarrow as pa
+
+    from anonymization_ray.kg.extract import MentionExtractor
+
+    rng = np.random.RandomState(seed % 2**31)
+    good = (
+        '<li data-e="customer"><b>Customer#7</b> maintains an account balance '
+        "of <span>42.5</span> and is based in <i>FRANCE</i>.</li>"
+    )
+    pages = []
+    for noise in noises:
+        # splice the well-formed fact into arbitrary junk, including broken
+        # tags and a stray "<li " opener
+        junk = noise + "<li <li data-e=\"customer\"><b>Broken"
+        pages.append(f"<html><body>{junk}{good}{noise}</body></html>".encode())
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(len(pages))], pa.string()),
+            "html": pa.array(pages, pa.binary()),
+        }
+    )
+    out = MentionExtractor()(batch)  # must not raise
+    based = out.filter(
+        pa.compute.equal(out.column("pred"), pa.scalar("basedIn"))
+    )
+    # every page's well-formed fact extracted exactly once, junk ignored
+    assert based.num_rows == len(pages)
+    assert set(based.column("obj").to_pylist()) == {"FRANCE"}
+    bal = out.filter(
+        pa.compute.equal(out.column("pred"), pa.scalar("hasAccountBalance"))
+    )
+    assert set(bal.column("obj").to_pylist()) == {"42.5"}
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.binary(max_size=200))
+def test_extract_text_survives_arbitrary_bytes(blob):
+    import pyarrow as pa
+
+    from anonymization_ray.kg.extract import extract_text
+
+    html = b"<html><body><article><p>ok</p></article>" + blob + b"</body></html>"
+    ds = rd.from_arrow(
+        pa.table({"url": ["u"], "html": pa.array([html], pa.binary())})
+    )
+    out = extract_text(ds).to_pandas()  # must not raise
+    assert len(out) == 1
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.binary(min_size=1, max_size=100))
+def test_mention_extractor_survives_invalid_utf8(blob):
+    import pyarrow as pa
+
+    from anonymization_ray.kg.extract import MentionExtractor
+
+    good = (
+        '<li data-e="nation"><i>FRANCE</i> is part of <i>EUROPE</i>.</li>'
+    )
+    html = b"<html><body>" + blob + good.encode() + b"\xff\xfe</body></html>"
+    out = MentionExtractor()(
+        pa.table({"url": ["u"], "html": pa.array([html], pa.binary())})
+    )  # must not raise on invalid UTF-8 (lossy-decode fallback)
+    part = out.filter(pa.compute.equal(out.column("pred"), pa.scalar("partOf")))
+    # the well-formed fact still extracts unless the junk spliced into its
+    # fragment boundary (blob ends right before '<li ' so it cannot)
+    assert part.num_rows == 1 and part.column("obj")[0].as_py() == "EUROPE"
