@@ -227,3 +227,87 @@ def test_mention_extractor_survives_invalid_utf8(blob):
     # the well-formed fact still extracts unless the junk spliced into its
     # fragment boundary (blob ends right before '<li ' so it cannot)
     assert part.num_rows == 1 and part.column("obj")[0].as_py() == "EUROPE"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalizer: crash-free on adversarial hrefs and IDEMPOTENT — the
+# property crawl dedup depends on (a canonical form that keeps moving under
+# re-canonicalization would split identical pages across dedup keys)
+# ---------------------------------------------------------------------------
+
+_URLISH = st.one_of(
+    st.text(max_size=30),
+    st.builds(
+        lambda h, p, q: f"HTTP://{h}:80/{p}?utm_x=1&{q}#frag",
+        st.sampled_from(["A.com", "b.ORG", "c.net"]),
+        st.text(alphabet="abcXYZ/", max_size=10),
+        st.text(alphabet="abc=&123", max_size=10),
+    ),
+    st.builds(lambda p: f"/{p}", st.text(alphabet="abc/.", max_size=12)),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(_URLISH, min_size=1, max_size=8))
+def test_canonicalize_urls_idempotent(hrefs):
+    import pyarrow as pa
+
+    from anonymization_ray.kg.links import canonicalize_urls
+
+    def run(values):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "href": pa.array(values, pa.string()),
+                    "src_url": pa.array(
+                        ["https://example.org/doc/1"] * len(values), pa.string()
+                    ),
+                }
+            )
+        )
+        return canonicalize_urls(ds, "href", "src_url").to_pandas()["dst_url"]
+
+    once = run(hrefs)  # must not raise on any junk
+    twice = run(list(once.fillna("")))
+    for a, b in zip(once, twice):
+        if a is not None and a == a and str(a) != "":
+            assert b == a, (a, b)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),  # (url idx, ts)
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(0, 50),
+)
+def test_pages_asof_winner_is_latest_not_future(captures, t):
+    import pyarrow as pa
+
+    from anonymization_ray.kg.temporal import pages_asof
+
+    tbl = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i, _ in captures], pa.string()),
+            "warc_ts": pa.array(
+                [ts * 10**6 for _, ts in captures], pa.timestamp("us")
+            ),
+            "html": pa.array(
+                [f"u{i}@{ts}".encode() for i, ts in captures], pa.binary()
+            ),
+            "text": pa.array([f"{ts}" for _, ts in captures], pa.string()),
+            "lang": pa.array(["en"] * len(captures), pa.string()),
+        }
+    )
+    out = pages_asof(rd.from_arrow(tbl).repartition(3), t * 10**6).to_pandas()
+    want = {}
+    for i, ts in captures:
+        if ts <= t and (f"u{i}" not in want or ts > want[f"u{i}"]):
+            want[f"u{i}"] = ts
+    got = {
+        u: int(pd.Timestamp(v).value // 1000)
+        for u, v in zip(out["url"], out["warc_ts"])
+    }
+    assert got == {u: ts * 10**6 for u, ts in want.items()}
