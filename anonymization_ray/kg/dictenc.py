@@ -1,0 +1,179 @@
+"""Dictionary-encoded triple store — the RDF-3X / Jena-TDB storage trick
+re-expressed Ray-Data-first.
+
+Every triple store that survives past toy scale stores terms ONCE in a
+term dictionary and keeps the triple table as three fixed-width integer
+ids: joins, sorts and shuffles then move 24 bytes/row instead of the
+~50-150 bytes of IRI/literal text, and equality compares are single int64
+instructions instead of string memcmps. (The reference's Jena backend does
+exactly this inside TDB's NodeTable; here the dictionary is an explicit,
+queryable Dataset so the encoding itself is oracle-checkable.)
+
+Shapes:
+
+- ``build_term_dictionary``: one streaming pass of per-batch ``unique``
+  partials over subj/pred/obj flattened into a single ``term`` column,
+  a sort-scan global distinct (``util.distinct_rows`` — no per-group
+  aggregate at term cardinality), then a dense 0-based id stamped from the
+  already-sorted block layout (per-block row counts to the driver, arange
+  + offset per block — ids are the rank of the term in global sorted
+  order, so the assignment is deterministic and SQL-replicable as
+  ``row_number() OVER (ORDER BY term) - 1``).
+- ``encode_triples``: predicates are a bounded vocabulary — their id
+  slice is gathered once (one vectorized ``is_in`` scan of the
+  dictionary) and BROADCAST into a stateless ``map_batches`` replace;
+  subjects and objects are unbounded, so they go through the
+  hash-partitioned join against the dictionary (the one all-to-all this
+  layout pays, and it is paid ONCE at encode time — every downstream
+  query joins on int64).
+- ``decode_bindings``: final projections re-attach surface forms by
+  joining each id column back against the dictionary — only the
+  result-sized tail of a query pays string traffic.
+
+At 100 TB the dictionary itself is written as sorted Parquet so constant
+terms resolve by row-group pushdown rather than a scan; here constants
+resolve with one filtered scan per query (bounded by the constant count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..util import distinct_rows, hash_join
+
+_POS_COLS = ("subj", "pred", "obj")
+
+
+def build_term_dictionary(
+    triples: rd.Dataset, cols: tuple[str, ...] = _POS_COLS
+) -> rd.Dataset:
+    """(term: string, term_id: int64) with term_id = rank of the term in
+    global sorted order over the distinct terms of all ``cols``."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        parts = [
+            pc.unique(b.column(c).combine_chunks()).cast(pa.string()) for c in cols
+        ]
+        return pa.table({"term": pa.concat_arrays(parts)})
+
+    terms = distinct_rows(
+        triples.map_batches(_partial, batch_format="pyarrow"), ["term"]
+    ).materialize()
+    # distinct_rows output blocks are globally sorted by term — stamp dense
+    # ids from block offsets (no second sort, no per-group anything)
+    refs = terms.to_arrow_refs()
+
+    @ray.remote(num_cpus=0.25)
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote(num_cpus=0.25)
+    def _stamp(t: pa.Table, off: int) -> pa.Table:
+        ids = np.arange(off, off + t.num_rows, dtype=np.int64)
+        return t.append_column("term_id", pa.array(ids, pa.int64()))
+
+    live = [(r, o) for r, o, c in zip(refs, offsets, counts) if c]
+    if not live:
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "term_id": pa.array([], pa.int64())}))
+    return rd.from_arrow_refs([_stamp.remote(r, int(o)) for r, o in live])
+
+
+def encode_triples(
+    triples: rd.Dataset,
+    dictionary: rd.Dataset,
+    *,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """(s_id, p_id, o_id) int64 encoding of (subj, pred, obj).
+
+    Predicate ids broadcast (bounded vocabulary, one dictionary scan);
+    subj/obj ids attach via the hash-partitioned dictionary join."""
+    preds = [
+        r["term"]
+        for r in distinct_rows(triples.select_columns(["pred"]), ["pred"])
+        .map_batches(
+            lambda b: b.rename_columns(["term"]), batch_format="pyarrow"
+        )
+        .take_all()
+    ]
+    pred_rows = dictionary.filter(
+        lambda r: r["term"] in set(preds)
+    ).take_all()
+    pred_map = {r["term"]: r["term_id"] for r in pred_rows}
+    missing = set(preds) - set(pred_map)
+    if missing:
+        raise ValueError(f"predicates missing from dictionary: {sorted(missing)[:5]}")
+    pm_terms = pa.array(list(pred_map), pa.string())
+    pm_ids = np.fromiter(pred_map.values(), dtype=np.int64, count=len(pred_map))
+
+    def _encode_pred(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("pred").combine_chunks(), pm_terms)
+        p_id = pm_ids[idx.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {
+                "subj": b.column("subj"),
+                "p_id": pa.array(p_id, pa.int64()),
+                "obj": b.column("obj"),
+            }
+        )
+
+    enc = triples.map_batches(_encode_pred, batch_format="pyarrow")
+    sdict = dictionary.map_batches(
+        lambda b: b.rename_columns(["subj", "s_id"]), batch_format="pyarrow"
+    ).materialize()
+    odict = dictionary.map_batches(
+        lambda b: b.rename_columns(["obj", "o_id"]), batch_format="pyarrow"
+    ).materialize()
+    enc = hash_join(enc, sdict, on="subj", join_type="inner",
+                    num_partitions=num_partitions)
+    enc = hash_join(enc, odict, on="obj", join_type="inner",
+                    num_partitions=num_partitions)
+    return enc.select_columns(["s_id", "p_id", "o_id"])
+
+
+def resolve_terms(dictionary: rd.Dataset, terms: list[str]) -> dict[str, int]:
+    """Constant-term ids in ONE filtered scan (bounded by len(terms))."""
+    want = pa.array(terms, pa.string())
+
+    def _probe(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.fill_null(pc.is_in(b.column("term").combine_chunks(), value_set=want), False)
+        )
+
+    rows = dictionary.map_batches(_probe, batch_format="pyarrow").take_all()
+    out = {r["term"]: r["term_id"] for r in rows}
+    missing = [t for t in terms if t not in out]
+    if missing:
+        raise KeyError(f"terms not in dictionary: {missing[:5]}")
+    return out
+
+
+def decode_bindings(
+    bindings: rd.Dataset,
+    dictionary: rd.Dataset,
+    mapping: dict[str, str],
+    *,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Re-attach surface forms: for each ``out_col -> id_col`` in
+    ``mapping``, join the id column against the dictionary and emit the
+    term as ``out_col``. Only the (result-sized) bindings move."""
+    out = bindings
+    for out_col, id_col in mapping.items():
+        d = dictionary.map_batches(
+            lambda b, oc=out_col, ic=id_col: pa.table(
+                {oc: b.column("term"), ic: b.column("term_id")}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out = hash_join(out, d, on=id_col, join_type="inner",
+                        num_partitions=num_partitions)
+    return out.select_columns(list(mapping))

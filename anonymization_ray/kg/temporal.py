@@ -57,7 +57,15 @@ def pages_asof(pages: rd.Dataset, t_us: int) -> rd.Dataset:
         expr=f"ts_us <= {t_us}"
     )
     win = topk_per_key(keyed, "url", "ts_us", 1, descending=True, tie_col="hh")
-    return win.drop_columns(["ts_us", "hh"])
+    out = win.drop_columns(["ts_us", "hh"])
+    if out.schema() is None:
+        # every capture post-dates T: a legal EMPTY snapshot. Ray loses the
+        # schema through the lazy drop; rebuild it explicitly (win still
+        # carries it as explicit blocks)
+        from ..util import empty_like
+
+        out = empty_like(win, exclude=("ts_us", "hh"))
+    return out
 
 
 def _bump_balances(html: bytes, delta: float) -> bytes:

@@ -167,6 +167,30 @@ def chunked_ranges(offsets: np.ndarray, min_rows: int = 65536) -> list[tuple[int
     return [r for r in out if r[1] > r[0]]
 
 
+def empty_like(
+    mat: ray.data.Dataset, exclude: tuple[str, ...] = ()
+) -> ray.data.Dataset:
+    """Zero-row dataset with ``mat``'s schema as an explicit Arrow table.
+
+    Ray's sort / repartition — and every LAZY op layered on top — drop the
+    schema of an all-empty dataset, so the sort-scan helpers below capture
+    the schema from the materialized input (where it still exists) and
+    rebuild the empty result explicitly — downstream select/drop/join then
+    keep working on legal empty results. ``exclude`` drops helper columns
+    in the same breath (a lazy drop_columns would lose the schema again)."""
+    sch = mat.schema()
+    if sch is None:
+        return mat.limit(0)
+    cols = {}
+    for n, t in zip(sch.names, sch.types):
+        if n in exclude:
+            continue
+        if not isinstance(t, pa.DataType):
+            t = pa.from_numpy_dtype(np.dtype(t))
+        cols[n] = pa.array([], t)
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Dataset:
     """(key, min(val)) for a narrow two-column dataset WITHOUT a per-group
     aggregate.
@@ -179,9 +203,9 @@ def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Da
     metadata, no data exchange). Same pattern as
     ``kg/fingerprint.dedup_pages_exact``.
     """
-    s = coalesce_blocks(
-        ds.select_columns([key_col, val_col]).materialize()
-    ).sort([key_col, val_col]).materialize()
+    mat = ds.select_columns([key_col, val_col]).materialize()
+    pre = coalesce_blocks(mat)
+    s = pre.sort([key_col, val_col]).materialize()
     refs = [r for r in s.to_arrow_refs()]
 
     @ray.remote(num_cpus=0.25)
@@ -211,7 +235,9 @@ def min_per_key(ds: ray.data.Dataset, key_col: str, val_col: str) -> ray.data.Da
         for i in range(len(refs))
     ]
     if not out_refs:
-        return s  # empty, correct schema
+        # every block empty: Ray's sort/repartition drop an all-empty
+        # dataset's schema — rebuild explicitly from the input's schema
+        return empty_like(mat)
     return ray.data.from_arrow_refs(out_refs)
 
 
@@ -230,7 +256,9 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
     vectorized per-block scan keeping rows that differ from their predecessor
     on ANY column; block boundaries compare against the previous block's last
     row (single-row metadata, no data exchange)."""
-    s = coalesce_blocks(ds.select_columns(cols).materialize()).sort(cols).materialize()
+    mat = ds.select_columns(cols).materialize()
+    pre = coalesce_blocks(mat)
+    s = pre.sort(cols).materialize()
     refs = s.to_arrow_refs()
 
     @ray.remote(num_cpus=0.25)
@@ -261,7 +289,9 @@ def distinct_rows(ds: ray.data.Dataset, cols: list[str]) -> ray.data.Dataset:
         for i in range(len(refs))
     ]
     if not out_refs:
-        return s  # empty, correct schema
+        # every block empty: Ray's sort/repartition drop an all-empty
+        # dataset's schema — rebuild explicitly from the input's schema
+        return empty_like(mat)
     return ray.data.from_arrow_refs(out_refs)
 
 
@@ -334,7 +364,9 @@ def topk_per_key(
     sees per-block edge rows."""
     cols = [key_col, order_col] + ([tie_col] if tie_col else [])
     desc = [False, descending] + ([False] if tie_col else [])
-    s = coalesce_blocks(ds.materialize()).sort(cols, descending=desc).materialize()
+    mat = ds.materialize()
+    pre = coalesce_blocks(mat)
+    s = pre.sort(cols, descending=desc).materialize()
     refs = s.to_arrow_refs()
 
     @ray.remote(num_cpus=0.25)
@@ -372,6 +404,10 @@ def topk_per_key(
         rank[: (seg[1] if len(seg) > 1 else n)] += carry
         return t.filter(pa.array(rank < k))
 
+    if not refs:
+        # every block empty: Ray's sort/repartition drop an all-empty
+        # dataset's schema — rebuild explicitly from the input's schema
+        return empty_like(mat)
     return ray.data.from_arrow_refs(
         [_take.remote(refs[b], carry_in[b]) for b in range(len(refs))]
     )
@@ -472,7 +508,9 @@ def rank_per_key(
 
     cols = [key_col, order_col] + ([tie_col] if tie_col else [])
     desc = [False, descending] + ([False] if tie_col else [])
-    s = coalesce_blocks(ds.materialize()).sort(cols, descending=desc).materialize()
+    mat = ds.materialize()
+    pre = coalesce_blocks(mat)
+    s = pre.sort(cols, descending=desc).materialize()
     refs = s.to_arrow_refs()
 
     @_ray.remote(num_cpus=0.25)
@@ -506,6 +544,16 @@ def rank_per_key(
         rank[: (seg[1] if len(seg) > 1 else n)] += carry
         return t.append_column(rank_col, pa.array(rank, pa.int64()))
 
+    if not refs:
+        # all blocks empty: Ray's sort/repartition drop an all-empty
+        # dataset's schema — rebuild it explicitly, then append the rank
+        # column statelessly
+        return empty_like(mat).map_batches(
+            lambda t: t.append_column(
+                rank_col, pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
     return ray.data.from_arrow_refs(
         [_stamp.remote(refs[b], carry_in[b]) for b in range(len(refs))]
     )
@@ -545,7 +593,9 @@ def fold_per_key(
         return pa.table({key_col: cols[key_col], **{o: cols[o] for o in spec}})
 
     part = ds.map_batches(_partial, batch_format="pyarrow")
-    s = coalesce_blocks(part.materialize()).sort([key_col]).materialize()
+    mat = part.materialize()
+    pre = coalesce_blocks(mat)
+    s = pre.sort([key_col]).materialize()
     refs = list(s.to_arrow_refs())
 
     @ray.remote(num_cpus=0.5)
@@ -563,7 +613,9 @@ def fold_per_key(
     folded = ray.get([_fold_block.remote(r) for r in refs])
     folded = [t for t in folded if t.num_rows > 0]
     if not folded:
-        return s  # empty, schema already (key, *spec) from the partial pass
+        # empty: the partial pass already produced (key, *spec), but Ray's
+        # sort/repartition drop an all-empty dataset's schema — rebuild
+        return empty_like(mat)
     # block-spanning keys: sorted blocks can only share keys at their edges
     firsts = [t.column(key_col)[0].as_py() for t in folded]
     lasts = [t.column(key_col)[-1].as_py() for t in folded]
@@ -625,7 +677,10 @@ def string_agg_per_key(
     bounded by that key's row count — the documented hot-key caveat."""
     order_cols = order_cols or [val_col]
     cols = [key_col] + [c for c in order_cols if c != key_col]
-    s = coalesce_blocks(ds.materialize()).sort(cols).materialize()
+    pre = coalesce_blocks(ds.materialize())
+    _sch = pre.schema()
+    in_key_type = dict(zip(_sch.names, _sch.types))[key_col]
+    s = pre.sort(cols).materialize()
     refs = list(s.to_arrow_refs())
 
     @ray.remote(num_cpus=0.5)
@@ -657,9 +712,7 @@ def string_agg_per_key(
     results = ray.get([_block.remote(r, i) for i, r in enumerate(refs)])
     inner_tbls = [t for t, _ in results if t is not None and t.num_rows]
     key_type = (
-        inner_tbls[0].schema.field(key_col).type
-        if inner_tbls
-        else pa.string()
+        inner_tbls[0].schema.field(key_col).type if inner_tbls else in_key_type
     )
     frags = sorted(
         (f for _, fs in results for f in fs), key=lambda x: (x[0], x[2])

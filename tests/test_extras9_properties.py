@@ -301,13 +301,15 @@ def test_pages_asof_winner_is_latest_not_future(captures, t):
             "lang": pa.array(["en"] * len(captures), pa.string()),
         }
     )
-    out = pages_asof(rd.from_arrow(tbl).repartition(3), t * 10**6).to_pandas()
+    out = pages_asof(rd.from_arrow(tbl).repartition(3), t * 10**6)
+    # take_all, not to_pandas: Ray's to_pandas drops the schema of an
+    # all-empty dataset (the all-captures-post-T case is a legal result)
+    rows = out.take_all()
     want = {}
     for i, ts in captures:
         if ts <= t and (f"u{i}" not in want or ts > want[f"u{i}"]):
             want[f"u{i}"] = ts
     got = {
-        u: int(pd.Timestamp(v).value // 1000)
-        for u, v in zip(out["url"], out["warc_ts"])
+        r["url"]: int(pd.Timestamp(r["warc_ts"]).value // 1000) for r in rows
     }
     assert got == {u: ts * 10**6 for u, ts in want.items()}
