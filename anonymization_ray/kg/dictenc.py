@@ -104,13 +104,7 @@ def encode_triples(
         )
         .take_all()
     ]
-    pred_rows = dictionary.filter(
-        lambda r: r["term"] in set(preds)
-    ).take_all()
-    pred_map = {r["term"]: r["term_id"] for r in pred_rows}
-    missing = set(preds) - set(pred_map)
-    if missing:
-        raise ValueError(f"predicates missing from dictionary: {sorted(missing)[:5]}")
+    pred_map = resolve_terms(dictionary, preds)
     pm_terms = pa.array(list(pred_map), pa.string())
     pm_ids = np.fromiter(pred_map.values(), dtype=np.int64, count=len(pred_map))
 
@@ -161,19 +155,63 @@ def decode_bindings(
     dictionary: rd.Dataset,
     mapping: dict[str, str],
     *,
+    broadcast_cols: tuple[str, ...] = (),
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Re-attach surface forms: for each ``out_col -> id_col`` in
     ``mapping``, join the id column against the dictionary and emit the
-    term as ``out_col``. Only the (result-sized) bindings move."""
+    term as ``out_col``. Only the (result-sized) bindings move.
+
+    ``broadcast_cols`` names output columns whose id has BOUNDED distinct
+    cardinality (a dimension-like variable, e.g. nations): those decode by
+    broadcasting the needed dictionary slice into a stateless lookup
+    instead of a hash join — a low-distinct-key left side leaves most join
+    partitions empty, which Ray's shuffle aggregator turns into
+    schema-less blocks the Arrow join rejects (the documented ``hash_join``
+    quirk), and the broadcast is the better plan for a dimension anyway."""
     out = bindings
     for out_col, id_col in mapping.items():
-        d = dictionary.map_batches(
-            lambda b, oc=out_col, ic=id_col: pa.table(
-                {oc: b.column("term"), ic: b.column("term_id")}
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-        out = hash_join(out, d, on=id_col, join_type="inner",
-                        num_partitions=num_partitions)
+        if out_col in broadcast_cols:
+            partials = out.map_batches(
+                lambda b, ic=id_col: pa.table(
+                    {"term_id": pc.unique(pc.drop_null(b.column(ic)))}
+                ),
+                batch_format="pyarrow",
+            )
+            blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+            ids = (
+                pc.unique(pa.concat_tables(blocks).column("term_id").combine_chunks())
+                if blocks
+                else pa.array([], pa.int64())
+            )
+            slice_rows = dictionary.map_batches(
+                lambda b, want=ids: b.filter(
+                    pc.fill_null(
+                        pc.is_in(b.column("term_id").combine_chunks(), value_set=want),
+                        False,
+                    )
+                ),
+                batch_format="pyarrow",
+            ).take_all()
+            lut_ids = np.fromiter(
+                (r["term_id"] for r in slice_rows), dtype=np.int64, count=len(slice_rows)
+            )
+            lut_terms = pa.array([r["term"] for r in slice_rows], pa.string())
+            lut_key = pa.array(lut_ids, pa.int64())
+
+            def _attach(b: pa.Table, oc=out_col, ic=id_col,
+                        lk=lut_key, lt=lut_terms) -> pa.Table:
+                idx = pc.index_in(b.column(ic).combine_chunks(), lk)
+                return b.append_column(oc, pc.take(lt, idx))
+
+            out = out.map_batches(_attach, batch_format="pyarrow")
+        else:
+            d = dictionary.map_batches(
+                lambda b, oc=out_col, ic=id_col: pa.table(
+                    {oc: b.column("term"), ic: b.column("term_id")}
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            out = hash_join(out, d, on=id_col, join_type="inner",
+                            num_partitions=num_partitions)
     return out.select_columns(list(mapping))

@@ -1243,3 +1243,108 @@ WHERE c_acctbal IS NOT NULL AND n_regionkey = 2
 EXTRAS9_REGISTRY.update(
     {"kg_bgp_optimized": QueryDef(q_kg_bgp_optimized, SQL_KG_BGP_OPTIMIZED)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 55: dictionary-encoded triple store (RDF-3X / TDB NodeTable shape)
+# --------------------------------------------------------------------------
+
+def q_kg_term_dictionary(sf_dir: str):
+    """The term dictionary itself (`kg/dictenc.build_term_dictionary`):
+    every distinct subj/pred/obj term of the canonical graph mapped to a
+    dense 0-based int64 id = its rank in global sorted term order — the
+    deterministic assignment that makes the encoding SQL-replicable. One
+    streaming unique-partial pass, one sort-scan distinct, ids stamped from
+    block offsets (no second sort, no per-group aggregate)."""
+    from .kg.dictenc import build_term_dictionary
+
+    return build_term_dictionary(_canonical_triples(sf_dir))
+
+
+def _sql_dict_terms() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH tri AS ({SQL_KG_CANONICAL}),
+terms AS (
+  SELECT subj AS term FROM tri
+  UNION SELECT pred FROM tri
+  UNION SELECT obj FROM tri
+)
+SELECT term, CAST(row_number() OVER (ORDER BY term) - 1 AS BIGINT) AS term_id
+FROM terms
+"""
+
+
+def q_kg_dict_bgp(sf_dir: str):
+    """A BGP evaluated ENTIRELY in integer space over the dictionary-encoded
+    store: `?c hasAccountBalance ?bal . ?c basedIn ?n . ?n partOf
+    urn:region:2`. Terms encode once (predicates broadcast, subj/obj via the
+    dictionary hash join); the three arms then filter and join on int64 ids
+    (24 B/row moving through the shuffle instead of IRI text); only the
+    result-sized final bindings decode back to surface forms. Most-selective
+    arm (the constant-object partOf probe) leads the left-deep join."""
+    from .kg.dictenc import (
+        build_term_dictionary,
+        decode_bindings,
+        encode_triples,
+        resolve_terms,
+    )
+    from .util import hash_join
+
+    tri = _canonical_triples(sf_dir)
+    d = build_term_dictionary(tri).materialize()
+    enc = encode_triples(tri, d).materialize()
+    ids = resolve_terms(
+        d, ["hasAccountBalance", "basedIn", "partOf", "urn:region:2"]
+    )
+
+    import pyarrow.compute as pc
+
+    def _arm(p_id: int, o_const: int | None, s_name: str, o_name: str | None):
+        def _f(b: pa.Table) -> pa.Table:
+            mask = pc.equal(b.column("p_id"), p_id)
+            if o_const is not None:
+                mask = pc.and_(mask, pc.equal(b.column("o_id"), o_const))
+            t = b.filter(mask)
+            cols = {s_name: t.column("s_id").combine_chunks()}
+            if o_name is not None:
+                cols[o_name] = t.column("o_id").combine_chunks()
+            return pa.table(cols)
+
+        return enc.map_batches(_f, batch_format="pyarrow")
+
+    from .extras.joins import semi_anti_join
+    from .util import default_num_partitions
+
+    nparts = max(2, min(default_num_partitions(), 8))
+    a_bal = _arm(ids["hasAccountBalance"], None, "c_id", "bal_id")
+    a_geo = _arm(ids["basedIn"], None, "c_id", "n_id")
+    a_reg = _arm(ids["partOf"], ids["urn:region:2"], "n_id", None)
+    # the constant-bound arm is dimension-sized: broadcast it as a
+    # semi-filter (a 5-key join left side leaves most hash partitions
+    # empty — the documented hash_join empty-partition quirk — and the
+    # broadcast is the better plan for a selective arm anyway)
+    b = semi_anti_join(a_geo, a_reg, on="n_id")
+    b = hash_join(b.materialize(), a_bal.materialize(), on="c_id",
+                  join_type="inner", num_partitions=nparts)
+    return decode_bindings(
+        b, d, {"c": "c_id", "bal": "bal_id", "n": "n_id"},
+        broadcast_cols=("n",), num_partitions=nparts,
+    )
+
+
+SQL_KG_DICT_BGP = """
+SELECT 'urn:cust:' || c_custkey AS c, CAST(c_acctbal AS VARCHAR) AS bal,
+       'urn:nation:' || c_nationkey AS n
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+WHERE c_acctbal IS NOT NULL AND n_regionkey = 2
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_term_dictionary": QueryDef(q_kg_term_dictionary, _sql_dict_terms()),
+        "kg_dict_bgp": QueryDef(q_kg_dict_bgp, SQL_KG_DICT_BGP),
+    }
+)
