@@ -1,5 +1,6 @@
 """SPARQL 1.1 property-path evaluation over a triple Dataset: sequence
-(`a/b`), alternation (`a|b`), inverse (`^a`), grouping, and the transitive
+(`a/b`), alternation (`a|b`), inverse (`^a`), grouping, negated property
+sets (`!p`, `!(p1|p2)` — one inverted-membership scan), and the transitive
 operators `a+` / `a*` (ArbitraryLengthPath — SET semantics per the spec,
 closed by iterated squaring in O(log diameter) hash joins; `*` adds the
 zero-length (t, t) identity over every graph term).
@@ -20,7 +21,8 @@ how many paths witness it. Grammar (recursive descent):
     alt    := seq ('|' seq)*
     seq    := postfix ('/' postfix)*
     postfix:= unary ('+' | '*')*
-    unary  := '^' unary | '(' alt ')' | predicate
+    unary  := '^' unary | '!' npset | '(' alt ')' | predicate
+    npset  := predicate | '(' predicate ('|' predicate)* ')'
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import ray.data as rd
 
 from ..util import default_num_partitions, distinct_rows
 
-_TOKEN = re.compile(r"\s*([/|()^+*]|[^\s/|()^+*]+)")
+_TOKEN = re.compile(r"\s*([/|()^+*!]|[^\s/|()^+*!]+)")
 
 
 def _tokenize(s: str) -> list[str]:
@@ -61,19 +63,36 @@ def parse_path(s: str):
         pos += 1
         return toks[pos - 1]
 
+    def pred_name():
+        t = eat()
+        if t in "/|()^+*!":
+            raise ValueError(f"expected predicate, got {t!r} in {s!r}")
+        return t
+
     def unary():
         if peek() == "^":
             eat("^")
             return ("inv", unary())
+        if peek() == "!":
+            # negated property set: !p or !(p1|p2) — plain forward
+            # predicates only (the spec's ^-inside-! form is not supported)
+            eat("!")
+            if peek() == "(":
+                eat("(")
+                preds = [pred_name()]
+                while peek() == "|":
+                    eat("|")
+                    preds.append(pred_name())
+                eat(")")
+            else:
+                preds = [pred_name()]
+            return ("npred", preds)
         if peek() == "(":
             eat("(")
             e = alt()
             eat(")")
             return e
-        t = eat()
-        if t in "/|()^+*":
-            raise ValueError(f"expected predicate, got {t!r} in {s!r}")
-        return ("pred", t)
+        return ("pred", pred_name())
 
     def postfix():
         e = unary()
@@ -122,6 +141,18 @@ def eval_path(
                 )
 
             return triples.map_batches(_scan, batch_format="pyarrow")
+        if kind == "npred":
+            preds = pa.array(e[1], pa.string())
+
+            def _nscan(b: pa.Table, _ps=preds) -> pa.Table:
+                m = pc.is_in(b.column("pred").combine_chunks(), value_set=_ps)
+                t = b.filter(pc.invert(pc.fill_null(m, False)))
+                return pa.table(
+                    {"s": t.column("subj").combine_chunks(),
+                     "o": t.column("obj").combine_chunks()}
+                )
+
+            return triples.map_batches(_nscan, batch_format="pyarrow")
         if kind == "inv":
             return go(e[1]).rename_columns({"s": "o", "o": "s"}).select_columns(["s", "o"])
         if kind == "seq":

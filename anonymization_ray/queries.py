@@ -614,9 +614,12 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 wave 55
+    # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",
+    "kg_update_delete_insert",
+    "kg_group_count_distinct",
+    "kg_path_negated",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

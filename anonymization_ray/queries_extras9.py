@@ -1348,3 +1348,120 @@ EXTRAS9_REGISTRY.update(
         "kg_dict_bgp": QueryDef(q_kg_dict_bgp, SQL_KG_DICT_BGP),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 56: SPARQL UPDATE, COUNT(DISTINCT)/SAMPLE aggregates, negated
+# property sets
+# --------------------------------------------------------------------------
+
+def q_kg_update_delete_insert(sf_dir: str):
+    """SPARQL 1.1 UPDATE over the canonical graph: `DELETE { ?c
+    hasAccountBalance ?bal } INSERT { ?c hasBalanceBand "high" } WHERE { ?c
+    hasAccountBalance ?bal . FILTER(?bal > 5000) }` — the WHERE evaluates
+    once, high balances are removed (anti semi-join of the store against
+    the packed delete keys, store never gathers) and a band marker inserts
+    for the same solutions (stream union, no full-store distinct: the
+    inserted predicate is new to the store)."""
+    from .kg.algebra import filter_bindings
+    from .kg.bgp import match_bgp
+    from .kg.update import delete_insert_where
+
+    tri = _canonical_triples(sf_dir)
+    where = filter_bindings(
+        match_bgp(tri, [("?c", "hasAccountBalance", "?bal")], select=["?c", "?bal"]),
+        [("bal", ">", 5000)],
+    )
+    return delete_insert_where(
+        tri,
+        where,
+        delete=[("?c", "hasAccountBalance", "?bal")],
+        insert=[("?c", "hasBalanceBand", "high")],
+    )
+
+
+def _sql_update() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH tri AS (SELECT subj, pred, obj FROM ({SQL_KG_CANONICAL})),
+matched AS (
+  SELECT 'urn:cust:' || c_custkey AS c, CAST(c_acctbal AS VARCHAR) AS bal
+  FROM customer WHERE c_acctbal IS NOT NULL AND c_acctbal > 5000
+),
+del AS (SELECT c AS subj, 'hasAccountBalance' AS pred, bal AS obj FROM matched),
+ins AS (SELECT DISTINCT c AS subj, 'hasBalanceBand' AS pred, 'high' AS obj FROM matched)
+SELECT subj, pred, obj FROM (
+  SELECT * FROM (SELECT * FROM tri EXCEPT SELECT * FROM del)
+  UNION
+  SELECT * FROM ins
+)
+"""
+
+
+def q_kg_group_count_distinct(sf_dir: str):
+    """SPARQL `SELECT ?n (COUNT(DISTINCT ?bal) AS n_bal) (SAMPLE(?bal) AS
+    sample_bal) GROUP BY ?n` over `?c hasAccountBalance ?bal . ?c basedIn
+    ?n`: distinct (n, bal) falls out of one sort-scan set fold, then ONE
+    fold_per_key pass counts and picks the deterministic sample (min — a
+    legal SAMPLE per spec, pinned so the oracle can replicate)."""
+    from .kg.bgp import match_bgp
+    from .util import distinct_rows, fold_per_key
+
+    tri = _canonical_triples(sf_dir)
+    b = match_bgp(
+        tri,
+        [("?c", "hasAccountBalance", "?bal"), ("?c", "basedIn", "?n")],
+        select=["?bal", "?n"],
+    )
+    d = distinct_rows(b, ["n", "bal"])
+    return fold_per_key(
+        d, "n", {"n_bal": ("count", None), "sample_bal": ("min", "bal")}
+    )
+
+
+SQL_KG_GROUP_COUNT_DISTINCT = """
+SELECT 'urn:nation:' || c_nationkey AS n,
+       CAST(count(DISTINCT CAST(c_acctbal AS VARCHAR)) AS BIGINT) AS n_bal,
+       min(CAST(c_acctbal AS VARCHAR)) AS sample_bal
+FROM customer WHERE c_acctbal IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_kg_path_negated(sf_dir: str):
+    """Negated-property-set path `!(hasAccountBalance|partOf)/partOf`: the
+    first step scans by INVERTED predicate membership (one vectorized
+    is_in per batch — on the canonical graph it selects exactly the
+    basedIn edges without naming them), then one hash join hops to the
+    region. Bag semantics, UNION-ALL-free here because the negated set is
+    a single scan."""
+    from .kg.paths import eval_path
+
+    tri = _canonical_triples(sf_dir)
+    return eval_path(tri, "!(hasAccountBalance|partOf)/partOf")
+
+
+def _sql_path_negated() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH tri AS (SELECT subj, pred, obj FROM ({SQL_KG_CANONICAL})),
+neg AS (SELECT subj AS s, obj AS o FROM tri
+        WHERE pred NOT IN ('hasAccountBalance', 'partOf')),
+nxt AS (SELECT subj AS s, obj AS o FROM tri WHERE pred = 'partOf')
+SELECT neg.s AS s, nxt.o AS o FROM neg JOIN nxt ON neg.o = nxt.s
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_update_delete_insert": QueryDef(
+            q_kg_update_delete_insert, _sql_update()
+        ),
+        "kg_group_count_distinct": QueryDef(
+            q_kg_group_count_distinct, SQL_KG_GROUP_COUNT_DISTINCT
+        ),
+        "kg_path_negated": QueryDef(q_kg_path_negated, _sql_path_negated()),
+    }
+)

@@ -1,0 +1,87 @@
+"""SPARQL UPDATE (delete/insert where) and negated-property-set paths:
+unit-level semantics on a hand-built graph (the sf-scale results are
+oracle-gated in the registry sweep)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from anonymization_ray.kg.paths import eval_path, parse_path
+from anonymization_ray.kg.update import delete_insert_where, instantiate_template
+
+GRAPH = pa.table(
+    {
+        "subj": pa.array(["a", "a", "b", "c"]),
+        "pred": pa.array(["knows", "age", "knows", "age"]),
+        "obj": pa.array(["b", "41", "c", "9"]),
+    }
+)
+
+
+def _g():
+    return rd.from_arrow(GRAPH).repartition(2)
+
+
+def _rows(ds):
+    return sorted((r["subj"], r["pred"], r["obj"]) for r in ds.take_all())
+
+
+def test_update_delete_only(ray_session):
+    # WHERE {?x age ?v} DELETE {?x age ?v} — all age triples removed
+    bind = rd.from_arrow(pa.table({"x": ["a", "c"], "v": ["41", "9"]}))
+    out = delete_insert_where(_g(), bind, delete=[("?x", "age", "?v")])
+    assert _rows(out) == [("a", "knows", "b"), ("b", "knows", "c")]
+
+
+def test_update_delete_insert_same_solutions(ray_session):
+    bind = rd.from_arrow(pa.table({"x": ["a"], "v": ["41"]}))
+    out = delete_insert_where(
+        _g(), bind,
+        delete=[("?x", "age", "?v")],
+        insert=[("?x", "ageBand", "adult")],
+    )
+    rows = _rows(out)
+    assert ("a", "age", "41") not in rows
+    assert ("a", "ageBand", "adult") in rows
+    assert ("c", "age", "9") in rows  # unmatched solution untouched
+
+
+def test_update_insert_dedup_union(ray_session):
+    # inserting a triple that already survives deletion: dedup_union keeps
+    # the graph a set
+    bind = rd.from_arrow(pa.table({"x": ["a"]}))
+    out = delete_insert_where(
+        _g(), bind, insert=[("?x", "knows", "b")], dedup_union=True
+    )
+    rows = _rows(out)
+    assert rows.count(("a", "knows", "b")) == 1
+
+
+def test_instantiate_constant_and_var(ray_session):
+    bind = rd.from_arrow(pa.table({"x": ["p", "q"]}))
+    t = instantiate_template(bind, ("?x", "type", "Person")).take_all()
+    assert sorted((r["subj"], r["pred"], r["obj"]) for r in t) == [
+        ("p", "type", "Person"),
+        ("q", "type", "Person"),
+    ]
+
+
+def test_negated_set_scan(ray_session):
+    out = eval_path(_g(), "!age")
+    assert sorted((r["s"], r["o"]) for r in out.take_all()) == [
+        ("a", "b"),
+        ("b", "c"),
+    ]
+
+
+def test_negated_set_multi_and_sequence(ray_session):
+    # !(age)/knows : knows-hop then knows again == a->c via b
+    out = eval_path(_g(), "!(age)/!(age)")
+    assert sorted((r["s"], r["o"]) for r in out.take_all()) == [("a", "c")]
+
+
+def test_negated_parse_errors():
+    with pytest.raises(ValueError):
+        parse_path("!(a|)")
+    with pytest.raises(ValueError):
+        parse_path("!")
