@@ -620,6 +620,8 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_update_delete_insert",
     "kg_group_count_distinct",
     "kg_path_negated",
+    "kg_service_federated",
+    "kg_validate_cardinality",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

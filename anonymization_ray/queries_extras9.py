@@ -1465,3 +1465,73 @@ EXTRAS9_REGISTRY.update(
         "kg_path_negated": QueryDef(q_kg_path_negated, _sql_path_negated()),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 57: SPARQL SERVICE federation + SHACL cardinality validation
+# --------------------------------------------------------------------------
+
+def q_kg_service_federated(sf_dir: str):
+    """SPARQL SERVICE federation with the FedX bound-join optimization
+    (`kg/federation.service_join`): the local graph binds region-2
+    customers with their nations, `SERVICE { ?s operatesIn ?n }` evaluates
+    against a SECOND endpoint's graph (the supplier dataspace, injected as
+    a triples provider) with the local nations PUSHED into the remote scan
+    as a VALUES restriction, and the join runs map-side against the
+    broadcast remote solutions — the local stream never shuffles."""
+    from .kg.bgp import match_bgp
+    from .kg.federation import service_join
+    from .queries_extras8 import _supplier_triples
+
+    tri = _canonical_triples(sf_dir)
+    local = match_bgp(
+        tri,
+        [("?c", "basedIn", "?n"), ("?n", "partOf", "urn:region:2")],
+        select=["?c", "?n"],
+    )
+    remote = _supplier_triples(sf_dir)
+    out = service_join(local, remote, ("?s", "operatesIn", "?n"), shared="n")
+    return out.select_columns(["c", "n", "s"])
+
+
+SQL_KG_SERVICE = """
+SELECT 'urn:cust:' || c_custkey AS c, 'urn:nation:' || c_nationkey AS n,
+       'urn:supp:' || s_suppkey AS s
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN supplier ON s_nationkey = c_nationkey
+WHERE n_regionkey = 2
+"""
+
+
+def q_kg_validate_cardinality(sf_dir: str):
+    """SHACL-lite sh:minCount/sh:maxCount over the UPDATED graph of
+    `kg_update_delete_insert` (high balances deleted): every customer
+    (focus = subjects of basedIn) must carry exactly one hasAccountBalance
+    — violations are the customers whose balance the UPDATE removed plus
+    those that never had one. Counts via one fold_per_key pass; zero-count
+    focus nodes recovered by an anti semi-join."""
+    from .kg.validate import validate_cardinality
+
+    updated = q_kg_update_delete_insert(sf_dir)
+    return validate_cardinality(
+        updated, focus_pred="basedIn", pred="hasAccountBalance",
+        min_count=1, max_count=1,
+    )
+
+
+SQL_KG_VALIDATE_CARDINALITY = """
+SELECT 'urn:cust:' || c_custkey AS focus, CAST(0 AS BIGINT) AS got,
+       'count(hasAccountBalance) in [1, 1]' AS rule
+FROM customer WHERE c_acctbal IS NULL OR c_acctbal > 5000
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_service_federated": QueryDef(q_kg_service_federated, SQL_KG_SERVICE),
+        "kg_validate_cardinality": QueryDef(
+            q_kg_validate_cardinality, SQL_KG_VALIDATE_CARDINALITY
+        ),
+    }
+)
