@@ -215,3 +215,53 @@ def decode_bindings(
             out = hash_join(out, d, on=id_col, join_type="inner",
                             num_partitions=num_partitions)
     return out.select_columns(list(mapping))
+
+
+def write_encoded_store(
+    triples: rd.Dataset, out_dir: str, *, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Materialize the dictionary-encoded store as sorted Parquet:
+
+    - ``dict/``  — (term, term_id) sorted by term: a constant term resolves
+      by row-group pushdown on ``term`` (the NodeTable lookup);
+    - ``pos/``   — (p_id, s_id, o_id) sorted by (p_id, s_id, o_id): a
+      constant-predicate scan reads only its row-group range, and the rows
+      it reads are 24 B fixed-width instead of IRI text.
+
+    Returns the (materialized) dictionary for reuse. The output directory
+    is truncated first — ``write_parquet`` appends into existing dirs."""
+    import os
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    d = build_term_dictionary(triples).materialize()
+    # build's output blocks are already term-sorted; write as-is
+    d.write_parquet(os.path.join(out_dir, "dict"))
+    enc = encode_triples(triples, d, num_partitions=num_partitions)
+    enc.sort(["p_id", "s_id", "o_id"]).write_parquet(os.path.join(out_dir, "pos"))
+    return d
+
+
+def read_dictionary(out_dir: str) -> rd.Dataset:
+    import os
+
+    return rd.read_parquet(os.path.join(out_dir, "dict"))
+
+
+def read_pred_encoded(out_dir: str, pred: str) -> rd.Dataset:
+    """Index-aware encoded read of one predicate: resolve the term id with
+    a pushdown read of the dictionary (row-group pruning on ``term``), then
+    read only the p_id range of the POS-sorted encoded table."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    rows = rd.read_parquet(
+        os.path.join(out_dir, "dict"), filter=pads.field("term") == pred
+    ).take_all()
+    if not rows:
+        raise KeyError(f"predicate {pred!r} not in the store's dictionary")
+    pid = rows[0]["term_id"]
+    return rd.read_parquet(
+        os.path.join(out_dir, "pos"), filter=pads.field("p_id") == pid
+    )

@@ -622,6 +622,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_path_negated",
     "kg_service_federated",
     "kg_validate_cardinality",
+    "kg_dict_store_probe",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

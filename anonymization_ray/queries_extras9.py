@@ -1535,3 +1535,49 @@ EXTRAS9_REGISTRY.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 58: dictionary-encoded store as a PERSISTED layout with pushdown
+# --------------------------------------------------------------------------
+
+def q_kg_dict_store_probe(sf_dir: str):
+    """The encoded store as a storage engine: the canonical graph persists
+    as term-sorted dictionary parquet + (p_id,s_id,o_id)-sorted POS parquet
+    under /tmp, then a constant-predicate probe resolves
+    `hasAccountBalance` via a pushdown dictionary read (row-group pruning
+    on term) and reads ONLY that predicate's row-group range of the
+    fixed-width encoded table; the result decodes back to (subj, obj) on
+    the result-sized tail."""
+    import os
+
+    from .kg.dictenc import (
+        decode_bindings,
+        read_dictionary,
+        read_pred_encoded,
+        write_encoded_store,
+    )
+
+    tri = _canonical_triples(sf_dir)
+    store = os.path.join(
+        "/tmp", f"anonray_dictstore_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    write_encoded_store(tri, store)
+    enc = read_pred_encoded(store, "hasAccountBalance")
+    d = read_dictionary(store).materialize()
+    return decode_bindings(enc, d, {"subj": "s_id", "obj": "o_id"})
+
+
+SQL_KG_DICT_STORE_PROBE = """
+SELECT 'urn:cust:' || c_custkey AS subj, CAST(c_acctbal AS VARCHAR) AS obj
+FROM customer WHERE c_acctbal IS NOT NULL
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_dict_store_probe": QueryDef(
+            q_kg_dict_store_probe, SQL_KG_DICT_STORE_PROBE
+        )
+    }
+)

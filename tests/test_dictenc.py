@@ -61,3 +61,37 @@ def test_empty_triples_yield_empty_schema_stable_dictionary(ray_session):
     d = build_term_dictionary(empty)
     assert d.count() == 0
     assert set(d.schema().names) == {"term", "term_id"}
+
+
+def test_encoded_store_pushdown_roundtrip(ray_session, tmp_path):
+    from anonymization_ray.kg.dictenc import (
+        read_pred_encoded,
+        write_encoded_store,
+    )
+
+    store = str(tmp_path / "store")
+    d = write_encoded_store(_tri(), store)
+    # constant-pred pushdown read equals the filtered full scan
+    ids = {r["term"]: r["term_id"] for r in d.take_all()}
+    got = sorted(
+        (r["s_id"], r["o_id"]) for r in read_pred_encoded(store, "p1").take_all()
+    )
+    want = sorted(
+        (ids[s], ids[o])
+        for s, p, o in zip(*[TRIPLES[c].to_pylist() for c in ("subj", "pred", "obj")])
+        if p == "p1"
+    )
+    assert got == want
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        read_pred_encoded(store, "not_a_pred")
+
+
+def test_encoded_store_overwrites_not_appends(ray_session, tmp_path):
+    from anonymization_ray.kg.dictenc import read_pred_encoded, write_encoded_store
+
+    store = str(tmp_path / "store")
+    write_encoded_store(_tri(), store)
+    write_encoded_store(_tri(), store)  # second write must truncate
+    assert read_pred_encoded(store, "p2").count() == 2
