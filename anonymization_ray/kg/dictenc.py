@@ -233,12 +233,18 @@ def write_encoded_store(
     import os
     import shutil
 
+    import json
+
     shutil.rmtree(out_dir, ignore_errors=True)
     d = build_term_dictionary(triples).materialize()
     # build's output blocks are already term-sorted; write as-is
     d.write_parquet(os.path.join(out_dir, "dict"))
-    enc = encode_triples(triples, d, num_partitions=num_partitions)
+    enc = encode_triples(triples, d, num_partitions=num_partitions).materialize()
     enc.sort(["p_id", "s_id", "o_id"]).write_parquet(os.path.join(out_dir, "pos"))
+    # per-predicate counts: the BGP optimizer's stats table, persisted at
+    # write time (vocabulary-sized)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(_store_stats(enc, d), f, sort_keys=True)
     return d
 
 
@@ -265,3 +271,37 @@ def read_pred_encoded(out_dir: str, pred: str) -> rd.Dataset:
     return rd.read_parquet(
         os.path.join(out_dir, "pos"), filter=pads.field("p_id") == pid
     )
+
+
+def _store_stats(enc: rd.Dataset, dictionary: rd.Dataset) -> dict[str, int]:
+    """Per-predicate triple counts (bounded by the predicate vocabulary):
+    one fold over p_id, then an is_in slice of the dictionary to name them."""
+    from ..util import fold_per_key
+
+    rows = fold_per_key(
+        enc.select_columns(["p_id"]), "p_id", {"n": ("count", None)}
+    ).take_all()
+    by_id = {r["p_id"]: r["n"] for r in rows}
+    want = pa.array(list(by_id), pa.int64())
+    names = dictionary.map_batches(
+        lambda b: b.filter(
+            pc.fill_null(
+                pc.is_in(b.column("term_id").combine_chunks(), value_set=want),
+                False,
+            )
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    return {r["term"]: int(by_id[r["term_id"]]) for r in names}
+
+
+def read_store_stats(out_dir: str) -> dict[str, int]:
+    """Per-predicate triple counts persisted at write time — feed these to
+    ``kg.bgp.optimize_pattern_order(pred_counts=...)`` so BGP planning over
+    the store costs one small JSON read instead of a vocabulary-sized
+    fold over the corpus."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        return json.load(f)

@@ -95,3 +95,19 @@ def test_encoded_store_overwrites_not_appends(ray_session, tmp_path):
     write_encoded_store(_tri(), store)
     write_encoded_store(_tri(), store)  # second write must truncate
     assert read_pred_encoded(store, "p2").count() == 2
+
+
+def test_store_stats_feed_the_bgp_optimizer(ray_session, tmp_path):
+    from anonymization_ray.kg.bgp import optimize_pattern_order
+    from anonymization_ray.kg.dictenc import read_store_stats, write_encoded_store
+
+    store = str(tmp_path / "store")
+    write_encoded_store(_tri(), store)
+    stats = read_store_stats(store)
+    assert stats == {"p1": 2, "p2": 2}
+    # the persisted stats drive planning without touching the corpus: a
+    # supplied pred_counts table must produce the same order as the fold
+    pats = [("?a", "p1", "?b"), ("?b", "p2", "c")]
+    ordered = optimize_pattern_order(_tri(), pats, pred_counts=stats)
+    baseline = optimize_pattern_order(_tri(), pats)
+    assert ordered == baseline
