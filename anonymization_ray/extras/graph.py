@@ -775,3 +775,70 @@ def modularity(
             "q": pa.array([q], pa.float64()),
         }
     )
+
+
+def bellman_ford(
+    edges: rd.Dataset,
+    seeds: list,
+    rounds: int,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    node_cap: int = 5_000_000,
+) -> rd.Dataset:
+    """Weighted shortest distances after exactly ``rounds`` Bellman-Ford
+    relaxation rounds -> Dataset[(node, dist)] (int64 weights; seeds at 0;
+    nodes still unreached after ``rounds`` absent).
+
+    Per round, EVERY edge relaxes against the CURRENT distance table —
+    the textbook synchronous recurrence, which is what makes an unrolled
+    SQL replica value-exact even before convergence. The distance table is
+    node-bounded: it broadcasts once per round (``ray.put``) and the edge
+    stream probes it with one vectorized ``index_in`` per batch — edges
+    NEVER shuffle; the only per-round exchange is the narrow
+    ``min_per_key`` fold over (node, candidate) rows. Distance tables
+    beyond ``node_cap`` refuse the broadcast loudly (the hash-join variant
+    is the escape hatch at that size, not a silent driver OOM)."""
+    from ..util import min_per_key
+
+    edges = edges.select_columns([src_col, dst_col, w_col]).materialize()
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array([0] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+    for _ in range(rounds):
+        rows = dist.take_all()
+        if len(rows) > node_cap:
+            raise ValueError(
+                f"distance table has {len(rows)} nodes — above node_cap "
+                f"({node_cap}); broadcast relaxation no longer applies"
+            )
+        nodes = pa.array([r["node"] for r in rows], pa.int64())
+        dvals = np.fromiter(
+            (r["dist"] for r in rows), dtype=np.int64, count=len(rows)
+        )
+        ref = ray.put((nodes, dvals))
+
+        def _relax(b: pa.Table) -> pa.Table:
+            nds, dd = ray.get(ref)
+            idx = pc.fill_null(
+                pc.index_in(b.column(src_col).combine_chunks(), nds), -1
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = idx >= 0
+            dst = b.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            w = b.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(dst[ok], pa.int64()),
+                    "dist": pa.array(dd[idx[ok]] + w[ok], pa.int64()),
+                }
+            )
+
+        cand = edges.map_batches(_relax, batch_format="pyarrow")
+        dist = min_per_key(dist.union(cand), "node", "dist").materialize()
+    return dist

@@ -623,6 +623,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_service_federated",
     "kg_validate_cardinality",
     "kg_dict_store_probe",
+    "graph_shortest_path",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

@@ -1581,3 +1581,98 @@ EXTRAS9_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 59: weighted shortest paths (Bellman-Ford)
+# --------------------------------------------------------------------------
+
+def q_graph_shortest_path(sf_dir: str):
+    """Weighted shortest distances (`extras/graph.bellman_ford`) over the
+    bipartite supplier<->part graph with edge weight = the MINIMUM
+    l_quantity linking the pair: 4 synchronous relaxation rounds from the
+    minimum supplier. Edges never shuffle — the node-bounded distance
+    table broadcasts each round and every edge batch relaxes with one
+    vectorized index_in probe; the per-round exchange is the narrow
+    min_per_key fold. Exactly-4-rounds semantics is what the unrolled SQL
+    oracle replays (value-exact even before convergence)."""
+    import numpy as np
+
+    from .extras.graph import bellman_ford
+    from .util import min_per_key
+
+    PART_OFFSET = 10_000_000
+    li = load(sf_dir, "lineitem", ["l_suppkey", "l_partkey", "l_quantity"])
+
+    def _edges(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) + PART_OFFSET
+        q = _pc.cast(b.column("l_quantity"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "sd": pa.array(
+                    np.concatenate([s, p]) * (1 << 32) + np.concatenate([p, s])
+                ),
+                "w": pa.array(np.concatenate([q, q]), pa.int64()),
+            }
+        )
+
+    # min weight per (src, dst): pack the pair into one int64 key (node ids
+    # fit 32 bits by construction), fold, unpack
+    packed = min_per_key(
+        li.map_batches(_edges, batch_format="pyarrow"), "sd", "w"
+    )
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        sd = b.column("sd").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(sd >> 32, pa.int64()),
+                "dst": pa.array(sd & ((1 << 32) - 1), pa.int64()),
+                "w": b.column("w").combine_chunks(),
+            }
+        )
+
+    edges = packed.map_batches(_unpack, batch_format="pyarrow")
+    seed = int(load(sf_dir, "supplier", ["s_suppkey"]).min("s_suppkey"))
+    return bellman_ford(edges, [seed], 4)
+
+
+def _sql_shortest_path() -> str:
+    base = """
+WITH e0 AS (
+  SELECT l_suppkey AS s, l_partkey + 10000000 AS p,
+         min(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+edges AS (SELECT s AS src, p AS dst, w FROM e0
+          UNION ALL SELECT p, s, w FROM e0),
+r0 AS (SELECT CAST(min(s_suppkey) AS BIGINT) AS node,
+              CAST(0 AS BIGINT) AS dist FROM supplier)"""
+    rounds = []
+    for k in range(1, 5):
+        rounds.append(f"""
+r{k} AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM r{k - 1}
+    UNION ALL
+    SELECT e.dst AS node, r.dist + e.w AS dist
+    FROM r{k - 1} r JOIN edges e ON e.src = r.node
+  ) GROUP BY node
+)""")
+    return base + "," + ",".join(rounds) + "\nSELECT node, dist FROM r4"
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "graph_shortest_path": QueryDef(
+            q_graph_shortest_path, _sql_shortest_path()
+        )
+    }
+)

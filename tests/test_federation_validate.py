@@ -66,3 +66,46 @@ def test_validate_cardinality_min_and_max(ray_session):
     got = sorted((r["focus"], r["got"]) for r in out)
     assert got == [("b", 2), ("c", 0)]
     assert all(r["rule"] == "count(hasV) in [1, 1]" for r in out)
+
+
+def test_bellman_ford_weighted_vs_reference(ray_session):
+    from anonymization_ray.extras.graph import bellman_ford
+
+    # weighted digraph with a shorter 2-hop detour: 1->3 direct w=10,
+    # 1->2->3 w=3+4=7; a cycle 3->1 must not diverge within the rounds
+    E = [(1, 2, 3), (2, 3, 4), (1, 3, 10), (3, 1, 1), (2, 4, 100)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in E], pa.int64()),
+                "dst": pa.array([e[1] for e in E], pa.int64()),
+                "w": pa.array([e[2] for e in E], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    got = {r["node"]: r["dist"] for r in bellman_ford(edges, [1], 4).take_all()}
+    # reference: synchronous relaxation, 4 rounds
+    ref = {1: 0}
+    for _ in range(4):
+        new = dict(ref)
+        for s, d, w in E:
+            if s in ref:
+                v = ref[s] + w
+                if d not in new or v < new[d]:
+                    new[d] = v
+        ref = new
+    assert got == ref == {1: 0, 2: 3, 3: 7, 4: 103}
+
+
+def test_bellman_ford_node_cap(ray_session):
+    from anonymization_ray.extras.graph import bellman_ford
+
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([1], pa.int64()),
+                  "dst": pa.array([2], pa.int64()),
+                  "w": pa.array([1], pa.int64())})
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="node_cap"):
+        bellman_ford(edges, [1], 2, node_cap=1)
