@@ -105,3 +105,77 @@ def delete_insert_where(
         if dedup_union:
             store = distinct_rows(store, list(_POS))
     return store
+
+
+# -- SPARQL 1.1 Update graph management (ADD / COPY / MOVE / CLEAR) --------
+#
+# Over the quad-on-triple predicate-fusion encoding (pred = "graph#pred",
+# the wave-37 scoping): every op is a composition of stateless prefix
+# scans, a retag projection and a stream union — only the DESTINATION
+# graph's slice ever pays a distinct (set semantics), the rest of the
+# store streams through untouched.
+
+
+def _graph_mask(b: pa.Table, graph: str):
+    return pc.starts_with(b.column("pred"), graph + "#")
+
+
+def _slice_graph(quads: rd.Dataset, graph: str, keep: bool) -> rd.Dataset:
+    def _f(b: pa.Table) -> pa.Table:
+        m = _graph_mask(b, graph)
+        return b.filter(m if keep else pc.invert(m))
+
+    return quads.map_batches(_f, batch_format="pyarrow")
+
+
+def _retag(quads: rd.Dataset, src: str, dst: str) -> rd.Dataset:
+    def _f(b: pa.Table) -> pa.Table:
+        tail = pc.utf8_replace_slice(
+            b.column("pred").combine_chunks(), 0, len(src) + 1, ""
+        )
+        return pa.table(
+            {
+                "subj": b.column("subj").combine_chunks(),
+                "pred": pc.binary_join_element_wise(dst + "#", tail, ""),
+                "obj": b.column("obj").combine_chunks(),
+            }
+        )
+
+    return quads.map_batches(_f, batch_format="pyarrow")
+
+
+def manage_graph(
+    quads: rd.Dataset, op: str, *, src: str | None = None, dst: str | None = None
+) -> rd.Dataset:
+    """SPARQL 1.1 Update graph management over predicate-fused quads.
+
+    - ``CLEAR``  (src): drop every triple of graph ``src``;
+    - ``ADD``    (src, dst): union ``src``'s triples into ``dst`` (set
+      semantics — the dst slice dedups, src survives);
+    - ``COPY``   (src, dst): dst := src (dst's prior triples dropped);
+    - ``MOVE``   (src, dst): COPY then CLEAR src.
+    """
+    op = op.upper()
+    if op == "CLEAR":
+        if not src:
+            raise ValueError("CLEAR needs src")
+        return _slice_graph(quads, src, keep=False)
+    if not src or not dst:
+        raise ValueError(f"{op} needs src and dst")
+    if src == dst:
+        return quads  # spec: same-graph ADD/COPY/MOVE is a no-op
+    moved = _retag(_slice_graph(quads, src, keep=True), src, dst)
+    if op == "ADD":
+        rest = _slice_graph(quads, dst, keep=False)
+        new_dst = distinct_rows(
+            _slice_graph(quads, dst, keep=True).union(moved), list(_POS)
+        )
+        return rest.union(new_dst)
+    if op == "COPY":
+        # everything outside dst survives (src included), dst becomes src
+        rest = _slice_graph(quads, dst, keep=False)
+        return rest.union(moved)
+    if op == "MOVE":
+        rest = _slice_graph(_slice_graph(quads, dst, keep=False), src, keep=False)
+        return rest.union(moved)
+    raise ValueError(f"unknown graph-management op {op!r}")

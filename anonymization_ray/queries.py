@@ -624,6 +624,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_validate_cardinality",
     "kg_dict_store_probe",
     "graph_shortest_path",
+    "kg_graph_add",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

@@ -1676,3 +1676,65 @@ EXTRAS9_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 60: SPARQL Update graph management (ADD/COPY/MOVE/CLEAR)
+# --------------------------------------------------------------------------
+
+def q_kg_graph_move(sf_dir: str):
+    """`ADD GRAPH urn:g:geo TO urn:g:cust` over the predicate-fused quad
+    store (customer facts tagged urn:g:cust, geo facts urn:g:geo, as in
+    kg_named_graph_query): the geo triples are copied INTO the cust graph
+    (set semantics — the destination slice dedups) and the geo graph
+    survives — stateless prefix scans + one retag projection + stream
+    unions; only the destination-graph slice pays a distinct. (MOVE/COPY/
+    CLEAR share the same kernel and are pinned by unit tests — MOVE
+    REPLACES the destination per spec, which makes its result a bare
+    retag, less interesting as an oracle row.)"""
+    import pyarrow.compute as _pc
+
+    from .kg.update import manage_graph
+
+    # _canonical_triples MATERIALIZES the pipeline's triple stream — the
+    # actor-pool extraction stage must not be consumed lazily through the
+    # downstream scans (observed to stall the scheduler on narrow widths)
+    tri = _canonical_triples(sf_dir)
+
+    def _scope(b: pa.Table) -> pa.Table:
+        g = _pc.if_else(
+            _pc.starts_with(b.column("subj"), "urn:cust:"),
+            pa.scalar("urn:g:cust"),
+            pa.scalar("urn:g:geo"),
+        )
+        return pa.table(
+            {
+                "subj": b.column("subj").combine_chunks(),
+                "pred": _pc.binary_join_element_wise(g, b.column("pred"), "#"),
+                "obj": b.column("obj").combine_chunks(),
+            }
+        )
+
+    quads = tri.map_batches(_scope, batch_format="pyarrow")
+    return manage_graph(quads, "ADD", src="urn:g:geo", dst="urn:g:cust")
+
+
+def _sql_graph_move() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH tri AS (SELECT subj, pred, obj FROM ({SQL_KG_CANONICAL}))
+SELECT subj,
+       CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust#'
+            ELSE 'urn:g:geo#' END || pred AS pred,
+       obj
+FROM tri
+UNION ALL
+SELECT subj, 'urn:g:cust#' || pred, obj FROM tri
+WHERE subj NOT LIKE 'urn:cust:%'
+"""
+
+
+EXTRAS9_REGISTRY.update(
+    {"kg_graph_add": QueryDef(q_kg_graph_move, _sql_graph_move())}
+)

@@ -85,3 +85,70 @@ def test_negated_parse_errors():
         parse_path("!(a|)")
     with pytest.raises(ValueError):
         parse_path("!")
+
+
+QUADS = pa.table(
+    {
+        "subj": pa.array(["a", "a", "b", "z"]),
+        "pred": pa.array(["g1#p", "g1#q", "g2#p", "g3#p"]),
+        "obj": pa.array(["1", "2", "3", "4"]),
+    }
+)
+
+
+def _q():
+    return rd.from_arrow(QUADS).repartition(2)
+
+
+def _qrows(ds):
+    return sorted((r["subj"], r["pred"], r["obj"]) for r in ds.take_all())
+
+
+def test_graph_clear(ray_session):
+    from anonymization_ray.kg.update import manage_graph
+
+    out = manage_graph(_q(), "CLEAR", src="g1")
+    assert _qrows(out) == [("b", "g2#p", "3"), ("z", "g3#p", "4")]
+
+
+def test_graph_add_dedups_destination(ray_session):
+    from anonymization_ray.kg.update import manage_graph
+
+    # g2 already holds (b, p, 3); add g2 into g1 twice-over: dst dedups,
+    # src survives, g3 untouched
+    out = manage_graph(_q(), "ADD", src="g2", dst="g1")
+    rows = _qrows(out)
+    assert rows.count(("b", "g1#p", "3")) == 1
+    assert ("b", "g2#p", "3") in rows and ("z", "g3#p", "4") in rows
+    assert len(rows) == 5
+    # adding when dst ALREADY has the triple: still exactly one copy
+    again = manage_graph(out, "ADD", src="g2", dst="g1")
+    assert _qrows(again) == rows
+
+
+def test_graph_copy_replaces_destination(ray_session):
+    from anonymization_ray.kg.update import manage_graph
+
+    out = manage_graph(_q(), "COPY", src="g2", dst="g1")
+    assert _qrows(out) == [
+        ("b", "g1#p", "3"), ("b", "g2#p", "3"), ("z", "g3#p", "4"),
+    ]
+
+
+def test_graph_move_replaces_and_clears_src(ray_session):
+    from anonymization_ray.kg.update import manage_graph
+
+    out = manage_graph(_q(), "MOVE", src="g1", dst="g2")
+    assert _qrows(out) == [
+        ("a", "g2#p", "1"), ("a", "g2#q", "2"), ("z", "g3#p", "4"),
+    ]
+
+
+def test_graph_same_src_dst_noop_and_errors(ray_session):
+    from anonymization_ray.kg.update import manage_graph
+
+    assert _qrows(manage_graph(_q(), "ADD", src="g1", dst="g1")) == _qrows(_q())
+    with pytest.raises(ValueError):
+        manage_graph(_q(), "CLEAR")
+    with pytest.raises(ValueError):
+        manage_graph(_q(), "SHUFFLE", src="g1", dst="g2")
