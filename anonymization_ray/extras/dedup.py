@@ -159,7 +159,7 @@ def minhash_from_flat(
     return sigs
 
 
-def minhash_lsh_pairs(
+def banded_stream(
     ds: rd.Dataset,
     text_col: str,
     id_col: str,
@@ -167,27 +167,18 @@ def minhash_lsh_pairs(
     num_perm: int = _N_PERM,
     bands: int = 16,
     shingle_k: int = 3,
-    verify_threshold: float | None = 0.5,
-    max_bucket: int | None = None,
 ) -> rd.Dataset:
-    """Candidate near-duplicate pairs (a < b) from banded LSH buckets; when
-    ``verify_threshold`` is set, pairs are verified with exact n-gram jaccard
-    inside the bucket group.
+    """Materialized (band, bucket, id) LSH rows for ``ds`` — the banding
+    stage shared by the one-shot pair generator and the incremental index.
 
-    ``max_bucket`` is the skew valve: a bucket of D near-identical documents
-    yields D^2 join rows in ONE partition (exact duplicates share every
-    band). Buckets above the cap are dropped from pair generation — run
-    ``exact_dedup`` first, which owns exact-duplicate collapse; the cap only
-    ever fires on pathological exact-dup clusters, far above any genuine
-    near-dup neighborhood. The census costs one extra narrow sort of the
-    banded stream, so it is opt-in: enable (e.g. 10_000) on crawls that have
-    NOT been exact-deduped first; ``None`` (default) skips it."""
+    The text stream stays LAZY: pinning (id, text) in the object store is
+    a full-corpus spill at crawl scale. The signature kernel reads it once;
+    callers that verify re-read only the candidate-id slice. The banded
+    stream is read more than once downstream (both sides of the self-join,
+    or index persist + join): holding the NARROW (band, bucket, id) rows —
+    ~20·bands B/doc vs KB-scale text — is what keeps the expensive
+    signature kernel single-pass."""
     rows_per_band = num_perm // bands
-    # the text stream stays LAZY: pinning (id, text) in the object store is
-    # a full-corpus spill at crawl scale. The signature kernel reads it once;
-    # verification re-reads only the candidate-id slice (below). Upstream
-    # lineage (a pruned parquet read + cheap vectorized stages) re-executes
-    # instead — columnar re-scan beats spill-write + spill-read of the text.
     ds = ds.select_columns([id_col, text_col])
     sigs = minhash_signatures(ds, text_col, id_col, num_perm=num_perm, shingle_k=shingle_k)
 
@@ -211,10 +202,36 @@ def minhash_lsh_pairs(
             }
         )
 
-    # the banded stream is read twice (both sides of the self-join): holding
-    # the NARROW (band, bucket, id) rows — ~20·bands B/doc vs KB-scale text —
-    # is what keeps the expensive signature kernel single-pass
-    banded = sigs.map_batches(_bands, batch_format="pyarrow").materialize()
+    return sigs.map_batches(_bands, batch_format="pyarrow").materialize()
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = _N_PERM,
+    bands: int = 16,
+    shingle_k: int = 3,
+    verify_threshold: float | None = 0.5,
+    max_bucket: int | None = None,
+) -> rd.Dataset:
+    """Candidate near-duplicate pairs (a < b) from banded LSH buckets; when
+    ``verify_threshold`` is set, pairs are verified with exact n-gram jaccard
+    inside the bucket group.
+
+    ``max_bucket`` is the skew valve: a bucket of D near-identical documents
+    yields D^2 join rows in ONE partition (exact duplicates share every
+    band). Buckets above the cap are dropped from pair generation — run
+    ``exact_dedup`` first, which owns exact-duplicate collapse; the cap only
+    ever fires on pathological exact-dup clusters, far above any genuine
+    near-dup neighborhood. The census costs one extra narrow sort of the
+    banded stream, so it is opt-in: enable (e.g. 10_000) on crawls that have
+    NOT been exact-deduped first; ``None`` (default) skips it."""
+    ds = ds.select_columns([id_col, text_col])
+    banded = banded_stream(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
 
     if max_bucket is not None:
         # bucket-size census over a folded (band, bucket) key with the
@@ -270,6 +287,30 @@ def minhash_lsh_pairs(
     if verify_threshold is None:
         return uniq
 
+    return verify_pairs_exact(
+        uniq, ds, text_col=text_col, id_col=id_col, shingle_k=shingle_k,
+        threshold=verify_threshold, nparts=nparts,
+    )
+
+
+def verify_pairs_exact(
+    uniq: rd.Dataset,
+    ds: rd.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    nparts: int | None = None,
+) -> rd.Dataset:
+    """Exact n-gram-jaccard verification of candidate (id_a, id_b) pairs
+    against the text stream ``ds`` — the shared tail of the one-shot LSH
+    pair generator and the incremental index append. Returns
+    (id_a, id_b, jaccard) rows with jaccard >= ``threshold``."""
+    from ..util import default_num_partitions, hash_join
+
+    if nparts is None:
+        nparts = max(2, default_num_partitions() // 2)
     # exact jaccard verification: the full text stream never joins — only
     # CANDIDATE ids (small by LSH construction) get their text re-read. The
     # semi join's broadcast path filters the lazy text stream in one
@@ -299,7 +340,7 @@ def minhash_lsh_pairs(
     joined = hash_join(uniq, ta, on="id_a", join_type="inner", num_partitions=jparts)
     joined = hash_join(joined, tb, on="id_b", join_type="inner", num_partitions=jparts)
 
-    def _verify(batch: pa.Table, thr=verify_threshold, k=shingle_k) -> pa.Table:
+    def _verify(batch: pa.Table, thr=threshold, k=shingle_k) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return pa.table(
@@ -1571,4 +1612,119 @@ def bloom_cross_dedup(
 
     return new.select_columns([id_col, text_col]).map_batches(
         _probe, batch_format="pyarrow"
+    )
+
+
+# -- incremental MinHash-LSH index (daily-crawl increments) -----------------
+
+def minhash_index_write(
+    ds: rd.Dataset,
+    out_dir: str,
+    *,
+    text_col: str,
+    id_col: str,
+    num_perm: int = _N_PERM,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> None:
+    """Persist the banded LSH rows of ``ds`` as a parquet index (plus the
+    hashing config in meta.json — appends are refused under a different
+    config, silently-incomparable buckets being the classic index-poisoning
+    bug). The index holds ONLY (band, bucket, id) — ~20·bands bytes/doc —
+    so tomorrow's crawl increment never recomputes today's signatures."""
+    import json
+    import os
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    banded = banded_stream(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands, shingle_k=shingle_k
+    )
+    banded.write_parquet(os.path.join(out_dir, "bands"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(
+            {"num_perm": num_perm, "bands": bands, "shingle_k": shingle_k,
+             "id_col": id_col},
+            f, sort_keys=True,
+        )
+
+
+def minhash_index_append_pairs(
+    index_dir: str,
+    new_ds: rd.Dataset,
+    corpus_ds: rd.Dataset,
+    *,
+    text_col: str,
+    id_col: str,
+    verify_threshold: float | None = 0.5,
+    update_index: bool = True,
+) -> rd.Dataset:
+    """Near-duplicate pairs CONTRIBUTED by a crawl increment against an
+    existing LSH index, without recomputing the indexed corpus's
+    signatures: the increment bands once, new-vs-old candidates come from
+    one (band, bucket) hash join against the persisted index, new-vs-new
+    from the banded self-join, and verification re-reads only the
+    candidate-id text slice of ``corpus_ds`` (old ∪ new). Equals the full
+    recompute's pairs restricted to pairs touching a new id (banding is
+    per-document — an unchanged document's buckets never move).
+
+    ``update_index=True`` appends the increment's banded rows to the index
+    (parquet append is the desired semantics here) so the next increment
+    sees today's documents. New ids must be disjoint from indexed ids."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["id_col"] != id_col:
+        raise ValueError(
+            f"index was built over id_col={meta['id_col']!r}, got {id_col!r}"
+        )
+    new_banded = banded_stream(
+        new_ds, text_col, id_col,
+        num_perm=meta["num_perm"], bands=meta["bands"],
+        shingle_k=meta["shingle_k"],
+    )
+    old_banded = rd.read_parquet(os.path.join(index_dir, "bands"))
+
+    from ..util import default_num_partitions, distinct_rows
+
+    nparts = max(2, default_num_partitions() // 2)
+    left = old_banded.map_batches(
+        lambda b: b.rename_columns(["band", "bucket", "id_a"]),
+        batch_format="pyarrow",
+    ).materialize()
+    right = new_banded.map_batches(
+        lambda b: b.rename_columns(["band", "bucket", "id_b"]),
+        batch_format="pyarrow",
+    ).materialize()
+    cross = left.join(
+        right, join_type="inner", num_partitions=nparts, on=("band", "bucket")
+    )
+    nn = right.map_batches(
+        lambda b: b.rename_columns(["band", "bucket", "id_a"]),
+        batch_format="pyarrow",
+    ).join(right, join_type="inner", num_partitions=nparts, on=("band", "bucket"))
+
+    def _ordered(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a")
+        b = batch.column("id_b")
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        t = pa.table({"id_a": lo, "id_b": hi})
+        return t.filter(pc.less(t.column("id_a"), t.column("id_b")))
+
+    pairs = cross.map_batches(_ordered, batch_format="pyarrow").union(
+        nn.map_batches(_ordered, batch_format="pyarrow")
+    )
+    uniq = distinct_rows(pairs, ["id_a", "id_b"])
+    if update_index:
+        new_banded.write_parquet(os.path.join(index_dir, "bands"))
+    if verify_threshold is None:
+        return uniq
+    return verify_pairs_exact(
+        uniq, corpus_ds.select_columns([id_col, text_col]),
+        text_col=text_col, id_col=id_col, shingle_k=meta["shingle_k"],
+        threshold=verify_threshold, nparts=nparts,
     )

@@ -625,6 +625,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_dict_store_probe",
     "graph_shortest_path",
     "kg_graph_add",
+    "dedup_minhash_incremental",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

@@ -1738,3 +1738,55 @@ WHERE subj NOT LIKE 'urn:cust:%'
 EXTRAS9_REGISTRY.update(
     {"kg_graph_add": QueryDef(q_kg_graph_move, _sql_graph_move())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 61: incremental MinHash-LSH index (crawl-increment dedup)
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash_incremental(sf_dir: str):
+    """Crawl-increment near-dup detection WITHOUT recomputing the indexed
+    corpus: the base documents' banded LSH rows persist once
+    (`minhash_index_write`, ~20·bands B/doc), then the increment (the
+    perturbed twins) bands itself and probes the index with ONE
+    (band, bucket) hash join (new-vs-old) plus a banded self-join
+    (new-vs-new); only the candidate-id text slice re-reads for exact
+    jaccard verification. Result = the full recompute's pairs restricted
+    to pairs touching an increment id — which on this corpus is ALL true
+    pairs (every planted twin pairs old-with-new)."""
+    import os
+
+    from .extras.dedup import minhash_index_append_pairs, minhash_index_write
+    from .queries_extras import DUP_OFFSET, _corpus_with_dups
+
+    corpus = _corpus_with_dups(sf_dir).materialize()
+    old = corpus.filter(expr=f"doc_id < {DUP_OFFSET}")
+    new = corpus.filter(expr=f"doc_id >= {DUP_OFFSET}")
+    idx = os.path.join(
+        "/tmp", f"anonray_lshidx_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    minhash_index_write(old, idx, text_col="text", id_col="doc_id", bands=32)
+    pairs = minhash_index_append_pairs(
+        idx, new, corpus, text_col="text", id_col="doc_id",
+        verify_threshold=0.5,
+    )
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def _sql_minhash_incremental() -> str:
+    from .queries_extras import DUP_OFFSET, _SQL_DUP_CTES
+
+    return (
+        f"WITH {_SQL_DUP_CTES}\n"
+        f"SELECT id_a, id_b FROM dup "
+        f"WHERE id_a >= {DUP_OFFSET} OR id_b >= {DUP_OFFSET}"
+    )
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "dedup_minhash_incremental": QueryDef(
+            q_dedup_minhash_incremental, _sql_minhash_incremental()
+        )
+    }
+)
