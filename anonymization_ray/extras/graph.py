@@ -76,6 +76,7 @@ def pagerank_int(
     dst_col: str = "dst",
     iterations: int = 3,
     scale: int = PR_SCALE,
+    teleport: list | None = None,
 ) -> rd.Dataset:
     """Integer PageRank over a (src, dst) edge Dataset -> Dataset[(node, rank)].
 
@@ -83,7 +84,13 @@ def pagerank_int(
     one sort-based ``sum_per_key`` over dst, one node-sized left join — the
     canonical distributed-PageRank cost profile. Node-sized intermediates are
     materialized between iterations (tiny next to the edge stream). With
-    scale=1e6 the damped sums stay under int64 even at 1e9 nodes."""
+    scale=1e6 the damped sums stay under int64 even at 1e9 nodes.
+
+    ``teleport`` switches to PERSONALIZED PageRank: ranks start at
+    ``scale`` on the teleport nodes (0 elsewhere) and the 15% restart mass
+    returns only to them — the seed set is dimension-sized, broadcast as
+    one is_in mask per node batch; the per-iteration cost profile is
+    unchanged."""
     edges = edges.select_columns([src_col, dst_col]).materialize()
     m = edges.count()
     nparts = _clamp_parts(m)
@@ -118,10 +125,20 @@ def pagerank_int(
     node_parts = _clamp_parts(n_nodes)
     base = (15 * scale) // 100
 
-    ranks = nodes.map_batches(
-        lambda b: b.append_column("rank", pa.array(np.full(b.num_rows, scale, np.int64))),
-        batch_format="pyarrow",
-    ).materialize()
+    seed_arr = pa.array(teleport, nodes.schema().types[0]) if teleport else None
+
+    def _init(b: pa.Table) -> pa.Table:
+        if seed_arr is None:
+            r = np.full(b.num_rows, scale, np.int64)
+        else:
+            m = pc.fill_null(
+                pc.is_in(b.column("node").combine_chunks(), value_set=seed_arr),
+                False,
+            ).to_numpy(zero_copy_only=False)
+            r = np.where(m, scale, 0).astype(np.int64)
+        return b.append_column("rank", pa.array(r, pa.int64()))
+
+    ranks = nodes.map_batches(_init, batch_format="pyarrow").materialize()
 
     for _ in range(iterations):
         joined = hash_join(
@@ -152,7 +169,14 @@ def pagerank_int(
                 .combine_chunks()
                 .to_numpy(zero_copy_only=False)
             )
-            r = base + (85 * s) // 100
+            if seed_arr is None:
+                r = base + (85 * s) // 100
+            else:
+                m = pc.fill_null(
+                    pc.is_in(b.column("node").combine_chunks(), value_set=seed_arr),
+                    False,
+                ).to_numpy(zero_copy_only=False)
+                r = np.where(m, base, 0).astype(np.int64) + (85 * s) // 100
             return pa.table({"node": b.column("node").combine_chunks(), "rank": pa.array(r)})
 
         ranks = nxt.map_batches(_damp, batch_format="pyarrow").materialize()

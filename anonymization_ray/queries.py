@@ -626,6 +626,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_shortest_path",
     "kg_graph_add",
     "dedup_minhash_incremental",
+    "kg_pagerank_personalized",
     # round-4 wave 54
     "kg_bgp_optimized",
     # round-4 wave 53

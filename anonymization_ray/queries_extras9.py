@@ -1790,3 +1790,77 @@ EXTRAS9_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 62: personalized PageRank
+# --------------------------------------------------------------------------
+
+def q_kg_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank over the KG's iri edges: the 15% restart mass
+    returns ONLY to the two seed nations (teleport set broadcast as one
+    is_in mask per node batch), ranks start at the seeds — per-iteration
+    cost identical to global PageRank (edge join + sum_per_key + node-sized
+    left join), exact int64 millionth-units, 3 iterations. Top-25 by
+    (rank desc, node)."""
+    import pyarrow.compute as _pc
+
+    from .extras.graph import pagerank_int
+
+    tri = _canonical_triples(sf_dir)
+
+    def _edges(b: pa.Table) -> pa.Table:
+        t = b.filter(_pc.equal(b.column("obj_kind"), "iri"))
+        return pa.table(
+            {"src": t.column("subj").combine_chunks(),
+             "dst": t.column("obj").combine_chunks()}
+        )
+
+    ranks = pagerank_int(
+        tri.map_batches(_edges, batch_format="pyarrow"),
+        iterations=3,
+        teleport=["urn:nation:1", "urn:nation:2"],
+    )
+    top = ranks.sort(["rank", "node"], descending=[True, False]).limit(25)
+    return top.rename_columns({"rank": "pr"})
+
+
+def _sql_ppr(iterations: int = 3, scale: int = 1_000_000) -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    base = (15 * scale) // 100
+    seeds = "('urn:nation:1', 'urn:nation:2')"
+    ctes = [
+        f"canon AS ({SQL_KG_CANONICAL})",
+        "edges AS (SELECT subj AS src, obj AS dst FROM canon WHERE obj_kind = 'iri')",
+        "nodes AS (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        f"r0 AS (SELECT node, CAST(CASE WHEN node IN {seeds} THEN {scale} "
+        f"ELSE 0 END AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"s{i} AS (SELECT e.dst AS node, sum(r{i-1}.r // deg.d) AS s "
+            f"FROM edges e JOIN deg ON deg.src = e.src "
+            f"JOIN r{i-1} ON r{i-1}.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST(CASE WHEN n.node IN {seeds} "
+            f"THEN {base} ELSE 0 END + (85 * COALESCE(s{i}.s, 0)) // 100 "
+            f"AS BIGINT) AS r FROM nodes n LEFT JOIN s{i} ON s{i}.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, r AS pr FROM r{iterations} ORDER BY r DESC, node LIMIT 25"
+    )
+
+
+EXTRAS9_REGISTRY.update(
+    {
+        "kg_pagerank_personalized": QueryDef(
+            q_kg_pagerank_personalized, _sql_ppr()
+        )
+    }
+)
