@@ -43,11 +43,12 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..util import distinct_rows, hash_join
+from ..util import distinct_rows, hash_join, retry_shuffle_race
 
 _POS_COLS = ("subj", "pred", "obj")
 
 
+@retry_shuffle_race
 def build_term_dictionary(
     triples: rd.Dataset, cols: tuple[str, ...] = _POS_COLS
 ) -> rd.Dataset:
@@ -86,6 +87,7 @@ def build_term_dictionary(
     return rd.from_arrow_refs([_stamp.remote(r, int(o)) for r, o in live])
 
 
+@retry_shuffle_race
 def encode_triples(
     triples: rd.Dataset,
     dictionary: rd.Dataset,
@@ -150,6 +152,7 @@ def resolve_terms(dictionary: rd.Dataset, terms: list[str]) -> dict[str, int]:
     return out
 
 
+@retry_shuffle_race
 def decode_bindings(
     bindings: rd.Dataset,
     dictionary: rd.Dataset,
@@ -217,6 +220,7 @@ def decode_bindings(
     return out.select_columns(list(mapping))
 
 
+@retry_shuffle_race
 def write_encoded_store(
     triples: rd.Dataset, out_dir: str, *, num_partitions: int | None = None
 ) -> rd.Dataset:

@@ -614,6 +614,9 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 # via tests/test_oracles.py — surface first so the round-4 driver gate
 # covers them; new round-4 operators are appended to this list as they land.
 _DRIVER_PRIORITY: list[str] = [
+    # round-4 waves 63+
+    "corpus_orc_roundtrip",
+    "corpus_feather_roundtrip",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",
@@ -913,6 +916,7 @@ def _full_registry() -> dict[str, QueryDef]:
     from .queries_extras7 import EXTRAS7_REGISTRY
     from .queries_extras8 import EXTRAS8_REGISTRY
     from .queries_extras9 import EXTRAS9_REGISTRY
+    from .queries_extras10 import EXTRAS10_REGISTRY
     from .queries_kg import KG_REGISTRY
 
     merged = dict(_BASE_REGISTRY)
@@ -926,6 +930,7 @@ def _full_registry() -> dict[str, QueryDef]:
     merged.update(EXTRAS7_REGISTRY)
     merged.update(EXTRAS8_REGISTRY)
     merged.update(EXTRAS9_REGISTRY)
+    merged.update(EXTRAS10_REGISTRY)
     out = {k: merged.pop(k) for k in _DRIVER_PRIORITY if k in merged}
     out.update(merged)
     return out

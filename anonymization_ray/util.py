@@ -413,6 +413,35 @@ def topk_per_key(
     )
 
 
+def retry_shuffle_race(fn):
+    """Re-run ``fn`` when Ray 2.49's hash-shuffle schema-broadcast race
+    fires: join/aggregate schemas reach the shuffle aggregators only from
+    the FIRST shuffle task of each input, so under load a partition can
+    finalize with a schema-less empty table and the Arrow join dies with
+    "No match or multiple matches for key field". The failure is a
+    scheduling race, not data-dependent — re-running the (deterministic)
+    builder absorbs it. Zero cost on the non-raced path; only functions
+    that materialize a hash-shuffle internally need the guard (lazy
+    callers are covered by the registry wrapper in ``__ray_entry__``)."""
+    import functools
+    import time
+
+    @functools.wraps(fn)
+    def _run(*args, **kwargs):
+        last = None
+        for attempt in range(3):
+            try:
+                return fn(*args, **kwargs)
+            except Exception as e:  # noqa: BLE001 — match on the signature
+                if "No match or multiple matches for key field" not in str(e):
+                    raise
+                last = e
+                time.sleep(1 + attempt)
+        raise last
+
+    return _run
+
+
 def default_num_partitions() -> int:
     """Join/shuffle partition count sized to the cluster: the join's
     aggregator actors each hold a CPU, so too many partitions on a small

@@ -21,10 +21,20 @@ def con():
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, con):
+    from anonymization_ray.util import retry_shuffle_race
+
     qd = REGISTRY[name]
-    result = qd.fn(SF_DIR)
-    if qd.sql is None:
-        df = to_pandas(result)
-        assert len(df) > 0
-        return
-    assert_matches(result, con, qd.sql, name)
+
+    # retry_shuffle_race: absorb the documented Ray 2.49 hash-shuffle
+    # schema-broadcast race (load-dependent, not data-dependent) the same
+    # way the driver-facing registry wrapper in __ray_entry__ does
+    @retry_shuffle_race
+    def _run_and_compare():
+        result = qd.fn(SF_DIR)
+        if qd.sql is None:
+            df = to_pandas(result)
+            assert len(df) > 0
+            return
+        assert_matches(result, con, qd.sql, name)
+
+    _run_and_compare()
