@@ -617,6 +617,7 @@ _DRIVER_PRIORITY: list[str] = [
     # round-4 waves 63+
     "corpus_orc_roundtrip",
     "corpus_feather_roundtrip",
+    "kg_list_rank",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

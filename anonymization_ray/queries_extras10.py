@@ -75,3 +75,72 @@ EXTRAS10_REGISTRY.update(
         ),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 64: rdf:List ranking (ordered-collection recovery)
+# --------------------------------------------------------------------------
+
+def _list_triples(sf_dir: str):
+    """Deterministic rdf:List fixture: per region, the cons chain of its
+    nations in n_nationkey order — urn:region:<r> memberList urn:cell:<k0>,
+    each cell rdf:first urn:nation:<k> / rdf:rest next-cell-or-nil. Pure
+    function of the nation table, mirrored in the oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    rows = sorted(
+        zip(
+            n.column("n_regionkey").to_pylist(),
+            n.column("n_nationkey").to_pylist(),
+        )
+    )
+    subj, pred, obj = [], [], []
+    for i, (r, k) in enumerate(rows):
+        nxt = rows[i + 1] if i + 1 < len(rows) else None
+        if i == 0 or rows[i - 1][0] != r:
+            subj.append(f"urn:region:{r}")
+            pred.append("memberList")
+            obj.append(f"urn:cell:{k}")
+        subj.append(f"urn:cell:{k}")
+        pred.append("rdf:first")
+        obj.append(f"urn:nation:{k}")
+        subj.append(f"urn:cell:{k}")
+        pred.append("rdf:rest")
+        obj.append(f"urn:cell:{nxt[1]}" if nxt and nxt[0] == r else "rdf:nil")
+    t = pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(pred, pa.string()),
+            "obj": pa.array(obj, pa.string()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+def q_kg_list_rank(sf_dir: str):
+    """rdf:List member ranking (`kg/rdflist.py`): cons chains -> (head,
+    pos, member) via pointer doubling — O(log length) node-sized hash
+    joins, never a sequential walk. The fixture is one list per region
+    (nations in key order); a unit test drives a 129-cell chain and a
+    cycle to pin the round bound and the loud-failure contract."""
+    from .kg.rdflist import rank_rdf_lists
+
+    return rank_rdf_lists(_list_triples(sf_dir), entry_pred="memberList")
+
+
+SQL_KG_LIST_RANK = """
+SELECT 'urn:region:' || n_regionkey AS head,
+       CAST(row_number() OVER (PARTITION BY n_regionkey
+                               ORDER BY n_nationkey) - 1 AS BIGINT) AS pos,
+       'urn:nation:' || n_nationkey AS member
+FROM nation
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_list_rank": QueryDef(q_kg_list_rank, SQL_KG_LIST_RANK)}
+)
