@@ -144,3 +144,93 @@ FROM nation
 EXTRAS10_REGISTRY.update(
     {"kg_list_rank": QueryDef(q_kg_list_rank, SQL_KG_LIST_RANK)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 65: OWL inverse/symmetric property closure
+# --------------------------------------------------------------------------
+
+def _trades_edges(sf_dir: str) -> pa.Table:
+    """Deterministic symmetric-predicate fixture: each nation tradesWith
+    the NEXT nation of its region (one asserted direction only — the
+    closure must add the other). Pure function of the nation table."""
+    import pyarrow.parquet as pq
+
+    n = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    rows = sorted(
+        zip(
+            n.column("n_regionkey").to_pylist(),
+            n.column("n_nationkey").to_pylist(),
+        )
+    )
+    subj, obj = [], []
+    for i, (r, k) in enumerate(rows[:-1]):
+        if rows[i + 1][0] == r:
+            subj.append(f"urn:nation:{k}")
+            obj.append(f"urn:nation:{rows[i + 1][1]}")
+    return pa.table(
+        {
+            "subj": pa.array(subj, pa.string()),
+            "pred": pa.array(["tradesWith"] * len(subj), pa.string()),
+            "obj": pa.array(obj, pa.string()),
+            "obj_kind": pa.array(["iri"] * len(subj), pa.string()),
+        }
+    )
+
+
+def q_kg_owl_closure(sf_dir: str):
+    """OWL property-semantics closure (`kg/owl.py`): canonical graph +
+    one-directional tradesWith edges, closed under owl:inverseOf
+    (basedIn->hasCustomer, partOf->contains) and owl:SymmetricProperty
+    (tradesWith) — one broadcast-ontology scan emits implied triples,
+    set semantics via packed-key sort-scan distinct. Literal-object
+    triples (hasAccountBalance) never invert."""
+    import ray.data as rd
+
+    from .kg.owl import materialize_property_semantics
+    from .queries_extras9 import _canonical_triples
+
+    asserted = _canonical_triples(sf_dir).union(
+        rd.from_arrow(_trades_edges(sf_dir))
+    )
+    return materialize_property_semantics(
+        asserted,
+        inverse_map={"basedIn": "hasCustomer", "partOf": "contains"},
+        symmetric=("tradesWith",),
+    )
+
+
+def _sql_owl_closure() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH canon AS ({SQL_KG_CANONICAL}),
+tw AS (
+  SELECT 'urn:nation:' || n_nationkey AS subj, 'tradesWith' AS pred,
+         'urn:nation:' || lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS obj,
+         'iri' AS obj_kind
+  FROM nation QUALIFY obj IS NOT NULL
+),
+asserted AS (SELECT * FROM canon UNION ALL SELECT * FROM tw),
+implied AS (
+  SELECT obj AS subj, 'hasCustomer' AS pred, subj AS obj, 'iri' AS obj_kind
+  FROM asserted WHERE pred = 'basedIn' AND obj_kind = 'iri'
+  UNION ALL
+  SELECT obj, 'contains', subj, 'iri'
+  FROM asserted WHERE pred = 'partOf' AND obj_kind = 'iri'
+  UNION ALL
+  SELECT obj, 'tradesWith', subj, 'iri'
+  FROM asserted WHERE pred = 'tradesWith' AND obj_kind = 'iri'
+)
+SELECT DISTINCT subj, pred, obj, obj_kind FROM (
+  SELECT * FROM asserted UNION ALL SELECT * FROM implied
+)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_owl_closure": QueryDef(q_kg_owl_closure, _sql_owl_closure())}
+)
