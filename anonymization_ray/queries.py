@@ -619,6 +619,7 @@ _DRIVER_PRIORITY: list[str] = [
     "corpus_feather_roundtrip",
     "kg_list_rank",
     "kg_owl_closure",
+    "crawl_robots_filter",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

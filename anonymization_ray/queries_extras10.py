@@ -234,3 +234,126 @@ SELECT DISTINCT subj, pred, obj, obj_kind FROM (
 EXTRAS10_REGISTRY.update(
     {"kg_owl_closure": QueryDef(q_kg_owl_closure, _sql_owl_closure())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 66: robots.txt longest-match crawl filter
+# --------------------------------------------------------------------------
+
+# deterministic robots fixture: example.org blocks /doc/1* except /doc/12*;
+# even h{k} subdomain hosts block /doc entirely except /doc/3*; odd hosts
+# publish no robots.txt (everything allowed)
+_ROBOTS_BODIES = {
+    "example.org": "User-agent: *\nDisallow: /doc/1\nAllow: /doc/12\n",
+    **{
+        f"h{k}.example.org": "User-agent: *\nDisallow: /doc\nAllow: /doc/3\n"
+        for k in (0, 2, 4, 6)
+    },
+}
+
+
+def _crawl_urls(sf_dir: str):
+    """Three url variants per document (plain, query-string, sharded
+    subdomain host) — the frontier-style synthesis, fully vectorized."""
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    def _urls(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.string())
+        hs = pc.cast(
+            pc.subtract(
+                batch.column("doc_id"),
+                pc.multiply(
+                    pc.divide(batch.column("doc_id"), 8),
+                    pa.scalar(8, pa.int64()),
+                ),
+            ),
+            pa.string(),
+        )
+        u0 = pc.binary_join_element_wise(
+            pa.array(
+                ["https://example.org/doc/"] * batch.num_rows, pa.string()
+            ),
+            ids,
+            "",
+        )
+        u1 = pc.binary_join_element_wise(u0, "?id=", ids, "")
+        u2 = pc.binary_join_element_wise(
+            pa.array(["https://h"] * batch.num_rows, pa.string()),
+            hs,
+            ".example.org/doc/",
+            ids,
+            "",
+        )
+        did = batch.column("doc_id").combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([did] * 3),
+                "url": pa.concat_arrays(
+                    [u.combine_chunks() if isinstance(u, pa.ChunkedArray)
+                     else u for u in (u0, u1, u2)]
+                ),
+            }
+        )
+
+    return docs.map_batches(_urls, batch_format="pyarrow")
+
+
+def q_crawl_robots_filter(sf_dir: str):
+    """RFC 9309 robots evaluation (`extras/robots.py`): parse per-host
+    robots.txt bodies into (host, allow, prefix) rules, broadcast once,
+    keep urls whose longest matching rule allows (tie -> Allow; no rule
+    -> allowed). One vectorized starts_with sweep per rule per batch —
+    the corpus stream never shuffles."""
+    from .extras.robots import parse_robots_rules, robots_filter
+
+    rules = parse_robots_rules(_ROBOTS_BODIES)
+    return robots_filter(_crawl_urls(sf_dir), rules, url_col="url")
+
+
+def _sql_robots_filter() -> str:
+    vals = ", ".join(
+        f"('{h}', {str(allow).upper()}, '{pfx}')"
+        for h, body in sorted(_ROBOTS_BODIES.items())
+        for allow, pfx in [
+            (ln.split(":", 1)[0].strip().lower() == "allow",
+             ln.split(":", 1)[1].strip())
+            for ln in body.splitlines()
+            if ln.lower().startswith(("allow", "disallow"))
+        ]
+    )
+    return f"""
+WITH d AS (SELECT doc_id FROM documents),
+u AS (
+  SELECT doc_id, 'https://example.org/doc/' || doc_id AS url,
+         'example.org' AS host, '/doc/' || doc_id AS path FROM d
+  UNION ALL
+  SELECT doc_id, 'https://example.org/doc/' || doc_id || '?id=' || doc_id,
+         'example.org', '/doc/' || doc_id || '?id=' || doc_id FROM d
+  UNION ALL
+  SELECT doc_id, 'https://h' || (doc_id % 8) || '.example.org/doc/' || doc_id,
+         'h' || (doc_id % 8) || '.example.org', '/doc/' || doc_id FROM d
+),
+r(host, allow, pfx) AS (VALUES {vals}),
+m AS (
+  SELECT u.url, r.allow, length(r.pfx) AS l
+  FROM u JOIN r ON u.host = r.host AND starts_with(u.path, r.pfx)
+),
+pick AS (
+  SELECT url, allow,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY l DESC, CAST(allow AS INT) DESC) AS rn
+  FROM m
+)
+SELECT u.doc_id, u.url FROM u
+LEFT JOIN (SELECT url, allow FROM pick WHERE rn = 1) p ON u.url = p.url
+WHERE p.url IS NULL OR p.allow
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "crawl_robots_filter": QueryDef(
+            q_crawl_robots_filter, _sql_robots_filter()
+        )
+    }
+)
