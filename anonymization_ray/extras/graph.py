@@ -866,3 +866,70 @@ def bellman_ford(
         cand = edges.map_batches(_relax, batch_format="pyarrow")
         dist = min_per_key(dist.union(cand), "node", "dist").materialize()
     return dist
+
+
+def square_count(
+    edges: rd.Dataset, *, a_col: str = "a", b_col: str = "b"
+) -> rd.Dataset:
+    """Count 4-cycles (non-induced C4 subgraphs) -> 1-row Dataset[{squares}].
+
+    ``edges`` must be canonical unique undirected pairs a < b (int64 ids
+    < 2^31). Formula: every C4 has exactly two opposite-vertex pairs, so
+    squares = (1/2)·Σ_{x<z} C(codeg(x,z), 2) over distance-2 pairs. Plan:
+    symmetrize, self-join on the mid node (same wedge join as
+    `triangle_count`; orient by degree first at crawl scale to bound the
+    blowup), fold (x,z) into one int64 key, co-degree via the sort-scan
+    `exact_value_counts` (no Ray groupby at any cardinality), then one
+    streaming partial-sum of C(n,2)."""
+    from .stats import exact_value_counts
+
+    edges = edges.select_columns([a_col, b_col]).materialize()
+    nparts = _clamp_parts(edges.count())
+
+    def _sym(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(a) and (
+            a.max() >= 2**31 or bb.max() >= 2**31 or a.min() < 0
+        ):
+            raise ValueError(
+                "square_count folds (x,z) into int64 — node ids must be "
+                "in [0, 2^31); dictionary-encode larger id spaces first"
+            )
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([a, bb])),
+                "v": pa.array(np.concatenate([bb, a])),
+            }
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+
+    wedges = hash_join(
+        sym.rename_columns({"u": "x", "v": "mid"}),
+        sym.rename_columns({"u": "mid", "v": "z"}).materialize(),
+        on="mid",
+        join_type="inner",
+        num_partitions=nparts,
+    )
+
+    def _pair_key(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = b.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = x < z
+        return pa.table(
+            {"pk": pa.array((x[keep] << np.int64(32)) | z[keep])}
+        )
+
+    codeg = exact_value_counts(
+        wedges.map_batches(_pair_key, batch_format="pyarrow"), "pk"
+    )
+
+    def _choose2(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"s": pa.array([int((n * (n - 1) // 2).sum())])})
+
+    total = codeg.map_batches(_choose2, batch_format="pyarrow").sum("s")
+    return rd.from_arrow(
+        pa.table({"squares": pa.array([int(total or 0) // 2], pa.int64())})
+    )

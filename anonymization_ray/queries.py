@@ -620,6 +620,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_list_rank",
     "kg_owl_closure",
     "crawl_robots_filter",
+    "graph_squares",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

@@ -357,3 +357,75 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 67: 4-cycle (square) counting on the link graph
+# --------------------------------------------------------------------------
+
+def _doc_link_edges(sf_dir: str):
+    """Canonical int64 link-graph edges: each doc links to its three hash
+    targets ((31d+7)%c, (17d+3)%c, (53d+11)%c — the _SQL_LINKS_CTE hash
+    family), (min,max)-oriented, self-loops dropped, distinct."""
+    import numpy as np
+
+    from .util import distinct_rows
+
+    docs = load(sf_dir, "documents", ["doc_id"]).materialize()
+    c = docs.count()
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ts = np.concatenate(
+            [(31 * d + 7) % c, (17 * d + 3) % c, (53 * d + 11) % c]
+        )
+        ds3 = np.concatenate([d, d, d])
+        keep = ds3 != ts
+        a = np.minimum(ds3[keep], ts[keep])
+        b = np.maximum(ds3[keep], ts[keep])
+        return pa.table(
+            {"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())}
+        )
+
+    return distinct_rows(
+        docs.map_batches(_edges, batch_format="pyarrow"), ["a", "b"]
+    )
+
+
+def q_graph_squares(sf_dir: str):
+    """Non-induced 4-cycle count (`extras/graph.square_count`): squares =
+    half the sum of C(codeg, 2) over distance-2 pairs — symmetrize, one
+    wedge self-join, folded (x,z) pair key, sort-scan co-degree counts,
+    streaming C(n,2) partial sums. The motif-counting companion to
+    `graph_triangles` (C4 density is the standard bipartite-community /
+    spam-farm signal in link graphs)."""
+    from .extras.graph import square_count
+
+    return square_count(_doc_link_edges(sf_dir))
+
+
+def _sql_graph_squares() -> str:
+    from .queries_extras8 import _SQL_LINKS_CTE
+
+    return f"""
+WITH {_SQL_LINKS_CTE},
+ed AS (
+  SELECT DISTINCT least(doc_id, t) AS a, greatest(doc_id, t) AS b
+  FROM e WHERE doc_id <> t
+),
+sym AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+w AS (
+  SELECT s1.u AS x, s2.v AS z
+  FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s1.u < s2.v
+),
+cd AS (SELECT x, z, count(*) AS n FROM w GROUP BY x, z)
+SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0) // 2 AS BIGINT) AS squares
+FROM cd
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"graph_squares": QueryDef(q_graph_squares, _sql_graph_squares())}
+)
