@@ -621,6 +621,7 @@ _DRIVER_PRIORITY: list[str] = [
     "kg_owl_closure",
     "crawl_robots_filter",
     "graph_squares",
+    "text_naive_bayes",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

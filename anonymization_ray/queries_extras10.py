@@ -429,3 +429,71 @@ FROM cd
 EXTRAS10_REGISTRY.update(
     {"graph_squares": QueryDef(q_graph_squares, _sql_graph_squares())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 68: multinomial Naive Bayes language classifier
+# --------------------------------------------------------------------------
+
+def q_text_naive_bayes(sf_dir: str):
+    """Corpus-trained multinomial Naive Bayes (`extras/nbayes.py`):
+    per-lang token stats with add-one smoothing in integer micro-nats,
+    broadcast model, one stateless scoring pass (searchsorted + bincount
+    per class per batch); argmax prediction with deterministic
+    smallest-class tie-break — the fastText/CCNet-style router in
+    cross-engine-exact form."""
+    from .extras.nbayes import naive_bayes_predict
+
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return naive_bayes_predict(
+        docs, text_col="text", label_col="lang", id_col="doc_id"
+    )
+
+
+SQL_TEXT_NAIVE_BAYES = r"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+cnt AS (SELECT lang, term, count(*) AS n FROM tok GROUP BY lang, term),
+tot AS (SELECT lang, count(*) AS t FROM tok GROUP BY lang),
+voc AS (SELECT count(DISTINCT term) AS v FROM tok),
+dl AS (SELECT lang, count(*) AS dn FROM documents GROUP BY lang),
+dd AS (SELECT count(*) AS d FROM documents),
+pri AS (SELECT lang, CAST(floor(1000000 * (ln(dn) - ln(d))) AS BIGINT) AS p
+        FROM dl, dd),
+tv AS (
+  SELECT l.lang AS cand, tm.term,
+         CAST(floor(1000000 * (ln(COALESCE(c.n, 0) + 1)
+                               - ln(t.t + voc.v))) AS BIGINT) AS nv
+  FROM (SELECT DISTINCT term FROM tok) tm
+  CROSS JOIN (SELECT lang FROM dl) l
+  JOIN tot t ON t.lang = l.lang
+  CROSS JOIN voc
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.term = tm.term
+),
+sc AS (
+  SELECT tok.doc_id, tv.cand, sum(tv.nv) AS s
+  FROM tok JOIN tv ON tv.term = tok.term
+  GROUP BY tok.doc_id, tv.cand
+),
+scored AS (
+  SELECT sc.doc_id, sc.cand, sc.s + pri.p AS score
+  FROM sc JOIN pri ON pri.lang = sc.cand
+),
+pick AS (
+  SELECT doc_id, cand, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+)
+SELECT doc_id, cand AS pred_label, CAST(score AS BIGINT) AS score_micro
+FROM pick WHERE rn = 1
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"text_naive_bayes": QueryDef(q_text_naive_bayes, SQL_TEXT_NAIVE_BAYES)}
+)
