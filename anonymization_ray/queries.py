@@ -622,6 +622,7 @@ _DRIVER_PRIORITY: list[str] = [
     "crawl_robots_filter",
     "graph_squares",
     "text_naive_bayes",
+    "events_pattern_match",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

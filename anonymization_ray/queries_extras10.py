@@ -497,3 +497,83 @@ FROM pick WHERE rn = 1
 EXTRAS10_REGISTRY.update(
     {"text_naive_bayes": QueryDef(q_text_naive_bayes, SQL_TEXT_NAIVE_BAYES)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 69: CEP event-sequence pattern matching (MATCH_RECOGNIZE-lite)
+# --------------------------------------------------------------------------
+
+_CEP_PATTERN = "vc+p"  # view -> one-or-more clicks -> purchase
+
+
+def q_events_pattern_match(sf_dir: str):
+    """Complex-event-processing sequence match: per user, events in
+    (ts, event_id) order become a one-char-per-event code string (one
+    `string_agg_per_key` range sort — no per-group UDF), then the CEP
+    pattern `view (click)+ purchase` counts as non-overlapping RE2
+    matches per sequence — both this engine (Arrow
+    ``count_substring_regex``) and the DuckDB oracle
+    (``regexp_extract_all``) run RE2, so greedy non-overlap semantics
+    agree by construction. The SQL MATCH_RECOGNIZE workhorse reduced to
+    its distributed core: order-within-key + vectorized regex."""
+    from .util import string_agg_per_key
+
+    ev = load(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def _code(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").combine_chunks(),
+                "ts": batch.column("ts").combine_chunks(),
+                "event_id": batch.column("event_id").combine_chunks(),
+                "code": pc.utf8_slice_codeunits(
+                    batch.column("event_type").combine_chunks(), 0, 1
+                ),
+            }
+        )
+
+    seq = string_agg_per_key(
+        ev.map_batches(_code, batch_format="pyarrow"),
+        "user_id",
+        "code",
+        sep="",
+        order_cols=["ts", "event_id"],
+        out_col="seq",
+    )
+
+    def _match(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            batch.column("seq").combine_chunks(), _CEP_PATTERN
+        )
+        t = batch.append_column("n_matches", pc.cast(n, pa.int64()))
+        t = t.filter(pc.greater(t.column("n_matches"), 0))
+        return pa.table(
+            {
+                "user_id": t.column("user_id").combine_chunks(),
+                "n_matches": t.column("n_matches").combine_chunks(),
+            }
+        )
+
+    return seq.map_batches(_match, batch_format="pyarrow")
+
+
+SQL_EVENTS_PATTERN_MATCH = f"""
+WITH s AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS BIGINT)
+         AS n_matches
+FROM s WHERE len(regexp_extract_all(seq, '{_CEP_PATTERN}')) > 0
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_pattern_match": QueryDef(
+            q_events_pattern_match, SQL_EVENTS_PATTERN_MATCH
+        )
+    }
+)

@@ -152,3 +152,15 @@ def test_graph_same_src_dst_noop_and_errors(ray_session):
         manage_graph(_q(), "CLEAR")
     with pytest.raises(ValueError):
         manage_graph(_q(), "SHUFFLE", src="g1", dst="g2")
+
+
+def test_cep_pattern_overlap_semantics(ray_session):
+    # vcpvccp has two non-overlapping vc+p matches; vcvcp has ONE (RE2
+    # non-overlapping scan consumes greedily left-to-right)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = pc.count_substring_regex(
+        pa.array(["vcpvccp", "vcvcp", "vvvp", "p"]), "vc+p"
+    )
+    assert n.to_pylist() == [2, 1, 0, 0]
