@@ -623,6 +623,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_squares",
     "text_naive_bayes",
     "events_pattern_match",
+    "graph_closeness",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

@@ -577,3 +577,92 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 70: landmark closeness centrality (bounded-radius BFS per landmark)
+# --------------------------------------------------------------------------
+
+_CLOSENESS_SEEDS = (0, 1, 2)
+_CLOSENESS_ROUNDS = 4
+
+
+def q_graph_closeness(sf_dir: str):
+    """Landmark closeness over the symmetrized link graph: one
+    exactly-k-rounds Bellman-Ford (unit weights = bounded-radius BFS,
+    `extras/graph.bellman_ford` — edges never shuffle, per-round exchange
+    is one narrow min fold) per landmark, then
+    closeness_micro = (10^6·(reached−1)) // Σdist in exact integer
+    division. Per-landmark BFS is the textbook closeness/landmark
+    sampling shape — landmarks are few by construction, the graph is the
+    big side."""
+    import numpy as np
+
+    from .extras.graph import bellman_ford
+
+    edges = _doc_link_edges(sf_dir).materialize()
+
+    def _sym_w(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b]), pa.int64()),
+                "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+                "w": pa.array(np.ones(2 * len(a), np.int64())),
+            }
+        )
+
+    sym = edges.map_batches(_sym_w, batch_format="pyarrow").materialize()
+    seeds, reached, sums, clo = [], [], [], []
+    for s in _CLOSENESS_SEEDS:
+        dist = bellman_ford(sym, [s], _CLOSENESS_ROUNDS).materialize()
+        n = dist.count()
+        sd = int(dist.sum("dist") or 0)
+        if sd == 0:  # isolated landmark: no finite closeness row
+            continue
+        seeds.append(s)
+        reached.append(n - 1)
+        sums.append(sd)
+        clo.append((1_000_000 * (n - 1)) // sd)
+    return pa.table(
+        {
+            "seed": pa.array(seeds, pa.int64()),
+            "n_reached": pa.array(reached, pa.int64()),
+            "sum_dist": pa.array(sums, pa.int64()),
+            "closeness_micro": pa.array(clo, pa.int64()),
+        }
+    )
+
+
+def _sql_graph_closeness() -> str:
+    from .queries_extras8 import _SQL_LINKS_CTE
+
+    seeds = ", ".join(f"({s})" for s in _CLOSENESS_SEEDS)
+    return f"""
+WITH RECURSIVE {_SQL_LINKS_CTE},
+ed AS (
+  SELECT DISTINCT least(doc_id, t) AS a, greatest(doc_id, t) AS b
+  FROM e WHERE doc_id <> t
+),
+sym AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+walk(s, node, d) AS (
+  SELECT s, s, 0 FROM (VALUES {seeds}) AS sd(s)
+  UNION ALL
+  SELECT w.s, sym.v, w.d + 1 FROM walk w JOIN sym ON sym.u = w.node
+  WHERE w.d < {_CLOSENESS_ROUNDS}
+),
+dist AS (SELECT s, node, min(d) AS d FROM walk GROUP BY s, node)
+SELECT s AS seed, CAST(count(*) - 1 AS BIGINT) AS n_reached,
+       CAST(sum(d) AS BIGINT) AS sum_dist,
+       CAST((1000000 * (count(*) - 1)) // sum(d) AS BIGINT)
+         AS closeness_micro
+FROM dist GROUP BY s HAVING sum(d) > 0
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"graph_closeness": QueryDef(q_graph_closeness, _sql_graph_closeness())}
+)
