@@ -685,3 +685,67 @@ def ahash_media(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+_PHASH_SCALE = 16384  # 2^14 fixed-point for the DCT basis
+
+
+def phash_basis(n_freq: int = 8, n_pix: int = 16) -> np.ndarray:
+    """Fixed-point DCT-II basis C[k,i] = round(SCALE·cos(π(2i+1)k/2N)).
+    The rounding happens ONCE here; the SQL oracle embeds these exact
+    integers as literals, so no engine ever re-derives a cosine."""
+    k = np.arange(n_freq)[:, None]
+    i = np.arange(n_pix)[None, :]
+    return np.round(
+        _PHASH_SCALE * np.cos(np.pi * (2 * i + 1) * k / (2 * n_pix))
+    ).astype(np.int64)
+
+
+class MediaPHasher:
+    """Actor-pool callable: REAL image decode -> pHash (DCT perceptual
+    hash) in FIXED-POINT integer arithmetic. Classic pHash takes the
+    low-frequency 8x8 corner of the image's 2D DCT and thresholds each AC
+    coefficient against their median — robust to brightness/contrast
+    shifts aHash is blind to. Float DCTs are engine-specific; here the
+    basis is a rounded int64 matrix (built once per actor), T = C·P·Cᵀ is
+    exact int64 (|T| ≤ 2^44 at 16x16/255), the median is the 32nd order
+    statistic of the 63 AC values, and bit_j = coeff_j > median — every
+    step integer-exact and SQL-replicable. Payloads drop after decode."""
+
+    def __init__(self) -> None:
+        self._basis = phash_basis()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_gray
+
+        his, los = [], []
+        c = self._basis
+        for p in batch.column("media").to_pylist():
+            px = decode_jpeg_gray(p) if p[:2] == b"\xff\xd8" else decode_png_gray(p)
+            if px.shape != (16, 16):
+                raise NotImplementedError(
+                    "pHash path is pinned to 16x16 inputs (general "
+                    "resampling needs an image library)"
+                )
+            t = c @ px.astype(np.int64) @ c.T
+            ac = t.reshape(64)[1:]  # drop DC
+            med = np.sort(ac)[31]  # 32nd order statistic of 63
+            bits = (ac > med).astype(np.uint64)
+            weights = np.uint64(1) << np.arange(63, dtype=np.uint64)
+            full = int((bits * weights).sum(dtype=np.uint64))
+            his.append(full >> 32)
+            los.append(full & 0xFFFFFFFF)
+        out = batch.drop_columns(["media"])
+        out = out.append_column("hash_hi", pa.array(his, pa.int64()))
+        return out.append_column("hash_lo", pa.array(los, pa.int64()))
+
+
+def phash_media(
+    ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        MediaPHasher,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -624,6 +624,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_naive_bayes",
     "events_pattern_match",
     "graph_closeness",
+    "multimodal_phash",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

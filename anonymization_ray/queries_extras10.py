@@ -666,3 +666,79 @@ FROM dist GROUP BY s HAVING sum(d) > 0
 EXTRAS10_REGISTRY.update(
     {"graph_closeness": QueryDef(q_graph_closeness, _sql_graph_closeness())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 71: pHash (fixed-point DCT perceptual hash) image fingerprints
+# --------------------------------------------------------------------------
+
+def q_multimodal_phash(sf_dir: str):
+    """DCT perceptual hash over REAL PNG payloads
+    (`multimodal.MediaPHasher`): fixed-point int64 DCT basis built once
+    per actor, T = C·P·Cᵀ exact, 63 AC coefficients thresholded at their
+    median (32nd order statistic), 63-bit fingerprint split into signed
+    int64 halves. The whole encode -> actor-decode -> transform -> hash
+    path is certified value-level by a SQL oracle that re-derives every
+    coefficient from the closed-form pixels and the SAME rounded basis
+    integers."""
+    from .extras.multimodal import attach_media_affine, phash_media
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return phash_media(attach_media_affine(docs, "doc_id"))
+
+
+def _sql_multimodal_phash() -> str:
+    from .extras.multimodal import phash_basis
+
+    b = phash_basis()
+    vals = ", ".join(
+        f"({k}, {i}, {int(b[k, i])})"
+        for k in range(b.shape[0])
+        for i in range(b.shape[1])
+    )
+    return f"""
+WITH c(k, i, v) AS (VALUES {vals}),
+pix AS (
+  SELECT d.doc_id, p.p // 16 AS r, p.p % 16 AS col,
+         (d.doc_id * 31 + p.p * p.p) % 256 AS px
+  FROM documents d, unnest(range(256)) AS p(p)
+),
+t1 AS (  -- C · P : (k, col)
+  SELECT pix.doc_id, c.k, pix.col, sum(c.v * pix.px) AS s
+  FROM c JOIN pix ON pix.r = c.i
+  GROUP BY pix.doc_id, c.k, pix.col
+),
+t AS (  -- (C·P) · Cᵀ : (k, l)
+  SELECT t1.doc_id, t1.k, c.k AS l, sum(t1.s * c.v) AS coeff
+  FROM t1 JOIN c ON c.i = t1.col
+  GROUP BY t1.doc_id, t1.k, c.k
+),
+ac AS (
+  SELECT doc_id, k * 8 + l - 1 AS j, coeff
+  FROM t WHERE NOT (k = 0 AND l = 0)
+),
+med AS (
+  SELECT doc_id, coeff AS m FROM (
+    SELECT doc_id, coeff,
+           row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+    FROM ac) WHERE rn = 32
+),
+bits AS (
+  SELECT ac.doc_id, ac.j,
+         CASE WHEN ac.coeff > med.m THEN 1 ELSE 0 END AS b
+  FROM ac JOIN med ON med.doc_id = ac.doc_id
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN j >= 32
+                     THEN b * (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS hash_hi,
+       CAST(sum(CASE WHEN j < 32
+                     THEN b * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+                     ELSE 0 END) AS BIGINT) AS hash_lo
+FROM bits GROUP BY doc_id
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"multimodal_phash": QueryDef(q_multimodal_phash, _sql_multimodal_phash())}
+)
