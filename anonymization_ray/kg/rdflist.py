@@ -159,9 +159,9 @@ def _rank_vectorized(ptr: rd.Dataset, max_rounds: int):
     n_uniq = len(pc.unique(nodes))
     if n_uniq < n:
         raise ValueError(
-            f"{n - n_uniq} cons cell(s) targeted by multiple rest/entry "
-            "edges — not a well-formed rdf:List forest (shared cell or "
-            "cycle through a list head)"
+            f"{n - n_uniq} node(s) carry multiple rest/entry (parent) "
+            "pointers — not a well-formed pointer forest (shared rdf:List "
+            "cell, cycle through a head, or a child with two parents)"
         )
     anc_idx = (
         pc.fill_null(pc.index_in(anc, nodes), -1)

@@ -625,6 +625,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_pattern_match",
     "graph_closeness",
     "multimodal_phash",
+    "hier_flatten",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

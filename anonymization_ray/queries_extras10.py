@@ -742,3 +742,53 @@ FROM bits GROUP BY doc_id
 EXTRAS10_REGISTRY.update(
     {"multimodal_phash": QueryDef(q_multimodal_phash, _sql_multimodal_phash())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 72: hierarchy flattening (root + depth per node)
+# --------------------------------------------------------------------------
+
+def q_hier_flatten(sf_dir: str):
+    """Forest flatten (`extras/hierarchy.tree_root_depth`): customers form
+    a deterministic ternary forest (parent(k) = k//3, roots are keys 1
+    and 2) ~7 levels deep at sf0.001; pointer doubling resolves every
+    node's (root, depth) in O(log depth) vectorized rounds where the SQL
+    oracle needs one recursive-CTE round PER LEVEL — the textbook
+    parallel-vs-sequential gap this operator exists for."""
+    from .extras.hierarchy import tree_root_depth
+
+    cust = load(sf_dir, "customer", ["c_custkey"])
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = batch.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        k = k[k >= 3]
+        return pa.table(
+            {
+                "child": pa.array(k, pa.int64()),
+                "parent": pa.array(k // 3, pa.int64()),
+            }
+        )
+
+    edges = cust.map_batches(_edges, batch_format="pyarrow")
+    return tree_root_depth(edges, child_col="child", parent_col="parent")
+
+
+SQL_HIER_FLATTEN = """
+WITH RECURSIVE hier(node, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 3
+  UNION ALL
+  SELECT c.c_custkey, h.root, h.depth + 1
+  FROM customer c JOIN hier h ON h.node = c.c_custkey // 3
+  WHERE c.c_custkey >= 3
+)
+SELECT node, root, CAST(depth AS BIGINT) AS depth FROM hier WHERE depth > 0
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"hier_flatten": QueryDef(q_hier_flatten, SQL_HIER_FLATTEN)}
+)
