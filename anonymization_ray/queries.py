@@ -626,6 +626,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_closeness",
     "multimodal_phash",
     "hier_flatten",
+    "graph_components",
     # round-4 waves 55-56
     "kg_term_dictionary",
     "kg_dict_bgp",

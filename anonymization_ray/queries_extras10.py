@@ -792,3 +792,65 @@ SELECT node, root, CAST(depth AS BIGINT) AS depth FROM hier WHERE depth > 0
 EXTRAS10_REGISTRY.update(
     {"hier_flatten": QueryDef(q_hier_flatten, SQL_HIER_FLATTEN)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 73: connected components on the link graph
+# --------------------------------------------------------------------------
+
+def q_graph_components(sf_dir: str):
+    """Connected components as a first-class graph query: (node, comp)
+    with comp = the component's minimum node id. Reuses the dedup
+    family's resolution core (`extras/dedup.cluster_keepers`: exact
+    driver union-find under the edge cap, distributed min-label
+    contraction above it, then one corpus-sized min fold for
+    singletons) over the link graph restricted to even-numbered edges —
+    the restriction splits the otherwise-connected expander into many
+    nontrivial components so the query actually exercises labeling."""
+    import numpy as np
+
+    from .extras.dedup import cluster_keepers
+
+    edges = _doc_link_edges(sf_dir)
+
+    def _even(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = ((a + b) % 3) == 0
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    pairs = edges.map_batches(_even, batch_format="pyarrow")
+    nodes = load(sf_dir, "documents", ["doc_id"])
+    return cluster_keepers(nodes, pairs, id_col="doc_id").rename_columns(
+        {"keeper_id": "comp"}
+    )
+
+
+def _sql_graph_components() -> str:
+    from .queries_extras8 import _SQL_LINKS_CTE
+
+    return f"""
+WITH RECURSIVE {_SQL_LINKS_CTE},
+ed AS (
+  SELECT DISTINCT least(doc_id, t) AS a, greatest(doc_id, t) AS b
+  FROM e WHERE doc_id <> t
+),
+sel AS (SELECT a, b FROM ed WHERE (a + b) % 3 = 0),
+edges AS (SELECT a AS u, b AS v FROM sel UNION ALL SELECT b, a FROM sel),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+)
+SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"graph_components": QueryDef(q_graph_components, _sql_graph_components())}
+)
