@@ -854,3 +854,89 @@ SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
 EXTRAS10_REGISTRY.update(
     {"graph_components": QueryDef(q_graph_components, _sql_graph_components())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 74: XML sitemap source (crawl-frontier ingestion, sitemaps.org)
+# --------------------------------------------------------------------------
+
+def q_crawl_sitemap_roundtrip(sf_dir: str):
+    """documents -> deterministic (url, lastmod, priority) frontier rows ->
+    one <urlset> XML shard per block (`sources/sitemap.py`,
+    SHA-1-content filenames: task retries rewrite identical bytes) ->
+    `read_sitemaps` back (read_binary_files parallel fetch + vectorized
+    split_pattern/extract_regex parse, no XML DOM). Identity oracle: the
+    crawl-frontier interchange format must round-trip urls, W3C lastmod
+    datetimes (second resolution) and one-decimal priorities exactly."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .sources.sitemap import read_sitemaps, write_sitemap_shards
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    _EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+
+    def _mk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        url = pc.binary_join_element_wise(
+            pa.scalar("https://crawl.example/doc/"),
+            pc.cast(pa.array(ids, pa.int64()), pa.string()),
+            pa.scalar(""),
+        )
+        lastmod = (
+            _EPOCH_2024_US
+            + (ids % 365) * 86_400_000_000
+            + (ids % 86_400) * 1_000_000
+        )
+        prio = ((ids % 10) + 1) * 100_000
+        return pa.table(
+            {
+                "url": url,
+                "lastmod": pa.array(lastmod, pa.timestamp("us")),
+                "priority_micro": pa.array(prio, pa.int64()),
+            }
+        )
+
+    frontier = docs.map_batches(_mk, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="sitemap_rt_")
+    try:
+        man = write_sitemap_shards(
+            frontier,
+            out_dir,
+            lastmod_col="lastmod",
+            priority_micro_col="priority_micro",
+        )
+        assert man.num_rows >= 1
+        def _pages_only(b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(b.column("is_index"))).select(
+                ["url", "lastmod", "priority_micro"]
+            )
+
+        back = read_sitemaps(out_dir).map_batches(
+            _pages_only, batch_format="pyarrow"
+        )
+        return pa.Table.from_pandas(back.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_SITEMAP_ROUNDTRIP = """
+SELECT 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       TIMESTAMP '2024-01-01 00:00:00'
+         + (doc_id % 365) * INTERVAL 1 DAY
+         + (doc_id % 86400) * INTERVAL 1 SECOND AS lastmod,
+       ((doc_id % 10) + 1) * 100000 AS priority_micro
+FROM documents
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "crawl_sitemap_roundtrip": QueryDef(
+            q_crawl_sitemap_roundtrip, SQL_SITEMAP_ROUNDTRIP
+        )
+    }
+)
