@@ -940,3 +940,73 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 75: spatial grid-partitioned radius join
+# --------------------------------------------------------------------------
+
+_SPATIAL_SALT = 7001
+_SPATIAL_MOD = 100_003
+_SPATIAL_RADIUS = 4_000
+
+
+def q_spatial_radius_join(sf_dir: str):
+    """All point pairs within euclidean distance R over a deterministic
+    planar point set (one SplitMix64 hash per doc_id; x = low digits,
+    y = next digits — `extras/shuffle.sm64_key`, the engine's SQL-exact
+    keyed stream). Ray side is the grid-cell self-join
+    (`extras/spatial.grid_radius_join`): cell side = R, half-space
+    neighbor offsets make each nearby pair meet exactly once, integer
+    dist2 so the oracle comparison is value-exact. The oracle pays the
+    O(n^2) cross join the grid avoids."""
+    import numpy as np
+
+    from .extras.shuffle import sm64_key
+    from .extras.spatial import grid_radius_join
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    def _points(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        h = sm64_key(ids.astype(np.int64), _SPATIAL_SALT)
+        m = np.uint64(_SPATIAL_MOD)
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "x": pa.array((h % m).astype(np.int64), pa.int64()),
+                "y": pa.array(((h // m) % m).astype(np.int64), pa.int64()),
+            }
+        )
+
+    pts = docs.map_batches(_points, batch_format="pyarrow")
+    return grid_radius_join(pts, radius=_SPATIAL_RADIUS)
+
+
+def _sql_spatial_radius_join() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        "(SELECT doc_id FROM documents)", "doc_id", _SPATIAL_SALT
+    )
+    m, r2 = _SPATIAL_MOD, _SPATIAL_RADIUS * _SPATIAL_RADIUS
+    return f"""
+WITH {chain},
+p AS (SELECT doc_id,
+             CAST(h % {m} AS BIGINT) AS x,
+             CAST((h // {m}) % {m} AS BIGINT) AS y
+      FROM h3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+FROM p a JOIN p b ON a.doc_id < b.doc_id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {r2}
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "spatial_radius_join": QueryDef(
+            q_spatial_radius_join, _sql_spatial_radius_join()
+        )
+    }
+)
