@@ -184,3 +184,45 @@ def suppress_small_cells(
         return b
 
     return ds.map_batches(_mask, batch_format="pyarrow")
+
+
+def delta_presence(
+    population: rd.Dataset,
+    *,
+    class_col: str,
+    sample_col: str,
+) -> rd.Dataset:
+    """δ-presence per equivalence class (Nergiz/Atzori/Clifton 2007): for a
+    private sample S of a PUBLIC population table, the per-class presence
+    probability |S ∩ C| / |P ∩ C| bounds what an attacker who knows the
+    population learns about sample membership. Complements the engine's
+    k-anonymity / l-diversity / t-closeness KPI family (reference KPI frame
+    `Anonymization.java:60-75`): k-anonymity protects identity within the
+    RELEASED table, δ-presence protects MEMBERSHIP when the population is
+    public.
+
+    ``class_col``: int64 equivalence-class key (pack multi-attribute QI
+    classes upstream). ``sample_col``: int64 0/1 membership flag. Returns
+    (class_key, n_pop, n_sample, delta_micro) with
+    delta_micro = 10^6 · n_sample // n_pop — exact integers end to end.
+
+    Scale shape: ONE `fold_per_key` pass (per-batch Arrow partials, one
+    narrow sort, block-spanning edge merge) — the full population never
+    shuffles wide, there is no Ray groupby at class cardinality."""
+    from ..util import fold_per_key
+
+    folded = fold_per_key(
+        population.select_columns([class_col, sample_col]),
+        class_col,
+        {"n_pop": ("count", None), "n_sample": ("sum", sample_col)},
+    )
+
+    def _delta(b: pa.Table) -> pa.Table:
+        npop = b.column("n_pop").to_numpy(zero_copy_only=False)
+        nsmp = b.column("n_sample").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "delta_micro",
+            pa.array((1_000_000 * nsmp) // npop, pa.int64()),
+        )
+
+    return folded.map_batches(_delta, batch_format="pyarrow")

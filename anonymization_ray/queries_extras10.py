@@ -1010,3 +1010,79 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 76: δ-presence KPI (membership disclosure vs a public population)
+# --------------------------------------------------------------------------
+
+def q_kpi_delta_presence(sf_dir: str):
+    """δ-presence over the customer table: population = all customers,
+    private sample = the BUILDING market segment, QI equivalence class =
+    (nation, account-balance sign). Per class: population size, sample
+    size, and the presence probability δ = |S∩C|/|P∩C| in exact integer
+    micro-units (`extras/privacy.delta_presence`, one fold_per_key pass —
+    the population never shuffles wide). The class key packs the two QI
+    attributes into one int64 and is unpacked for output."""
+    import numpy as np
+
+    from .extras.privacy import delta_presence
+
+    cust = load(
+        sf_dir, "customer", ["c_nationkey", "c_acctbal", "c_mktsegment"]
+    )
+
+    def _classes(b: pa.Table) -> pa.Table:
+        nat = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        seg = b.column("c_mktsegment")
+        bal_class = (bal >= 0).astype(np.int64)
+        return pa.table(
+            {
+                "class_key": pa.array(nat * 2 + bal_class, pa.int64()),
+                "in_sample": pc.cast(
+                    pc.equal(seg, "BUILDING"), pa.int64()
+                ),
+            }
+        )
+
+    classed = cust.map_batches(_classes, batch_format="pyarrow")
+    folded = delta_presence(classed, class_col="class_key", sample_col="in_sample")
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        key = b.column("class_key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nationkey": pa.array(key // 2, pa.int64()),
+                "bal_class": pa.array(key % 2, pa.int64()),
+                "n_pop": b.column("n_pop"),
+                "n_sample": b.column("n_sample"),
+                "delta_micro": b.column("delta_micro"),
+            }
+        )
+
+    return folded.map_batches(_unpack, batch_format="pyarrow")
+
+
+SQL_KPI_DELTA_PRESENCE = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       CAST(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END AS BIGINT) AS bal_class,
+       count(*) AS n_pop,
+       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sample,
+       (1000000 * CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+                       AS BIGINT)) // count(*) AS delta_micro
+FROM customer
+GROUP BY 1, 2
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "kpi_delta_presence": QueryDef(
+            q_kpi_delta_presence, SQL_KPI_DELTA_PRESENCE
+        )
+    }
+)
