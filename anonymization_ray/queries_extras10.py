@@ -1086,3 +1086,72 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 77: DAG topological layering (bounded longest-path levels)
+# --------------------------------------------------------------------------
+
+_TOPO_ROUNDS = 6
+
+
+def q_graph_topo_layers(sf_dir: str):
+    """Topological layers of the link DAG: the link graph restricted to
+    forward edges (u < v — acyclic by construction, the id order IS a
+    topological order), each node labeled with the length of the longest
+    path ending at it within exactly 6 relaxation rounds
+    (`extras/graph.dag_layers`: one edge-stream hash join + one max fold
+    per round). Layer = the node's scheduling level; the oracle is a
+    depth-bounded recursive-CTE walk taking max path length per node."""
+    import numpy as np
+
+    edges = _doc_link_edges(sf_dir)
+
+    def _fwd(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        return pa.table(
+            {
+                "u": pa.array(a[keep], pa.int64()),
+                "v": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    from .extras.graph import dag_layers
+
+    fwd = edges.map_batches(_fwd, batch_format="pyarrow")
+    nodes = load(sf_dir, "documents", ["doc_id"]).rename_columns(
+        {"doc_id": "node"}
+    )
+    out = dag_layers(fwd, rounds=_TOPO_ROUNDS, nodes=nodes)
+    return out.rename_columns({"node": "doc_id"})
+
+
+def _sql_graph_topo_layers() -> str:
+    from .queries_extras8 import _SQL_LINKS_CTE
+
+    return f"""
+WITH RECURSIVE {_SQL_LINKS_CTE},
+ed AS (
+  SELECT DISTINCT least(doc_id, t) AS u, greatest(doc_id, t) AS v
+  FROM e WHERE doc_id <> t
+),
+walk(v, len) AS (
+  SELECT doc_id, 0 FROM documents
+  UNION ALL
+  SELECT ed.v, walk.len + 1
+  FROM ed JOIN walk ON walk.v = ed.u
+  WHERE walk.len < {_TOPO_ROUNDS}
+)
+SELECT v AS doc_id, CAST(max(len) AS BIGINT) AS layer FROM walk GROUP BY v
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "graph_topo_layers": QueryDef(
+            q_graph_topo_layers, _sql_graph_topo_layers()
+        )
+    }
+)
