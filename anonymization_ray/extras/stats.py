@@ -1087,3 +1087,80 @@ def group_gini(ds: rd.Dataset, group_col: str, val_col: str) -> pa.Table:
             "gini": pa.array(gini, pa.float64()),
         }
     )
+
+
+def kmv_sketches(
+    ds: rd.Dataset,
+    set_col: str,
+    elem_col: str,
+    *,
+    k: int = 256,
+) -> dict:
+    """Per-set KMV (theta) sketches: the k smallest SplitMix64 hashes of
+    each set's distinct elements. Returns ``{set_value: (theta, sample)}``
+    where ``sample`` is the sorted int63 hash array below ``theta``; a set
+    with < k distinct elements keeps everything with theta = 2^63 (the
+    sketch is exact). Sketch set algebra (union/intersection estimates,
+    `theta_intersections`) runs on these bounded samples driver-side.
+
+    Scale shape: distinct (set, hash) rows via the sort-based
+    `distinct_rows`, then `rank_per_key` (one range sort, per-block
+    segment ranks, boundary carries) keeps rank < k — the gather is
+    bounded by k · |sets|, never element cardinality. The same
+    hash-orders-the-sample trick every theta-sketch library uses, so
+    sketches built over DIFFERENT corpus partitions merge by min-k of
+    the union (associative, order-proof)."""
+    from ..util import distinct_rows, rank_per_key
+    from .shuffle import sm64_key
+
+    _KMV_SALT = 4099
+
+    ds = ds.select_columns([set_col, elem_col])
+
+    def _hash(b: pa.Table) -> pa.Table:
+        e = b.column(elem_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (sm64_key(e, _KMV_SALT) >> np.uint64(1)).astype(np.int64)
+        return pa.table({set_col: b.column(set_col), "h": pa.array(h)})
+
+    hashed = distinct_rows(
+        ds.map_batches(_hash, batch_format="pyarrow"), [set_col, "h"]
+    )
+    ranked = rank_per_key(hashed, set_col, "h", rank_col="rn")
+    kept = ranked.map_batches(
+        lambda b: b.filter(pc.less(b.column("rn"), k)),
+        batch_format="pyarrow",
+    ).take_all()
+
+    by_set: dict = {}
+    for r in kept:
+        by_set.setdefault(r[set_col], []).append(int(r["h"]))
+    out = {}
+    for s, hs in by_set.items():
+        hs.sort()
+        if len(hs) < k:
+            out[s] = (1 << 63, np.array(hs, np.int64))
+        else:
+            # theta = the k-th smallest; the sample is everything below it
+            out[s] = (hs[k - 1], np.array(hs[: k - 1], np.int64))
+    return out
+
+
+def theta_intersections(sketches: dict) -> dict:
+    """Pairwise intersection-cardinality estimates from KMV sketches:
+    for sets A, B with theta = min(thetaA, thetaB), the estimate is
+    |{h in sampleA ∩ sampleB : h < theta}| · 2^63 / theta (exact when
+    both sketches are exact). Returns {(a, b): est} for a < b."""
+    out = {}
+    keys = sorted(sketches)
+    for i, a in enumerate(keys):
+        ta, sa = sketches[a]
+        for b in keys[i + 1 :]:
+            tb, sb = sketches[b]
+            theta = min(ta, tb)
+            inter = np.intersect1d(sa, sb, assume_unique=True)
+            n_below = int((inter < theta).sum())
+            if theta >= (1 << 63):
+                out[(a, b)] = float(n_below)
+            else:
+                out[(a, b)] = n_below * float(1 << 63) / float(theta)
+    return out

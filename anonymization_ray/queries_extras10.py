@@ -1155,3 +1155,103 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 78: theta/KMV sketch set-intersection estimates
+# --------------------------------------------------------------------------
+
+_THETA_K = 256
+_THETA_BOUND_MICRO = 312_500  # 5/sqrt(k) as micro-units — ~4 sigma for KMV
+
+
+def q_stats_theta_intersect(sf_dir: str):
+    """Pairwise distinct-customer intersection estimates between order
+    years via KMV theta sketches (`extras/stats.kmv_sketches`: k smallest
+    SplitMix64 hashes per set, built with one distinct pass + one
+    rank_per_key sort — gather bounded by k·|sets|), scoreboarded against
+    the EXACT intersection (distinct-pair self-join + packed-key count,
+    the oracle's own computation): each pair's
+    |est/exact - 1| <= 5/sqrt(k) flag is pinned to 1 by the oracle.
+    Sketches with < k elements are exact by construction (the sf0.001
+    regime); sf0.01+ exercises genuine estimation."""
+    import numpy as np
+
+    from .extras.stats import exact_value_counts, kmv_sketches, theta_intersections
+    from .util import distinct_rows
+
+    orders = load(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _yc(b: pa.Table) -> pa.Table:
+        y = pc.year(b.column("o_orderdate"))
+        return pa.table(
+            {
+                "y": pc.cast(y, pa.int64()),
+                "c": pc.cast(b.column("o_custkey"), pa.int64()),
+            }
+        )
+
+    yc = orders.map_batches(_yc, batch_format="pyarrow")
+    sketches = kmv_sketches(yc, "y", "c", k=_THETA_K)
+    ests = theta_intersections(sketches)
+
+    # exact intersections: distinct (y, c) self-joined on the customer,
+    # ordered-pair counts via the no-groupby exact counter
+    from .util import hash_join
+
+    uniq = distinct_rows(yc, ["y", "c"])
+    left = uniq.rename_columns({"y": "ya"})
+    right = uniq.rename_columns({"y": "yb"})
+    joined = hash_join(left, right, on="c", join_type="inner")
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        ya = b.column("ya").to_numpy(zero_copy_only=False)
+        yb = b.column("yb").to_numpy(zero_copy_only=False)
+        keep = ya < yb
+        return pa.table(
+            {"pk": pa.array(ya[keep] * 10_000 + yb[keep], pa.int64())}
+        )
+
+    counts = exact_value_counts(
+        joined.map_batches(_pairs, batch_format="pyarrow"), "pk"
+    ).take_all()
+
+    rows = []
+    for r in sorted(counts, key=lambda r: r["pk"]):
+        ya, yb = int(r["pk"]) // 10_000, int(r["pk"]) % 10_000
+        exact = int(r["n"])
+        est = ests.get((ya, yb), 0.0)
+        ok = int(
+            abs(est / exact - 1.0) * 1_000_000 <= _THETA_BOUND_MICRO
+        ) if exact else 1
+        rows.append((ya, yb, exact, ok))
+    return pa.table(
+        {
+            "year_a": pa.array([r[0] for r in rows], pa.int64()),
+            "year_b": pa.array([r[1] for r in rows], pa.int64()),
+            "n_exact": pa.array([r[2] for r in rows], pa.int64()),
+            "within_bound": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+SQL_STATS_THETA_INTERSECT = """
+WITH yc AS (
+  SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y,
+                  CAST(o_custkey AS BIGINT) AS c
+  FROM orders
+)
+SELECT a.y AS year_a, b.y AS year_b, count(*) AS n_exact,
+       CAST(1 AS BIGINT) AS within_bound
+FROM yc a JOIN yc b ON a.c = b.c AND a.y < b.y
+GROUP BY 1, 2
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "stats_theta_intersect": QueryDef(
+            q_stats_theta_intersect, SQL_STATS_THETA_INTERSECT
+        )
+    }
+)

@@ -1,0 +1,40 @@
+"""KMV/theta sketches (extras/stats.kmv_sketches) — exact-below-k
+regime, estimation regime, intersection estimates."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from anonymization_ray.extras.stats import kmv_sketches, theta_intersections
+
+
+def _sets(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([p[0] for p in pairs], pa.int64()),
+                "e": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+
+
+def test_exact_below_k_and_duplicates_collapse():
+    # set 1 = {10, 11, 12} (with dups), set 2 = {11, 12, 13}
+    ds = _sets([(1, 10), (1, 11), (1, 11), (1, 12), (2, 11), (2, 12), (2, 13)])
+    sk = kmv_sketches(ds, "s", "e", k=16)
+    assert sk[1][0] == 1 << 63 and len(sk[1][1]) == 3  # exact sketch
+    ests = theta_intersections(sk)
+    assert ests[(1, 2)] == 2.0  # |{11,12}| — exact when both sketches exact
+
+
+def test_estimation_regime_within_bound():
+    rng = np.random.default_rng(3)
+    a = rng.choice(100_000, 5_000, replace=False)
+    b = np.concatenate([a[:2_500], 100_000 + np.arange(2_500)])  # overlap 2500
+    rows = [(1, int(v)) for v in a] + [(2, int(v)) for v in b]
+    sk = kmv_sketches(_sets(rows), "s", "e", k=256)
+    # genuinely estimating: thetas below saturation
+    assert sk[1][0] < (1 << 63) and sk[2][0] < (1 << 63)
+    est = theta_intersections(sk)[(1, 2)]
+    assert abs(est / 2_500 - 1.0) <= 5 / np.sqrt(256)
