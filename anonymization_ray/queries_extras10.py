@@ -1255,3 +1255,94 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 79: per-shard Bloom-index pruned point lookup
+# --------------------------------------------------------------------------
+
+_BLOOM_SHARDS = 8
+_BLOOM_NEEDLES = (13, 217, 344)
+
+
+def q_corpus_bloom_prune(sf_dir: str):
+    """Point lookups over a HASH-sharded corpus via a per-shard Bloom
+    manifest (`extras/bloomidx.py`): documents written hive-partitioned
+    by SplitMix64 shard (the layout zonemaps CANNOT prune — every shard
+    spans the full key range), blooms built in ONE narrow key pass
+    (bit-OR-associative partials), probes consult the driver-held
+    manifest and read ONLY candidate shard directories, exact is_in
+    filter after the read removes false positives. Oracle pins the
+    lookup result; the <= |needles| shard-read bound is pinned by a
+    unit test."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from .extras.bloomidx import (
+        bloom_candidate_shards,
+        build_shard_blooms,
+        shard_of,
+    )
+
+    docs = load(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _sharded(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "shard", pa.array(shard_of(ids, _BLOOM_SHARDS), pa.int64())
+        )
+
+    sharded = docs.map_batches(_sharded, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="bloomidx_")
+    try:
+        sharded.write_parquet(out_dir, partition_cols=["shard"])
+        blooms = build_shard_blooms(
+            docs, "doc_id", num_shards=_BLOOM_SHARDS
+        )
+        probes = np.array(_BLOOM_NEEDLES, np.int64)
+        cand = bloom_candidate_shards(
+            blooms, probes, num_shards=_BLOOM_SHARDS
+        )
+        assert len(cand) <= len(_BLOOM_NEEDLES)
+        if not cand:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                }
+            )
+        import os
+
+        files = [
+            os.path.join(out_dir, f"shard={s}", f)
+            for s in sorted(cand)
+            for f in os.listdir(os.path.join(out_dir, f"shard={s}"))
+            if f.endswith(".parquet")
+        ]
+        back = rd.read_parquet(files)
+        hits = back.map_batches(
+            lambda b: b.filter(
+                pc.is_in(b.column("doc_id"), value_set=pa.array(probes))
+            ).select(["doc_id", "n_chars"]),
+            batch_format="pyarrow",
+        )
+        return pa.Table.from_pandas(hits.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_CORPUS_BLOOM_PRUNE = """
+SELECT doc_id, n_chars FROM documents WHERE doc_id IN (13, 217, 344)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "corpus_bloom_prune": QueryDef(
+            q_corpus_bloom_prune, SQL_CORPUS_BLOOM_PRUNE
+        )
+    }
+)
