@@ -694,3 +694,45 @@ def bigram_nll(
     return ds.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow"
     )
+
+
+def sentence_stats(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-doc sentence segmentation stats: segments split on RE2
+    ``[.!?]+`` terminator runs, trimmed of ascii whitespace, empties
+    dropped — (id, n_sentences, sum_chars) with unicode char counts.
+    Mean sentence length (a Gopher-style quality feature the word-level
+    rules don't see) is ``sum_chars / n_sentences`` downstream; both
+    components stay exact integers. One vectorized pass:
+    split_pattern_regex -> list_parent_indices + flatten -> trim/mask ->
+    two bincounts; no Python row loop. Arrow and DuckDB both speak RE2,
+    so the oracle replicates the split verbatim."""
+
+    def _stats(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column(text_col), "")
+        parts = pc.split_pattern_regex(text, "[.!?]+")
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        trimmed = pc.utf8_trim(flat, " \t\n\r")
+        keep = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(trimmed).to_numpy(zero_copy_only=False)
+        n_rows = b.num_rows
+        n = np.bincount(parent[keep], minlength=n_rows)[:n_rows]
+        s = np.bincount(
+            parent[keep], weights=lens[keep], minlength=n_rows
+        )[:n_rows]
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_sentences": pa.array(n.astype(np.int64), pa.int64()),
+                "sum_chars": pa.array(s.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _stats, batch_format="pyarrow"
+    )

@@ -1346,3 +1346,36 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 80: sentence segmentation stats
+# --------------------------------------------------------------------------
+
+def q_text_sentences(sf_dir: str):
+    """Per-document sentence stats (`extras/textstats.sentence_stats`):
+    RE2 terminator-run split, ascii-whitespace trim, empty drop —
+    (doc_id, n_sentences, sum_chars) exact integers, one vectorized
+    Arrow pass. DuckDB replicates the identical RE2 split with list
+    lambdas, so values hash-match."""
+    from .extras.textstats import sentence_stats
+
+    return sentence_stats(load(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_SENTENCES = """
+SELECT doc_id,
+  CAST(len(list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'),
+       s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))), s -> s <> ''))
+       AS BIGINT) AS n_sentences,
+  CAST(coalesce(list_sum(list_transform(list_filter(list_transform(
+       regexp_split_to_array(text, '[.!?]+'),
+       s -> trim(s, ' ' || chr(9) || chr(10) || chr(13))), s -> s <> ''),
+       s -> length(s))), 0) AS BIGINT) AS sum_chars
+FROM documents
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"text_sentences": QueryDef(q_text_sentences, SQL_TEXT_SENTENCES)}
+)

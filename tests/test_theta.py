@@ -38,3 +38,27 @@ def test_estimation_regime_within_bound():
     assert sk[1][0] < (1 << 63) and sk[2][0] < (1 << 63)
     est = theta_intersections(sk)[(1, 2)]
     assert abs(est / 2_500 - 1.0) <= 5 / np.sqrt(256)
+
+
+def test_sentence_stats_edges():
+    from anonymization_ray.extras.textstats import sentence_stats
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "Hello world. How are you?  Fine! ",
+                "no terminator here",
+                "",
+                "Wait... what?! Ok.",
+            ],
+        }
+    )
+    got = (
+        sentence_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.n_sentences.tolist() == [3, 1, 0, 3]
+    assert got.sum_chars.tolist() == [26, 18, 0, 10]
