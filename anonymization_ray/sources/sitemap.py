@@ -27,6 +27,24 @@ _LOC_RE = r"<loc>\s*(?P<loc>[^<\s][^<]*?)\s*</loc>"
 _LASTMOD_RE = r"<lastmod>\s*(?P<lastmod>[^<]+?)\s*</lastmod>"
 _PRIORITY_RE = r"<priority>\s*(?P<priority>[0-9.]+)\s*</priority>"
 
+# XML entity escaping for <loc> values (the spec REQUIRES escaping; a raw
+# '&' in a query string is invalid XML). & first on escape, last on
+# unescape, so the passes compose without double-translation.
+_XML_ESCAPES = (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                ("'", "&apos;"), ('"', "&quot;"))
+
+
+def _xml_escape(arr):
+    for raw, ent in _XML_ESCAPES:
+        arr = pc.replace_substring(arr, raw, ent)
+    return arr
+
+
+def _xml_unescape(arr):
+    for raw, ent in reversed(_XML_ESCAPES):
+        arr = pc.replace_substring(arr, ent, raw)
+    return arr
+
 
 def _entries(xml: pa.Array, tag: str) -> pa.Array:
     parts = pc.split_pattern(xml, f"<{tag}>")
@@ -45,7 +63,9 @@ def read_sitemaps(paths: str | list[str]) -> rd.Dataset:
     def _parse(batch: pa.Table) -> pa.Table:
         xml = pc.cast(batch.column("bytes"), pa.string())
         urls = _entries(xml, "url")
-        locs = pc.struct_field(pc.extract_regex(urls, _LOC_RE), "loc")
+        locs = _xml_unescape(
+            pc.struct_field(pc.extract_regex(urls, _LOC_RE), "loc")
+        )
         lastmod = pc.struct_field(
             pc.extract_regex(urls, _LASTMOD_RE), "lastmod"
         )
@@ -82,8 +102,8 @@ def read_sitemaps(paths: str | list[str]) -> rd.Dataset:
         n_urls = len(locs)
 
         idx_entries = _entries(xml, "sitemap")
-        idx_locs = pc.struct_field(
-            pc.extract_regex(idx_entries, _LOC_RE), "loc"
+        idx_locs = _xml_unescape(
+            pc.struct_field(pc.extract_regex(idx_entries, _LOC_RE), "loc")
         )
         n_idx = len(idx_locs)
 
@@ -136,7 +156,8 @@ def write_sitemap_shards(
             )
         urls = pc.cast(batch.column(url_col), pa.string())
         loc = pc.binary_join_element_wise(
-            pa.scalar("<loc>"), urls, pa.scalar("</loc>"), pa.scalar("")
+            pa.scalar("<loc>"), _xml_escape(urls), pa.scalar("</loc>"),
+            pa.scalar(""),
         )
         if lastmod_col:
             # cast to second resolution first: Arrow's %S would otherwise

@@ -136,3 +136,23 @@ def test_write_read_roundtrip_and_idempotent_names(tmp_path):
     assert got.lastmod.isna().tolist() == [False, True]
     # absent priority reads back as the protocol default 0.5
     assert got.priority_micro.tolist() == [500000, 500000]
+
+
+def test_xml_entity_escaping_roundtrip(tmp_path):
+    from anonymization_ray.sources.sitemap import (
+        read_sitemaps,
+        write_sitemap_shards,
+    )
+
+    url = "https://f.example/search?q=a&b=<c>&name=\"x'y\""
+    tbl = pa.table({"url": [url]})
+    out = tmp_path / "esc"
+    man = write_sitemap_shards(rd.from_arrow(tbl), str(out))
+    raw = open(man.column("path")[0].as_py()).read()
+    assert "&amp;" in raw and "&lt;c&gt;" in raw and "&" not in raw.replace(
+        "&amp;", ""
+    ).replace("&lt;", "").replace("&gt;", "").replace("&apos;", "").replace(
+        "&quot;", ""
+    )
+    got = read_sitemaps(str(out)).to_pandas()
+    assert got.url.tolist() == [url]
