@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -94,3 +95,50 @@ def fuzzy_link(
         return pa.table(cols)
 
     return ds.map_batches(_link, batch_format="pyarrow")
+
+
+def survivorship_merge(
+    ds: rd.Dataset,
+    *,
+    entity_col: str,
+    priority_col: str,
+    value_cols: list[str],
+) -> rd.Dataset:
+    """Golden-record survivorship (the MDM step after `fuzzy_link`
+    matching): per entity and per attribute INDEPENDENTLY, the surviving
+    value is the non-null one from the best (lowest) source priority —
+    the "first non-null by trust order" rule every master-data tool
+    defaults to. (entity, priority) pairs must be unique; entities with
+    no non-null value for an attribute surface it as null.
+
+    Scale shape, per attribute: drop nulls -> `min_per_key` winning
+    priority (range sort + boundary scan, no per-group aggregate) -> one
+    entity-keyed hash join fetches the winning value. Attribute results
+    re-join on the entity key — the SAME partitioning key throughout, so
+    a co-partitioning executor reuses one shuffle; no stage ever holds
+    more than (entity, priority, one attribute)."""
+    from ..util import hash_join, min_per_key
+
+    # seed with the entity universe so an entity whose every source left an
+    # attribute null still surfaces (with that attribute null) — the
+    # per-attribute null-drop below cannot resurrect it
+    golden: rd.Dataset = min_per_key(
+        ds.select_columns([entity_col, priority_col]), entity_col, priority_col
+    ).select_columns([entity_col])
+    for c in value_cols:
+        nn = ds.select_columns([entity_col, priority_col, c]).map_batches(
+            lambda b, col=c: b.filter(pc.is_valid(b.column(col))),
+            batch_format="pyarrow",
+        )
+        win = min_per_key(nn, entity_col, priority_col).rename_columns(
+            {priority_col: "_pmin"}
+        )
+        picked = hash_join(nn, win, on=entity_col, join_type="inner")
+        part = picked.map_batches(
+            lambda b, col=c: b.filter(
+                pc.equal(b.column(priority_col), b.column("_pmin"))
+            ).select([entity_col, col]),
+            batch_format="pyarrow",
+        )
+        golden = hash_join(golden, part, on=entity_col, join_type="left_outer")
+    return golden

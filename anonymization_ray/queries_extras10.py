@@ -1379,3 +1379,95 @@ FROM documents
 EXTRAS10_REGISTRY.update(
     {"text_sentences": QueryDef(q_text_sentences, SQL_TEXT_SENTENCES)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 81: golden-record survivorship merge (MDM)
+# --------------------------------------------------------------------------
+
+def q_er_golden_record(sf_dir: str):
+    """Golden customer records from three conflicting source feeds with
+    different trust priorities and null patterns
+    (`extras/er.survivorship_merge`): per entity and attribute, first
+    non-null by priority — CRM (1, gappy), billing (2, even keys only),
+    legacy (3, complete). Per attribute: null-drop -> min_per_key winning
+    priority -> one entity-keyed join; attributes re-join on the same
+    entity key. Oracle replicates the fixture and picks with
+    arg_min(value, priority) FILTER (non-null)."""
+    import ray.data as rd
+
+    from .extras.er import survivorship_merge
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+
+    def _feeds(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        name = b.column("c_name")
+        phone = b.column("c_mktsegment")
+        # src 1 (CRM): name null on k%5==0, phone null on k%3==0
+        n1 = pc.if_else(pa.array(k % 5 == 0), pa.scalar(None, pa.string()), name)
+        p1 = pc.if_else(pa.array(k % 3 == 0), pa.scalar(None, pa.string()), phone)
+        # src 2 (billing): even keys only — odd rows fully null
+        ev = pa.array(k % 2 == 0)
+        n2 = pc.if_else(ev, pc.binary_join_element_wise(pa.scalar("B:"), name, pa.scalar("")), pa.scalar(None, pa.string()))
+        p2 = pc.if_else(ev, pc.binary_join_element_wise(pa.scalar("B-"), phone, pa.scalar("")), pa.scalar(None, pa.string()))
+        # src 3 (legacy): complete
+        ks = pc.cast(pa.array(k), pa.string())
+        n3 = pc.binary_join_element_wise(pa.scalar("L:"), ks, pa.scalar(""))
+        p3 = pc.binary_join_element_wise(pa.scalar("L-"), phone, pa.scalar(""))
+        n = len(k)
+        import numpy as _np
+
+        return pa.table(
+            {
+                "entity": pa.array(_np.tile(k, 3), pa.int64()),
+                "prio": pa.array(
+                    _np.repeat(_np.array([1, 2, 3], _np.int64), n)[
+                        _np.concatenate([_np.arange(n), n + _np.arange(n), 2 * n + _np.arange(n)])
+                    ],
+                    pa.int64(),
+                ),
+                "name": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in (n1, n2, n3)]
+                ),
+                "phone": pa.concat_arrays(
+                    [x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x for x in (p1, p2, p3)]
+                ),
+            }
+        )
+
+    feeds = cust.map_batches(_feeds, batch_format="pyarrow")
+    out = survivorship_merge(
+        feeds, entity_col="entity", priority_col="prio",
+        value_cols=["name", "phone"],
+    )
+    return out.rename_columns({"entity": "c_custkey"})
+
+
+SQL_ER_GOLDEN_RECORD = """
+WITH feeds AS (
+  SELECT c_custkey AS entity, 1 AS prio,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_name END AS name,
+         CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS phone
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2,
+         CASE WHEN c_custkey % 2 = 0 THEN 'B:' || c_name END,
+         CASE WHEN c_custkey % 2 = 0 THEN 'B-' || c_mktsegment END
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 3, 'L:' || CAST(c_custkey AS VARCHAR), 'L-' || c_mktsegment
+  FROM customer
+)
+SELECT entity AS c_custkey,
+       arg_min(name, prio) FILTER (WHERE name IS NOT NULL) AS name,
+       arg_min(phone, prio) FILTER (WHERE phone IS NOT NULL) AS phone
+FROM feeds GROUP BY entity
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"er_golden_record": QueryDef(q_er_golden_record, SQL_ER_GOLDEN_RECORD)}
+)

@@ -28,3 +28,28 @@ def test_delta_presence_exact_bounds():
     assert got.n_pop.tolist() == [4, 2, 1]
     assert got.n_sample.tolist() == [1, 2, 0]
     assert got.delta_micro.tolist() == [250000, 1000000, 0]
+
+
+def test_survivorship_merge_picks_first_nonnull_by_priority():
+    from anonymization_ray.extras.er import survivorship_merge
+
+    tbl = pa.table(
+        {
+            "entity": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            "prio": pa.array([1, 2, 3, 2, 3, 3], pa.int64()),
+            "a": ["x", "y", "z", None, "w", None],
+            "b": [None, None, "bz", "bv", None, None],
+        }
+    )
+    got = (
+        survivorship_merge(
+            rd.from_arrow(tbl), entity_col="entity", priority_col="prio",
+            value_cols=["a", "b"],
+        )
+        .to_pandas()
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+    assert got.entity.tolist() == [1, 2, 3]
+    assert got.a.tolist() == ["x", "w", None]  # entity 3: no non-null a
+    assert got.b.tolist() == ["bz", "bv", None]
