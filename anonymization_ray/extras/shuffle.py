@@ -378,3 +378,65 @@ def temperature_upsample(
     n_max = max(counts.values())
     weights = {k: math.sqrt(n_max / n) for k, n in counts.items()}
     return mixture_sample(ds, key_col, weights, id_col, default=0.0, salt=salt)
+
+
+CURRICULUM_SALT = 6007
+
+
+def curriculum_order(
+    ds: rd.Dataset,
+    id_col: str,
+    difficulty_col: str,
+    *,
+    bands: int = 4,
+) -> rd.Dataset:
+    """Curriculum training order: docs ranked globally by a difficulty
+    proxy, cut into ``bands`` equal-height difficulty bands (easy first),
+    then deterministically shuffled WITHIN each band — the standard
+    curriculum-learning layout (easy->hard macro order, no intra-band
+    difficulty correlation to bias early steps). Returns
+    (id, band, pos): ``pos`` is the global serving order.
+
+    Both passes are the engine's global-rank shape (`util.rank_per_key`
+    under a constant key: ONE narrow range sort + per-block ranks +
+    boundary carries). The intra-band shuffle key packs
+    band · 2^61 + sm64(id)//8 into one int64 so pass 2 is a single sort;
+    ties (collisions of the truncated hash) break on the id, and the SQL
+    oracle orders by the identical packed value, so the order is
+    bit-reproducible."""
+    import pyarrow.compute as pc
+
+    from ..util import rank_per_key
+
+    n = ds.count()
+
+    def _const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_k", pa.array(np.zeros(b.num_rows, np.int64))
+        )
+
+    narrow = ds.select_columns([id_col, difficulty_col]).map_batches(
+        _const, batch_format="pyarrow"
+    )
+    ranked = rank_per_key(
+        narrow, "_k", difficulty_col, tie_col=id_col, rank_col="_r"
+    )
+
+    def _banded(b: pa.Table) -> pa.Table:
+        r = b.column("_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        band = r * bands // n
+        h = (sm64_key(ids, CURRICULUM_SALT) >> np.uint64(1)).astype(np.int64)
+        packed = band * (np.int64(1) << np.int64(61)) + h // 8
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "band": pa.array(band, pa.int64()),
+                "_pk": pa.array(packed, pa.int64()),
+                "_k": pa.array(np.zeros(len(r), np.int64)),
+            }
+        )
+
+    banded = ranked.map_batches(_banded, batch_format="pyarrow")
+    pos = rank_per_key(banded, "_k", "_pk", tie_col=id_col, rank_col="pos")
+    return pos.select_columns([id_col, "band", "pos"])

@@ -1471,3 +1471,53 @@ FROM feeds GROUP BY entity
 EXTRAS10_REGISTRY.update(
     {"er_golden_record": QueryDef(q_er_golden_record, SQL_ER_GOLDEN_RECORD)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 82: curriculum training order
+# --------------------------------------------------------------------------
+
+def q_corpus_curriculum_order(sf_dir: str):
+    """Curriculum serving order over documents with n_chars as the
+    difficulty proxy (`extras/shuffle.curriculum_order`): global
+    difficulty rank -> 4 equal-height bands (easy first) -> SplitMix64
+    intra-band shuffle, two global-rank sorts total. The oracle replays
+    both row_number passes over the identical packed sort key."""
+    from .extras.shuffle import curriculum_order
+
+    docs = load(sf_dir, "documents", ["doc_id", "n_chars"])
+    return curriculum_order(docs, "doc_id", "n_chars", bands=4)
+
+
+def _sql_corpus_curriculum_order() -> str:
+    from .extras.shuffle import CURRICULUM_SALT, sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        "(SELECT doc_id, n_chars FROM documents)", "doc_id", CURRICULUM_SALT
+    )
+    return f"""
+WITH {chain},
+ranked AS (
+  SELECT doc_id, CAST(h // 2 AS BIGINT) AS h63,
+         row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS r,
+         count(*) OVER () AS n
+  FROM h3
+),
+banded AS (
+  SELECT doc_id, (r * 4) // n AS band,
+         ((r * 4) // n) * 2305843009213693952 + h63 // 8 AS pk
+  FROM ranked
+)
+SELECT doc_id, CAST(band AS BIGINT) AS band,
+       CAST(row_number() OVER (ORDER BY pk, doc_id) - 1 AS BIGINT) AS pos
+FROM banded
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "corpus_curriculum_order": QueryDef(
+            q_corpus_curriculum_order, _sql_corpus_curriculum_order()
+        )
+    }
+)

@@ -62,3 +62,30 @@ def test_sentence_stats_edges():
     )
     assert got.n_sentences.tolist() == [3, 1, 0, 3]
     assert got.sum_chars.tolist() == [26, 18, 0, 10]
+
+
+def test_curriculum_order_bands_monotone_in_difficulty():
+    from anonymization_ray.extras.shuffle import curriculum_order
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "diff": pa.array([i * 3 % 40 for i in range(40)], pa.int64()),
+        }
+    )
+    got = (
+        curriculum_order(rd.from_arrow(tbl), "doc_id", "diff", bands=4)
+        .to_pandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    # serving order visits bands in ascending order, 10 docs each
+    assert got.band.tolist() == sorted(got.band.tolist())
+    assert got.band.value_counts().tolist() == [10, 10, 10, 10]
+    # within a band the order is hash-scrambled, not difficulty-sorted
+    d = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("diff").to_pylist()))
+    band0 = [d[i] for i in got[got.band == 0].doc_id]
+    assert band0 != sorted(band0)
+    # bands partition by difficulty: every band-0 diff < every band-3 diff
+    band3 = [d[i] for i in got[got.band == 3].doc_id]
+    assert max(band0) < min(band3)
