@@ -1521,3 +1521,86 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 83: crawl politeness scheduling (per-host fetch waves)
+# --------------------------------------------------------------------------
+
+_POLITE_RATE = 2  # fetches per host per wave
+
+
+def q_crawl_politeness_schedule(sf_dir: str):
+    """Fetch-wave assignment over the crawl frontier: frontier urls
+    (link targets not yet crawled, ranked by in-link evidence — the
+    `kg_crawl_frontier` stream) are scheduled per HOST at a politeness
+    rate of 2 fetches per wave: rank within host by (n_inlinks desc,
+    url), wave = rank // rate. One `rank_per_key` range sort keyed on
+    the host — the natural partitioning for a fetch fleet, where each
+    worker owns hosts and drains waves in order. Oracle replays the
+    ranking with a row_number window."""
+    from .queries_extras8 import q_kg_crawl_frontier
+    from .util import rank_per_key
+
+    frontier = q_kg_crawl_frontier(sf_dir)
+
+    def _host(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(b.column("url"), r"^https?://(?P<h>[^/]+)/"),
+            "h",
+        )
+        # rank key: descending in-links then url asc — flip the count so
+        # ONE ascending sort serves both (counts are small positives)
+        neg = pc.subtract(
+            pa.scalar(1 << 40), pc.cast(b.column("n_inlinks"), pa.int64())
+        )
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "host": host,
+                "negin": neg,
+            }
+        )
+
+    hosted = frontier.map_batches(_host, batch_format="pyarrow")
+    ranked = rank_per_key(hosted, "host", "negin", tie_col="url", rank_col="_r")
+
+    def _wave(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        r = b.column("_r").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "host": b.column("host"),
+                "wave": pa.array(r // _POLITE_RATE, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(_wave, batch_format="pyarrow")
+
+
+def _sql_crawl_politeness_schedule() -> str:
+    from .queries_extras8 import SQL_KG_CRAWL_FRONTIER
+
+    return f"""
+WITH frontier AS ({SQL_KG_CRAWL_FRONTIER}),
+hosted AS (
+  SELECT url, regexp_extract(url, '^https?://([^/]+)/', 1) AS host, n_inlinks
+  FROM frontier
+)
+SELECT url, host,
+       CAST((row_number() OVER (PARTITION BY host
+             ORDER BY n_inlinks DESC, url) - 1) // {_POLITE_RATE} AS BIGINT)
+         AS wave
+FROM hosted
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "crawl_politeness_schedule": QueryDef(
+            q_crawl_politeness_schedule, _sql_crawl_politeness_schedule()
+        )
+    }
+)
