@@ -20,9 +20,14 @@ how many paths witness it. Grammar (recursive descent):
 
     alt    := seq ('|' seq)*
     seq    := postfix ('/' postfix)*
-    postfix:= unary ('+' | '*')*
+    postfix:= unary ('+' | '*' | '{n}' | '{n,m}')*
     unary  := '^' unary | '!' npset | '(' alt ')' | predicate
     npset  := predicate | '(' predicate ('|' predicate)* ')'
+
+`p{n,m}` is the bounded-repetition Jena extension (the reference engine is
+Jena): set-valued union of the n..m-fold compositions, unrolled as m-1
+hash joins (m is a query-text literal, so the unroll never depends on
+data); `{0,m}` adds the zero-length identity.
 """
 
 from __future__ import annotations
@@ -35,7 +40,7 @@ import ray.data as rd
 
 from ..util import default_num_partitions, distinct_rows
 
-_TOKEN = re.compile(r"\s*([/|()^+*!]|[^\s/|()^+*!]+)")
+_TOKEN = re.compile(r"\s*(\{[0-9]+(?:,[0-9]+)?\}|[/|()^+*!]|[^\s/|()^+*!{}]+)")
 
 
 def _tokenize(s: str) -> list[str]:
@@ -96,9 +101,22 @@ def parse_path(s: str):
 
     def postfix():
         e = unary()
-        while peek() in ("+", "*"):
-            e = ("plus" if eat() == "+" else "star", e)
-        return e
+        while True:
+            t = peek()
+            if t in ("+", "*"):
+                e = ("plus" if eat() == "+" else "star", e)
+            elif t is not None and t.startswith("{"):
+                body = eat()[1:-1]
+                if "," in body:
+                    lo_s, hi_s = body.split(",", 1)
+                    lo, hi = int(lo_s), int(hi_s)
+                else:
+                    lo = hi = int(body)
+                if hi < lo:
+                    raise ValueError(f"bad repetition bounds {{{body}}} in {s!r}")
+                e = ("rep", e, lo, hi)
+            else:
+                return e
 
     def seq():
         parts = [postfix()]
@@ -195,6 +213,50 @@ def eval_path(
                 ident = triples.map_batches(_terms, batch_format="pyarrow")
                 closed = distinct_rows(closed.union(ident), ["s", "o"])
             return closed
+        if kind == "rep":
+            # bounded repetition p{n,m} (Jena property-path extension;
+            # reference engine `pom.xml:31` is Jena) — SET semantics like
+            # the other ArbitraryLengthPath forms. Powers compose by one
+            # hash join per level (m is a small literal, the unroll is
+            # bounded by the query text, never the data); the distinct
+            # fold collapses multi-witness pairs.
+            _, inner, lo, hi = e
+            base = distinct_rows(go(inner), ["s", "o"]).materialize()
+            power = base
+            acc: rd.Dataset | None = base if lo <= 1 else None
+            for k in range(2, hi + 1):
+                nxt = base.rename_columns({"s": "o", "o": "o2"})
+                power = (
+                    power.join(
+                        nxt.materialize(), join_type="inner",
+                        num_partitions=nparts, on=("o",),
+                    )
+                    .select_columns(["s", "o2"])
+                    .rename_columns({"o2": "o"})
+                ).materialize()
+                if k >= lo:
+                    acc = power if acc is None else acc.union(power)
+            if hi == 0 or acc is None:
+                acc = rd.from_arrow(
+                    pa.table({"s": pa.array([], pa.string()),
+                              "o": pa.array([], pa.string())})
+                )
+            if lo == 0:
+                def _terms0(b: pa.Table) -> pa.Table:
+                    t = pc.unique(
+                        pa.concat_arrays(
+                            [
+                                b.column("subj").combine_chunks().cast(pa.string()),
+                                b.column("obj").combine_chunks().cast(pa.string()),
+                            ]
+                        )
+                    )
+                    return pa.table({"s": t, "o": t})
+
+                acc = acc.union(
+                    triples.map_batches(_terms0, batch_format="pyarrow")
+                )
+            return distinct_rows(acc, ["s", "o"])
         raise ValueError(f"unknown node {e!r}")
 
     return go(path)

@@ -1604,3 +1604,46 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 84: property-path bounded repetition p{n,m}
+# --------------------------------------------------------------------------
+
+def q_kg_path_bounded_rep(sf_dir: str):
+    """`tradesWith{2,3}` over the per-region trade chains (wave-65
+    fixture: each nation trades with the NEXT nation of its region):
+    nation pairs reachable in exactly 2 or 3 forward hops —
+    `kg/paths.py` bounded repetition (Jena property-path extension),
+    powers composed by one hash join per level with a set-semantics
+    distinct fold. Oracle unrolls the same two/three-hop joins."""
+    import ray.data as rd
+
+    from .kg.paths import eval_path
+
+    return eval_path(
+        rd.from_arrow(_trades_edges(sf_dir)), "tradesWith{2,3}"
+    )
+
+
+SQL_KG_PATH_BOUNDED_REP = """
+WITH tw AS (
+  SELECT 'urn:nation:' || n_nationkey AS s,
+         'urn:nation:' || lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS o
+  FROM nation
+  QUALIFY o IS NOT NULL
+),
+t2 AS (SELECT a.s, b.o FROM tw a JOIN tw b ON a.o = b.s),
+t3 AS (SELECT t2.s, c.o FROM t2 JOIN tw c ON t2.o = c.s)
+SELECT DISTINCT s, o FROM (SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "kg_path_bounded_rep": QueryDef(
+            q_kg_path_bounded_rep, SQL_KG_PATH_BOUNDED_REP
+        )
+    }
+)

@@ -164,3 +164,29 @@ def test_cep_pattern_overlap_semantics(ray_session):
         pa.array(["vcpvccp", "vcvcp", "vvvp", "p"]), "vc+p"
     )
     assert n.to_pylist() == [2, 1, 0, 0]
+
+
+def _pairs(ds):
+    return sorted((r["s"], r["o"]) for r in ds.take_all())
+
+
+def test_bounded_rep_exact_and_range(ray_session):
+    # chain a->b->c via knows: {2} = exactly two hops; {1,2} = both
+    assert _pairs(eval_path(_g(), "knows{2}")) == [("a", "c")]
+    assert _pairs(eval_path(_g(), "knows{1,2}")) == [
+        ("a", "b"), ("a", "c"), ("b", "c"),
+    ]
+
+
+def test_bounded_rep_zero_includes_identity(ray_session):
+    out = _pairs(eval_path(_g(), "knows{0,1}"))
+    # every graph term self-pairs, plus the one-hop pairs
+    terms = {"a", "b", "c", "41", "9"}
+    assert set(out) == {(t, t) for t in terms} | {("a", "b"), ("b", "c")}
+
+
+def test_bounded_rep_parse_errors():
+    with pytest.raises(ValueError):
+        parse_path("knows{3,2}")
+    with pytest.raises(ValueError):
+        parse_path("knows{")
