@@ -433,7 +433,18 @@ def retry_shuffle_race(fn):
             try:
                 return fn(*args, **kwargs)
             except Exception as e:  # noqa: BLE001 — match on the signature
-                if "No match or multiple matches for key field" not in str(e):
+                s = str(e)
+                # two faces of the same Ray 2.49 race: the Arrow join dies
+                # on the schema-less side ("No match..."), or the shuffle
+                # aggregator's finalize() concat dies on the schema-less
+                # shard (ArrowInvalid inside HashShuffleAggregator) —
+                # observed only under long-session worker churn, passes
+                # deterministically on re-run
+                raced = (
+                    "No match or multiple matches for key field" in s
+                    or ("HashShuffleAggregator" in s and "ArrowInvalid" in s)
+                )
+                if not raced:
                     raise
                 last = e
                 time.sleep(1 + attempt)
