@@ -736,3 +736,52 @@ def sentence_stats(
     return ds.select_columns([id_col, text_col]).map_batches(
         _stats, batch_format="pyarrow"
     )
+
+
+def readability_fk(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Flesch-Kincaid grade level in integer micro-units: 0.39·W/S +
+    11.8·Y/W − 15.59, computed as ONE integer ratio
+    (390000·W² + 11800000·Y·S − 15590000·S·W) / (S·W) so no float ever
+    appears. Words = RE2 non-space runs, sentences = terminator runs,
+    syllables ≈ vowel-group runs (the standard dictionary-free proxy).
+    Division truncates toward zero to match SQL's `//` on the (rare)
+    negative grades; docs with no words or no sentences yield NULL.
+    Three count_substring_regex kernels per batch — no Python row loop."""
+
+    def _fk(b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column(text_col), "")
+        w = pc.count_substring_regex(text, r"[^\s]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        y = pc.count_substring_regex(text, r"[aeiouyAEIOUY]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        s = pc.count_substring_regex(text, r"[.!?]+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        den = s * w
+        num = 390_000 * w * w + 11_800_000 * y * s - 15_590_000 * den
+        safe = den > 0
+        d = np.where(safe, den, 1)
+        q = np.where(num >= 0, num // d, -((-num) // d))
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "words": pa.array(w, pa.int64()),
+                "syllables": pa.array(y, pa.int64()),
+                "sentences": pa.array(s, pa.int64()),
+                "fk_grade_micro": pa.array(
+                    np.where(safe, q, 0), pa.int64(),
+                    mask=~safe,
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _fk, batch_format="pyarrow"
+    )

@@ -1647,3 +1647,43 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 85: Flesch-Kincaid readability (integer micro-units)
+# --------------------------------------------------------------------------
+
+def q_text_readability(sf_dir: str):
+    """Per-doc Flesch-Kincaid grade (`extras/textstats.readability_fk`):
+    words / vowel-group syllables / sentence terminators via three RE2
+    count kernels, the grade as one truncating integer ratio in
+    micro-units — float-free, so the DuckDB replica (regexp_extract_all
+    lengths + the same single-ratio arithmetic) is value-exact."""
+    from .extras.textstats import readability_fk
+
+    return readability_fk(load(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TEXT_READABILITY = r"""
+SELECT doc_id,
+  CAST(length(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS words,
+  CAST(length(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS syllables,
+  CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences,
+  CASE WHEN length(regexp_extract_all(text, '[.!?]+'))
+            * length(regexp_extract_all(text, '[^\s]+')) > 0
+  THEN (390000 * length(regexp_extract_all(text, '[^\s]+'))
+                * length(regexp_extract_all(text, '[^\s]+'))
+        + 11800000 * length(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                   * length(regexp_extract_all(text, '[.!?]+'))
+        - 15590000 * length(regexp_extract_all(text, '[.!?]+'))
+                   * length(regexp_extract_all(text, '[^\s]+')))
+       // (length(regexp_extract_all(text, '[.!?]+'))
+           * length(regexp_extract_all(text, '[^\s]+')))
+  END AS fk_grade_micro
+FROM documents
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"text_readability": QueryDef(q_text_readability, SQL_TEXT_READABILITY)}
+)

@@ -89,3 +89,32 @@ def test_curriculum_order_bands_monotone_in_difficulty():
     # bands partition by difficulty: every band-0 diff < every band-3 diff
     band3 = [d[i] for i in got[got.band == 3].doc_id]
     assert max(band0) < min(band3)
+
+
+def test_readability_fk_values_and_nulls():
+    import numpy as np
+
+    from anonymization_ray.extras.textstats import readability_fk
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "The cat sat.",      # W=3 Y=3 S=1
+                "no terminator",     # S=0 -> null grade
+                "",                  # W=S=0 -> null grade
+            ],
+        }
+    )
+    got = (
+        readability_fk(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # grade = 0.39*3/1 + 11.8*3/3 - 15.59 = -2.62 -> truncation toward 0
+    num = 390000 * 9 + 11800000 * 3 * 1 - 15590000 * 3
+    expect = -((-num) // 3) if num < 0 else num // 3
+    assert got.fk_grade_micro[0] == expect == -2620000
+    assert np.isnan(got.fk_grade_micro[1]) or got.fk_grade_micro.isna()[1]
+    assert got.fk_grade_micro.isna()[2]
