@@ -1687,3 +1687,136 @@ FROM documents
 EXTRAS10_REGISTRY.update(
     {"text_readability": QueryDef(q_text_readability, SQL_TEXT_READABILITY)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 86: hub-removal ablation (graph robustness)
+# --------------------------------------------------------------------------
+
+_ABLATE_HUBS = 5
+
+
+def q_graph_hub_ablation(sf_dir: str):
+    """Robustness ablation: remove the top-5 hubs (degree desc, node asc
+    tie) from the mod-3-restricted link graph and report the component
+    size distribution of what remains — the targeted-attack curve point
+    percolation analysis starts from. Degrees fold via one
+    exact_value_counts pass; the hub set is K-bounded (one K-row driver
+    gather off a narrow sort); removal is a broadcast is_in filter over
+    nodes AND edge endpoints; components + singleton recovery reuse the
+    wave-73 resolution core; sizes fold with a second exact count.
+    Output (comp, size) with comp = the component's min node id."""
+    import numpy as np
+
+    from .extras.dedup import cluster_keepers
+    from .extras.stats import exact_value_counts
+
+    edges = _doc_link_edges(sf_dir)
+
+    def _even(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = ((a + b) % 3) == 0
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    sel = edges.map_batches(_even, batch_format="pyarrow").materialize()
+
+    def _ends(b: pa.Table) -> pa.Table:
+        n = pa.concat_arrays(
+            [
+                b.column("id_a").combine_chunks(),
+                b.column("id_b").combine_chunks(),
+            ]
+        )
+        return pa.table({"node": n})
+
+    deg = exact_value_counts(
+        sel.map_batches(_ends, batch_format="pyarrow"), "node"
+    )
+
+    def _rank_key(b: pa.Table) -> pa.Table:
+        # (degree desc, node asc) as ONE ascending key — degrees and node
+        # ids are far below the 2^20 packing radix
+        n = pc.cast(b.column("n"), pa.int64())
+        node = pc.cast(b.column("node"), pa.int64())
+        k = pc.add(
+            pc.multiply(pc.subtract(pa.scalar(1 << 20), n), pa.scalar(1 << 40)),
+            node,
+        )
+        return pa.table({"k": k, "node": node})
+
+    hubs = [
+        int(r["node"])
+        for r in deg.map_batches(_rank_key, batch_format="pyarrow")
+        .sort("k")
+        .limit(_ABLATE_HUBS)
+        .take_all()
+    ]
+    hub_set = pa.array(sorted(hubs), pa.int64())
+
+    def _drop_edges(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.and_(
+                pc.invert(pc.is_in(b.column("id_a"), value_set=hub_set)),
+                pc.invert(pc.is_in(b.column("id_b"), value_set=hub_set)),
+            )
+        )
+
+    reduced = sel.map_batches(_drop_edges, batch_format="pyarrow")
+    nodes = load(sf_dir, "documents", ["doc_id"]).map_batches(
+        lambda b: b.filter(
+            pc.invert(pc.is_in(b.column("doc_id"), value_set=hub_set))
+        ),
+        batch_format="pyarrow",
+    )
+    comp = cluster_keepers(nodes, reduced, id_col="doc_id").rename_columns(
+        {"keeper_id": "comp"}
+    )
+    sizes = exact_value_counts(comp.select_columns(["comp"]), "comp")
+    return sizes.rename_columns({"n": "size"})
+
+
+def _sql_graph_hub_ablation() -> str:
+    from .queries_extras8 import _SQL_LINKS_CTE
+
+    return f"""
+WITH RECURSIVE {_SQL_LINKS_CTE},
+ed AS (
+  SELECT DISTINCT least(doc_id, t) AS a, greatest(doc_id, t) AS b
+  FROM e WHERE doc_id <> t
+),
+sel AS (SELECT a, b FROM ed WHERE (a + b) % 3 = 0),
+deg AS (
+  SELECT n, count(*) AS c FROM (
+    SELECT a AS n FROM sel UNION ALL SELECT b FROM sel
+  ) GROUP BY n
+),
+hubs AS (SELECT n FROM deg ORDER BY c DESC, n LIMIT {_ABLATE_HUBS}),
+red AS (
+  SELECT a, b FROM sel
+  WHERE a NOT IN (SELECT n FROM hubs) AND b NOT IN (SELECT n FROM hubs)
+),
+edges AS (SELECT a AS u, b AS v FROM red UNION ALL SELECT b, a FROM red),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  WHERE doc_id NOT IN (SELECT n FROM hubs)
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT comp, count(*) AS size FROM comp GROUP BY comp
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "graph_hub_ablation": QueryDef(
+            q_graph_hub_ablation, _sql_graph_hub_ablation()
+        )
+    }
+)
