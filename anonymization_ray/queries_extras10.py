@@ -1820,3 +1820,108 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 88: seasonal-naive forecast backtest
+# --------------------------------------------------------------------------
+
+def q_events_seasonal_backtest(sf_dir: str):
+    """Seasonal-naive forecasting backtest over event traffic: forecast
+    for hour h = the count at h − 24h (daily seasonality), scored per
+    event type as (n_hours, sum_abs_err) over hours where BOTH actual
+    and lagged counts exist — the baseline every traffic-forecast model
+    must beat, in exact integers. Hourly counts fold via one packed-key
+    exact_value_counts; the lag join is the SAME stream re-keyed +24h
+    (one hash join, no window shuffle); the error folds with
+    sum_per_key."""
+    import numpy as np
+
+    from .extras.graph import sum_per_key
+    from .extras.stats import exact_value_counts
+    from .util import hash_join
+
+    ev = load(sf_dir, "events", ["ts", "event_type"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        hour = pc.cast(
+            pc.floor_temporal(b.column("ts"), unit="hour"), pa.int64()
+        )
+        h = pc.cast(pc.divide(hour, 3_600_000_000), pa.int64())
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    b.column("event_type"),
+                    pc.cast(h, pa.string()),
+                    pa.scalar("|"),
+                )
+            }
+        )
+
+    counts = exact_value_counts(
+        ev.map_batches(_key, batch_format="pyarrow"), "k"
+    ).materialize()
+
+    def _lagged(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("k"), "|")
+        typ = pc.list_element(parts, 0)
+        h = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return pa.table(
+            {
+                "k": pc.binary_join_element_wise(
+                    typ,
+                    pc.cast(pc.add(h, pa.scalar(24)), pa.string()),
+                    pa.scalar("|"),
+                ),
+                "fcst": b.column("n"),
+            }
+        )
+
+    fcst = counts.map_batches(_lagged, batch_format="pyarrow")
+    joined = hash_join(counts, fcst, on="k", join_type="inner")
+
+    def _err(b: pa.Table) -> pa.Table:
+        typ = pc.list_element(pc.split_pattern(b.column("k"), "|"), 0)
+        a = b.column("n").to_numpy(zero_copy_only=False)
+        f = b.column("fcst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": typ,
+                "one": pa.array(np.ones(len(a), np.int64)),
+                "abs_err": pa.array(np.abs(a - f), pa.int64()),
+            }
+        )
+
+    errs = joined.map_batches(_err, batch_format="pyarrow").materialize()
+    n_hours = sum_per_key(
+        errs.select_columns(["event_type", "one"]), "event_type", "one"
+    ).rename_columns({"one": "n_hours"})
+    sae = sum_per_key(
+        errs.select_columns(["event_type", "abs_err"]), "event_type", "abs_err"
+    ).rename_columns({"abs_err": "sum_abs_err"})
+    return hash_join(n_hours, sae, on="event_type", join_type="inner")
+
+
+SQL_EVENTS_SEASONAL_BACKTEST = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(epoch(date_trunc('hour', ts)) // 3600 AS BIGINT) AS h,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.event_type,
+       count(*) AS n_hours,
+       CAST(sum(abs(a.n - f.n)) AS BIGINT) AS sum_abs_err
+FROM hourly a JOIN hourly f
+  ON a.event_type = f.event_type AND a.h = f.h + 24
+GROUP BY 1
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_seasonal_backtest": QueryDef(
+            q_events_seasonal_backtest, SQL_EVENTS_SEASONAL_BACKTEST
+        )
+    }
+)
