@@ -785,3 +785,55 @@ def readability_fk(
     return ds.select_columns([id_col, text_col]).map_batches(
         _fk, batch_format="pyarrow"
     )
+
+
+def compression_stats(
+    ds: rd.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> rd.Dataset:
+    """Per-doc zlib compression ratio — the classic cheap repetition /
+    boilerplate signal (highly compressible text is usually low-quality
+    template spam; near-incompressible text is often binary junk or
+    high-entropy noise; both tails get filtered in CCNet-style pipelines).
+    Returns (id, raw_len, comp_len, ratio_micro, roundtrip_ok) with
+    ratio_micro = 10^6·comp_len // raw_len (0 for empty docs) and
+    roundtrip_ok certifying decompress(compress(text)) == text.
+
+    zlib is not SQL-expressible, so the registry scoreboard pins only the
+    invariants zlib GUARANTEES (lossless round trip; comp_len bounded by
+    raw_len + header slack) — the ratio VALUES are pinned by unit tests
+    on fixed strings instead. The per-doc Python loop is inherent to a
+    byte-codec (same contract as the WARC record parser); cost is one
+    memoryview pass per doc."""
+    import zlib
+
+    def _comp(b: pa.Table) -> pa.Table:
+        texts = pc.fill_null(b.column(text_col), "").to_pylist()
+        raw_l, comp_l, ok = [], [], []
+        for t in texts:
+            raw = t.encode("utf-8", "surrogatepass")
+            z = zlib.compress(raw, level)
+            raw_l.append(len(raw))
+            comp_l.append(len(z))
+            ok.append(int(zlib.decompress(z) == raw))
+        raw_a = np.array(raw_l, np.int64)
+        comp_a = np.array(comp_l, np.int64)
+        ratio = np.where(
+            raw_a > 0, (1_000_000 * comp_a) // np.maximum(raw_a, 1), 0
+        )
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "raw_len": pa.array(raw_a, pa.int64()),
+                "comp_len": pa.array(comp_a, pa.int64()),
+                "ratio_micro": pa.array(ratio, pa.int64()),
+                "roundtrip_ok": pa.array(np.array(ok, np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _comp, batch_format="pyarrow"
+    )

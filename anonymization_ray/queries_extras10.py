@@ -1925,3 +1925,54 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 89: zlib compression-ratio quality signal (certified scoreboard)
+# --------------------------------------------------------------------------
+
+def q_text_compression_gate(sf_dir: str):
+    """Compression-codec certification scoreboard over documents
+    (`extras/textstats.compression_stats`): per doc, the lossless
+    round-trip flag and the comp_len <= raw_len + 64 bound — the two
+    invariants zlib guarantees, both pinned to 1 by the oracle (raw_len
+    is independently SQL-checked via octet_length). The ratio itself is
+    the quality signal (not SQL-expressible; values pinned by unit
+    tests on fixed strings)."""
+    from .extras.textstats import compression_stats
+
+    stats = compression_stats(load(sf_dir, "documents", ["doc_id", "text"]))
+
+    def _gate(b: pa.Table) -> pa.Table:
+        raw = b.column("raw_len").to_numpy(zero_copy_only=False)
+        comp = b.column("comp_len").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "raw_len": b.column("raw_len"),
+                "roundtrip_ok": b.column("roundtrip_ok"),
+                "bounded": pa.array(
+                    (comp <= raw + 64).astype("int64"), pa.int64()
+                ),
+            }
+        )
+
+    return stats.map_batches(_gate, batch_format="pyarrow")
+
+
+SQL_TEXT_COMPRESSION_GATE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS raw_len,
+       CAST(1 AS BIGINT) AS roundtrip_ok,
+       CAST(1 AS BIGINT) AS bounded
+FROM documents
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "text_compression_gate": QueryDef(
+            q_text_compression_gate, SQL_TEXT_COMPRESSION_GATE
+        )
+    }
+)

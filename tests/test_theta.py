@@ -118,3 +118,28 @@ def test_readability_fk_values_and_nulls():
     assert got.fk_grade_micro[0] == expect == -2620000
     assert np.isnan(got.fk_grade_micro[1]) or got.fk_grade_micro.isna()[1]
     assert got.fk_grade_micro.isna()[2]
+
+
+def test_compression_ratio_separates_repetition_from_entropy():
+    from anonymization_ray.extras.textstats import compression_stats
+
+    rep = "spam template " * 200
+    rng = np.random.default_rng(11)
+    div = "".join(chr(c) for c in rng.integers(33, 123, 2800))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [rep, div, ""],
+        }
+    )
+    got = (
+        compression_stats(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.roundtrip_ok.tolist() == [1, 1, 1]
+    # repetitive text compresses an order of magnitude harder
+    assert got.ratio_micro[0] < 30_000          # < 3% of raw
+    assert got.ratio_micro[1] > 700_000         # > 70% of raw
+    assert got.ratio_micro[2] == 0 and got.raw_len[2] == 0
