@@ -1976,3 +1976,58 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 90: per-domain document cap (host balancing)
+# --------------------------------------------------------------------------
+
+_DOMAIN_CAP = 50
+
+
+def q_corpus_domain_cap(sf_dir: str):
+    """Host/domain balancing (the C4-style 'no domain may dominate the
+    corpus' rule): keep at most N documents per source, preferring
+    longer documents (n_chars desc, doc_id asc tie) — one source-keyed
+    `rank_per_key` range sort + a stateless rank filter; the length
+    flip packs desc-then-asc into a single ascending key. Survivors
+    stream on with their rank for downstream mixing weights."""
+    from .util import rank_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "source": b.column("source"),
+                "negchars": pc.subtract(
+                    pa.scalar(1 << 40), pc.cast(b.column("n_chars"), pa.int64())
+                ),
+            }
+        )
+
+    keyed = docs.map_batches(_key, batch_format="pyarrow")
+    ranked = rank_per_key(
+        keyed, "source", "negchars", tie_col="doc_id", rank_col="rnk"
+    )
+    return ranked.map_batches(
+        lambda b: b.filter(pc.less(b.column("rnk"), _DOMAIN_CAP)).select(
+            ["doc_id", "source", "rnk"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CORPUS_DOMAIN_CAP = f"""
+SELECT doc_id, source,
+       CAST(row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rnk
+FROM documents
+QUALIFY rnk < {_DOMAIN_CAP}
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"corpus_domain_cap": QueryDef(q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP)}
+)
