@@ -2031,3 +2031,87 @@ QUALIFY rnk < {_DOMAIN_CAP}
 EXTRAS10_REGISTRY.update(
     {"corpus_domain_cap": QueryDef(q_corpus_domain_cap, SQL_CORPUS_DOMAIN_CAP)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 91: lineage-manifest audit (counters vs bytes on disk)
+# --------------------------------------------------------------------------
+
+def q_kg_lineage_audit(sf_dir: str):
+    """End-to-end certification of the materializer's per-partition
+    lineage manifests (north rule: 'resumable from checkpoint with
+    per-partition lineage + metrics'): canonical triples materialize to
+    both sorted layouts, then the audit re-reads every partition
+    directory and checks the manifest row counter against the bytes
+    actually on disk. Output per layout: total_rows (SQL-pinned against
+    the canonical-triples count), n_parts (the full partition grid) and
+    counters_ok — 1 only if EVERY partition's parquet row count equals
+    its manifest counter. Partition assignment is a siphash of the
+    subject (not SQL-expressible); the audit certifies the invariant
+    that matters — no partition lost or double-counted — while SQL pins
+    the corpus-level total."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .kg.materialize import materialize_triples
+    from .queries_extras9 import _canonical_triples
+
+    n_parts = 16
+    out_dir = tempfile.mkdtemp(prefix="lineage_audit_")
+    try:
+        triples = _canonical_triples(sf_dir)
+        materialize_triples(
+            triples, out_dir, layouts=("spo", "pos"),
+            num_partitions=n_parts, resume=False,
+        )
+        rows = []
+        for layout in ("pos", "spo"):
+            manifests = {}
+            mdir = os.path.join(out_dir, "_manifests")
+            for f in os.listdir(mdir):
+                if f.startswith(f"{layout}_part="):
+                    p = int(f.split("=")[1].split(".")[0])
+                    manifests[p] = json.load(open(os.path.join(mdir, f)))
+            ldir = os.path.join(out_dir, layout)
+            ok = len(manifests) == n_parts
+            total = 0
+            for p in range(n_parts):
+                pdir = os.path.join(ldir, f"part={p}")
+                actual = (
+                    rd.read_parquet(pdir).count() if os.path.isdir(pdir) else 0
+                )
+                total += actual
+                declared = int(manifests.get(p, {}).get("rows", -1))
+                if declared != actual:
+                    ok = False
+            rows.append((layout, total, len(manifests), int(ok)))
+        return pa.table(
+            {
+                "layout": pa.array([r[0] for r in rows], pa.string()),
+                "total_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_parts": pa.array([r[2] for r in rows], pa.int64()),
+                "counters_ok": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _sql_kg_lineage_audit() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH canon AS ({SQL_KG_CANONICAL})
+SELECT layout, (SELECT count(*) FROM canon) AS total_rows,
+       CAST(16 AS BIGINT) AS n_parts, CAST(1 AS BIGINT) AS counters_ok
+FROM (VALUES ('pos'), ('spo')) v(layout)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_lineage_audit": QueryDef(q_kg_lineage_audit, _sql_kg_lineage_audit())}
+)
