@@ -2115,3 +2115,81 @@ FROM (VALUES ('pos'), ('spo')) v(layout)
 EXTRAS10_REGISTRY.update(
     {"kg_lineage_audit": QueryDef(q_kg_lineage_audit, _sql_kg_lineage_audit())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 92: sorted-neighborhood ER blocking
+# --------------------------------------------------------------------------
+
+_SNM_WINDOW = 3
+
+
+def q_er_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking (the classic record-linkage
+    alternative to hash blocking: sort by a fuzzy key, compare only
+    records within a sliding rank window — catches near-misses that
+    land in DIFFERENT hash blocks): customers sorted by name, candidate
+    pairs = rank gap <= 3. One constant-key `rank_per_key` global sort,
+    then the spatial-join replication trick — each record probes ranks
+    r+1..r+w via w narrow copies into ONE hash join on the rank key (no
+    window shuffle, no per-group UDF). Output (id_a, id_b, gap)."""
+    import numpy as np
+
+    from .util import hash_join, rank_per_key
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def _const(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_k", pa.array(np.zeros(b.num_rows, np.int64))
+        )
+
+    ranked = rank_per_key(
+        cust.map_batches(_const, batch_format="pyarrow"),
+        "_k", "c_name", tie_col="c_custkey", rank_col="r",
+    ).select_columns(["c_custkey", "r"]).materialize()
+
+    left = ranked.rename_columns({"c_custkey": "id_a", "r": "ra"})
+
+    def _probe(b: pa.Table) -> pa.Table:
+        ids = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        reps = []
+        for j in range(1, _SNM_WINDOW + 1):
+            reps.append((r - j, ids, np.full(len(r), j, np.int64)))
+        return pa.table(
+            {
+                "ra": pa.array(
+                    np.concatenate([x[0] for x in reps]), pa.int64()
+                ),
+                "id_b": pa.array(np.concatenate([x[1] for x in reps])),
+                "gap": pa.array(
+                    np.concatenate([x[2] for x in reps]), pa.int64()
+                ),
+            }
+        )
+
+    probe = ranked.map_batches(_probe, batch_format="pyarrow")
+    joined = hash_join(left, probe, on="ra", join_type="inner")
+    return joined.select_columns(["id_a", "id_b", "gap"])
+
+
+SQL_ER_SORTED_NEIGHBORHOOD = f"""
+WITH ranked AS (
+  SELECT c_custkey, row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS r
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(b.r - a.r AS BIGINT) AS gap
+FROM ranked a JOIN ranked b
+  ON b.r > a.r AND b.r <= a.r + {_SNM_WINDOW}
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "er_sorted_neighborhood": QueryDef(
+            q_er_sorted_neighborhood, SQL_ER_SORTED_NEIGHBORHOOD
+        )
+    }
+)
