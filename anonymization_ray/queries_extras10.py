@@ -2193,3 +2193,90 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 93: distributed Gram matrix (the PCA/covariance first step)
+# --------------------------------------------------------------------------
+
+_GRAM_SCALE = 1 << 20  # fixed-point: float32 -> int, products exact in int64
+
+
+def q_embed_gram_matrix(sf_dir: str):
+    """Upper-triangle Gram matrix X^T X over the embedding corpus — THE
+    distributed first step of PCA / covariance estimation: each block
+    contributes one d x d int64 partial via a single numpy matmul (the
+    map-side combine that makes the reduce d^2-sized instead of
+    corpus-sized), partials fold on the driver. Elements quantize to
+    fixed point (round(v * 2^20)) so sums are order-proof exact integers
+    — the same micro-unit discipline as the pricing aggregates; int64
+    headroom covers ~2^22 rows at this scale, guarded loudly. The
+    oracle pays the d^2-per-row unnest join the matmul avoids."""
+    import numpy as np
+
+    docs = load(sf_dir, "embeddings", ["vec_id", "embedding"])
+    d_holder: list = []
+
+    def _partial(b: pa.Table) -> pa.Table:
+        emb = np.stack(b.column("embedding").to_numpy(zero_copy_only=False))
+        scaled = emb.astype(np.float64) * _GRAM_SCALE
+        # half-AWAY-from-zero to match SQL round() (np.rint is half-to-even,
+        # and float32·2^20 hits exact .5 ties often)
+        q = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(np.int64)
+        g = q.T @ q  # d x d block partial, one BLAS call
+        return pa.table(
+            {
+                "rows": pa.array([b.num_rows], pa.int64()),
+                "g": pa.array([g.ravel().tolist()]),
+                "d": pa.array([g.shape[0]], pa.int64()),
+            }
+        )
+
+    import ray
+
+    parts = docs.map_batches(_partial, batch_format="pyarrow")
+    total = None
+    d = None
+    n_rows = 0
+    for blk in ray.get(parts.to_arrow_refs()):
+        for r, gl, dd in zip(
+            blk.column("rows").to_pylist(),
+            blk.column("g").to_pylist(),
+            blk.column("d").to_pylist(),
+        ):
+            arr = np.array(gl, np.int64)
+            n_rows += r
+            d = int(dd)
+            total = arr if total is None else total + arr
+    if n_rows >= (1 << 22):
+        raise ValueError(
+            "int64 Gram headroom exceeded; shard the fold or lower the scale"
+        )
+    g = total.reshape(d, d)
+    iu = np.triu_indices(d)
+    return pa.table(
+        {
+            "i": pa.array(iu[0] + 1, pa.int64()),
+            "j": pa.array(iu[1] + 1, pa.int64()),
+            "gram": pa.array(g[iu], pa.int64()),
+        }
+    )
+
+
+SQL_EMBED_GRAM_MATRIX = f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * {_GRAM_SCALE})
+              AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(sum(a.qv * b.qv) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"embed_gram_matrix": QueryDef(q_embed_gram_matrix, SQL_EMBED_GRAM_MATRIX)}
+)
