@@ -989,3 +989,119 @@ def per_key_prefix_max(
     if not out:
         return s
     return rd.from_arrow_refs(out)
+
+
+def cusum_per_key(
+    ds: rd.Dataset,
+    key_col: str,
+    order_col: str,
+    id_col: str,
+    val_col: str,
+    *,
+    threshold: int,
+) -> rd.Dataset:
+    """One-sided CUSUM drift detector per key: S_i = max(0, S_{i-1} + d_i)
+    over rows ordered by (order, id), alarm when S_i > threshold — the
+    classic sequential change detector, in exact integers (pre-scale
+    ``val_col`` to deviations d_i).
+
+    Scale shape: the reset-at-zero recurrence has the closed form
+    S_i = RS_i − min(0, min_{j<=i} RS_j) (running sum minus running min
+    of the prefix-sum path, empty prefix included), so it distributes
+    exactly like `per_key_window`: ONE range sort, per-block vectorized
+    cumsum + minimum.accumulate, and a carry chain shipping TWO scalars
+    per block boundary (entering running sum, entering path minimum) —
+    a sequential-looking detector with no sequential execution."""
+    import ray
+
+    from ..util import coalesce_blocks
+
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, order_col, id_col, val_col]).materialize()
+        )
+        .sort([key_col, order_col, id_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = _i64(t.column(val_col))
+        last = k[-1]
+        brk = np.nonzero(k != last)[0]
+        start = int(brk[-1]) + 1 if brk.size else 0
+        rel = np.cumsum(v[start:])
+        return {
+            "first": k[0],
+            "last": last,
+            "sum_last": int(rel[-1]),
+            "minpref_last": int(rel.min()),
+            "whole": start == 0,
+        }
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, m in zip(refs, summaries) if m is not None]
+    summaries = [m for m in summaries if m is not None]
+
+    carries: list[tuple | None] = []
+    run_key, run_rs, run_mn = None, 0, 0
+    for m in summaries:
+        carries.append(
+            (run_key, run_rs, run_mn)
+            if run_key is not None and m["first"] == run_key
+            else None
+        )
+        if m["whole"] and m["last"] == run_key:
+            new_mn = min(run_mn, run_rs + m["minpref_last"])
+            run_rs += m["sum_last"]
+            run_mn = new_mn
+        else:
+            run_key = m["last"]
+            run_rs = m["sum_last"]
+            run_mn = min(0, m["minpref_last"])
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = _i64(t.column(val_col))
+        n = len(k)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        cont = carry is not None and k[0] == carry[0]
+        seg_id = np.cumsum(new_key) - 1
+        seg_starts = np.nonzero(new_key)[0]
+        start_of_seg = seg_starts[seg_id]
+        cv = np.cumsum(v)
+        rs = cv - (cv[start_of_seg] - v[start_of_seg])  # per-segment RS
+        rs_in = np.zeros(n, np.int64)
+        mn_in = np.zeros(n, np.int64)  # fresh keys: min includes RS_0 = 0
+        if cont:
+            head = seg_id == 0
+            rs_in[head] = carry[1]
+            mn_in[head] = carry[2]
+        rs_g = rs + rs_in
+        # segmented running min of the RS path: segments are contiguous
+        # after the sort, so a bounded per-segment loop (keys per block)
+        # over vectorized minimum.accumulate is the simple exact form
+        mn_path = np.empty(n, np.int64)
+        seg_ends = np.append(seg_starts[1:], n)
+        for st, en in zip(seg_starts, seg_ends):
+            mn_path[st:en] = np.minimum.accumulate(rs_g[st:en])
+        s_val = rs_g - np.minimum(mn_in, mn_path)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                key_col: t.column(key_col),
+                "s": pa.array(s_val, pa.int64()),
+                "alarm": pa.array((s_val > threshold).astype(np.int64)),
+            }
+        )
+
+    out = [_scan.remote(r, c) for r, c in zip(refs, carries)]
+    tables = [t for t in ray.get(out) if t.num_rows]
+    return rd.from_arrow(pa.concat_tables(tables))

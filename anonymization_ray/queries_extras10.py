@@ -2280,3 +2280,77 @@ GROUP BY 1, 2
 EXTRAS10_REGISTRY.update(
     {"embed_gram_matrix": QueryDef(q_embed_gram_matrix, SQL_EMBED_GRAM_MATRIX)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 94: CUSUM drift detection
+# --------------------------------------------------------------------------
+
+_CUSUM_TARGET = 500_000  # micro-units: detect upward drift from 0.5
+_CUSUM_H = 50_000_000
+
+
+def q_events_cusum_drift(sf_dir: str):
+    """One-sided CUSUM change detection per event type
+    (`extras/window.cusum_per_key`): S_i = max(0, S_{i-1} + d_i) with
+    d = value_micro − target, alarm when S crosses h. The sequential
+    recurrence distributes exactly via its closed form
+    S_i = RS_i − min(0, min prefix RS): one range sort, vectorized
+    block scans, a two-scalar carry per boundary. The oracle computes
+    the same closed form with SQL window functions."""
+    import numpy as np
+
+    from .extras.window import cusum_per_key
+
+    ev = load(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def _dev(b: pa.Table) -> pa.Table:
+        scaled = b.column("value").to_numpy(zero_copy_only=False) * 1e6
+        micro = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "o": pc.cast(b.column("ts"), pa.int64()),
+                "d": pa.array(micro - _CUSUM_TARGET, pa.int64()),
+            }
+        )
+
+    dev = ev.map_batches(_dev, batch_format="pyarrow")
+    return cusum_per_key(
+        dev, "event_type", "o", "event_id", "d", threshold=_CUSUM_H
+    )
+
+
+SQL_EVENTS_CUSUM_DRIFT = f"""
+WITH d AS (
+  SELECT event_id, event_type, ts,
+         CAST(round(value * 1000000) AS BIGINT) - {_CUSUM_TARGET} AS d
+  FROM events
+),
+rs AS (
+  SELECT *, sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS rs
+  FROM d
+),
+m AS (
+  SELECT *, min(rs) OVER (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS mn
+  FROM rs
+)
+SELECT event_id, event_type,
+       CAST(rs - least(0, mn) AS BIGINT) AS s,
+       CAST(rs - least(0, mn) > {_CUSUM_H} AS BIGINT) AS alarm
+FROM m
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_cusum_drift": QueryDef(
+            q_events_cusum_drift, SQL_EVENTS_CUSUM_DRIFT
+        )
+    }
+)

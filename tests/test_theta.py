@@ -143,3 +143,41 @@ def test_compression_ratio_separates_repetition_from_entropy():
     assert got.ratio_micro[0] < 30_000          # < 3% of raw
     assert got.ratio_micro[1] > 700_000         # > 70% of raw
     assert got.ratio_micro[2] == 0 and got.raw_len[2] == 0
+
+
+def test_cusum_matches_sequential_reference_across_blocks():
+    from anonymization_ray.extras.window import cusum_per_key
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    keys = rng.integers(0, 5, n)
+    order = rng.permutation(n)
+    vals = rng.integers(-50, 55, n)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(keys, pa.int64()),
+                "o": pa.array(order, pa.int64()),
+                "id": pa.array(np.arange(n), pa.int64()),
+                "v": pa.array(vals, pa.int64()),
+            }
+        )
+    ).repartition(11)
+    got = {
+        int(r["id"]): (int(r["s"]), int(r["alarm"]))
+        for r in cusum_per_key(
+            ds, "k", "o", "id", "v", threshold=120
+        ).take_all()
+    }
+    import collections
+
+    byk = collections.defaultdict(list)
+    for i in range(n):
+        byk[int(keys[i])].append((int(order[i]), i))
+    want = {}
+    for rows in byk.values():
+        s = 0
+        for _, i in sorted(rows):
+            s = max(0, s + int(vals[i]))
+            want[i] = (s, int(s > 120))
+    assert got == want
