@@ -2354,3 +2354,115 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 95: gaps-and-islands activity streaks
+# --------------------------------------------------------------------------
+
+def q_events_activity_streak(sf_dir: str):
+    """Longest consecutive-day activity streak per user — the canonical
+    gaps-and-islands computation: distinct active days, rank within
+    user, island id = day − rank (constant within a consecutive run),
+    island sizes, max per user. Every step is an existing primitive:
+    sort-based `distinct_rows`, one user-keyed `rank_per_key`, one
+    packed-key `exact_value_counts`, one `min_per_key` on the flipped
+    size — no Ray groupby at any cardinality. Output
+    (user_id, n_active_days, longest_streak)."""
+    import numpy as np
+
+    from .extras.stats import exact_value_counts
+    from .util import distinct_rows, min_per_key, rank_per_key
+
+    ev = load(sf_dir, "events", ["user_id", "ts"])
+
+    def _days(b: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.divide(
+                pc.cast(pc.floor_temporal(b.column("ts"), unit="day"), pa.int64()),
+                86_400_000_000,
+            ),
+            pa.int64(),
+        )
+        return pa.table({"user_id": b.column("user_id"), "day": day})
+
+    ud = distinct_rows(
+        ev.map_batches(_days, batch_format="pyarrow"), ["user_id", "day"]
+    )
+    ranked = rank_per_key(ud, "user_id", "day", rank_col="r")
+
+    def _island(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        day = b.column("day").to_numpy(zero_copy_only=False)
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        # pack (user, island) — day-rank fits far below 2^20
+        return pa.table(
+            {"ui": pa.array(u * (1 << 24) + (day - r), pa.int64())}
+        )
+
+    sizes = exact_value_counts(
+        ranked.map_batches(_island, batch_format="pyarrow"), "ui"
+    )
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        ui = b.column("ui").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(ui >> 24, pa.int64()),
+                "neg": pa.array(-n, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    per_island = sizes.map_batches(_unpack, batch_format="pyarrow").materialize()
+    longest = min_per_key(per_island, "user_id", "neg")
+    days_per_user = exact_value_counts(
+        ud.select_columns(["user_id"]), "user_id"
+    ).rename_columns({"n": "n_active_days"})
+
+    from .util import hash_join
+
+    out = hash_join(days_per_user, longest, on="user_id", join_type="inner")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "n_active_days": b.column("n_active_days"),
+                "longest_streak": pc.negate(b.column("neg")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EVENTS_ACTIVITY_STREAK = """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch(date_trunc('day', ts)) // 86400 AS BIGINT) AS day
+  FROM events
+),
+ranked AS (
+  SELECT user_id, day,
+         row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS r
+  FROM ud
+),
+islands AS (
+  SELECT user_id, day - r AS island, count(*) AS sz
+  FROM ranked GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST((SELECT count(*) FROM ud u WHERE u.user_id = islands.user_id)
+            AS BIGINT) AS n_active_days,
+       CAST(max(sz) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_activity_streak": QueryDef(
+            q_events_activity_streak, SQL_EVENTS_ACTIVITY_STREAK
+        )
+    }
+)
