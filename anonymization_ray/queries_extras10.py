@@ -2466,3 +2466,124 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 96: ABC / Pareto revenue classification
+# --------------------------------------------------------------------------
+
+def q_orders_abc_classes(sf_dir: str):
+    """ABC (Pareto 80/95) classification of parts by discounted revenue:
+    rank parts by revenue desc, class = A while the running share stays
+    <= 80% of total, B to 95%, else C — all in exact cent·percent
+    integer units (the pricing discipline of the TPC-H suite). Shape:
+    one sum_per_key revenue fold, one narrow (flipped-revenue, part)
+    range sort, per-block sums gathered as SCALARS for driver exclusive
+    offsets, vectorized in-block cumsum + threshold compare (the
+    token_budget_cut prefix-sum pattern)."""
+    import numpy as np
+
+    import ray
+
+    from .extras.graph import sum_per_key
+    from .util import coalesce_blocks
+
+    li = load(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        p = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100 + 0.5).astype(np.int64)
+        pct = np.floor(d * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "r": pa.array(cents * (100 - pct), pa.int64()),
+            }
+        )
+
+    rev = sum_per_key(
+        li.map_batches(_rev, batch_format="pyarrow"), "l_partkey", "r"
+    )
+
+    def _key(b: pa.Table) -> pa.Table:
+        r = b.column("r").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "negr": pa.array(-r, pa.int64()),
+                "l_partkey": b.column("l_partkey"),
+                "r": b.column("r"),
+            }
+        )
+
+    s = (
+        coalesce_blocks(
+            rev.map_batches(_key, batch_format="pyarrow").materialize()
+        )
+        .sort(["negr", "l_partkey"])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _bsum(t: pa.Table) -> int:
+        return int(t.column("r").to_numpy(zero_copy_only=False).sum()) if t.num_rows else 0
+
+    sums = ray.get([_bsum.remote(r) for r in refs])
+    total = sum(sums)
+    offs = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @ray.remote(num_cpus=0.5)
+    def _classify(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(["l_partkey", "r"]).append_column(
+                "abc", pa.array([], pa.string())
+            )
+        r = t.column("r").to_numpy(zero_copy_only=False)
+        cum = off + np.cumsum(r)
+        cls = np.where(
+            cum * 100 <= total * 80, "A",
+            np.where(cum * 100 <= total * 95, "B", "C"),
+        )
+        return pa.table(
+            {
+                "l_partkey": t.column("l_partkey"),
+                "revenue_u": t.column("r"),
+                "abc": pa.array(cls, pa.string()),
+            }
+        )
+
+    import ray.data as rd
+
+    tables = [t for t in ray.get(
+        [_classify.remote(rr, o) for rr, o in zip(refs, offs)]
+    ) if t.num_rows]
+    return rd.from_arrow(pa.concat_tables(tables))
+
+
+SQL_ORDERS_ABC_CLASSES = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS r
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(r) AS t FROM rev),
+c AS (
+  SELECT l_partkey, r,
+         sum(r) OVER (ORDER BY r DESC, l_partkey
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev
+)
+SELECT l_partkey, r AS revenue_u,
+       CASE WHEN cum * 100 <= (SELECT t FROM tot) * 80 THEN 'A'
+            WHEN cum * 100 <= (SELECT t FROM tot) * 95 THEN 'B'
+            ELSE 'C' END AS abc
+FROM c
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"orders_abc_classes": QueryDef(q_orders_abc_classes, SQL_ORDERS_ABC_CLASSES)}
+)
