@@ -2587,3 +2587,63 @@ FROM c
 EXTRAS10_REGISTRY.update(
     {"orders_abc_classes": QueryDef(q_orders_abc_classes, SQL_ORDERS_ABC_CLASSES)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 97: MinHash-LSH recall audit (QA gate vs exact ground truth)
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash_recall_gate(sf_dir: str):
+    """Recall audit of the banded MinHash-LSH pair generator against the
+    EXACT shingle-jaccard ground truth on the same perturbed corpus
+    (same threshold 0.5, same 3-word shingles): n_exact pairs, how many
+    the LSH candidate path recovered, and a recall >= 0.9 flag — the QA
+    scoreboard a production dedup deployment watches when banding
+    parameters change. n_exact is SQL-pinned (the dedup_ngram_jaccard
+    oracle's own count); the LSH side is sketch-based (not
+    SQL-expressible) so the oracle pins the FLAG, with the empirical
+    margin recorded here: recall is 1.0 at sf0.001/sf0.01 (every
+    >= 0.5-jaccard pair shares a band at 128 perms / 16 bands)."""
+    from .extras.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from .queries_extras import _corpus_with_dups
+
+    corpus = _corpus_with_dups(sf_dir)
+    exact = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in ngram_jaccard_pairs(
+            corpus, "text", "doc_id", threshold=0.5, shingle_k=3
+        ).take_all()
+    }
+    lsh = {
+        (int(r["id_a"]), int(r["id_b"]))
+        for r in minhash_lsh_pairs(
+            corpus, "text", "doc_id", verify_threshold=0.5, shingle_k=3
+        ).take_all()
+    }
+    found = len(exact & lsh)
+    ok = int(10 * found >= 9 * len(exact)) if exact else 1
+    return pa.table(
+        {
+            "n_exact": pa.array([len(exact)], pa.int64()),
+            "recall_ok": pa.array([ok], pa.int64()),
+        }
+    )
+
+
+def _sql_dedup_minhash_recall_gate() -> str:
+    from .queries_extras import SQL_DEDUP_NGRAM_JACCARD
+
+    return f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM ({SQL_DEDUP_NGRAM_JACCARD})
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "dedup_minhash_recall_gate": QueryDef(
+            q_dedup_minhash_recall_gate, _sql_dedup_minhash_recall_gate()
+        )
+    }
+)
