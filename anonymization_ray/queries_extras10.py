@@ -2647,3 +2647,122 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 98: deterministic bootstrap confidence interval
+# --------------------------------------------------------------------------
+
+_BOOT_B = 200
+_BOOT_SALT = 8101
+
+
+def q_stats_bootstrap_ci(sf_dir: str):
+    """Bootstrap 5%/95% confidence interval for total customer account
+    balance — with the engine's signature trick: the resampling RNG is
+    the SplitMix64 keyed stream, so the ENTIRE Monte-Carlo procedure is
+    a pure function of the data and replays bit-exactly in SQL. Draw
+    (b, i) of resample b picks customer sm64(b·2^32 + i) mod n; each
+    resample's statistic is an exact cent sum; the CI is the 10th/190th
+    order statistic of the B=200 resample sums — no floats anywhere.
+    Shape: a range grid map -> ONE custkey hash join (the corpus never
+    replicates B times; only the narrow draw stream does) -> sum_per_key
+    by resample -> a B-bounded driver gather."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from .extras.graph import sum_per_key
+    from .extras.shuffle import sm64_key
+    from .util import hash_join
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cents": pa.array(
+                    (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(
+                        np.int64
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    vals = cust.map_batches(_cents, batch_format="pyarrow").materialize()
+    n = vals.count()
+
+    def _draws(b: pa.Table) -> pa.Table:
+        g = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = g // n
+        i = g % n
+        gid = bb * (np.int64(1) << np.int64(32)) + i
+        idx = (sm64_key(gid, _BOOT_SALT) % np.uint64(n)).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(bb, pa.int64()),
+                "c_custkey": pa.array(idx, pa.int64()),
+            }
+        )
+
+    grid = rd.range(_BOOT_B * n).map_batches(_draws, batch_format="pyarrow")
+    joined = hash_join(grid, vals, on="c_custkey", join_type="inner")
+    sums = sum_per_key(
+        joined.select_columns(["b", "cents"]), "b", "cents"
+    ).take_all()
+    stats = np.sort(np.array([int(r["cents"]) for r in sums], np.int64))
+    assert len(stats) == _BOOT_B
+    return pa.table(
+        {
+            "ci_lo_cents": pa.array([int(stats[9])], pa.int64()),
+            "ci_hi_cents": pa.array([int(stats[189])], pa.int64()),
+            "n_resamples": pa.array([_BOOT_B], pa.int64()),
+        }
+    )
+
+
+def _sql_stats_bootstrap_ci() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        f"""(SELECT (g.b * 4294967296 + i.i) AS gid, g.b AS b
+     FROM generate_series(0, {_BOOT_B - 1}) g(b),
+          (SELECT row_number() OVER () - 1 AS i FROM customer) i)""",
+        "gid",
+        _BOOT_SALT,
+    )
+    return f"""
+WITH {chain},
+draws AS (
+  SELECT b, CAST(h % (SELECT count(*) FROM customer) AS BIGINT) AS idx
+  FROM h3
+),
+cents AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+sums AS (
+  SELECT d.b, sum(c.cents) AS s
+  FROM draws d JOIN cents c ON c.c_custkey = d.idx
+  GROUP BY d.b
+),
+ranked AS (
+  SELECT s, row_number() OVER (ORDER BY s) AS rn FROM sums
+)
+SELECT (SELECT CAST(s AS BIGINT) FROM ranked WHERE rn = 10) AS ci_lo_cents,
+       (SELECT CAST(s AS BIGINT) FROM ranked WHERE rn = 190) AS ci_hi_cents,
+       CAST({_BOOT_B} AS BIGINT) AS n_resamples
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "stats_bootstrap_ci": QueryDef(
+            q_stats_bootstrap_ci, _sql_stats_bootstrap_ci()
+        )
+    }
+)
