@@ -2766,3 +2766,175 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 99: exact permutation test (deterministic A/B significance)
+# --------------------------------------------------------------------------
+
+_PERM_B = 200
+_PERM_SALT = 8117
+
+
+def q_stats_permutation_test(sf_dir: str):
+    """Permutation test for 'does the BUILDING segment's mean balance
+    differ from the rest?' — the nonparametric A/B significance test,
+    fully deterministic: permutation b ranks customers by
+    sm64(b·2^32 + key) and takes the first n1 ranks as the pseudo
+    treatment group, the statistic is |n2·S1 − n1·S2| in exact
+    cent·count units (cross-multiplied so no division ever happens),
+    and the p-value is reported as (count of permutation stats >=
+    observed, B). ALL B permutations rank in ONE range sort
+    (`rank_per_key` keyed on the permutation id); the SQL replay runs
+    the same sm64 chain + window ranking. Monte-Carlo inference as a
+    pure function of the data."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from .extras.graph import sum_per_key
+    from .extras.shuffle import sm64_key
+    from .util import hash_join, rank_per_key
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        v = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "cents": pa.array(
+                    (np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "grp": pc.cast(
+                    pc.equal(b.column("c_mktsegment"), "BUILDING"), pa.int64()
+                ),
+            }
+        )
+
+    vals = cust.map_batches(_cents, batch_format="pyarrow").materialize()
+    n = vals.count()
+    agg = vals.map_batches(
+        lambda b: pa.table(
+            {
+                "n1": pa.array([int(pc.sum(b.column("grp")).as_py() or 0)]),
+                "s1": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.multiply(b.column("grp"), b.column("cents"))
+                            ).as_py()
+                            or 0
+                        )
+                    ]
+                ),
+                "st": pa.array([int(pc.sum(b.column("cents")).as_py() or 0)]),
+            }
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    n1 = sum(r["n1"] for r in agg)
+    s1 = sum(r["s1"] for r in agg)
+    total = sum(r["st"] for r in agg)
+    n2 = n - n1
+    stat_obs = abs(n2 * s1 - n1 * (total - s1))
+
+    def _grid(b: pa.Table) -> pa.Table:
+        g = b.column("id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = g // n
+        key = g % n
+        gid = bb * (np.int64(1) << np.int64(32)) + key
+        h = (sm64_key(gid, _PERM_SALT) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(bb, pa.int64()),
+                "c_custkey": pa.array(key, pa.int64()),
+                "h": pa.array(h, pa.int64()),
+            }
+        )
+
+    grid = rd.range(_PERM_B * n).map_batches(_grid, batch_format="pyarrow")
+    ranked = rank_per_key(grid, "b", "h", tie_col="c_custkey", rank_col="r")
+    treat = ranked.map_batches(
+        lambda t: t.filter(pc.less(t.column("r"), n1)).select(
+            ["b", "c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        treat, vals.select_columns(["c_custkey", "cents"]),
+        on="c_custkey", join_type="inner",
+    )
+    sums = sum_per_key(
+        joined.select_columns(["b", "cents"]), "b", "cents"
+    ).take_all()
+    assert len(sums) == _PERM_B
+    n_ge = 0
+    for r in sums:
+        s1b = int(r["cents"])
+        if abs(n2 * s1b - n1 * (total - s1b)) >= stat_obs:
+            n_ge += 1
+    return pa.table(
+        {
+            "stat_obs": pa.array([stat_obs], pa.int64()),
+            "n_ge": pa.array([n_ge], pa.int64()),
+            "n_perms": pa.array([_PERM_B], pa.int64()),
+        }
+    )
+
+
+def _sql_stats_permutation_test() -> str:
+    from .extras.shuffle import sql_sm64_chain
+
+    chain = sql_sm64_chain(
+        f"""(SELECT (g.b * 4294967296 + c.c_custkey) AS gid, g.b AS b,
+            c.c_custkey
+     FROM generate_series(0, {_PERM_B - 1}) g(b), customer c)""",
+        "gid",
+        _PERM_SALT,
+    )
+    return f"""
+WITH {chain},
+base AS (
+  SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp
+  FROM customer
+),
+consts AS (
+  SELECT sum(grp) AS n1, count(*) - sum(grp) AS n2,
+         sum(grp * cents) AS s1, sum(cents) AS total
+  FROM base
+),
+obs AS (
+  SELECT abs(n2 * s1 - n1 * (total - s1)) AS stat_obs FROM consts
+),
+ranked AS (
+  SELECT b, c_custkey,
+         row_number() OVER (PARTITION BY b ORDER BY h // 2, c_custkey) - 1 AS r
+  FROM h3
+),
+psums AS (
+  SELECT rk.b, sum(base.cents) AS s1b
+  FROM ranked rk JOIN base ON base.c_custkey = rk.c_custkey
+  WHERE rk.r < (SELECT n1 FROM consts)
+  GROUP BY rk.b
+)
+SELECT CAST((SELECT stat_obs FROM obs) AS BIGINT) AS stat_obs,
+       CAST(sum(CASE WHEN abs((SELECT n2 FROM consts) * s1b
+                 - (SELECT n1 FROM consts)
+                   * ((SELECT total FROM consts) - s1b))
+                 >= (SELECT stat_obs FROM obs) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ge,
+       CAST({_PERM_B} AS BIGINT) AS n_perms
+FROM psums
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "stats_permutation_test": QueryDef(
+            q_stats_permutation_test, _sql_stats_permutation_test()
+        )
+    }
+)
