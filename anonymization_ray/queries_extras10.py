@@ -2938,3 +2938,146 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 100: composite production quality gate
+# --------------------------------------------------------------------------
+
+def q_corpus_quality_stack(sf_dir: str):
+    """The full production quality-filter stack in one composed decision
+    table — Gopher structural rules AND english language-ID AND sentence
+    -shape bounds AND readability ceiling, per doc with per-rule flags
+    and the conjunctive keep bit (what a real corpus pipeline logs so
+    ablations can re-weight single rules without recomputing). Four
+    narrow flag streams (each ONE vectorized pass over the pruned text
+    column) joined on the doc key; the ENTIRE composition — every rule
+    and the final conjunction — replays in SQL by joining the component
+    oracles' own CTEs."""
+    from .queries_extras import q_text_langid
+    from .queries_extras7 import q_text_gopher_rules
+
+    from .extras.textstats import readability_fk, sentence_stats
+    from .util import hash_join
+
+    gopher = q_text_gopher_rules(sf_dir).select_columns(
+        ["doc_id", "keep"]
+    ).rename_columns({"keep": "gopher_keep"})
+    lang = q_text_langid(sf_dir)
+    lang = lang.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang_ok": pc.cast(
+                    pc.equal(b.column("lang_pred"), "en"), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+    sent = sentence_stats(docs).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "sent_ok": pc.cast(
+                    pc.and_(
+                        pc.greater_equal(b.column("n_sentences"), 1),
+                        pc.and_(
+                            pc.less_equal(
+                                pc.multiply(b.column("n_sentences"), 15),
+                                b.column("sum_chars"),
+                            ),
+                            pc.less_equal(
+                                b.column("sum_chars"),
+                                pc.multiply(b.column("n_sentences"), 2000),
+                            ),
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    read = readability_fk(docs).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "read_ok": pc.cast(
+                    pc.and_kleene(
+                        pc.is_valid(b.column("fk_grade_micro")),
+                        pc.less_equal(
+                            b.column("fk_grade_micro"), pa.scalar(18_000_000)
+                        ),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = hash_join(gopher, lang, on="doc_id", join_type="inner")
+    out = hash_join(out, sent, on="doc_id", join_type="inner")
+    out = hash_join(out, read, on="doc_id", join_type="inner")
+    return out.map_batches(
+        lambda b: b.append_column(
+            "keep",
+            pc.cast(
+                pc.and_(
+                    pc.and_(
+                        pc.cast(b.column("gopher_keep"), pa.bool_()),
+                        pc.cast(b.column("lang_ok"), pa.bool_()),
+                    ),
+                    pc.and_(
+                        pc.cast(b.column("sent_ok"), pa.bool_()),
+                        pc.cast(b.column("read_ok"), pa.bool_()),
+                    ),
+                ),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_corpus_quality_stack() -> str:
+    from .queries_extras import SQL_TEXT_LANGID
+    from .queries_extras7 import SQL_GOPHER
+
+    return f"""
+WITH g AS ({SQL_GOPHER}),
+l AS ({SQL_TEXT_LANGID}),
+s AS ({SQL_TEXT_SENTENCES}),
+r AS ({SQL_TEXT_READABILITY})
+SELECT g.doc_id,
+       g.keep AS gopher_keep,
+       CAST(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END AS BIGINT)
+         AS lang_ok,
+       CAST(CASE WHEN s.n_sentences >= 1
+                  AND s.n_sentences * 15 <= s.sum_chars
+                  AND s.sum_chars <= s.n_sentences * 2000
+            THEN 1 ELSE 0 END AS BIGINT) AS sent_ok,
+       CAST(CASE WHEN r.fk_grade_micro IS NOT NULL
+                  AND r.fk_grade_micro <= 18000000
+            THEN 1 ELSE 0 END AS BIGINT) AS read_ok,
+       CAST(g.keep * (CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END)
+            * (CASE WHEN s.n_sentences >= 1
+                     AND s.n_sentences * 15 <= s.sum_chars
+                     AND s.sum_chars <= s.n_sentences * 2000
+                THEN 1 ELSE 0 END)
+            * (CASE WHEN r.fk_grade_micro IS NOT NULL
+                     AND r.fk_grade_micro <= 18000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS keep
+FROM g
+JOIN l USING (doc_id) JOIN s USING (doc_id) JOIN r USING (doc_id)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "corpus_quality_stack": QueryDef(
+            q_corpus_quality_stack, _sql_corpus_quality_stack()
+        )
+    }
+)
