@@ -3001,14 +3001,21 @@ def q_corpus_quality_stack(sf_dir: str):
         batch_format="pyarrow",
     )
     read = readability_fk(docs).map_batches(
+        # unmeasurable docs (no terminator runs / no words) pass the
+        # readability rule neutrally — the cap only applies where the
+        # grade is defined
         lambda b: pa.table(
             {
                 "doc_id": b.column("doc_id"),
                 "read_ok": pc.cast(
-                    pc.and_kleene(
-                        pc.is_valid(b.column("fk_grade_micro")),
-                        pc.less_equal(
-                            b.column("fk_grade_micro"), pa.scalar(18_000_000)
+                    pc.or_(
+                        pc.is_null(b.column("fk_grade_micro")),
+                        pc.fill_null(
+                            pc.less_equal(
+                                b.column("fk_grade_micro"),
+                                pa.scalar(18_000_000),
+                            ),
+                            False,
                         ),
                     ),
                     pa.int64(),
@@ -3058,16 +3065,16 @@ SELECT g.doc_id,
                   AND s.n_sentences * 15 <= s.sum_chars
                   AND s.sum_chars <= s.n_sentences * 2000
             THEN 1 ELSE 0 END AS BIGINT) AS sent_ok,
-       CAST(CASE WHEN r.fk_grade_micro IS NOT NULL
-                  AND r.fk_grade_micro <= 18000000
+       CAST(CASE WHEN r.fk_grade_micro IS NULL
+                  OR r.fk_grade_micro <= 18000000
             THEN 1 ELSE 0 END AS BIGINT) AS read_ok,
        CAST(g.keep * (CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END)
             * (CASE WHEN s.n_sentences >= 1
                      AND s.n_sentences * 15 <= s.sum_chars
                      AND s.sum_chars <= s.n_sentences * 2000
                 THEN 1 ELSE 0 END)
-            * (CASE WHEN r.fk_grade_micro IS NOT NULL
-                     AND r.fk_grade_micro <= 18000000
+            * (CASE WHEN r.fk_grade_micro IS NULL
+                     OR r.fk_grade_micro <= 18000000
                 THEN 1 ELSE 0 END) AS BIGINT) AS keep
 FROM g
 JOIN l USING (doc_id) JOIN s USING (doc_id) JOIN r USING (doc_id)
