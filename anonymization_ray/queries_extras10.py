@@ -3088,3 +3088,98 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 101: RDF standard reification roundtrip
+# --------------------------------------------------------------------------
+
+def q_kg_reify_roundtrip(sf_dir: str):
+    """RDF standard reification (the pre-RDF-star way to annotate
+    statements): every canonical basedIn triple expands to its 4-triple
+    reified form (urn:stmt:<n> rdf:type rdf:Statement / rdf:subject /
+    rdf:predicate / rdf:object, with n a deterministic function of the
+    statement so the expansion is stable across runs), then the
+    roundtrip RECOVERS the original triples by pivoting the four
+    predicate streams back together — two stateless map passes and one
+    subject-keyed join tree, the shape a triple store pays for every
+    reified-annotation query (and why RDF-star exists). Output = the
+    recovered (subj, pred, obj) rows; the oracle rebuilds them straight
+    from the base tables, so a lossy expansion or pivot would
+    hash-mismatch."""
+    from .queries_extras9 import _canonical_triples
+    from .util import hash_join
+
+    based = _canonical_triples(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b.column("pred"), "basedIn")).select(
+            ["subj", "pred", "obj"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _reify(b: pa.Table) -> pa.Table:
+        # stable statement id: the subject IRI carries the customer key
+        sid = pc.binary_join_element_wise(
+            pa.scalar("urn:stmt:"), b.column("subj"), pa.scalar("")
+        )
+        n = b.num_rows
+        import numpy as np
+
+        return pa.table(
+            {
+                "s": pa.concat_arrays([sid.combine_chunks()] * 4),
+                "p": pa.array(
+                    ["rdf:type"] * n
+                    + ["rdf:subject"] * n
+                    + ["rdf:predicate"] * n
+                    + ["rdf:object"] * n,
+                    pa.string(),
+                ),
+                "o": pa.concat_arrays(
+                    [
+                        pa.array(["rdf:Statement"] * n, pa.string()),
+                        b.column("subj").combine_chunks(),
+                        b.column("pred").combine_chunks(),
+                        b.column("obj").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    reified = based.map_batches(_reify, batch_format="pyarrow").materialize()
+
+    def _leg(pred: str, out: str):
+        return reified.map_batches(
+            lambda b, p=pred, o=out: pa.table(
+                {
+                    "s": b.filter(pc.equal(b.column("p"), p)).column("s"),
+                    o: b.filter(pc.equal(b.column("p"), p)).column("o"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    subj = _leg("rdf:subject", "subj")
+    pred = _leg("rdf:predicate", "pred")
+    obj = _leg("rdf:object", "obj")
+    out = hash_join(subj, pred, on="s", join_type="inner")
+    out = hash_join(out, obj, on="s", join_type="inner")
+    return out.select_columns(["subj", "pred", "obj"])
+
+
+def _sql_kg_reify_roundtrip() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH canon AS ({SQL_KG_CANONICAL})
+SELECT subj, pred, obj FROM canon WHERE pred = 'basedIn'
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "kg_reify_roundtrip": QueryDef(
+            q_kg_reify_roundtrip, _sql_kg_reify_roundtrip()
+        )
+    }
+)
