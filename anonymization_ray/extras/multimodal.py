@@ -345,7 +345,12 @@ class MediaStatsDecoder:
 
         widths, heights, sums = [], [], []
         for p in batch.column("media").to_pylist():
-            px = decode_jpeg_gray(p) if p[:2] == b"\xff\xd8" else decode_png_gray(p)
+            if p[:2] == b"\xff\xd8":
+                px = decode_jpeg_gray(p)
+            elif p[:2] == b"BM":
+                px = decode_bmp_gray(p)
+            else:
+                px = decode_png_gray(p)
             h, w = px.shape
             widths.append(w)
             heights.append(h)
@@ -749,3 +754,66 @@ def phash_media(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+# --------------------------------------------------------------------------
+# BMP (BI_RGB 8-bit paletted) — the third real codec beside PNG and JPEG
+# --------------------------------------------------------------------------
+
+def encode_bmp_gray(pixels: np.ndarray) -> bytes:
+    """Minimal VALID 8-bit paletted BMP (BI_RGB uncompressed, grayscale
+    palette, the spec's bottom-up row order with 4-byte row padding)."""
+    import struct
+
+    h, w = pixels.shape
+    stride = (w + 3) & ~3
+    palette = b"".join(bytes((g, g, g, 0)) for g in range(256))
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up per the BMP spec
+        rows += pixels[y].tobytes() + b"\x00" * (stride - w)
+    off = 14 + 40 + len(palette)
+    header = struct.pack("<2sIHHI", b"BM", off + len(rows), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(rows), 2835, 2835, 256, 0
+    )
+    return header + info + palette + bytes(rows)
+
+
+def decode_bmp_gray(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit BI_RGB paletted BMP to (h, w) uint8 via the
+    grayscale palette — pure python + numpy, mirrors `decode_png_gray`'s
+    honest-subset contract (anything else refuses loudly)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 8 or comp != 0 or h <= 0:
+        raise NotImplementedError("only bottom-up 8-bit BI_RGB BMP decode")
+    pal = np.frombuffer(payload, np.uint8, 256 * 4, 14 + size).reshape(256, 4)
+    gray = pal[:, 0]  # grayscale palette: B == G == R
+    stride = (w + 3) & ~3
+    data = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)
+    return gray[data[::-1, :w]]  # un-flip to top-down
+
+
+def attach_media_bmp(
+    ds: rd.Dataset, id_col: str, *, width: int = 16, height: int = 16
+) -> rd.Dataset:
+    """Deterministic REAL BMP payloads with CLOSED-FORM pixels
+    (row-major ``pixel[j] = (id*43 + 7*j) % 256``) — same oracle story as
+    `attach_media_affine`, third container format."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        j = (7 * np.arange(width * height, dtype=np.int64)) % 256
+        payloads = [
+            encode_bmp_gray(
+                ((int(i) * 43 + j) % 256).astype(np.uint8).reshape(height, width)
+            )
+            for i in ids
+        ]
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")

@@ -3183,3 +3183,39 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 102: BMP codec path (third real container format)
+# --------------------------------------------------------------------------
+
+def q_multimodal_bmp_stats(sf_dir: str):
+    """Third REAL image codec end-to-end (BMP BI_RGB 8-bit paletted,
+    bottom-up padded rows — `extras/multimodal.encode_bmp_gray`): attach
+    closed-form-pixel BMP payloads, decode through the magic-dispatched
+    actor-pool stats stage (payload dropped after decode), pixel sums
+    recomputed in SQL — certifying encode -> binary column -> actor
+    decode for a THIRD container beside PNG and JPEG."""
+    from .extras.multimodal import attach_media_bmp, decode_media_stats
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return decode_media_stats(attach_media_bmp(docs, "doc_id"))
+
+
+SQL_MULTIMODAL_BMP_STATS = """
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       (SELECT CAST(sum((d.doc_id * 43 + 7 * t.i) % 256) AS BIGINT)
+        FROM unnest(range(256)) AS t(i)) AS pixel_sum
+FROM documents d
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "multimodal_bmp_stats": QueryDef(
+            q_multimodal_bmp_stats, SQL_MULTIMODAL_BMP_STATS
+        )
+    }
+)

@@ -60,3 +60,34 @@ def test_phash_distinguishes_structures(ray_session):
     assert (out["hash_hi"][0], out["hash_lo"][0]) != (
         out["hash_hi"][1], out["hash_lo"][1]
     )
+
+
+def test_bmp_roundtrip_all_shapes():
+    import numpy as np
+
+    from anonymization_ray.extras.multimodal import (
+        decode_bmp_gray,
+        encode_bmp_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(16, 16), (5, 7), (1, 1), (3, 4)]:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        back = decode_bmp_gray(encode_bmp_gray(px))
+        assert back.shape == (h, w) and (back == px).all()
+
+
+def test_bmp_decode_refuses_unsupported():
+    import struct
+
+    import pytest
+
+    from anonymization_ray.extras.multimodal import decode_bmp_gray
+
+    with pytest.raises(ValueError):
+        decode_bmp_gray(b"nope")
+    # 24-bit BMP header refuses loudly
+    info = struct.pack("<IiiHHI", 40, 2, 2, 1, 24, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 100, 0, 0, 54)
+    with pytest.raises(NotImplementedError):
+        decode_bmp_gray(hdr + info + b"\x00" * 46)
