@@ -3219,3 +3219,122 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 103: multi-channel crawl-frontier fusion (links ∪ sitemaps)
+# --------------------------------------------------------------------------
+
+def q_crawl_frontier_fused(sf_dir: str):
+    """Crawl-frontier fusion across discovery channels: link-discovery
+    candidates (`kg_crawl_frontier`: targets not yet crawled, with
+    in-link evidence) FULL-OUTER merged with a sitemap feed — the
+    sitemap XML genuinely round-trips through `write_sitemap_shards` /
+    `read_sitemaps` (vectorized parse), so the real ingestion path sits
+    in the loop. Per url: in-link count (0 when only the sitemap knows
+    it), advertised priority (protocol default 0.5 when only links know
+    it), and per-channel flags — the schedule-ready fusion table. One
+    url-keyed outer hash join; both inputs are frontier-sized."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from .queries_extras8 import q_kg_crawl_frontier
+    from .sources.sitemap import read_sitemaps, write_sitemap_shards
+    from .util import hash_join
+
+    links = q_kg_crawl_frontier(sf_dir)
+
+    # deterministic sitemap feed: every 5th document advertises its page
+    docs = load(sf_dir, "documents", ["doc_id"])
+
+    def _site_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = ids[ids % 5 == 0]
+        return pa.table(
+            {
+                "url": pc.binary_join_element_wise(
+                    pa.scalar("https://example.org/doc/"),
+                    pc.cast(pa.array(ids, pa.int64()), pa.string()),
+                    pa.scalar(""),
+                ),
+                "priority_micro": pa.array(
+                    ((ids % 10) + 1) * 100_000, pa.int64()
+                ),
+            }
+        )
+
+    out_dir = tempfile.mkdtemp(prefix="frontier_sm_")
+    try:
+        write_sitemap_shards(
+            docs.map_batches(_site_rows, batch_format="pyarrow"),
+            out_dir,
+            priority_micro_col="priority_micro",
+        )
+        sm = read_sitemaps(out_dir).map_batches(
+            lambda b: b.filter(pc.invert(b.column("is_index"))).select(
+                ["url", "priority_micro"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    finally:
+        pass  # shards must outlive the lazy read below — removed after
+
+    fused = hash_join(links, sm, on="url", join_type="full_outer")
+
+    def _finish(b: pa.Table) -> pa.Table:
+        inl = pc.fill_null(pc.cast(b.column("n_inlinks"), pa.int64()), 0)
+        pri = pc.fill_null(
+            pc.cast(b.column("priority_micro"), pa.int64()), 500_000
+        )
+        return pa.table(
+            {
+                "url": b.column("url"),
+                "n_inlinks": inl,
+                "priority_micro": pri,
+                "from_links": pc.cast(
+                    pc.is_valid(b.column("n_inlinks")), pa.int64()
+                ),
+                "from_sitemap": pc.cast(
+                    pc.is_valid(b.column("priority_micro")), pa.int64()
+                ),
+            }
+        )
+
+    out = pa.Table.from_pandas(
+        fused.map_batches(_finish, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
+def _sql_crawl_frontier_fused() -> str:
+    from .queries_extras8 import SQL_KG_CRAWL_FRONTIER
+
+    return f"""
+WITH links AS ({SQL_KG_CRAWL_FRONTIER}),
+sm AS (
+  SELECT 'https://example.org/doc/' || doc_id AS url,
+         ((doc_id % 10) + 1) * 100000 AS priority_micro
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT coalesce(links.url, sm.url) AS url,
+       CAST(coalesce(links.n_inlinks, 0) AS BIGINT) AS n_inlinks,
+       CAST(coalesce(sm.priority_micro, 500000) AS BIGINT) AS priority_micro,
+       CAST(CASE WHEN links.url IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS from_links,
+       CAST(CASE WHEN sm.url IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS from_sitemap
+FROM links FULL OUTER JOIN sm ON links.url = sm.url
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "crawl_frontier_fused": QueryDef(
+            q_crawl_frontier_fused, _sql_crawl_frontier_fused()
+        )
+    }
+)
