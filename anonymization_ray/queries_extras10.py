@@ -3338,3 +3338,81 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 104: heterogeneous-format union (one aligned stream, four sources)
+# --------------------------------------------------------------------------
+
+def q_corpus_multi_format_union(sf_dir: str):
+    """The federation-of-formats ingest: the SAME corpus served from
+    parquet, CSV shards, JSONL shards and Feather-IPC shards, read back
+    through each format's own reader, aligned to (doc_id, text, fmt)
+    and UNIONED into one stream (Ray union = no shuffle) — the
+    one-query proof that every source path normalizes to the same
+    schema. Output: each doc four times, tagged by format; the oracle
+    is documents x 4 format literals."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .sources.arrowfmt import read_feather, write_feather_shards
+    from .sources.csvsrc import read_csv_documents
+    from .sources.jsonl import read_jsonl_documents
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+    base = tempfile.mkdtemp(prefix="multifmt_")
+    try:
+        csv_dir = os.path.join(base, "csv")
+        docs.write_csv(csv_dir)
+        jl_dir = os.path.join(base, "jl")
+        os.makedirs(jl_dir)
+        # jsonl writer: one shard from the driver-gathered small fixture
+        # (writer-side JSONL shards exist in corpus_jsonl_roundtrip; here
+        # the READ path is under test)
+        rows = docs.take_all()
+        with open(os.path.join(jl_dir, "d.jsonl"), "w") as f:
+            for r in rows:
+                f.write(json.dumps({"id": int(r["doc_id"]), "content": r["text"]}) + "\n")
+        ft_dir = os.path.join(base, "ft")
+        write_feather_shards(docs, ft_dir)
+
+        def _tag(ds, fmt):
+            return ds.map_batches(
+                lambda b, m=fmt: pa.table(
+                    {
+                        "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                        "text": b.column("text"),
+                        "fmt": pa.array([m] * b.num_rows, pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+
+        u = (
+            _tag(load(sf_dir, "documents", ["doc_id", "text"]), "parquet")
+            .union(_tag(read_csv_documents(csv_dir), "csv"))
+            .union(_tag(read_jsonl_documents(jl_dir), "jsonl"))
+            .union(_tag(read_feather(ft_dir), "feather"))
+        )
+        return pa.Table.from_pandas(u.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SQL_CORPUS_MULTI_FORMAT_UNION = """
+SELECT doc_id, text, fmt
+FROM documents, (VALUES ('parquet'), ('csv'), ('jsonl'), ('feather')) v(fmt)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "corpus_multi_format_union": QueryDef(
+            q_corpus_multi_format_union, SQL_CORPUS_MULTI_FORMAT_UNION
+        )
+    }
+)
