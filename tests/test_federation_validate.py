@@ -15,22 +15,30 @@ def _triples(rows):
     ).repartition(2)
 
 
-REMOTE = _triples(
-    [("s1", "operatesIn", "n1"), ("s2", "operatesIn", "n1"),
-     ("s3", "operatesIn", "n2"), ("s4", "operatesIn", "n9")]
-)
+def REMOTE():
+    # LAZY on purpose: building a Ray Dataset at module scope runs at
+    # pytest COLLECTION time and auto-initializes Ray with default
+    # settings before conftest's session fixture can configure it (the
+    # fixture's ignore_reinit_error then silently no-ops) — every
+    # join-partition heuristic in the whole session then sizes itself
+    # for the wrong cluster. This exact bug broke 7 unrelated
+    # hash-shuffle tests suite-wide.
+    return _triples(
+        [("s1", "operatesIn", "n1"), ("s2", "operatesIn", "n1"),
+         ("s3", "operatesIn", "n2"), ("s4", "operatesIn", "n9")]
+    )
 
 
 def test_service_join_inner_semantics(ray_session):
     local = rd.from_arrow(pa.table({"c": ["c1", "c2"], "n": ["n1", "n2"]}))
-    out = service_join(local, REMOTE, ("?s", "operatesIn", "?n"), shared="n")
+    out = service_join(local, REMOTE(), ("?s", "operatesIn", "?n"), shared="n")
     got = sorted((r["c"], r["n"], r["s"]) for r in out.take_all())
     assert got == [("c1", "n1", "s1"), ("c1", "n1", "s2"), ("c2", "n2", "s3")]
 
 
 def test_service_join_no_joinable_solution_is_schema_stable(ray_session):
     local = rd.from_arrow(pa.table({"c": ["c1"], "n": ["nope"]}))
-    out = service_join(local, REMOTE, ("?s", "operatesIn", "?n"), shared="n")
+    out = service_join(local, REMOTE(), ("?s", "operatesIn", "?n"), shared="n")
     assert out.count() == 0
     assert set(out.schema().names) == {"c", "n", "s"}
 
@@ -38,7 +46,7 @@ def test_service_join_no_joinable_solution_is_schema_stable(ray_session):
 def test_service_join_unbound_shared_raises(ray_session):
     local = rd.from_arrow(pa.table({"c": ["c1"], "n": ["n1"]}))
     with pytest.raises(ValueError, match="not bound"):
-        service_join(local, REMOTE, ("?s", "operatesIn", "n1"), shared="n")
+        service_join(local, REMOTE(), ("?s", "operatesIn", "n1"), shared="n")
 
 
 def test_service_row_cap(ray_session, monkeypatch):
@@ -47,7 +55,7 @@ def test_service_row_cap(ray_session, monkeypatch):
     monkeypatch.setattr(fed, "BROADCAST_ROW_CAP", 1)
     local = rd.from_arrow(pa.table({"c": ["c1"], "n": ["n1"]}))
     with pytest.raises(ValueError, match="BROADCAST_ROW_CAP"):
-        service_join(local, REMOTE, ("?s", "operatesIn", "?n"), shared="n")
+        service_join(local, REMOTE(), ("?s", "operatesIn", "?n"), shared="n")
 
 
 def test_validate_cardinality_min_and_max(ray_session):
