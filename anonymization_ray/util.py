@@ -434,12 +434,16 @@ def retry_shuffle_race(fn):
                 return fn(*args, **kwargs)
             except Exception as e:  # noqa: BLE001 — match on the signature
                 s = str(e)
-                # two faces of the same Ray 2.49 race: the Arrow join dies
-                # on the schema-less side ("No match..."), or the shuffle
-                # aggregator's finalize() concat dies on the schema-less
-                # shard (ArrowInvalid inside HashShuffleAggregator) —
-                # observed only under long-session worker churn, passes
-                # deterministically on re-run
+                # Primary signature: the Ray 2.49 schema-broadcast race (the
+                # Arrow join dies on the schema-less side). The second
+                # pattern (ArrowInvalid inside HashShuffleAggregator's
+                # finalize concat) turned out, when chased to root cause, to
+                # be DETERMINISTIC under mis-sized partition counts (a
+                # collection-time auto-init sized joins for the wrong
+                # cluster — fixed in tests/conftest.py); it is kept here as
+                # belt-and-suspenders because the same empty-shard concat
+                # CAN also fire as a genuine scheduling race, and retrying a
+                # deterministic builder is merely slow, never wrong.
                 raced = (
                     "No match or multiple matches for key field" in s
                     or ("HashShuffleAggregator" in s and "ArrowInvalid" in s)
