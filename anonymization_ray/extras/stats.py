@@ -1164,3 +1164,23 @@ def theta_intersections(sketches: dict) -> dict:
             else:
                 out[(a, b)] = n_below * float(1 << 63) / float(theta)
     return out
+
+
+def theta_union(sketches: dict, *, k: int = 256) -> float:
+    """Distinct-cardinality estimate of the UNION of sketched sets by the
+    min-k merge law (the property that makes KMV sketches mergeable
+    across corpus partitions): pool all samples, keep the k smallest,
+    theta' = the k-th; est = (k-1)·2^63/theta'. Exact when the pooled
+    distinct sample count stays below k."""
+    pooled = np.unique(np.concatenate([s for _, s in sketches.values()]))
+    thetas = [t for t, _ in sketches.values()]
+    cutoff = min(thetas)
+    pooled = pooled[pooled < cutoff]
+    if len(pooled) < k:
+        # below saturation relative to every contributing theta: if every
+        # sketch was exact (theta = 2^63) this is the exact distinct count
+        if cutoff >= (1 << 63):
+            return float(len(pooled))
+        return len(pooled) * float(1 << 63) / float(cutoff)
+    theta = float(np.partition(pooled, k - 1)[k - 1])
+    return (k - 1) * float(1 << 63) / theta

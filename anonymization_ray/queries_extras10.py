@@ -3416,3 +3416,54 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 105: theta-sketch union (the mergeability law, end to end)
+# --------------------------------------------------------------------------
+
+def q_stats_theta_union(sf_dir: str):
+    """Distinct customers across ALL order years estimated from the
+    per-year KMV sketches alone (`extras/stats.theta_union`: pool
+    samples, keep min-k, re-read theta) — the merge law that lets
+    partition-built sketches combine without revisiting data,
+    scoreboarded against the exact distinct union with the 5/sqrt(k)
+    bound pinned. One sketch build (shared with `stats_theta_intersect`'s
+    machinery) + one sort-distinct exact count."""
+    from .extras.stats import kmv_sketches, theta_union
+    from .util import distinct_rows
+
+    orders = load(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def _yc(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "y": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+                "c": pc.cast(b.column("o_custkey"), pa.int64()),
+            }
+        )
+
+    yc = orders.map_batches(_yc, batch_format="pyarrow")
+    sketches = kmv_sketches(yc, "y", "c", k=_THETA_K)
+    est = theta_union(sketches, k=_THETA_K)
+
+    exact = distinct_rows(yc.select_columns(["c"]), ["c"]).count()
+    ok = int(abs(est / exact - 1.0) * 1_000_000 <= _THETA_BOUND_MICRO) if exact else 1
+    return pa.table(
+        {
+            "n_exact_union": pa.array([exact], pa.int64()),
+            "within_bound": pa.array([ok], pa.int64()),
+        }
+    )
+
+
+SQL_STATS_THETA_UNION = """
+SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact_union,
+       CAST(1 AS BIGINT) AS within_bound
+FROM orders
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"stats_theta_union": QueryDef(q_stats_theta_union, SQL_STATS_THETA_UNION)}
+)

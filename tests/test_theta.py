@@ -181,3 +181,23 @@ def test_cusum_matches_sequential_reference_across_blocks():
             s = max(0, s + int(vals[i]))
             want[i] = (s, int(s > 120))
     assert got == want
+
+
+def test_theta_union_merge_law():
+    from anonymization_ray.extras.stats import kmv_sketches, theta_union
+
+    # one set split across two "partitions": merged sketches must estimate
+    # the union as well as a single sketch of the whole would
+    rng = np.random.default_rng(7)
+    elems = rng.choice(1_000_000, 4_000, replace=False)
+    rows = [(1, int(v)) for v in elems[:2_500]] + [
+        (2, int(v)) for v in elems[1_500:]
+    ]  # overlapping halves, union = 4000
+    sk = kmv_sketches(_sets(rows), "s", "e", k=256)
+    est = theta_union(sk, k=256)
+    assert abs(est / 4_000 - 1.0) <= 5 / np.sqrt(256)
+    # exact regime: tiny sets merge to the exact distinct union
+    small = kmv_sketches(
+        _sets([(1, 1), (1, 2), (2, 2), (2, 3)]), "s", "e", k=64
+    )
+    assert theta_union(small, k=64) == 3.0
