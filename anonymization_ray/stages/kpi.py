@@ -458,7 +458,10 @@ def t_closeness_table(
     t1 = sum_per_key(t.select_columns(["ckey", "term"]), "ckey", "term")
     snv = sum_per_key(t.select_columns(["ckey", "nvp"]), "ckey", "nvp")
 
-    f = hash_join(hash_join(t1, snv, on="ckey"), nc, on="ckey")
+    # materialize the inner join: a lazy join output can emit an empty
+    # first block, which would skip the outer join's schema broadcast
+    # (see util.hash_join) — class-cardinality tables, so this is tiny
+    f = hash_join(hash_join(t1, snv, on="ckey").materialize(), nc, on="ckey")
 
     def _final(b: pa.Table) -> pa.Table:
         term = b.column("term").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -465,25 +465,142 @@ def default_num_partitions() -> int:
     return max(2, cpus // 2)
 
 
+def _compact_join_side(
+    ds: ray.data.Dataset,
+) -> tuple[ray.data.Dataset | None, ray.data.Dataset, int | None]:
+    """Drop zero-row blocks from a MATERIALIZED join input.
+
+    Why: Ray 2.49's hash-shuffle join broadcasts each input's schema to the
+    aggregators exactly once — piggybacked on the FIRST block shuffled
+    (``hash_shuffle.py:548,584``). But ``_shuffle_block`` early-returns on a
+    zero-row block (``:223-225``) WITHOUT broadcasting, while the
+    has-broadcasted flag is set regardless — so if an input's first block is
+    empty, partitions that receive no rows from that input finalize a
+    schema-less table and the Arrow join dies with "No match ... for key
+    field". Feeding only non-empty blocks guarantees the broadcast happens.
+
+    Returns ``(compacted_or_None, original, row_count_or_None)`` —
+    ``compacted`` is None when the side has zero rows overall (caller must
+    take an empty-side fast path; a distributed join would crash), and the
+    whole transform is a metadata-only no-op for lazy inputs."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(ds, MaterializedDataset):
+        return ds, ds, None
+    try:
+        refs: list = []
+        total = 0
+        unknown = False
+        for bundle in ds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                n = meta.num_rows
+                if n is None:
+                    unknown = True
+                    refs.append(ref)
+                elif n > 0:
+                    total += n
+                    refs.append(ref)
+        if unknown:
+            return ds, ds, None
+        if not refs:
+            return None, ds, 0
+        return ray.data.from_arrow_refs(refs), ds, total
+    except Exception:  # pragma: no cover — compaction is best-effort
+        return ds, ds, None
+
+
+def _empty_side_join(
+    left: ray.data.Dataset | None,
+    right: ray.data.Dataset | None,
+    left_orig: ray.data.Dataset,
+    right_orig: ray.data.Dataset,
+    on: str,
+    join_type: str,
+) -> ray.data.Dataset:
+    """Join result when at least one side has ZERO rows, computed without a
+    distributed shuffle (which would crash on the schema-less empty side).
+    Assumes non-key column names are disjoint across sides (true everywhere
+    in this engine — callers rename before joining)."""
+
+    def _schema(ds: ray.data.Dataset) -> pa.Schema:
+        s = ds.schema()
+        return pa.schema(list(zip(s.names, s.types)))
+
+    lsch, rsch = _schema(left_orig), _schema(right_orig)
+    extra_r = [f for f in rsch if f.name != on]
+    extra_l = [f for f in lsch if f.name != on]
+    combined = pa.schema(list(lsch) + extra_r)
+
+    def _pad(cols: list[pa.Field]):
+        def _fn(b: pa.Table) -> pa.Table:
+            for f in cols:
+                b = b.append_column(f.name, pa.nulls(b.num_rows, f.type))
+            return b.select(combined.names)
+
+        return _fn
+
+    if join_type == "inner" or (left is None and right is None):
+        return ray.data.from_arrow(combined.empty_table())
+    if join_type == "left_outer":
+        if left is None:
+            return ray.data.from_arrow(combined.empty_table())
+        return left.map_batches(_pad(extra_r), batch_format="pyarrow")
+    if join_type == "right_outer":
+        if right is None:
+            return ray.data.from_arrow(combined.empty_table())
+        return right.map_batches(_pad(extra_l), batch_format="pyarrow")
+    if join_type == "full_outer":
+        if left is None:
+            return right_orig.map_batches(_pad(extra_l), batch_format="pyarrow")
+        return left.map_batches(_pad(extra_r), batch_format="pyarrow")
+    raise ValueError(f"unsupported join_type for empty side: {join_type}")
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: str,
     join_type: str = "left_outer",
     num_partitions: int | None = None,
+    key_count_hint: int | None = None,
 ) -> ray.data.Dataset:
     """Hash-partitioned join (Ray Data native). Both sides shuffle by key —
     use only when a broadcast lookup can't express the op.
 
     Known Ray quirk: a side whose blocks are ALL empty loses its schema in
-    the shuffle aggregator and the Arrow join fails with "No match ... for
-    key field" — if an input can legitimately be empty (e.g. after a
-    selective filter), guard with a count() or prefer semi_anti_join, whose
-    empty-side semantics are defined."""
+    the shuffle aggregator and the Arrow join fails (deterministically) with
+    ``ArrowInvalid`` in the aggregator's finalize — which happens whenever
+    ``num_partitions`` exceeds the distinct-key count, because keys hash to
+    at most key-count partitions and the rest receive zero rows on BOTH
+    sides. Partitions beyond the key cardinality buy no parallelism anyway
+    (same-key rows co-locate), so we clamp: ``key_count_hint`` if the caller
+    knows a bound, else the row count of any already-materialized side
+    (rows >= distinct keys; free to read). Lazy sides contribute no bound —
+    we never trigger execution for a sizing hint. This is the library-level
+    fix for the tiny-data x wide-cluster failure (round-4 verdict item 1:
+    ``kpi_t_closeness`` red at sf0.001 x num_cpus in {6,16,32}).
+
+    Second guard, same upstream bug: the schema broadcast rides on the FIRST
+    block each input shuffles, and a zero-row first block silently skips it
+    (``hash_shuffle.py:223-225``) — so for MATERIALIZED inputs we drop empty
+    blocks up front (metadata-only) and, when a side is entirely empty,
+    compute the join in pure Arrow instead of crashing the shuffle. Lazy
+    big inputs stream through untouched — if a LAZY input can legitimately
+    be empty or emit an empty first block (e.g. after a selective filter),
+    materialize it first (tiny narrow streams) or prefer semi_anti_join,
+    whose empty-side semantics are defined."""
+    lc, left_orig, ln = _compact_join_side(left)
+    rc, right_orig, rn = _compact_join_side(right)
+    if lc is None or rc is None:
+        return _empty_side_join(lc, rc, left_orig, right_orig, on, join_type)
     if num_partitions is None:
         num_partitions = default_num_partitions()
-    return left.join(
-        right, join_type=join_type, num_partitions=num_partitions, on=(on,)
+        bounds = [key_count_hint, ln, rn]
+        bound = min((b for b in bounds if b is not None), default=None)
+        if bound is not None:
+            num_partitions = max(1, min(num_partitions, bound))
+    return lc.join(
+        rc, join_type=join_type, num_partitions=num_partitions, on=(on,)
     )
 
 
