@@ -31,6 +31,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+# largest whole-vocabulary driver gather bpe training will accept before
+# demanding an explicit max_vocab (a 1M-word table is ~tens of MB)
+BPE_VOCAB_GATHER_CAP = 1_000_000
+
 
 def _word_counts(
     ds: rd.Dataset, text_col: str, max_vocab: int | None
@@ -48,6 +52,19 @@ def _word_counts(
     wc = exact_value_counts(ds.map_batches(_words, batch_format="pyarrow"), "w")
     if max_vocab is not None:
         wc = wc.sort(["n", "w"], descending=[True, False]).limit(max_vocab)
+    else:
+        # max_vocab=None gathers the WHOLE vocabulary to the driver for the
+        # merge loop — fine at test scale, unbounded on a web corpus whose
+        # vocab is ~billions. Refuse loudly above a cap (the node_cap
+        # discipline of extras/graph.py BFS) instead of silently OOMing;
+        # wc is materialized (sort+boundary-scan output), so count is free.
+        n_vocab = wc.count()
+        if n_vocab > BPE_VOCAB_GATHER_CAP:
+            raise ValueError(
+                f"corpus vocabulary has {n_vocab} distinct words, above the "
+                f"driver-gather cap ({BPE_VOCAB_GATHER_CAP}); pass max_vocab "
+                "to train on the top-frequency subset"
+            )
     out = wc.to_pandas()
     if out.empty or "w" not in out.columns:
         # fully-empty corpora can drop the schema on the empty output

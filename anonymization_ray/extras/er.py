@@ -40,6 +40,85 @@ def _within1(a: str, b: str) -> int | None:
     return 1 if a[i:] == b[i + 1 :] else None
 
 
+def link_batch(
+    b: pa.Table,
+    col: str,
+    names_: list[str],
+    lens_: np.ndarray,
+    firsts_: np.ndarray,
+    lasts_: np.ndarray,
+    keep: list[str],
+    out_col: str,
+    dist_col: str,
+) -> pa.Table:
+    """The fuzzy-link batch kernel, module-level so the A/B harness
+    (``scripts/er_kernel_ab.py``) can time it against alternatives without
+    Ray scheduling noise. ``names_`` must be sorted; lens/firsts/lasts are
+    its precomputed per-name length and end characters."""
+    vals = b.column(col).to_pandas()
+    codes, uniq = pd.factorize(vals)
+    uniq_list = [m if isinstance(m, str) else None for m in uniq]
+    valid_u = np.array([m is not None for m in uniq_list], bool)
+    u_lens = np.array([len(m) if m is not None else -9 for m in uniq_list])
+    u_first = np.array([m[0] if m else "\x00" for m in uniq_list])
+    u_last = np.array([m[-1] if m else "\x00" for m in uniq_list])
+
+    # candidate (unique-mention, name) pairs via a CHUNKED boolean
+    # matrix of the length-band + end-char prefilter — one numpy pass
+    # per chunk instead of a Python loop per unique mention; chunking
+    # bounds the matrix at CHUNK x |dict| bools regardless of batch size
+    CHUNK = 2048
+    su_parts, sc_parts = [], []
+    for s in range(0, len(uniq_list), CHUNK):
+        e = min(s + CHUNK, len(uniq_list))
+        # a d<=1 pair always keeps its first OR last char equal, except
+        # when either side is a single char (substitution moves both ends)
+        m = (np.abs(u_lens[s:e, None] - lens_[None, :]) <= 1) & (
+            (u_first[s:e, None] == firsts_[None, :])
+            | (u_last[s:e, None] == lasts_[None, :])
+            | (lens_[None, :] <= 1)
+            | (u_lens[s:e, None] <= 1)
+        ) & valid_u[s:e, None]
+        ui, ci = np.nonzero(m)
+        su_parts.append(ui + s)
+        sc_parts.append(ci)
+    cu = np.concatenate(su_parts) if su_parts else np.empty(0, np.int64)
+    cn = np.concatenate(sc_parts) if sc_parts else np.empty(0, np.int64)
+
+    # exact banded edit-distance only on the surviving candidate pairs
+    sd = np.empty(len(cu), np.int64)
+    ok = np.zeros(len(cu), bool)
+    for p in range(len(cu)):
+        d = _within1(uniq_list[cu[p]], names_[cn[p]])
+        if d is not None:
+            ok[p] = True
+            sd[p] = d
+    su, sc, sd = cu[ok], cn[ok], sd[ok]
+
+    # expand per-unique hits back to rows, fully vectorized: hits are
+    # already grouped by unique (chunks scan uniques in order and
+    # nonzero is row-major), so offsets + repeat reconstruct each
+    # row's match list in sorted-name order
+    n_u = len(uniq_list)
+    counts = np.bincount(su, minlength=n_u) if n_u else np.empty(0, np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]) if n_u else counts
+    safe = np.maximum(codes, 0)
+    row_counts = np.where(codes >= 0, counts[safe], 0)
+    rows = np.repeat(np.arange(len(codes)), row_counts)
+    offs = np.arange(int(row_counts.sum())) - np.repeat(
+        np.cumsum(row_counts) - row_counts, row_counts
+    )
+    match_pos = np.repeat(starts[safe], row_counts) + offs
+    idx = pa.array(rows, pa.int64())
+    cols = {c: b.column(c).take(idx) for c in keep}
+    cols[col] = b.column(col).take(idx)
+    cols[out_col] = pa.array(
+        [names_[sc[p]] for p in match_pos], pa.string()
+    )
+    cols[dist_col] = pa.array(sd[match_pos], pa.int64())
+    return pa.table(cols)
+
+
 def fuzzy_link(
     ds: rd.Dataset,
     col: str,
@@ -61,38 +140,9 @@ def fuzzy_link(
 
     def _link(b: pa.Table) -> pa.Table:
         names_, lens_, firsts_, lasts_ = ray.get(ref)
-        vals = b.column(col).to_pandas()
-        codes, uniq = pd.factorize(vals)
-        hits: dict[int, list[tuple[str, int]]] = {}
-        for u_idx, m in enumerate(uniq):
-            if m is None:
-                continue
-            lm = len(m)
-            # a d<=1 pair always keeps its first OR last char equal, except
-            # when either side is a single char (substitution moves both ends)
-            cand = np.flatnonzero(
-                (np.abs(lens_ - lm) <= 1)
-                & ((firsts_ == m[0]) | (lasts_ == m[-1]) | (lens_ <= 1) | (lm <= 1))
-            )
-            out = []
-            for ci in cand:
-                d = _within1(m, names_[ci])
-                if d is not None:
-                    out.append((names_[ci], d))
-            if out:
-                hits[u_idx] = out
-        rows, matches, dists = [], [], []
-        for i, c in enumerate(codes):
-            for nm, d in hits.get(c, ()):
-                rows.append(i)
-                matches.append(nm)
-                dists.append(d)
-        idx = pa.array(rows, pa.int64())
-        cols = {c: b.column(c).take(idx) for c in keep}
-        cols[col] = b.column(col).take(idx)
-        cols[out_col] = pa.array(matches, pa.string())
-        cols[dist_col] = pa.array(dists, pa.int64())
-        return pa.table(cols)
+        return link_batch(
+            b, col, names_, lens_, firsts_, lasts_, keep, out_col, dist_col
+        )
 
     return ds.map_batches(_link, batch_format="pyarrow")
 

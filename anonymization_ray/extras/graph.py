@@ -1011,6 +1011,16 @@ def dag_layers(
             )
 
         stepped = cand.map_batches(_step, batch_format="pyarrow")
+        if nodes is not None:
+            # an explicit universe is a contract: edge targets OUTSIDE it
+            # must neither appear in the output nor relay layers — filter
+            # before the fold (hash semi-join; no broadcast cap on the
+            # universe size)
+            from .joins import semi_anti_join
+
+            stepped = semi_anti_join(
+                stepped, universe, on=node_col, broadcast=False
+            )
         layers = fold_per_key(
             layers.union(stepped), node_col, {"layer": ("max", "layer")}
         ).materialize()

@@ -792,6 +792,10 @@ def decode_bmp_gray(payload: bytes) -> np.ndarray:
     if bpp != 8 or comp != 0 or h <= 0:
         raise NotImplementedError("only bottom-up 8-bit BI_RGB BMP decode")
     pal = np.frombuffer(payload, np.uint8, 256 * 4, 14 + size).reshape(256, 4)
+    # honest-subset contract: a COLOR palette would decode silently wrong
+    # through the blue channel — refuse unless the palette is grayscale
+    if not ((pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()):
+        raise NotImplementedError("only grayscale-palette 8-bit BMP decode")
     gray = pal[:, 0]  # grayscale palette: B == G == R
     stride = (w + 3) & ~3
     data = np.frombuffer(payload, np.uint8, stride * h, off).reshape(h, stride)

@@ -403,8 +403,18 @@ def curriculum_order(
     band · 2^61 + sm64(id)//8 into one int64 so pass 2 is a single sort;
     ties (collisions of the truncated hash) break on the id, and the SQL
     oracle orders by the identical packed value, so the order is
-    bit-reproducible."""
+    bit-reproducible.
+
+    ``bands`` is capped at 4: the packed key band·2^61 + h//8 overflows
+    int64 at band index 4 (4·2^61 = 2^63 wraps negative and the serving
+    order would be silently wrong) — refuse loudly rather than corrupt."""
     import pyarrow.compute as pc
+
+    if not 1 <= bands <= 4:
+        raise ValueError(
+            f"bands must be in [1, 4] (got {bands}): the band*(2^61) packed "
+            "sort key overflows int64 at band index 4"
+        )
 
     from ..util import rank_per_key
 

@@ -1171,7 +1171,9 @@ def theta_union(sketches: dict, *, k: int = 256) -> float:
     min-k merge law (the property that makes KMV sketches mergeable
     across corpus partitions): pool all samples, keep the k smallest,
     theta' = the k-th; est = (k-1)·2^63/theta'. Exact when the pooled
-    distinct sample count stays below k."""
+    distinct sample count stays below k. The union of zero sets is empty."""
+    if not sketches:
+        return 0.0
     pooled = np.unique(np.concatenate([s for _, s in sketches.values()]))
     thetas = [t for t, _ in sketches.values()]
     cutoff = min(thetas)

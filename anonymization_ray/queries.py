@@ -609,215 +609,82 @@ _BASE_REGISTRY: dict[str, QueryDef] = {
 }
 
 
-# Driver correctness runs sample a prefix of the registry (round 3 covered
-# the first 50 of 81). Entries the round-3 driver did NOT sample — all green
-# via tests/test_oracles.py — surface first so the round-4 driver gate
-# covers them; new round-4 operators are appended to this list as they land.
+# Driver correctness runs sample a prefix of the registry. Round-5 rotation:
+# this list is exactly the 239 entries NEVER sampled by any driver gate
+# (r1-r4 cumulatively covered 109 distinct queries), oldest registry modules
+# first — so CORRECTNESS_r05's 50-entry prefix extends cumulative driver
+# coverage past 159. All are green via tests/test_oracles.py and the
+# full-registry sf0.001/sf0.01 sweeps recorded in BASELINE.md.
 _DRIVER_PRIORITY: list[str] = [
-    # round-4 waves 63+
-    "corpus_orc_roundtrip",
-    "corpus_feather_roundtrip",
-    "kg_list_rank",
-    "kg_owl_closure",
-    "crawl_robots_filter",
-    "graph_squares",
-    "text_naive_bayes",
-    "events_pattern_match",
-    "graph_closeness",
-    "multimodal_phash",
-    "hier_flatten",
-    "graph_components",
-    # round-4 waves 55-56
-    "kg_term_dictionary",
-    "kg_dict_bgp",
-    "kg_update_delete_insert",
-    "kg_group_count_distinct",
-    "kg_path_negated",
-    "kg_service_federated",
-    "kg_validate_cardinality",
-    "kg_dict_store_probe",
-    "graph_shortest_path",
-    "kg_graph_add",
-    "dedup_minhash_incremental",
-    "kg_pagerank_personalized",
-    # round-4 wave 54
-    "kg_bgp_optimized",
-    # round-4 wave 53
-    "anonymize_lattice_search",
-    # round-4 wave 52
-    "events_watermark_late",
-    "text_oov_rate",
-    # round-4 wave 51
-    "kg_subquery",
-    # round-4 wave 50
-    "kg_snapshot_diff",
-    "kg_vertical_partition",
-    # round-4 wave 49
-    "kg_group_concat",
-    # round-4 wave 48
-    "kg_void_description",
-    "kg_not_exists",
-    # round-4 wave 47
-    "kg_provenance_witness",
-    "kg_bind_query",
-    # round-4 waves 45-46
-    "join_bucketed_colocated",
-    "kg_union_query",
-    # round-4 wave 44
-    "kg_group_having",
-    "kg_order_limit",
-    "kg_distinct_query",
-    # round-4 wave 43
-    "kg_asof_snapshot",
-    # round-4 wave 42
-    "graph_assortativity",
-    "graph_modularity",
-    # round-4 wave 41
-    "kg_path_kleene",
-    # round-4 wave 40
-    "kg_filter_query",
-    "kg_values_query",
-    "kg_minus_query",
-    # round-4 wave 39
-    "corpus_cdc_chunks",
-    "orders_rank_per_key",
-    # round-4 waves 19-38 (landed after the round-3 driver gate ran — never
-    # driver-hash-verified yet, so they surface before the older entries;
-    # newest wave first)
-    "kg_select_aggregate",
-    "kg_property_path",
-    "kg_named_graph_query",
-    "graph_label_prop",
-    "corpus_zonemap_prune",
-    "stats_kll",
-    "events_funnel_window",
-    "er_fuzzy_link",
-    "corpus_schema_drift",
-    "events_gapfill",
-    "orders_zorder",
-    "kg_ask_query",
-    "kg_optional_bgp",
-    "kg_wl_colors",
-    "ab_experiment",
-    "kg_adjacency_export",
-    "stats_key_skew",
-    "kg_entity_salience",
-    "kg_describe_subgraph",
-    "kg_construct_query",
-    "events_grouping_sets",
-    "orders_skyline",
-    "corpus_partitioned_write",
-    "kg_incremental_degree",
-    "kg_ifp_candidates",
-    "stats_histogram",
-    "stats_ntile",
-    "corpus_assign_ids",
-    "graph_reciprocity",
-    "events_rolling_dau",
-    "text_bigram_nll",
-    "dedup_cluster_sizes",
-    "corpus_csv_roundtrip",
-    "kg_negative_samples",
-    "kg_predicate_stats",
-    "kg_redirect_resolve",
-    "kg_anchor_naming",
-    "kg_crawl_frontier",
-    "corpus_stratified_sample",
-    "corpus_boilerplate_terms",
-    "kg_link_pagerank",
-    "graph_walk_sample",
-    "text_phrase_search",
-    "events_valid_at",
-    "kg_anchor_stats",
-    "kg_host_graph",
-    "kg_link_canonical",
-    "kg_link_graph",
-    # round-4 wave 18 (newest operators get driver-gate coverage)
-    "stats_gini",
-    "kg_sameas_rewrite",
-    "kg_validate_shacl",
-    "kg_concept_tags",
-    # round-4 wave 17
-    "corpus_split_dedup_aware",
-    "stats_group_auc",
-    "text_gopher_rules",
-    # round-4 wave 16
-    "dq_lineitem_audit",
-    "stats_weighted_median",
-    # round-4 wave 15
-    "kg_upsert_store",
-    "events_funnel_windowed",
-    "orders_market_basket",
-    # round-4 wave 14
-    "embed_kmeans",
-    "events_cohort_matrix",
-    "events_attribution",
-    "stats_group_corr",
-    # round-4 wave 13
-    "events_funnel",
-    "events_twap",
-    "join_fuzzy_names",
-    "stats_group_winsorized",
-    "agg_rollup_priority",
-    # round-4 wave 12
-    "events_rolling_sum",
-    "embed_knn_classify",
-    "kg_delete_subjects",
-    # round-4 wave 11
-    "embed_scatter_matrix",
-    "layout_zorder",
-    "dedup_bloom_cross",
-    "events_dedup_window",
-    "corpus_compact_roundtrip",
-    # round-4 wave 10
-    "join_skew_hot",
-    "events_nearest_join",
-    "text_group_top_terms",
-    "text_zipf_slope",
-    "stats_group_outliers",
-    "impute_group_mean",
-    "union_schema_evolve",
-    "corpus_jsonl_roundtrip",
-    # round-4 wave 7
-    "ann_pq_topk",
-    "corpus_temperature_mix",
-    "corpus_version_diff",
-    "stats_profile",
-    "stats_group_rank_sketch",
-    "stats_rank_sketch",
-    "corpus_split_leakage",
-    "stats_ks_drift",
-    "dedup_containment",
-    "embed_quantize_int8",
-    "tpch_q9_profit",
-    "tpch_q20_dominant_supplier",
-    # round-4 wave 6
-    "tpch_q8_market_share",
-    "tpch_q11_important_parts",
-    "tpch_q21_sole_late",
-    "stats_quantile_cont",
-    "multimodal_resize",
-    "events_ema",
-    "stats_misra_gries",
-    "events_user_path",
-    "graph_hits",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty",
-    "tpch_q19_disjunctive",
-    "tpch_q16_supplier_cnt",
-    "tpch_q7_nation_volume",
-    "tpch_q6_forecast",
-    "tpch_q14_promo",
-    "tpch_q12_late_priority",
-    "tpch_q13_custdist",
-    "tpch_q18_large_orders",
-    "tpch_q22_global",
-    "set_nations",
-    "stats_group_distinct",
-    "agg_crosstab",
-    # round-4 late wave (newest operators get driver-gate coverage)
     "kpi_l_diversity",
     "kpi_t_closeness",
+    "kg_incremental_merge",
+    "kg_bgp_query",
+    "kg_ntriples_roundtrip",
+    "kg_incremental_dedup",
+    "kg_path_reach",
+    "kg_rdfs_closure",
+    "kg_type_inference",
+    "kg_entity_cooccurrence",
+    "multimodal_jpeg_stats",
+    "join_anti_customers",
+    "events_interval_join",
+    "events_sliding_count",
+    "events_window_funcs",
+    "corpus_pack",
+    "stats_group_quantiles",
+    "sample_stratified",
+    "graph_triangles",
+    "bm25_topk",
+    "text_redact",
+    "text_repetition",
+    "text_decontaminate",
+    "corpus_shuffle",
+    "corpus_split",
+    "text_chunks",
+    "corpus_mix",
+    "text_dup_spans",
+    "corpus_quality_gate",
+    "dedup_semantic",
+    "text_normalize",
+    "text_unigram_nll",
+    "top_orders_per_customer",
+    "text_dsir",
+    "graph_bfs_reach",
+    "multimodal_wav_stats",
+    "multimodal_video_stats",
+    "text_paragraph_dedup",
+    "cluster_kmeans",
+    "agg_rollup",
+    "stats_histogram",
+    "join_full_outer",
+    "events_funnel",
+    "events_json_extract",
+    "stats_corr",
+    "events_retention",
+    "join_bloom_semi",
+    "dedup_url_canonical",
+    "stats_entropy",
+    "sample_weighted",
+    "text_tfidf_topterms",
+    "text_collocations",
+    "events_sliding_distinct",
+    "multimodal_image_dedup",
+    "events_anomaly_zscore",
+    "graph_jaccard_parts",
+    "events_markov_transitions",
+    "dedup_editdist",
+    "stats_mad",
+    "events_ntile",
+    "graph_kcore",
+    "text_classifier_score",
+    "events_percent_rank",
+    "stats_cms",
+    "text_bpe_train",
+    "tpch_q3_top_orders",
+    "tpch_q5_local_volume",
+    "corpus_token_budget",
+    "url_blocklist_filter",
     "dp_randomized_response",
     "events_resample",
     "stats_ols",
@@ -835,84 +702,159 @@ _DRIVER_PRIORITY: list[str] = [
     "anonymize_suppress",
     "events_rate_limit",
     "stats_group_hll",
-    "graph_kcore",
-    "events_ntile",
-    "events_percent_rank",
-    "stats_cms",
-    "text_classifier_score",
-    "text_bpe_train",
-    "tpch_q3_top_orders",
-    "tpch_q5_local_volume",
-    "corpus_token_budget",
-    "url_blocklist_filter",
-    "dedup_editdist",
-    "stats_mad",
-    "events_markov_transitions",
-    "ann_lsh_join_top1",
-    "rand_date_window_scale",
-    "rand_date_orders",
-    "events_asof_join",
-    "join_anti_customers",
-    "events_interval_join",
-    "events_sliding_count",
-    "events_window_funcs",
-    "corpus_pack",
-    "stats_quantiles",
-    "stats_distinct",
-    "stats_heavy_hitters",
-    "stats_hll_distinct",
-    "stats_group_quantiles",
-    "sample_lineitem",
-    "sample_stratified",
-    "graph_triangles",
-    "bm25_topk",
-    "text_redact",
-    "text_repetition",
-    "text_decontaminate",
-    "corpus_shuffle",
-    "corpus_split",
-    "text_chunks",
-    "corpus_mix",
-    "text_dup_spans",
-    "corpus_quality_gate",
-    "dedup_semantic",
-    "text_normalize",
-    "text_unigram_nll",
-    "top_orders_per_customer",
-    # round-4 additions
-    "multimodal_jpeg_stats",
-    "text_dsir",
-    "graph_bfs_reach",
-    "multimodal_wav_stats",
-    "multimodal_video_stats",
-    "kg_incremental_merge",
-    "kg_incremental_dedup",
-    "kg_bgp_query",
-    "kg_ntriples_roundtrip",
-    "text_paragraph_dedup",
-    "cluster_kmeans",
-    "agg_rollup",
-    "stats_histogram",
-    "join_full_outer",
-    "events_funnel",
-    "kg_path_reach",
-    "events_json_extract",
-    "stats_corr",
-    "kg_rdfs_closure",
-    "events_retention",
-    "join_bloom_semi",
-    "dedup_url_canonical",
-    "kg_type_inference",
-    "kg_entity_cooccurrence",
-    "stats_entropy",
-    "sample_weighted",
-    "text_tfidf_topterms",
-    "text_collocations",
-    "events_sliding_distinct",
-    "multimodal_image_dedup",
-    "events_anomaly_zscore",
-    "graph_jaccard_parts",
-    "events_markov_transitions",
+    "tpch_q6_forecast",
+    "tpch_q14_promo",
+    "tpch_q12_late_priority",
+    "tpch_q13_custdist",
+    "tpch_q18_large_orders",
+    "tpch_q22_global",
+    "set_nations",
+    "stats_group_distinct",
+    "agg_crosstab",
+    "anonymize_microagg",
+    "anonymize_winsorize",
+    "dp_binomial_counts",
+    "events_user_path",
+    "graph_hits",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty",
+    "tpch_q19_disjunctive",
+    "tpch_q16_supplier_cnt",
+    "tpch_q7_nation_volume",
+    "multimodal_resize",
+    "events_ema",
+    "stats_misra_gries",
+    "tpch_q11_important_parts",
+    "tpch_q8_market_share",
+    "tpch_q21_sole_late",
+    "stats_quantile_cont",
+    "tpch_q9_profit",
+    "tpch_q20_dominant_supplier",
+    "stats_rank_sketch",
+    "corpus_split_leakage",
+    "stats_ks_drift",
+    "dedup_containment",
+    "embed_quantize_int8",
+    "corpus_temperature_mix",
+    "corpus_version_diff",
+    "stats_profile",
+    "stats_group_rank_sketch",
+    "ann_pq_topk",
+    "join_skew_hot",
+    "events_nearest_join",
+    "text_group_top_terms",
+    "text_zipf_slope",
+    "stats_group_outliers",
+    "impute_group_mean",
+    "union_schema_evolve",
+    "corpus_jsonl_roundtrip",
+    "embed_scatter_matrix",
+    "events_rolling_sum",
+    "embed_knn_classify",
+    "kg_delete_subjects",
+    "layout_zorder",
+    "dedup_bloom_cross",
+    "events_dedup_window",
+    "corpus_compact_roundtrip",
+    "events_twap",
+    "join_fuzzy_names",
+    "stats_group_winsorized",
+    "agg_rollup_priority",
+    "embed_kmeans",
+    "events_cohort_matrix",
+    "events_attribution",
+    "stats_group_corr",
+    "kg_upsert_store",
+    "events_funnel_windowed",
+    "orders_market_basket",
+    "dq_lineitem_audit",
+    "stats_weighted_median",
+    "corpus_split_dedup_aware",
+    "stats_group_auc",
+    "text_gopher_rules",
+    "kg_sameas_rewrite",
+    "kg_validate_shacl",
+    "kg_concept_tags",
+    "stats_gini",
+    "events_scd2",
+    "kg_link_graph",
+    "kg_link_canonical",
+    "kg_host_graph",
+    "kg_anchor_stats",
+    "events_valid_at",
+    "text_phrase_search",
+    "graph_walk_sample",
+    "kg_link_pagerank",
+    "corpus_boilerplate_terms",
+    "corpus_stratified_sample",
+    "kg_crawl_frontier",
+    "kg_anchor_naming",
+    "kg_redirect_resolve",
+    "kg_predicate_stats",
+    "kg_negative_samples",
+    "corpus_csv_roundtrip",
+    "dedup_cluster_sizes",
+    "text_bigram_nll",
+    "events_rolling_dau",
+    "graph_reciprocity",
+    "corpus_assign_ids",
+    "stats_ntile",
+    "kg_ifp_candidates",
+    "kg_incremental_degree",
+    "corpus_partitioned_write",
+    "orders_skyline",
+    "events_grouping_sets",
+    "kg_construct_query",
+    "kg_describe_subgraph",
+    "kg_entity_salience",
+    "stats_key_skew",
+    "kg_adjacency_export",
+    "ab_experiment",
+    "kg_wl_colors",
+    "kg_optional_bgp",
+    "kg_ask_query",
+    "orders_zorder",
+    "events_gapfill",
+    "corpus_schema_drift",
+    "er_fuzzy_link",
+    "events_funnel_window",
+    "stats_kll",
+    "corpus_zonemap_prune",
+    "graph_label_prop",
+    "kg_named_graph_query",
+    "kg_property_path",
+    "kg_select_aggregate",
+    "crawl_sitemap_roundtrip",
+    "spatial_radius_join",
+    "kpi_delta_presence",
+    "graph_topo_layers",
+    "stats_theta_intersect",
+    "corpus_bloom_prune",
+    "text_sentences",
+    "er_golden_record",
+    "corpus_curriculum_order",
+    "crawl_politeness_schedule",
+    "kg_path_bounded_rep",
+    "text_readability",
+    "graph_hub_ablation",
+    "events_seasonal_backtest",
+    "text_compression_gate",
+    "corpus_domain_cap",
+    "kg_lineage_audit",
+    "er_sorted_neighborhood",
+    "embed_gram_matrix",
+    "events_cusum_drift",
+    "events_activity_streak",
+    "orders_abc_classes",
+    "dedup_minhash_recall_gate",
+    "stats_bootstrap_ci",
+    "stats_permutation_test",
+    "corpus_quality_stack",
+    "kg_reify_roundtrip",
+    "multimodal_bmp_stats",
+    "crawl_frontier_fused",
+    "corpus_multi_format_union",
+    "stats_theta_union",
 ]
 
 

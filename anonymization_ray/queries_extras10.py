@@ -3279,7 +3279,10 @@ def q_crawl_frontier_fused(sf_dir: str):
             batch_format="pyarrow",
         ).materialize()
     finally:
-        pass  # shards must outlive the lazy read below — removed after
+        # sm is MATERIALIZED inside the try (the shards are fully consumed
+        # by here), so the shard dir is removable on every path — success
+        # or a raise in write/read — without leaking the temp dir
+        shutil.rmtree(out_dir, ignore_errors=True)
 
     fused = hash_join(links, sm, on="url", join_type="full_outer")
 
@@ -3302,12 +3305,10 @@ def q_crawl_frontier_fused(sf_dir: str):
             }
         )
 
-    out = pa.Table.from_pandas(
+    return pa.Table.from_pandas(
         fused.map_batches(_finish, batch_format="pyarrow").to_pandas(),
         preserve_index=False,
     )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    return out
 
 
 def _sql_crawl_frontier_fused() -> str:
