@@ -25,7 +25,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--pages-parquet", default=None,
                    help="read the page table from this parquet dir instead of synthesizing")
-    p.add_argument("--out-dir", required=True)
+    p.add_argument("--out-dir", default=None,
+                   help="required for kg / prepare-corpus modes")
     p.add_argument("--num-partitions", type=int, default=16)
     p.add_argument("--checkpoint-dir", default=None,
                    help="kg mode with --pages-parquet: per-input-shard "
@@ -36,7 +37,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-dedup", action="store_true")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only used when Ray is not already initialised")
-    p.add_argument("--mode", choices=["kg", "prepare-corpus"], default="kg")
+    p.add_argument("--mode", choices=["kg", "prepare-corpus", "serve"],
+                   default="kg")
+    p.add_argument("--host", default="127.0.0.1", help="serve mode bind host")
+    p.add_argument("--port", type=int, default=8081, help="serve mode port")
     p.add_argument("--chunk-size", type=int, default=64)
     p.add_argument("--pack-budget", type=int, default=256)
     p.add_argument("--num-shards", type=int, default=8)
@@ -52,6 +56,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="prepare-corpus: ingest WARC archive(s) instead of "
                         "the sf documents table (url-hash doc ids, extracted text)")
     args = p.parse_args(argv)
+
+    if args.mode == "serve":
+        # the REST surface (reference AnonymizationRestController.java:35-70);
+        # request-scale, runs entirely in-process — no Ray session needed
+        from anonymization_ray.serve import serve
+
+        serve(args.host, args.port)
+        return 0
+
+    if not args.out_dir:
+        p.error(f"--out-dir is required for --mode {args.mode}")
 
     import ray
 

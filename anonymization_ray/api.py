@@ -234,7 +234,17 @@ def handle_jsonld_request(payload: dict, *, fetch) -> dict:
 
     data = payload["data"]
     calculate_kpi = bool(payload.get("calculateKpi", True))
-    if not isinstance(data, dict):
+    # a LIST payload is the JSON-LD EXPANDED form (third-party documents
+    # arrive this way post-expansion) IF its nodes carry JSON-LD keywords
+    # or IRI keys; a plain flat-JSON array (reference json-ld case 04)
+    # parses to an EMPTY model instead — same discrimination Jena's JSONLD
+    # read performs by dropping non-IRI terms during expansion
+    is_expanded_jsonld = isinstance(data, list) and any(
+        isinstance(n, dict)
+        and any(k.startswith("@") or ":" in k for k in n)
+        for n in data
+    )
+    if not (isinstance(data, dict) or is_expanded_jsonld):
         # non-JSON-LD data (reference json-ld case 04): RDF parsing yields an
         # empty model; the anonymization still runs and only the kpi nodes
         # survive serialization (k-anonymity of the empty type = 1, same

@@ -37,7 +37,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from ..util import default_num_partitions
+from ..util import default_num_partitions, hash_join
 
 _POS_COLS = ("subj", "pred", "obj")
 
@@ -106,11 +106,16 @@ def match_bgp(
                 f"{bound_vars} — reorder patterns (cartesian products are "
                 "not supported)"
             )
-        bound = bound.join(
+        # hash_join (not raw .join): both sides materialized, so empty
+        # blocks are compacted away and the partition count clamps to the
+        # smaller side — a zero-row first block would otherwise skip Ray's
+        # one-shot schema broadcast and crash the aggregator (util.hash_join)
+        bound = hash_join(
+            bound.materialize(),
             arm.materialize(),
+            on=tuple(shared),
             join_type="inner",
             num_partitions=nparts,
-            on=tuple(shared),
         )
         bound_vars = bound_vars + [v for v in arm_vars if v not in bound_vars]
     for group in optional or []:
@@ -124,9 +129,12 @@ def match_bgp(
                 raise ValueError(
                     f"optional pattern {pat} shares no variable inside its group"
                 )
-            g_bound = g_bound.join(
-                arm.materialize(), join_type="inner", num_partitions=nparts,
+            g_bound = hash_join(
+                g_bound.materialize(),
+                arm.materialize(),
                 on=tuple(shared),
+                join_type="inner",
+                num_partitions=nparts,
             )
             g_vars = g_vars + [v for v in arm_vars if v not in g_vars]
         shared = [v for v in g_vars if v in bound_vars]
@@ -135,11 +143,12 @@ def match_bgp(
                 f"optional group {group} shares no variable with the required "
                 f"bindings {bound_vars}"
             )
-        bound = bound.join(
+        bound = hash_join(
+            bound.materialize(),
             g_bound.materialize(),
+            on=tuple(shared),
             join_type="left_outer",
             num_partitions=nparts,
-            on=tuple(shared),
         )
         bound_vars = bound_vars + [v for v in g_vars if v not in bound_vars]
     if select:

@@ -39,7 +39,7 @@ def _local(term: str) -> str:
 
 
 def anonymize_jsonld_request(
-    doc: dict,
+    doc: dict | list,
     config: AnonymizationConfig,
     *,
     seed: int = 0,

@@ -31,13 +31,43 @@ def _compact(iri: str, context: dict[str, str]) -> str:
     return iri
 
 
-def parse_jsonld(doc: dict) -> pa.Table:
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+
+def parse_jsonld(doc: dict | list, *, context: dict | None = None) -> pa.Table:
     """-> (subj, pred, obj, obj_kind) rows. obj_kind: 'iri' or the literal
     datatype's local name ('string', 'double', 'date', ...). Prefixes stay
-    compact (the corpus uses a single shared context)."""
-    context = {
-        k: v for k, v in (doc.get("@context") or {}).items() if isinstance(v, str)
+    compact (the corpus uses a single shared context).
+
+    Accepted input shapes (what Jena's ``RDFDataMgr.read(..., JSONLD)``
+    would also parse, ``AnonymizationService.java:139-149``):
+    - compact: ``{"@context": {...}, "@graph": [nodes]}`` or a single node
+      dict — terms stay in their compact ``pfx:local`` spelling;
+    - EXPANDED: a top-level LIST of node objects with full-IRI keys,
+      ``@type`` as IRI arrays and every value an array of ``{"@value"}`` /
+      ``{"@id"}`` / nested-node objects — full IRIs flow through verbatim
+      (downstream matching is by local name), or are compacted back to
+      ``pfx:local`` when an explicit ``context=`` mapping is supplied
+      (opt-in only: a document's own ``@context`` never re-compacts full
+      IRIs, so compact-form parses are byte-stable);
+    - ``{"@list": [...]}`` values become an rdf:first/rdf:rest chain
+      ending in rdf:nil (the RDF collection Jena would build).
+    """
+    if isinstance(doc, list):
+        top_nodes: list = doc
+        doc_ctx: dict = {}
+    else:
+        top_nodes = None  # resolved after walk() is defined
+        doc_ctx = doc.get("@context") or {}
+    comp_ctx = {
+        k: v for k, v in (context or {}).items() if isinstance(v, str)
     }
+
+    def c(term: str) -> str:
+        return _compact(term, comp_ctx) if comp_ctx else term
+
     rows: list[tuple[str, str, str, str]] = []
     bnode_counter = [0]
 
@@ -65,7 +95,37 @@ def parse_jsonld(doc: dict) -> pa.Table:
         if nid is None:
             bnode_counter[0] += 1
             return f"_:b{bnode_counter[0]}"
-        return nid
+        return c(nid)
+
+    def list_chain(items: list, key: str, sid: str) -> None:
+        """rdf:first/rdf:rest collection for an ``@list`` value."""
+        prev, prev_pred = sid, key
+        for item in items:
+            bnode_counter[0] += 1
+            cell = f"_:b{bnode_counter[0]}"
+            rows.append((prev, prev_pred, cell, "iri"))
+            emit(cell, c(RDF_FIRST), item)
+            prev, prev_pred = cell, c(RDF_REST)
+        rows.append((prev, prev_pred, c(RDF_NIL), "iri"))
+
+    def emit(sid: str, key: str, v) -> None:
+        if isinstance(v, dict):
+            if "@value" in v:
+                dt = v.get("@type")
+                rows.append(
+                    (sid, key, lex(v["@value"]), literal_kind(dt, v["@value"]))
+                )
+            elif "@list" in v:
+                list_chain(v["@list"], key, sid)
+            elif set(v.keys()) == {"@id"}:
+                rows.append((sid, key, c(v["@id"]), "iri"))
+            else:
+                child = walk(v)
+                rows.append((sid, key, child, "iri"))
+        else:
+            rows.append((sid, key, lex(v), literal_kind(None, v)))
+
+    expanded_mode = top_nodes is not None
 
     def walk(node: dict) -> str:
         sid = node_id(node)
@@ -75,28 +135,23 @@ def parse_jsonld(doc: dict) -> pa.Table:
             if key == "@type":
                 types = val if isinstance(val, list) else [val]
                 for t in types:
-                    rows.append((sid, RDF_TYPE, t, "iri"))
+                    rows.append((sid, RDF_TYPE, c(t), "iri"))
+                continue
+            if expanded_mode and ":" not in key:
+                # expansion drops terms with no IRI mapping (what Jena's
+                # JSONLD read does to plain-JSON keys) — a flat-JSON array
+                # fed to the expanded parser yields an empty model, not
+                # garbage triples
                 continue
             vals = val if isinstance(val, list) else [val]
             for v in vals:
-                if isinstance(v, dict):
-                    if "@value" in v:
-                        dt = v.get("@type")
-                        rows.append(
-                            (sid, key, lex(v["@value"]), literal_kind(dt, v["@value"]))
-                        )
-                    elif set(v.keys()) == {"@id"}:
-                        rows.append((sid, key, v["@id"], "iri"))
-                    else:
-                        child = walk(v)
-                        rows.append((sid, key, child, "iri"))
-                else:
-                    rows.append((sid, key, lex(v), literal_kind(None, v)))
+                emit(sid, c(key), v)
         return sid
 
-    graph = doc.get("@graph")
-    nodes = graph if isinstance(graph, list) else [doc]
-    for n in nodes:
+    if top_nodes is None:
+        graph = doc.get("@graph")
+        top_nodes = graph if isinstance(graph, list) else [doc]
+    for n in top_nodes:
         if isinstance(n, dict):
             walk(n)
     if not rows:
@@ -117,6 +172,55 @@ def parse_jsonld(doc: dict) -> pa.Table:
             "obj_kind": pa.array(k, pa.string()),
         }
     )
+
+
+def jsonld_expand(doc: dict) -> list:
+    """Compact JSON-LD document -> EXPANDED form (the W3C expansion
+    algorithm's output shape for this engine's subset): a top-level list of
+    node objects, full-IRI keys, ``@type`` as full-IRI arrays, every value
+    an array of ``{"@value": ...}`` / ``{"@id": ...}`` / nested node
+    objects. What a third party's expansion pass (or Jena re-serialization)
+    would hand ``parse_jsonld``; round-trips to the same triples."""
+    ctx = {
+        k: v for k, v in (doc.get("@context") or {}).items() if isinstance(v, str)
+    }
+
+    def xt(term: str) -> str:
+        return _expand(term, ctx)
+
+    def xv(v) -> object:
+        if isinstance(v, dict):
+            if "@value" in v:
+                out = {"@value": v["@value"]}
+                if "@type" in v:
+                    out["@type"] = xt(v["@type"])
+                if "@language" in v:
+                    out["@language"] = v["@language"]
+                return out
+            if "@list" in v:
+                return {"@list": [xv(i) for i in v["@list"]]}
+            if set(v.keys()) == {"@id"}:
+                return {"@id": xt(v["@id"])}
+            return xn(v)
+        return {"@value": v}
+
+    def xn(node: dict) -> dict:
+        out: dict = {}
+        if "@id" in node:
+            out["@id"] = xt(node["@id"])
+        for key, val in node.items():
+            if key in ("@id", "@context"):
+                continue
+            vals = val if isinstance(val, list) else [val]
+            if key == "@type":
+                out["@type"] = [xt(t) for t in vals]
+                continue
+            out[xt(key)] = [xv(v) for v in vals]
+        return out
+
+    graph = doc.get("@graph")
+    nodes = graph if isinstance(graph, list) else [doc]
+    return [xn(n) for n in nodes if isinstance(n, dict)]
 
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"

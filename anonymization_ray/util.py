@@ -514,7 +514,7 @@ def _empty_side_join(
     right: ray.data.Dataset | None,
     left_orig: ray.data.Dataset,
     right_orig: ray.data.Dataset,
-    on: str,
+    keys: tuple[str, ...],
     join_type: str,
 ) -> ray.data.Dataset:
     """Join result when at least one side has ZERO rows, computed without a
@@ -527,8 +527,8 @@ def _empty_side_join(
         return pa.schema(list(zip(s.names, s.types)))
 
     lsch, rsch = _schema(left_orig), _schema(right_orig)
-    extra_r = [f for f in rsch if f.name != on]
-    extra_l = [f for f in lsch if f.name != on]
+    extra_r = [f for f in rsch if f.name not in keys]
+    extra_l = [f for f in lsch if f.name not in keys]
     combined = pa.schema(list(lsch) + extra_r)
 
     def _pad(cols: list[pa.Field]):
@@ -559,7 +559,7 @@ def _empty_side_join(
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
-    on: str,
+    on: str | tuple[str, ...],
     join_type: str = "left_outer",
     num_partitions: int | None = None,
     key_count_hint: int | None = None,
@@ -589,18 +589,22 @@ def hash_join(
     be empty or emit an empty first block (e.g. after a selective filter),
     materialize it first (tiny narrow streams) or prefer semi_anti_join,
     whose empty-side semantics are defined."""
+    keys = (on,) if isinstance(on, str) else tuple(on)
     lc, left_orig, ln = _compact_join_side(left)
     rc, right_orig, rn = _compact_join_side(right)
     if lc is None or rc is None:
-        return _empty_side_join(lc, rc, left_orig, right_orig, on, join_type)
+        return _empty_side_join(lc, rc, left_orig, right_orig, keys, join_type)
     if num_partitions is None:
         num_partitions = default_num_partitions()
-        bounds = [key_count_hint, ln, rn]
-        bound = min((b for b in bounds if b is not None), default=None)
-        if bound is not None:
-            num_partitions = max(1, min(num_partitions, bound))
+    # the row-count clamp applies to EXPLICIT partition counts too: keys
+    # hash into at most min-side-row-count partitions, so clamping never
+    # loses parallelism and removes the empty-shard crash class entirely
+    bounds = [key_count_hint, ln, rn]
+    bound = min((b for b in bounds if b is not None), default=None)
+    if bound is not None:
+        num_partitions = max(1, min(num_partitions, bound))
     return lc.join(
-        rc, join_type=join_type, num_partitions=num_partitions, on=(on,)
+        rc, join_type=join_type, num_partitions=num_partitions, on=keys
     )
 
 
