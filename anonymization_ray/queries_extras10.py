@@ -3468,3 +3468,76 @@ FROM orders
 EXTRAS10_REGISTRY.update(
     {"stats_theta_union": QueryDef(q_stats_theta_union, SQL_STATS_THETA_UNION)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 106 (round 5): Turtle interchange round-trip — the reference's last
+# input format (exampleInputs/*.ttl; Jena RDFDataMgr dispatch,
+# AnonymizationService.java:139-149) read through kg/turtle.read_turtle_files
+
+def q_kg_turtle_roundtrip(sf_dir: str):
+    """nation -> Turtle serialization (4 shard files, abbreviated syntax:
+    prefixes, `a`, `;` predicate lists, typed/plain literals) ->
+    `read_turtle_files` (one parse task per file) -> canonical
+    (subj, pred, obj, obj_kind) rows. The oracle rebuilds the identical
+    tuples relationally — quoting, escaping, numeric lexical forms and the
+    compact-prefix convention must all survive the round trip."""
+    import os
+    import shutil
+    import tempfile
+
+    from .kg.turtle import read_turtle_files
+
+    nat = load(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    out_dir = tempfile.mkdtemp(prefix="ttl_rt_")
+    try:
+        shards: dict[int, list[str]] = {i: [] for i in range(4)}
+        for _, r in nat.iterrows():
+            k = int(r["n_nationkey"])
+            name = str(r["n_name"]).replace("\\", "\\\\").replace('"', '\\"')
+            shards[k % 4].append(
+                f"ex:n{k} a ex:Nation ;\n"
+                f"    ex:name \"{name}\" ;\n"
+                f"    ex:region ex:r{int(r['n_regionkey'])} ;\n"
+                f"    ex:key {k} .\n"
+            )
+        paths = []
+        for i, stmts in shards.items():
+            p = os.path.join(out_dir, f"part-{i}.ttl")
+            with open(p, "w") as f:
+                f.write("@prefix ex: <http://example.org/> .\n\n")
+                f.write("\n".join(stmts))
+            paths.append(p)
+        back = read_turtle_files(paths)
+        return pa.Table.from_pandas(
+            back.to_pandas().sort_values(["subj", "pred"]).reset_index(drop=True),
+            preserve_index=False,
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_KG_TURTLE_ROUNDTRIP = """
+WITH t AS (
+  SELECT 'ex:n' || n_nationkey AS subj, 'rdf:type' AS pred,
+         'ex:Nation' AS obj, 'iri' AS obj_kind FROM nation
+  UNION ALL
+  SELECT 'ex:n' || n_nationkey, 'ex:name', n_name, 'string' FROM nation
+  UNION ALL
+  SELECT 'ex:n' || n_nationkey, 'ex:region', 'ex:r' || n_regionkey, 'iri'
+  FROM nation
+  UNION ALL
+  SELECT 'ex:n' || n_nationkey, 'ex:key', CAST(n_nationkey AS VARCHAR),
+         'integer' FROM nation
+)
+SELECT subj, pred, obj, obj_kind FROM t ORDER BY subj, pred
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "kg_turtle_roundtrip": QueryDef(
+            q_kg_turtle_roundtrip, SQL_KG_TURTLE_ROUNDTRIP
+        )
+    }
+)
