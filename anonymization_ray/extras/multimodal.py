@@ -349,6 +349,8 @@ class MediaStatsDecoder:
                 px = decode_jpeg_gray(p)
             elif p[:2] == b"BM":
                 px = decode_bmp_gray(p)
+            elif p[:2] in (b"P5", b"P2"):
+                px = decode_pgm_gray(p)
             else:
                 px = decode_png_gray(p)
             h, w = px.shape
@@ -815,6 +817,69 @@ def attach_media_bmp(
         payloads = [
             encode_bmp_gray(
                 ((int(i) * 43 + j) % 256).astype(np.uint8).reshape(height, width)
+            )
+            for i in ids
+        ]
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# netpbm PGM (P5) — fourth real image container: the simplest interchange
+# format real vision corpora still carry (OpenCV/ImageMagick emit it)
+
+def encode_pgm_gray(px: np.ndarray) -> bytes:
+    """(h, w) uint8 -> binary PGM (P5, maxval 255): ASCII header + raw
+    row-major bytes. Bit-deterministic (no compression)."""
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode("ascii") + px.astype(np.uint8).tobytes()
+
+
+def decode_pgm_gray(payload: bytes) -> np.ndarray:
+    """Binary PGM -> (h, w) uint8. Honest subset: P5 with maxval 255
+    (P2 ASCII and 16-bit maxvals refuse loudly); ``#`` header comments
+    handled per spec."""
+    if payload[:2] == b"P2":
+        raise NotImplementedError("only binary P5 PGM decode (P2 is ASCII)")
+    if payload[:2] != b"P5":
+        raise ValueError("not a PGM")
+    # header = magic, width, height, maxval as whitespace-separated tokens,
+    # with '#' comments running to end-of-line
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        c = payload[i:i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while not payload[j:j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only maxval-255 (8-bit) PGM decode")
+    i += 1  # single whitespace after maxval, then raster
+    return np.frombuffer(payload, np.uint8, w * h, i).reshape(h, w)
+
+
+def attach_media_pgm(
+    ds: rd.Dataset, id_col: str, *, width: int = 16, height: int = 16
+) -> rd.Dataset:
+    """Deterministic REAL PGM payloads with CLOSED-FORM pixels
+    (row-major ``pixel[j] = (id*37 + 11*j) % 256``) — same oracle story as
+    the PNG/JPEG/BMP attach stages, fourth container format."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        j = (11 * np.arange(width * height, dtype=np.int64)) % 256
+        payloads = [
+            encode_pgm_gray(
+                ((int(i) * 37 + j) % 256).astype(np.uint8).reshape(height, width)
             )
             for i in ids
         ]

@@ -3541,3 +3541,168 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 107a: N-Quads interchange — named-graph round trip on the wire
+
+def q_kg_nquads_roundtrip(sf_dir: str):
+    """Named-graph interchange: the canonical graph tagged with a provenance
+    graph per subject family (the `kg_named_graph_query` rule), dumped as
+    N-Quads (`kg/nquads.write_nquads` — line-splittable, content-hash part
+    files) and parsed back; rows INCLUDING the graph column must equal the
+    tagged original, which the canonical-triples oracle + the same CASE tag
+    pin value-exactly."""
+    import shutil
+    import tempfile
+
+    from .kg.nquads import read_nquads, write_nquads
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _tag(b: pa.Table) -> pa.Table:
+        g = pc.if_else(
+            pc.starts_with(b.column("subj"), "urn:cust:"),
+            pa.scalar("urn:g:cust"),
+            pa.scalar("urn:g:geo"),
+        )
+        return b.select(["subj", "pred", "obj", "obj_kind"]).append_column(
+            "graph", g
+        )
+
+    quads = tri.map_batches(_tag, batch_format="pyarrow")
+    out = tempfile.mkdtemp(prefix="kg_nq_")
+    try:
+        write_nquads(quads, out)
+        back = read_nquads(out).materialize()
+        return pa.Table.from_pandas(back.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _sql_nquads_roundtrip() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH t AS ({SQL_KG_CANONICAL})
+SELECT subj, pred, obj, obj_kind,
+       CASE WHEN subj LIKE 'urn:cust:%' THEN 'urn:g:cust'
+            ELSE 'urn:g:geo' END AS graph
+FROM t
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "kg_nquads_roundtrip": QueryDef(
+            q_kg_nquads_roundtrip, _sql_nquads_roundtrip()
+        )
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 107b: feature engineering — smoothed target encoding + hashing trick
+
+def q_feature_target_encode(sf_dir: str):
+    """Smoothed target encoding (`extras/feature.target_encode`) of
+    (nation, segment) against account balance: enc = (sum + m·mean)/(n + m)
+    with m=10, sums in exact integer cents so the only float ops are the
+    final divisions replayed in the same order by the oracle. One
+    fold_per_key at category cardinality — the corpus never shuffles."""
+    from .extras.feature import target_encode
+
+    cust = load(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+    return target_encode(
+        cust, ["c_nationkey", "c_mktsegment"], "c_acctbal", m=10
+    )
+
+
+SQL_FEATURE_TARGET_ENCODE = """
+WITH c AS (
+  SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS cat,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+g AS (SELECT cat, SUM(cents) AS s, COUNT(*) AS n FROM c GROUP BY cat),
+t AS (SELECT SUM(s) AS tc, SUM(n) AS tn FROM g)
+SELECT g.cat, CAST(g.n AS BIGINT) AS n,
+       (CAST(g.s AS DOUBLE) + 10 * (CAST(t.tc AS DOUBLE) / CAST(t.tn AS DOUBLE)))
+         / (g.n + 10) AS enc
+FROM g, t
+"""
+
+
+def q_feature_hashing(sf_dir: str):
+    """Hashing-trick featurization (`extras/feature.hashing_features`):
+    sparse signed token counts, bucket = md5(token) mod 128, sign from an
+    independent hash nibble — md5 is content-defined so DuckDB replays the
+    exact assignment. Per-batch unique-token hashing + in-batch partials,
+    one sum_per_key at (doc, bucket) cardinality."""
+    from .extras.feature import hashing_features
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+    return hashing_features(docs, "doc_id", "text", k=128)
+
+
+SQL_FEATURE_HASHING = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\\s+')) AS t
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv
+  FROM toks WHERE t <> ''
+)
+SELECT doc_id, CAST(hv % 128 AS BIGINT) AS bucket,
+       CAST(SUM(CASE WHEN (hv // 1099511627776) % 2 = 0 THEN 1 ELSE -1 END)
+            AS BIGINT) AS val
+FROM h GROUP BY doc_id, hv % 128
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "feature_target_encode": QueryDef(
+            q_feature_target_encode, SQL_FEATURE_TARGET_ENCODE
+        ),
+        "feature_hashing": QueryDef(q_feature_hashing, SQL_FEATURE_HASHING),
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 107c: netpbm PGM — FOURTH real image container through the same
+# magic-dispatched actor decode stage
+
+def q_multimodal_pgm_stats(sf_dir: str):
+    """Binary PGM (P5) end-to-end: attach closed-form-pixel PGM payloads
+    (`extras/multimodal.encode_pgm_gray`), decode through the SAME
+    magic-dispatched actor-pool stats stage PNG/JPEG/BMP use (payload
+    dropped after decode), pixel sums recomputed in SQL."""
+    from .extras.multimodal import attach_media_pgm, decode_media_stats
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return decode_media_stats(attach_media_pgm(docs, "doc_id"))
+
+
+SQL_MULTIMODAL_PGM_STATS = """
+SELECT d.doc_id,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       (SELECT CAST(sum((d.doc_id * 37 + 11 * t.i) % 256) AS BIGINT)
+        FROM unnest(range(256)) AS t(i)) AS pixel_sum
+FROM documents d
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "multimodal_pgm_stats": QueryDef(
+            q_multimodal_pgm_stats, SQL_MULTIMODAL_PGM_STATS
+        )
+    }
+)

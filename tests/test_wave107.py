@@ -1,0 +1,103 @@
+"""Wave-107 units: N-Quads interchange, feature engineering, PGM codec."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from anonymization_ray.extras.feature import hashing_features, target_encode
+from anonymization_ray.extras.multimodal import decode_pgm_gray, encode_pgm_gray
+from anonymization_ray.kg.nquads import (
+    parse_quad_lines,
+    read_nquads,
+    render_quad_lines,
+    write_nquads,
+)
+
+
+def test_nquads_roundtrip_with_and_without_graph(tmp_path):
+    t = pa.table(
+        {
+            "subj": ["urn:s:1", "urn:s:2", "urn:s:3"],
+            "pred": ["p", "p", "q"],
+            "obj": ['he said "hi"\n', "3.5", "urn:o:1"],
+            "obj_kind": ["string", "double", "iri"],
+            "graph": ["urn:g:a", None, "urn:g:b"],
+        }
+    )
+    out = str(tmp_path / "nq")
+    n_files = write_nquads(rd.from_arrow(t).materialize(), out)
+    assert n_files >= 1
+    back = read_nquads(out).to_pandas().sort_values("subj").reset_index(drop=True)
+    assert list(back["graph"]) == ["urn:g:a", "", "urn:g:b"]
+    assert back.loc[0, "obj"] == 'he said "hi"\n'  # escaping round-trips
+    assert back.loc[1, "obj_kind"] == "double"
+
+
+def test_nquads_parses_plain_ntriples_lines():
+    lines = pa.table(
+        {"text": ['<urn:s:1> <urn:p> "x" .', "# comment", ""]}
+    )
+    t = parse_quad_lines(lines)
+    assert t.num_rows == 1
+    assert t.column("graph").to_pylist() == [""]
+
+
+def test_render_without_graph_column():
+    t = pa.table(
+        {
+            "subj": ["urn:s:1"],
+            "pred": ["p"],
+            "obj": ["v"],
+            "obj_kind": ["string"],
+        }
+    )
+    lines = render_quad_lines(t).column("line").to_pylist()
+    assert lines[0].endswith('"v" .')  # no graph term
+
+
+def test_target_encode_matches_closed_form():
+    t = pa.table(
+        {
+            "g": ["a", "a", "b", "b", "b"],
+            "seg": ["x", "x", "x", "x", "x"],
+            "v": [1.0, 3.0, 10.0, 20.0, 30.0],
+        }
+    )
+    out = (
+        target_encode(rd.from_arrow(t), ["g", "seg"], "v", m=2)
+        .to_pandas()
+        .sort_values("cat")
+        .reset_index(drop=True)
+    )
+    # cents: a=(100,300) sum 400 n 2; b=6000 n 3; mean=6400/5=1280
+    assert list(out["cat"]) == ["a|x", "b|x"]
+    assert list(out["n"]) == [2, 3]
+    assert out.loc[0, "enc"] == (400 + 2 * 1280.0) / 4
+    assert out.loc[1, "enc"] == (6000 + 2 * 1280.0) / 5
+
+
+def test_hashing_features_signed_counts_and_dedup():
+    t = pa.table({"doc_id": [1, 2], "text": ["cat cat dog", "cat"]})
+    out = hashing_features(rd.from_arrow(t), "doc_id", "text", k=8).to_pandas()
+    by_doc = out.groupby("doc_id")["val"].apply(lambda s: sorted(s.abs())).to_dict()
+    # doc 1: cat twice (same bucket, same sign -> |val|=2), dog once
+    assert by_doc[1] == [1, 2]
+    assert by_doc[2] == [1]
+    # same token -> same bucket across docs
+    cat1 = out[(out.doc_id == 1) & (out.val.abs() == 2)]["bucket"].iloc[0]
+    cat2 = out[out.doc_id == 2]["bucket"].iloc[0]
+    assert cat1 == cat2
+
+
+def test_pgm_refusals_and_comments():
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    assert (decode_pgm_gray(encode_pgm_gray(px)) == px).all()
+    commented = b"P5\n# made by test\n4 4\n255\n" + px.tobytes()
+    assert (decode_pgm_gray(commented) == px).all()
+    with pytest.raises(NotImplementedError, match="P2"):
+        decode_pgm_gray(b"P2\n1 1\n255\n0")
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_pgm_gray(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError, match="not a PGM"):
+        decode_pgm_gray(b"P6\n1 1\n255\nxxx")
