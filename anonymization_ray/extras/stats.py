@@ -1186,3 +1186,55 @@ def theta_union(sketches: dict, *, k: int = 256) -> float:
         return len(pooled) * float(1 << 63) / float(cutoff)
     theta = float(np.partition(pooled, k - 1)[k - 1])
     return (k - 1) * float(1 << 63) / theta
+
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+# first-digit shares in micro units; FIXED constants (not recomputed) so
+# the SQL oracle inlines the identical integers and no float log enters
+# the comparison
+BENFORD_EXP_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_audit(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Benford's-law first-digit audit of a positive currency column in
+    EXACT integer arithmetic: per-digit observed counts plus the
+    cross-multiplied deviation |n_d·10^6 − n·exp_micro| (comparing the
+    observed share n_d/n against the Benford share exp_micro/10^6 without a
+    division). Digit extraction is string-based on the cent value — no
+    float log10, so prices at power-of-ten boundaries can't misclassify.
+
+    Shape: one `exact_value_counts` at digit cardinality (9); the total and
+    deviations derive from the 9-row table on the driver."""
+
+    def _digit(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column(col), 100.0), 0.5)), pa.int64()
+        )
+        t = pa.table({"c": cents}).filter(pc.greater(cents, 0))
+        d = pc.utf8_slice_codeunits(pc.cast(t.column("c"), pa.string()), 0, 1)
+        return pa.table({"digit": pc.cast(d, pa.int64()).combine_chunks()})
+
+    counts = exact_value_counts(
+        ds.map_batches(_digit, batch_format="pyarrow"), "digit"
+    ).take_all()  # 9 rows — bounded by construction
+    obs = {int(r["digit"]): int(r["n"]) for r in counts}
+    total = sum(obs.values())
+    rows = []
+    for d in range(1, 10):
+        n_d = obs.get(d, 0)
+        dev = abs(n_d * 1_000_000 - total * BENFORD_EXP_MICRO[d])
+        rows.append((d, n_d, BENFORD_EXP_MICRO[d], dev))
+    dg, n, e, v = zip(*rows)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(dg, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "exp_micro": pa.array(e, pa.int64()),
+                "dev_micro": pa.array(v, pa.int64()),
+            }
+        )
+    )

@@ -1105,3 +1105,130 @@ def cusum_per_key(
     out = [_scan.remote(r, c) for r, c in zip(refs, carries)]
     tables = [t for t in ray.get(out) if t.num_rows]
     return rd.from_arrow(pa.concat_tables(tables))
+
+
+def ohlc_bars(
+    ds: rd.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    bucket_us: int = 3_600_000_000,
+) -> rd.Dataset:
+    """OHLC candlestick bars per (key, tumbling bucket): open/close = the
+    value at the bucket's first/last timestamp, high/low = max/min, n =
+    count. Values ride in exact integer cents; (key, ts) pairs must be
+    unique within a bucket (true for event streams with per-key-unique
+    timestamps — ties would make open/close ill-defined in ANY engine).
+
+    Scale shape: one `fold_per_key` at bar cardinality computes
+    low/high/n/t_open/t_close; open and close values are then fetched with
+    two hash joins of the narrow (bar|ts -> cents) stream against the
+    materialized bar table — joins at BAR cardinality, the event stream
+    never gathers. (A sort-based first/last scan would do it in one pass;
+    the fold+join shape reuses the engine's exact-fold primitives and its
+    shuffle volume is 2x the narrow stream, not the table.)"""
+    from ..util import fold_per_key, hash_join
+
+    SEP = "\x1f"
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column(ts_col), pa.int64())
+        bucket = pc.multiply(
+            pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), float(bucket_us))),
+            float(bucket_us),
+        )
+        bucket = pc.cast(bucket, pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column(value_col), 100.0), 0.5)),
+            pa.int64(),
+        )
+        bar = pc.binary_join_element_wise(
+            pc.cast(b.column(key_col), pa.string()),
+            pc.cast(bucket, pa.string()),
+            SEP,
+        )
+        return pa.table(
+            {
+                "bar": bar.combine_chunks(),
+                "ts_us": ts_us.combine_chunks()
+                if isinstance(ts_us, pa.ChunkedArray)
+                else ts_us,
+                "cents": cents,
+            }
+        )
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow").materialize()
+    bars = fold_per_key(
+        narrow,
+        "bar",
+        {
+            "low": ("min", "cents"),
+            "high": ("max", "cents"),
+            "t0": ("min", "ts_us"),
+            "t1": ("max", "ts_us"),
+            "n": ("count", None),
+        },
+    ).materialize()
+
+    def _probe(col: str):
+        def _fn(b: pa.Table) -> pa.Table:
+            if "k2" in b.column_names:
+                b = b.drop_columns(["k2"])
+            k2 = pc.binary_join_element_wise(
+                b.column("bar").combine_chunks(),
+                pc.cast(b.column(col), pa.string()),
+                SEP,
+            )
+            return b.append_column("k2", k2)
+
+        return _fn
+
+    ev_keyed = narrow.map_batches(
+        lambda b: pa.table(
+            {
+                "k2": pc.binary_join_element_wise(
+                    b.column("bar").combine_chunks(),
+                    pc.cast(b.column("ts_us"), pa.string()),
+                    SEP,
+                ),
+                "cents": b.column("cents").combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    opened = hash_join(
+        bars.map_batches(_probe("t0"), batch_format="pyarrow").materialize(),
+        ev_keyed.map_batches(
+            lambda b: b.rename_columns(["k2", "open_c"]), batch_format="pyarrow"
+        ).materialize(),
+        on="k2",
+        join_type="inner",
+    ).materialize()
+    closed = hash_join(
+        opened.map_batches(_probe("t1"), batch_format="pyarrow").materialize(),
+        ev_keyed.map_batches(
+            lambda b: b.rename_columns(["k2", "close_c"]), batch_format="pyarrow"
+        ).materialize(),
+        on="k2",
+        join_type="inner",
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("bar").combine_chunks(), SEP)
+        key = pc.list_element(parts, 0)
+        bucket_us_col = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return pa.table(
+            {
+                key_col: pc.cast(key, pa.int64()),
+                "bucket": pc.cast(bucket_us_col, pa.timestamp("us")),
+                "open_c": pc.cast(b.column("open_c"), pa.int64()).combine_chunks(),
+                "high_c": pc.cast(b.column("high"), pa.int64()).combine_chunks(),
+                "low_c": pc.cast(b.column("low"), pa.int64()).combine_chunks(),
+                "close_c": pc.cast(b.column("close_c"), pa.int64()).combine_chunks(),
+                "n": pc.cast(b.column("n"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    return closed.map_batches(_final, batch_format="pyarrow")

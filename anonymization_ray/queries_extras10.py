@@ -3706,3 +3706,78 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 108: OHLC candlestick bars + Benford first-digit audit
+
+def q_events_ohlc(sf_dir: str):
+    """Per-(user, hour) OHLC bars (`extras/window.ohlc_bars`): open/close =
+    value at the bar's first/last timestamp, high/low = extremes, exact
+    integer cents. One fold at bar cardinality + two bar-cardinality hash
+    joins fetch open/close — the event stream never gathers. (user, ts) is
+    unique in the events table, so first/last are well-defined."""
+    from .extras.window import ohlc_bars
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "value"])
+    return ohlc_bars(ev, "user_id", "ts", "value")
+
+
+SQL_EVENTS_OHLC = """
+WITH e AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT user_id, bucket,
+       arg_min(c, ts) AS open_c,
+       max(c) AS high_c,
+       min(c) AS low_c,
+       arg_max(c, ts) AS close_c,
+       CAST(count(*) AS BIGINT) AS n
+FROM e GROUP BY user_id, bucket
+"""
+
+
+def q_stats_benford(sf_dir: str):
+    """Benford's-law audit of l_extendedprice (`extras/stats.benford_audit`):
+    string-based first significant digit of the exact cent value (no float
+    log10), per-digit counts via exact_value_counts, deviation =
+    cross-multiplied |n_d*1e6 - n*exp_micro| against FIXED inlined Benford
+    constants — pure integer arithmetic end to end."""
+    from .extras.stats import benford_audit
+
+    li = load(sf_dir, "lineitem", ["l_extendedprice"])
+    return benford_audit(li, "l_extendedprice")
+
+
+SQL_STATS_BENFORD = """
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_extendedprice > 0
+),
+d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM c WHERE cents > 0
+),
+g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM g),
+exp AS (
+  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+                        (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+                        (9, 45757)) AS v(digit, exp_micro)
+)
+SELECT exp.digit, CAST(coalesce(g.n, 0) AS BIGINT) AS n,
+       CAST(exp.exp_micro AS BIGINT) AS exp_micro,
+       CAST(abs(coalesce(g.n, 0) * 1000000 - t.total * exp.exp_micro)
+            AS BIGINT) AS dev_micro
+FROM exp LEFT JOIN g ON g.digit = exp.digit CROSS JOIN t
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_ohlc": QueryDef(q_events_ohlc, SQL_EVENTS_OHLC),
+        "stats_benford": QueryDef(q_stats_benford, SQL_STATS_BENFORD),
+    }
+)

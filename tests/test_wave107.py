@@ -101,3 +101,41 @@ def test_pgm_refusals_and_comments():
         decode_pgm_gray(b"P5\n1 1\n65535\n\x00\x00")
     with pytest.raises(ValueError, match="not a PGM"):
         decode_pgm_gray(b"P6\n1 1\n255\nxxx")
+
+
+def test_ohlc_bars_known_values():
+    from anonymization_ray.extras.window import ohlc_bars
+
+    us = 1_000_000
+    t = pa.table(
+        {
+            "u": [1, 1, 1, 2],
+            "ts": pa.array(
+                [10 * us, 20 * us, 30 * us, 15 * us], pa.timestamp("us")
+            ),
+            "v": [5.0, 1.0, 3.0, 7.0],
+        }
+    )
+    out = (
+        ohlc_bars(rd.from_arrow(t), "u", "ts", "v", bucket_us=60 * us)
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    # user 1: open=500 (first), high=500, low=100, close=300 (last)
+    assert list(out.loc[0, ["open_c", "high_c", "low_c", "close_c", "n"]]) == [
+        500, 500, 100, 300, 3,
+    ]
+    assert list(out.loc[1, ["open_c", "close_c", "n"]]) == [700, 700, 1]
+
+
+def test_benford_exact_on_known_digits():
+    from anonymization_ray.extras.stats import benford_audit
+
+    # cents: 100, 19, 25, 31 -> digits 1, 1, 2, 3 of 4 values
+    t = pa.table({"v": [1.0, 0.19, 0.25, 0.31]})
+    out = benford_audit(rd.from_arrow(t), "v").to_pandas()
+    got = dict(zip(out["digit"], out["n"]))
+    assert got[1] == 2 and got[2] == 1 and got[3] == 1 and got[9] == 0
+    d1 = out[out.digit == 1].iloc[0]
+    assert d1["dev_micro"] == abs(2 * 1_000_000 - 4 * 301030)
