@@ -886,3 +886,99 @@ def attach_media_pgm(
         return batch.append_column("media", pa.array(payloads, pa.binary()))
 
     return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# stereo WAV + downmix — the canonical audio PREPROCESSING stage (speech
+# corpora arrive multi-channel; models eat mono)
+
+def encode_wav_pcm16_stereo(
+    left: np.ndarray, right: np.ndarray, rate: int = 8000
+) -> bytes:
+    """Minimal VALID stereo (2-channel interleaved) 16-bit PCM WAV."""
+    inter = np.empty(left.size + right.size, dtype="<i2")
+    inter[0::2] = left.astype("<i2")
+    inter[1::2] = right.astype("<i2")
+    data = inter.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16_stereo(payload: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """Stereo 16-bit PCM WAV -> (left, right, rate). Same honest chunk walk
+    as the mono decoder; anything but 2-channel PCM16 refuses."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, channels, bits, codec, data = 12, None, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            codec, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if codec is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if codec != 1 or channels != 2 or bits != 16:
+        raise NotImplementedError("only stereo 16-bit PCM WAV decode")
+    inter = np.frombuffer(data, dtype="<i2")
+    return inter[0::2], inter[1::2], int(rate)
+
+
+def attach_media_wav_stereo(
+    ds: rd.Dataset, id_col: str, *, n_samples: int = 800, rate: int = 8000
+) -> rd.Dataset:
+    """Deterministic REAL stereo WAV payloads with CLOSED-FORM channels
+    ``l[j] = ((id*13 + 7j) % 2001) - 1000``,
+    ``r[j] = ((id*17 + 5j) % 2001) - 1000`` — the oracle recomputes both
+    channels and the downmix relationally."""
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.arange(n_samples, dtype=np.int64)
+        payloads = [
+            encode_wav_pcm16_stereo(
+                ((int(i) * 13 + 7 * j) % 2001) - 1000,
+                ((int(i) * 17 + 5 * j) % 2001) - 1000,
+                rate,
+            )
+            for i in ids
+        ]
+        return batch.append_column("media", pa.array(payloads, pa.binary()))
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+class AudioDownmixer:
+    """Actor-pool callable: stereo decode -> mono downmix
+    ``m[j] = floor((l[j] + r[j]) / 2)`` (floor division, replayable in SQL)
+    -> integer stats of the DOWNMIXED signal. Payload column dropped after
+    decode — only the narrow stats stream travels on."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, sums, rates = [], [], []
+        for p in batch.column("media").to_pylist():
+            left, right, rate = decode_wav_pcm16_stereo(p)
+            mono = (left.astype(np.int64) + right.astype(np.int64)) // 2
+            ns.append(len(mono))
+            sums.append(int(mono.sum()))
+            rates.append(rate)
+        out = batch.drop_columns(["media"])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column("mono_sum", pa.array(sums, pa.int64()))
+        return out.append_column("rate", pa.array(rates, pa.int64()))
+
+
+def downmix_audio_stats(
+    ds: rd.Dataset, *, concurrency=(1, 4), batch_size: int = 64
+) -> rd.Dataset:
+    return ds.map_batches(
+        AudioDownmixer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1238,3 +1238,68 @@ def benford_audit(ds: rd.Dataset, col: str) -> rd.Dataset:
             }
         )
     )
+
+
+def contingency_table(ds: rd.Dataset, a_col: str, b_col: str) -> rd.Dataset:
+    """Exact contingency table for categorical association tests: per
+    (a, b) cell the observed count ``o``, the marginals ``row_n``/``col_n``
+    and the cross-multiplied independence deviation
+    ``diff = o·N − row_n·col_n`` (the chi-square numerator's signed root,
+    kept as an exact int64 — |diff| < 2^63 up to ~3·10^9 rows; squaring
+    and the chi-square division are left to the consumer because a float
+    SUM's order is partition-dependent and would break value-hash
+    determinism).
+
+    Shape: one per-batch Arrow partial count at CELL cardinality folded by
+    `exact_value_counts` on the packed key; marginals derive from the cell
+    table (cells >= rows of any marginal), broadcast driver-side at
+    category cardinality."""
+    SEP = "\x1f"
+
+    def _cells(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b.column(a_col), pa.string()),
+            pc.cast(b.column(b_col), pa.string()),
+            SEP,
+        )
+        return pa.table({"cell": key.combine_chunks()})
+
+    cells = exact_value_counts(
+        ds.map_batches(_cells, batch_format="pyarrow"), "cell"
+    ).materialize()
+
+    # marginals from the cell table — category-cardinality driver gather
+    rows = cells.take_all()
+    ra: dict[str, int] = {}
+    cb: dict[str, int] = {}
+    n_total = 0
+    for r in rows:
+        a, b = r["cell"].split(SEP, 1)
+        n = int(r["n"])
+        ra[a] = ra.get(a, 0) + n
+        cb[b] = cb.get(b, 0) + n
+        n_total += n
+
+    def _final(t: pa.Table) -> pa.Table:
+        aa, bb, oo, rr, cc, dd = [], [], [], [], [], []
+        for cell, n in zip(t.column("cell").to_pylist(), t.column("n").to_pylist()):
+            a, b = cell.split(SEP, 1)
+            o = int(n)
+            aa.append(a)
+            bb.append(b)
+            oo.append(o)
+            rr.append(ra[a])
+            cc.append(cb[b])
+            dd.append(o * n_total - ra[a] * cb[b])
+        return pa.table(
+            {
+                a_col: pa.array(aa, pa.string()),
+                b_col: pa.array(bb, pa.string()),
+                "o": pa.array(oo, pa.int64()),
+                "row_n": pa.array(rr, pa.int64()),
+                "col_n": pa.array(cc, pa.int64()),
+                "diff": pa.array(dd, pa.int64()),
+            }
+        )
+
+    return cells.map_batches(_final, batch_format="pyarrow")

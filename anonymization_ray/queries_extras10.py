@@ -3781,3 +3781,73 @@ EXTRAS10_REGISTRY.update(
         "stats_benford": QueryDef(q_stats_benford, SQL_STATS_BENFORD),
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 109: stereo->mono audio downmix through an actor-pool stage
+
+def q_multimodal_wav_downmix(sf_dir: str):
+    """Stereo WAV decode -> floor-mean mono downmix -> integer stats
+    (`extras/multimodal.AudioDownmixer`), the canonical audio preprocessing
+    stage: closed-form per-channel samples, so the oracle recomputes the
+    exact downmixed sum relationally (floor((l+r)/2) per sample)."""
+    from .extras.multimodal import attach_media_wav_stereo, downmix_audio_stats
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return downmix_audio_stats(attach_media_wav_stereo(docs, "doc_id", n_samples=400))
+
+
+SQL_MULTIMODAL_WAV_DOWNMIX = """
+SELECT d.doc_id,
+       CAST(400 AS BIGINT) AS n_samples,
+       (SELECT CAST(sum(CAST(floor((
+            ((d.doc_id * 13 + 7 * t.j) % 2001) - 1000 +
+            ((d.doc_id * 17 + 5 * t.j) % 2001) - 1000
+          ) / 2.0) AS BIGINT)) AS BIGINT)
+        FROM unnest(range(400)) AS t(j)) AS mono_sum,
+       CAST(8000 AS BIGINT) AS rate
+FROM documents d
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "multimodal_wav_downmix": QueryDef(
+            q_multimodal_wav_downmix, SQL_MULTIMODAL_WAV_DOWNMIX
+        )
+    }
+)
+
+
+def q_stats_contingency(sf_dir: str):
+    """Exact contingency cells + independence deviations for
+    (mktsegment × nationkey) (`extras/stats.contingency_table`): observed
+    count, marginals, and the cross-multiplied chi-square numerator root
+    o·N − row_n·col_n, all int64 — no float sum whose order could drift."""
+    from .extras.stats import contingency_table
+
+    cust = load(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    return contingency_table(cust, "c_mktsegment", "c_nationkey")
+
+
+SQL_STATS_CONTINGENCY = """
+WITH g AS (
+  SELECT c_mktsegment AS a, CAST(c_nationkey AS VARCHAR) AS b,
+         COUNT(*) AS o
+  FROM customer GROUP BY a, b
+),
+r AS (SELECT a, SUM(o) AS row_n FROM g GROUP BY a),
+c AS (SELECT b, SUM(o) AS col_n FROM g GROUP BY b),
+t AS (SELECT SUM(o) AS n FROM g)
+SELECT g.a AS c_mktsegment, g.b AS c_nationkey,
+       CAST(g.o AS BIGINT) AS o,
+       CAST(r.row_n AS BIGINT) AS row_n,
+       CAST(c.col_n AS BIGINT) AS col_n,
+       CAST(g.o * t.n - r.row_n * c.col_n AS BIGINT) AS diff
+FROM g JOIN r USING (a) JOIN c USING (b) CROSS JOIN t
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"stats_contingency": QueryDef(q_stats_contingency, SQL_STATS_CONTINGENCY)}
+)

@@ -139,3 +139,39 @@ def test_benford_exact_on_known_digits():
     assert got[1] == 2 and got[2] == 1 and got[3] == 1 and got[9] == 0
     d1 = out[out.digit == 1].iloc[0]
     assert d1["dev_micro"] == abs(2 * 1_000_000 - 4 * 301030)
+
+
+def test_wav_stereo_downmix_floor_semantics():
+    from anonymization_ray.extras.multimodal import (
+        decode_wav_pcm16_stereo,
+        encode_wav_pcm16_stereo,
+    )
+
+    l = np.array([-3, 5, 0], np.int16)
+    r = np.array([2, 5, -1], np.int16)
+    payload = encode_wav_pcm16_stereo(l, r)
+    dl, dr, rate = decode_wav_pcm16_stereo(payload)
+    assert (dl == l).all() and (dr == r).all() and rate == 8000
+    mono = (dl.astype(np.int64) + dr.astype(np.int64)) // 2
+    assert list(mono) == [-1, 5, -1]  # floor division, -1//2 == -1
+    # mono decoder refuses stereo and vice versa
+    from anonymization_ray.extras.multimodal import decode_wav_pcm16
+
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(payload)
+
+
+def test_contingency_exact_small():
+    from anonymization_ray.extras.stats import contingency_table
+
+    t = pa.table({"a": ["x", "x", "y", "y", "y"], "b": ["1", "2", "1", "1", "2"]})
+    out = (
+        contingency_table(rd.from_arrow(t), "a", "b")
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # N=5; cell (y,1): o=2, row_n=3, col_n=3 -> diff = 10 - 9 = 1
+    y1 = out[(out.a == "y") & (out.b == "1")].iloc[0]
+    assert (y1["o"], y1["row_n"], y1["col_n"], y1["diff"]) == (2, 3, 3, 1)
+    assert out["o"].sum() == 5
