@@ -3851,3 +3851,90 @@ FROM g JOIN r USING (a) JOIN c USING (b) CROSS JOIN t
 EXTRAS10_REGISTRY.update(
     {"stats_contingency": QueryDef(q_stats_contingency, SQL_STATS_CONTINGENCY)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 110: BGP planner observability — the optimizer's chosen order and
+# cost estimates as a queryable table (EXPLAIN for the SPARQL engine)
+
+def q_kg_bgp_explain(sf_dir: str):
+    """Planner EXPLAIN: run `kg/bgp.optimize_pattern_order` over the
+    canonical store for a star BGP (all patterns share ?c — so the greedy's
+    connectivity constraint never filters, and the order is exactly
+    (cost, input index), which the oracle replays relationally). Emits one
+    row per step: the pattern, its predicate's triple count and the 2x
+    scaled cost estimate (pred_n halved once per bound subj/obj constant —
+    x2 keeps it integer)."""
+    from .kg.bgp import optimize_pattern_order
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+    patterns = [
+        ("?c", "hasAccountBalance", "?b"),
+        ("?c", "basedIn", "urn:nation:1"),
+        ("?c", "basedIn", "?n"),
+    ]
+    ordered = optimize_pattern_order(tri, patterns)
+
+    from .extras.stats import exact_value_counts
+
+    pred_counts = {
+        r["pred"]: int(r["n"])
+        for r in exact_value_counts(
+            tri.map_batches(
+                lambda b: pa.table({"pred": b.column("pred")}),
+                batch_format="pyarrow",
+            ),
+            "pred",
+        ).take_all()
+    }
+
+    def _is_var(t: str) -> bool:
+        return t.startswith("?")
+
+    steps, pats, pns, costs = [], [], [], []
+    for i, (s, p, o) in enumerate(ordered):
+        pn = pred_counts.get(p, 0)
+        k = sum(1 for t in (s, o) if not _is_var(t))
+        steps.append(i + 1)
+        pats.append(f"{s} {p} {o}")
+        pns.append(pn)
+        costs.append((2 * pn) >> k)
+    return pa.table(
+        {
+            "step": pa.array(steps, pa.int64()),
+            "pattern": pa.array(pats, pa.string()),
+            "pred_n": pa.array(pns, pa.int64()),
+            "cost_x2": pa.array(costs, pa.int64()),
+        }
+    )
+
+
+def _sql_bgp_explain() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH t AS ({SQL_KG_CANONICAL}),
+pc AS (SELECT pred, COUNT(*) AS n FROM t GROUP BY pred),
+pats AS (
+  SELECT * FROM (VALUES
+    (0, '?c hasAccountBalance ?b', 'hasAccountBalance', 0),
+    (1, '?c basedIn urn:nation:1', 'basedIn', 1),
+    (2, '?c basedIn ?n', 'basedIn', 0)
+  ) AS v(idx, pattern, pred, bound)
+),
+costed AS (
+  SELECT p.idx, p.pattern, coalesce(pc.n, 0) AS pred_n,
+         (2 * coalesce(pc.n, 0)) // power(2, p.bound) AS cost_x2
+  FROM pats p LEFT JOIN pc ON pc.pred = p.pred
+)
+SELECT CAST(row_number() OVER (ORDER BY cost_x2, idx) AS BIGINT) AS step,
+       pattern, CAST(pred_n AS BIGINT) AS pred_n,
+       CAST(cost_x2 AS BIGINT) AS cost_x2
+FROM costed
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_bgp_explain": QueryDef(q_kg_bgp_explain, _sql_bgp_explain())}
+)
