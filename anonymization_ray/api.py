@@ -142,16 +142,51 @@ def _localize_config(
     return AnonymizationConfig(tuple(out)), matched
 
 
+_JACKSON_TOKEN = {
+    dict: ("Object", "START_OBJECT"),
+    str: ("String", "VALUE_STRING"),
+    bool: ("Boolean", "VALUE_TRUE"),
+    int: ("Number", "VALUE_NUMBER_INT"),
+    float: ("Number", "VALUE_NUMBER_FLOAT"),
+}
+
+
+def _jackson_data_column(payload: dict) -> int:
+    """1-based column where the top-level "data" value starts in the
+    request as the reference's own pytest corpus serialized it
+    (``requests.put(json=...)`` -> ``json.dumps`` default separators, one
+    line) — the position Jackson reports in its deserialization error."""
+    import json as _json
+
+    pre: dict = {}
+    for k, v in payload.items():
+        if k == "data":
+            break
+        pre[k] = v
+    base = len(_json.dumps(pre)) - 1  # content before '}' of the prefix
+    return base + (2 if pre else 0) + len('"data": ') + 1
+
+
 def handle_flat_request(payload: dict, *, fetch) -> dict:
     # Jackson deserializes the DTO before validation runs: a non-array data
-    # node fails there (reference flat case 04)
+    # node fails there (reference flat case 04) — replicate the full
+    # Jackson message including token name and source position so the
+    # reference's PUT-and-compare corpus matches byte-exactly
     data = payload.get("data")
     if data is not None and not isinstance(data, list):
+        kind, token = _JACKSON_TOKEN.get(type(data), ("Object", "START_OBJECT"))
+        if data is False:
+            token = "VALUE_FALSE"
         return _problem(
             500,
             "Error creation Json output",
             "Cannot deserialize value of type `java.util.ArrayList<java.util.Map"
-            f"<java.lang.String,java.lang.Object>>` from {type(data).__name__} value",
+            f"<java.lang.String,java.lang.Object>>` from {kind} value "
+            f"(token `JsonToken.{token}`)\n at [Source: REDACTED "
+            "(`StreamReadFeature.INCLUDE_SOURCE_IN_LOCATION` disabled); "
+            f"line: 1, column: {_jackson_data_column(payload)}] "
+            "(through reference chain: "
+            'com.example.anonymization.dto.AnonymizationFlatJsonRequestDto["data"])',
             FLAT_INSTANCE,
         )
 
