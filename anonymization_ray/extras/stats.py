@@ -1303,3 +1303,104 @@ def contingency_table(ds: rd.Dataset, a_col: str, b_col: str) -> rd.Dataset:
         )
 
     return cells.map_batches(_final, batch_format="pyarrow")
+
+
+def mann_whitney_u2(
+    ds: rd.Dataset, group_col: str, value_col: str, group_a: str, group_b: str
+) -> rd.Dataset:
+    """Mann-Whitney rank-sum statistic in EXACT integer arithmetic: returns
+    one row (n_a, n_b, u2_a) where u2_a = 2·U_A (doubled so tie credit —
+    half a point per cross-group tie — stays integral). U_A counts, over
+    all (a, b) cross pairs, wins (a > b) plus half-ties; equivalently
+    2·U_A = Σ_v nA(v)·(2·cumB(<=v) − nB(v)). Values ride as exact cents.
+
+    Shape: one `fold_per_key` at distinct-value cardinality (per-value
+    group counts), one constant-key running sum over the sorted value
+    stream (`per_key_window` — range sort + boundary carries), one
+    value-cardinality hash join, and a tiny scoreboard fold. The raw table
+    never gathers; no float ever enters."""
+    from ..extras.window import per_key_window
+    from ..util import fold_per_key, hash_join
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        g = b.column(group_col)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column(value_col), 100.0), 0.5)),
+            pa.int64(),
+        )
+        is_a = pc.cast(pc.equal(g, group_a), pa.int64())
+        is_b = pc.cast(pc.equal(g, group_b), pa.int64())
+        t = pa.table({"c": cents, "na": is_a, "nb": is_b})
+        keep = pc.or_(
+            pc.equal(t.column("na"), 1), pc.equal(t.column("nb"), 1)
+        )
+        return t.filter(pc.fill_null(keep, False))
+
+    counts = fold_per_key(
+        ds.map_batches(_narrow, batch_format="pyarrow"),
+        "c",
+        {"na": ("sum", "na"), "nb": ("sum", "nb")},
+    ).materialize()
+
+    w = per_key_window(
+        counts.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "c": b.column("c").combine_chunks(),
+                    # distinct id column: sort keys must not repeat
+                    "cid": b.column("c").combine_chunks(),
+                    "nb": pc.cast(b.column("nb"), pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "k",
+        "c",
+        "cid",
+        "nb",
+    ).materialize()
+
+    j = hash_join(
+        counts,
+        w.map_batches(
+            lambda b: pa.table(
+                {
+                    "c": b.column("cid").combine_chunks(),
+                    "cum": pc.cast(b.column("cum_val"), pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize(),
+        on="c",
+        join_type="inner",
+    )
+
+    def _terms(b: pa.Table) -> pa.Table:
+        na = b.column("na").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = b.column("nb").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = b.column("cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(len(na), np.int64)),
+                "n_a": pa.array(na, pa.int64()),
+                "n_b": pa.array(nb, pa.int64()),
+                "u2_a": pa.array(na * (2 * cum - nb), pa.int64()),
+            }
+        )
+
+    tot = fold_per_key(
+        j.map_batches(_terms, batch_format="pyarrow"),
+        "k",
+        {"n_a": ("sum", "n_a"), "n_b": ("sum", "n_b"), "u2_a": ("sum", "u2_a")},
+    ).take_all()
+    r = tot[0] if tot else {"n_a": 0, "n_b": 0, "u2_a": 0}
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([int(r["n_a"])], pa.int64()),
+                "n_b": pa.array([int(r["n_b"])], pa.int64()),
+                "u2_a": pa.array([int(r["u2_a"])], pa.int64()),
+            }
+        )
+    )

@@ -3938,3 +3938,42 @@ FROM costed
 EXTRAS10_REGISTRY.update(
     {"kg_bgp_explain": QueryDef(q_kg_bgp_explain, _sql_bgp_explain())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 111: Mann-Whitney rank-sum test in exact integers
+
+def q_stats_mann_whitney(sf_dir: str):
+    """Mann-Whitney U for click-vs-view event values
+    (`extras/stats.mann_whitney_u2`): u2_a = 2·U_A so cross-group tie
+    half-credits stay integral — per-value group counts, one constant-key
+    running sum over the sorted distinct-value stream, one
+    value-cardinality join; no float anywhere."""
+    from .extras.stats import mann_whitney_u2
+
+    ev = load(sf_dir, "events", ["event_type", "value"])
+    return mann_whitney_u2(ev, "event_type", "value", "click", "view")
+
+
+SQL_STATS_MANN_WHITNEY = """
+WITH e AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         event_type = 'click' AS a
+  FROM events WHERE event_type IN ('click', 'view')
+),
+g AS (
+  SELECT c, SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+         SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb
+  FROM e GROUP BY c
+),
+w AS (SELECT c, na, nb, SUM(nb) OVER (ORDER BY c) AS cum FROM g)
+SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+       CAST(SUM(nb) AS BIGINT) AS n_b,
+       CAST(SUM(na * (2 * cum - nb)) AS BIGINT) AS u2_a
+FROM w
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"stats_mann_whitney": QueryDef(q_stats_mann_whitney, SQL_STATS_MANN_WHITNEY)}
+)

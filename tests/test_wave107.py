@@ -175,3 +175,22 @@ def test_contingency_exact_small():
     y1 = out[(out.a == "y") & (out.b == "1")].iloc[0]
     assert (y1["o"], y1["row_n"], y1["col_n"], y1["diff"]) == (2, 3, 3, 1)
     assert out["o"].sum() == 5
+
+
+def test_mann_whitney_exact_small():
+    from anonymization_ray.extras.stats import mann_whitney_u2
+
+    # A = [1, 3], B = [2, 3]: pairs (1,2) L, (1,3) L, (3,2) W, (3,3) tie
+    # U_A = 1 + 0.5 = 1.5 -> u2_a = 3
+    t = pa.table(
+        {
+            "g": ["a", "a", "b", "b", "x"],
+            "v": [0.01, 0.03, 0.02, 0.03, 9.99],
+        }
+    )
+    out = mann_whitney_u2(rd.from_arrow(t), "g", "v", "a", "b").to_pandas()
+    assert (
+        int(out.loc[0, "n_a"]),
+        int(out.loc[0, "n_b"]),
+        int(out.loc[0, "u2_a"]),
+    ) == (2, 2, 3)
