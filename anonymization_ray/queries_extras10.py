@@ -3977,3 +3977,57 @@ FROM w
 EXTRAS10_REGISTRY.update(
     {"stats_mann_whitney": QueryDef(q_stats_mann_whitney, SQL_STATS_MANN_WHITNEY)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 112: re-identification risk summary (prosecutor model) over the
+# equivalence classes — the disclosure-risk report an anonymization run ends
+# with (reference KPIs give k; this gives the k-derived risk surface)
+
+def q_kpi_risk_summary(sf_dir: str):
+    """Prosecutor-model risk scoreboard from the K2 equivalence classes:
+    n_rows, n_classes, min_k (max risk = 1/min_k), n_singletons
+    (certainly re-identifiable rows), rows_k_lt_5 (rows in classes below
+    the conventional k=5 bar). Average prosecutor risk over records is
+    EXACTLY n_classes/n_rows (sum of n_i·(1/n_i) = n_classes), so the
+    integer pair IS the exact rational — no float division needed.
+    Class-cardinality driver reduce, same bound as every KPI."""
+    from .queries import q_kpi_classes
+
+    cls = q_kpi_classes(sf_dir)
+    rows = cls.take_all() if hasattr(cls, "take_all") else cls.to_pylist()
+    sizes = [int(r["class_size"]) for r in rows]
+    return pa.table(
+        {
+            "n_rows": pa.array([sum(sizes)], pa.int64()),
+            "n_classes": pa.array([len(sizes)], pa.int64()),
+            "min_k": pa.array([min(sizes) if sizes else 0], pa.int64()),
+            "n_singletons": pa.array(
+                [sum(1 for s in sizes if s == 1)], pa.int64()
+            ),
+            "rows_k_lt_5": pa.array(
+                [sum(s for s in sizes if s < 5)], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_kpi_risk_summary() -> str:
+    from .queries import SQL_KPI_CLASSES
+
+    return f"""
+WITH cls AS ({SQL_KPI_CLASSES})
+SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(class_size) AS BIGINT) AS min_k,
+       CAST(SUM(CASE WHEN class_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_singletons,
+       CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+            AS BIGINT) AS rows_k_lt_5
+FROM cls
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kpi_risk_summary": QueryDef(q_kpi_risk_summary, _sql_kpi_risk_summary())}
+)
