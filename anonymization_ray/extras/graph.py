@@ -1026,3 +1026,114 @@ def dag_layers(
         ).materialize()
 
     return layers
+
+
+def local_clustering(
+    edges: rd.Dataset, *, a_col: str = "a", b_col: str = "b"
+) -> rd.Dataset:
+    """Per-node triangle participation and degree -> (node, tri, deg):
+    the local clustering coefficient is the exact rational
+    2·tri / (deg·(deg−1)) — left as the integer pair so no float division
+    order can drift (consumers divide; a 0-degree-pair node has tri = 0).
+
+    Same wedge-join + folded-key closure plan as `triangle_count`
+    (canonical a < b int64-foldable edges), but the closure keeps the
+    triangle's three corners; corners explode 3 rows per triangle into one
+    `sum_per_key` at node cardinality, degrees are a second fold, and one
+    node-cardinality join stitches them. Wedge volume is the same
+    O(sum deg_in·deg_out) bound as the global count."""
+    edges = edges.select_columns([a_col, b_col]).materialize()
+    nparts = _clamp_parts(edges.count())
+
+    def _fold(b: pa.Table) -> pa.Table:
+        key = (
+            b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            << np.int64(32)
+        ) | b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"ek": pa.array(key)})
+
+    edge_keys = edges.map_batches(_fold, batch_format="pyarrow")
+
+    wedges = hash_join(
+        edges.rename_columns({a_col: "x", b_col: "mid"}),
+        edges.rename_columns({a_col: "mid", b_col: "z"}).materialize(),
+        on="mid",
+        join_type="inner",
+        num_partitions=nparts,
+    )
+
+    def _wedge_key(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = b.column("z").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ek": pa.array((x << np.int64(32)) | z),
+                "x": pa.array(x),
+                "mid": b.column("mid").combine_chunks(),
+                "z": pa.array(z),
+            }
+        )
+
+    hits = hash_join(
+        wedges.map_batches(_wedge_key, batch_format="pyarrow").materialize(),
+        edge_keys.map_batches(
+            lambda b: b.append_column("hit", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow",
+        ).materialize(),
+        on="ek",
+        join_type="inner",
+        num_partitions=nparts,
+    )
+
+    def _corners(b: pa.Table) -> pa.Table:
+        n = pa.concat_arrays(
+            [
+                pc.cast(b.column("x"), pa.int64()).combine_chunks(),
+                pc.cast(b.column("mid"), pa.int64()).combine_chunks(),
+                pc.cast(b.column("z"), pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.table(
+            {"node": n, "one": pa.array(np.ones(len(n), np.int64))}
+        )
+
+    tri = sum_per_key(
+        hits.map_batches(_corners, batch_format="pyarrow"), "node", "one"
+    ).materialize()
+
+    def _ends(b: pa.Table) -> pa.Table:
+        n = pa.concat_arrays(
+            [
+                pc.cast(b.column(a_col), pa.int64()).combine_chunks(),
+                pc.cast(b.column(b_col), pa.int64()).combine_chunks(),
+            ]
+        )
+        return pa.table({"node": n, "one": pa.array(np.ones(len(n), np.int64))})
+
+    deg = sum_per_key(
+        edges.map_batches(_ends, batch_format="pyarrow"), "node", "one"
+    ).materialize()
+
+    j = hash_join(
+        deg.map_batches(
+            lambda b: b.rename_columns(["node", "deg"]), batch_format="pyarrow"
+        ).materialize(),
+        tri.map_batches(
+            lambda b: b.rename_columns(["node", "tri"]), batch_format="pyarrow"
+        ).materialize(),
+        on="node",
+        join_type="left_outer",
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pc.cast(b.column("node"), pa.int64()).combine_chunks(),
+                "tri": pc.fill_null(
+                    pc.cast(b.column("tri"), pa.int64()), 0
+                ).combine_chunks(),
+                "deg": pc.cast(b.column("deg"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    return j.map_batches(_final, batch_format="pyarrow")

@@ -4031,3 +4031,66 @@ FROM cls
 EXTRAS10_REGISTRY.update(
     {"kpi_risk_summary": QueryDef(q_kpi_risk_summary, _sql_kpi_risk_summary())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 113: per-node local clustering (triangle participation + degree)
+
+def q_graph_local_clustering(sf_dir: str):
+    """Per-node triangle participation and degree on the co-supplier graph
+    (`extras/graph.local_clustering`): the local clustering coefficient is
+    the exact rational 2·tri/(deg·(deg−1)), emitted as the integer pair so
+    no float division order can drift. Same wedge+closure plan as the
+    global count, corners exploded into one node-cardinality fold."""
+    from .extras.graph import local_clustering
+    from .util import distinct_rows, hash_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    left = li.rename_columns({"l_suppkey": "a"}).materialize()
+    right = li.rename_columns({"l_suppkey": "b"}).materialize()
+    paired = hash_join(left, right, on="l_orderkey", join_type="inner")
+
+    def _orient(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("a"), b.column("b"))
+        t = b.filter(m)
+        return pa.table(
+            {"a": t.column("a").combine_chunks(), "b": t.column("b").combine_chunks()}
+        )
+
+    edges = distinct_rows(
+        paired.map_batches(_orient, batch_format="pyarrow"), ["a", "b"]
+    )
+    return local_clustering(edges)
+
+
+SQL_GRAPH_LOCAL_CLUSTERING = """
+WITH pairs AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+                JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri),
+t AS (SELECT node, COUNT(*) AS tri FROM corners GROUP BY node),
+d AS (SELECT node, COUNT(*) AS deg FROM
+        (SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+      GROUP BY node)
+SELECT CAST(d.node AS BIGINT) AS node,
+       CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+       CAST(d.deg AS BIGINT) AS deg
+FROM d LEFT JOIN t USING (node)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "graph_local_clustering": QueryDef(
+            q_graph_local_clustering, SQL_GRAPH_LOCAL_CLUSTERING
+        )
+    }
+)
