@@ -7,6 +7,7 @@ additions continuing the wave cadence.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -4091,6 +4092,105 @@ EXTRAS10_REGISTRY.update(
     {
         "graph_local_clustering": QueryDef(
             q_graph_local_clustering, SQL_GRAPH_LOCAL_CLUSTERING
+        )
+    }
+)
+
+
+# --------------------------------------------------------------------------
+# wave 114: cell suppression — the post-generalization step that suppresses
+# quasi-identifier cells of rows in classes below the k bar, then re-forms
+# classes (raising k without dropping rows, unlike record suppression)
+
+def q_anonymize_cell_suppress(sf_dir: str, *, k_min: int = 5):
+    """Generalize two attributes (the kpi_classes pipeline), then SUPPRESS
+    the quasi-identifier cells ('*****', the reference's obfuscation
+    sentinel) of every row whose class is smaller than k_min, and return
+    the re-formed class table. Per-row class size arrives via one
+    class-cardinality hash join against the folded class table — the row
+    stream shuffles once, classes are dimension-sized."""
+    from .queries import _geo_lookup, _with_geo, load as _load
+    from .stages.generalization import generalize_column
+    from .stages.generalization_object import generalize_object_column
+    from .util import fold_per_key, hash_join
+
+    SEP = "\x1f"
+    ds = _with_geo(
+        _load(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]),
+        _geo_lookup(sf_dir),
+    )
+    ds, _ = generalize_column(ds, "c_acctbal", "c_custkey", num_attrs=2, kind="numeric")
+    ds, _ = generalize_object_column(ds, "geo", ["n_name", "r_name"], num_attrs=2)
+
+    def _key(b: pa.Table) -> pa.Table:
+        g1 = pc.cast(b.column("c_acctbal_generalized"), pa.string())
+        g2 = pc.cast(b.column("geo_generalized"), pa.string())
+        return pa.table(
+            {
+                "ck": pc.binary_join_element_wise(g1, g2, SEP).combine_chunks(),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow").materialize()
+    sizes = fold_per_key(keyed, "ck", {"n": ("sum", "one")}).materialize()
+    rows = hash_join(keyed.select_columns(["ck"]), sizes, on="ck", join_type="inner")
+
+    def _suppress(b: pa.Table) -> pa.Table:
+        small = pc.less(pc.cast(b.column("n"), pa.int64()), k_min)
+        parts = pc.split_pattern(b.column("ck").combine_chunks(), SEP)
+        g1 = pc.if_else(small, pa.scalar("*****"), pc.list_element(parts, 0))
+        g2 = pc.if_else(small, pa.scalar("*****"), pc.list_element(parts, 1))
+        return pa.table(
+            {
+                "ck2": pc.binary_join_element_wise(g1, g2, SEP).combine_chunks(),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    refolded = fold_per_key(
+        rows.map_batches(_suppress, batch_format="pyarrow").materialize(),
+        "ck2",
+        {"class_size": ("sum", "one")},
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("ck2").combine_chunks(), SEP)
+        return pa.table(
+            {
+                "acct_gen": pc.list_element(parts, 0),
+                "geo_gen": pc.list_element(parts, 1),
+                "class_size": pc.cast(
+                    b.column("class_size"), pa.int64()
+                ).combine_chunks(),
+            }
+        )
+
+    return refolded.map_batches(_final, batch_format="pyarrow")
+
+
+def _sql_cell_suppress() -> str:
+    from .queries import SQL_KPI_CLASSES
+
+    return f"""
+WITH cls AS ({SQL_KPI_CLASSES}),
+sup AS (
+  SELECT CASE WHEN class_size < 5 THEN '*****'
+              ELSE CAST(c_acctbal_generalized AS VARCHAR) END AS acct_gen,
+         CASE WHEN class_size < 5 THEN '*****'
+              ELSE geo_generalized END AS geo_gen,
+         class_size
+  FROM cls
+)
+SELECT acct_gen, geo_gen, CAST(SUM(class_size) AS BIGINT) AS class_size
+FROM sup GROUP BY acct_gen, geo_gen
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "anonymize_cell_suppress": QueryDef(
+            q_anonymize_cell_suppress, _sql_cell_suppress()
         )
     }
 )
