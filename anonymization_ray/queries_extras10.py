@@ -4194,3 +4194,43 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 115: gzip JSONL interchange — the compressed wire format web-scale
+# text dumps actually ship as
+
+def q_corpus_jsonl_gzip_roundtrip(sf_dir: str):
+    """documents -> distributed gzip JSONL shards
+    (`sources/jsonl.write_jsonl_gzip`, content-hash part names over the
+    UNCOMPRESSED bytes) -> `ray.data.read_json` back (gzip inferred from
+    the extension) -> (doc_id, text). Identity oracle: compression must be
+    lossless and ids survive as integers."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from .sources.jsonl import write_jsonl_gzip
+
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    out_dir = tempfile.mkdtemp(prefix="jsonlgz_rt_")
+    try:
+        n = write_jsonl_gzip(docs, out_dir)
+        assert n >= 1
+        back = rd.read_json(out_dir).select_columns(["doc_id", "text"])
+        return pa.Table.from_pandas(back.to_pandas(), preserve_index=False)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+SQL_JSONL_GZIP_ROUNDTRIP = "SELECT doc_id, text FROM documents"
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "corpus_jsonl_gzip_roundtrip": QueryDef(
+            q_corpus_jsonl_gzip_roundtrip, SQL_JSONL_GZIP_ROUNDTRIP
+        )
+    }
+)

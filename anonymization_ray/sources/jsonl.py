@@ -92,3 +92,30 @@ def read_jsonl_documents(paths: str | list[str]) -> rd.Dataset:
         )
 
     return rd.read_json(paths).map_batches(_norm, batch_format="pyarrow")
+
+
+def write_jsonl_gzip(ds: rd.Dataset, out_dir: str) -> int:
+    """Distributed gzip-compressed JSONL dump — the wire format web-scale
+    text dumps actually ship as (one ``part-<sha>.jsonl.gz`` per block,
+    content-hash-named so re-runs are idempotent; the hash is of the
+    UNCOMPRESSED bytes, keeping names stable across zlib versions).
+    Returns the number of files. Read back with ``ray.data.read_json``,
+    which infers gzip from the extension."""
+    import gzip
+    import hashlib
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _dump(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        body = ("\n".join(_json.dumps(r) for r in rows) + "\n").encode()
+        name = f"part-{hashlib.sha256(body).hexdigest()[:16]}.jsonl.gz"
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with gzip.open(tmp, "wb", compresslevel=6) as f:
+            f.write(body)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"file": pa.array([name], pa.string())})
+
+    return len(ds.map_batches(_dump, batch_format="pyarrow").take_all())
