@@ -982,3 +982,73 @@ def downmix_audio_stats(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class TileExtractor:
+    """Actor-pool callable: REAL decode (magic dispatch, same as
+    `MediaStatsDecoder`) -> split the image into a grid of ``tile`` x
+    ``tile`` patches -> one OUTPUT ROW PER TILE with its grid position and
+    integer pixel sum — the patch-extraction stage a vision-training
+    pipeline runs before encoding (images must divide evenly; ragged edges
+    refuse loudly rather than silently pad)."""
+
+    def __init__(self, tile: int = 8, id_col: str = "doc_id") -> None:
+        self._t = tile
+        self._id = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .jpeg import decode_jpeg_gray
+
+        t = self._t
+        ids_out, tys, txs, sums = [], [], [], []
+        ids = batch.column(self._id).to_pylist()
+        for i, p in zip(ids, batch.column("media").to_pylist()):
+            if p[:2] == b"\xff\xd8":
+                px = decode_jpeg_gray(p)
+            elif p[:2] == b"BM":
+                px = decode_bmp_gray(p)
+            elif p[:2] in (b"P5", b"P2"):
+                px = decode_pgm_gray(p)
+            else:
+                px = decode_png_gray(p)
+            h, w = px.shape
+            if h % t or w % t:
+                raise NotImplementedError(
+                    f"image {h}x{w} does not divide into {t}x{t} tiles — "
+                    "resize first (ragged-edge padding is a policy choice, "
+                    "not a default)"
+                )
+            # one reshape → per-tile sums, no Python loop over pixels
+            g = px.astype(np.int64).reshape(h // t, t, w // t, t)
+            ts = g.sum(axis=(1, 3))  # (rows of tiles, cols of tiles)
+            for ty in range(h // t):
+                for tx in range(w // t):
+                    ids_out.append(i)
+                    tys.append(ty)
+                    txs.append(tx)
+                    sums.append(int(ts[ty, tx]))
+        return pa.table(
+            {
+                self._id: pa.array(ids_out, pa.int64()),
+                "tile_y": pa.array(tys, pa.int64()),
+                "tile_x": pa.array(txs, pa.int64()),
+                "tile_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def extract_tiles(
+    ds: rd.Dataset,
+    *,
+    tile: int = 8,
+    id_col: str = "doc_id",
+    concurrency=(1, 4),
+    batch_size: int = 64,
+) -> rd.Dataset:
+    return ds.map_batches(
+        TileExtractor,
+        fn_constructor_kwargs={"tile": tile, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -4234,3 +4234,35 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 116: image tiling — the patch-extraction stage of a vision-training
+# pipeline (decode -> grid of tiles -> one row per patch)
+
+def q_multimodal_tiles(sf_dir: str):
+    """PGM payloads tiled into 8x8 patches (`extras/multimodal.extract_tiles`,
+    actor pool; the per-image tile sums are one numpy reshape, no pixel
+    loop): (doc_id, tile_y, tile_x, tile_sum) rows whose closed-form pixel
+    values the oracle re-sums per tile index range."""
+    from .extras.multimodal import attach_media_pgm, extract_tiles
+
+    docs = load(sf_dir, "documents", ["doc_id"])
+    return extract_tiles(attach_media_pgm(docs, "doc_id"), tile=8)
+
+
+SQL_MULTIMODAL_TILES = """
+SELECT d.doc_id, t.ty AS tile_y, t.tx AS tile_x,
+       (SELECT CAST(sum((d.doc_id * 37 +
+                         11 * ((t.ty * 8 + r.i // 8) * 16 +
+                               t.tx * 8 + r.i % 8)) % 256) AS BIGINT)
+        FROM unnest(range(64)) AS r(i)) AS tile_sum
+FROM documents d,
+     (SELECT a.ty, b.tx FROM unnest(range(2)) AS a(ty),
+                             unnest(range(2)) AS b(tx)) t
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"multimodal_tiles": QueryDef(q_multimodal_tiles, SQL_MULTIMODAL_TILES)}
+)

@@ -194,3 +194,24 @@ def test_mann_whitney_exact_small():
         int(out.loc[0, "n_b"]),
         int(out.loc[0, "u2_a"]),
     ) == (2, 2, 3)
+
+
+def test_tile_extractor_refuses_ragged_and_sums_exactly():
+    from anonymization_ray.extras.multimodal import (
+        TileExtractor,
+        encode_pgm_gray,
+    )
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    t = pa.table(
+        {"doc_id": [7], "media": [encode_pgm_gray(px)]}
+    )
+    out = TileExtractor(tile=4)(t)
+    assert out.num_rows == 4
+    got = {
+        (r["tile_y"], r["tile_x"]): r["tile_sum"] for r in out.to_pylist()
+    }
+    g = px.astype(np.int64).reshape(2, 4, 2, 4).sum(axis=(1, 3))
+    assert got == {(y, x): int(g[y, x]) for y in range(2) for x in range(2)}
+    with pytest.raises(NotImplementedError, match="does not divide"):
+        TileExtractor(tile=5)(t)
