@@ -4266,3 +4266,101 @@ FROM documents d,
 EXTRAS10_REGISTRY.update(
     {"multimodal_tiles": QueryDef(q_multimodal_tiles, SQL_MULTIMODAL_TILES)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 117: corpus datasheet — the one-row "dataset card" summary a corpus
+# release ships with (docs, tokens, language spread, length percentiles)
+
+def q_corpus_datasheet(sf_dir: str):
+    """One-row corpus datasheet: n_docs, n_tokens (whitespace tokens,
+    the engine's token-count convention), n_langs, n_empty, and exact
+    discrete char-length percentiles p50/p90/max (`extras/stats.
+    exact_quantiles` — rank lookups on the narrow length stream, never a
+    gather). Everything integer; the oracle replays each piece."""
+    from .extras.stats import exact_quantiles
+    from .util import fold_per_key
+
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _narrow(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        trimmed = pc.utf8_trim_whitespace(txt)
+        empty = pc.equal(trimmed, "").to_numpy(zero_copy_only=False)
+        ntok = np.where(empty, 0, ntok)
+        nchars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "ntok": pa.array(ntok),
+                "empty": pa.array(empty.astype(np.int64)),
+                "nchars": pa.array(nchars),
+                "doc_id": b.column("doc_id").combine_chunks(),
+            }
+        )
+
+    narrow = docs.map_batches(_narrow, batch_format="pyarrow").materialize()
+    tot = fold_per_key(
+        narrow,
+        "k",
+        {
+            "n_docs": ("sum", "one"),
+            "n_tokens": ("sum", "ntok"),
+            "n_empty": ("sum", "empty"),
+            "max_chars": ("max", "nchars"),
+        },
+    ).take_all()[0]
+
+    from .extras.stats import count_distinct_exact
+
+    n_langs = count_distinct_exact(docs.select_columns(["lang"]), "lang")
+    q = exact_quantiles(
+        narrow.select_columns(["nchars", "doc_id"]),
+        "nchars",
+        [0.5, 0.9],
+        id_col="doc_id",
+    )
+    qv = q.column("value").to_pylist()
+    return pa.table(
+        {
+            "n_docs": pa.array([int(tot["n_docs"])], pa.int64()),
+            "n_tokens": pa.array([int(tot["n_tokens"])], pa.int64()),
+            "n_langs": pa.array([int(n_langs)], pa.int64()),
+            "n_empty": pa.array([int(tot["n_empty"])], pa.int64()),
+            "p50_chars": pa.array([int(qv[0])], pa.int64()),
+            "p90_chars": pa.array([int(qv[1])], pa.int64()),
+            "max_chars": pa.array([int(tot["max_chars"])], pa.int64()),
+        }
+    )
+
+
+SQL_CORPUS_DATASHEET = """
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS text,
+         length(coalesce(text, '')) AS nchars,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE length(regexp_split_to_array(
+                     lower(trim(coalesce(text, ''))), '\\s+')) END AS ntok,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 1 ELSE 0 END AS empty
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       CAST(SUM(empty) AS BIGINT) AS n_empty,
+       CAST(quantile_disc(nchars, 0.5) AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(nchars, 0.9) AS BIGINT) AS p90_chars,
+       CAST(MAX(nchars) AS BIGINT) AS max_chars
+FROM t
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"corpus_datasheet": QueryDef(q_corpus_datasheet, SQL_CORPUS_DATASHEET)}
+)
