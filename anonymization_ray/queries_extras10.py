@@ -4364,3 +4364,78 @@ FROM t
 EXTRAS10_REGISTRY.update(
     {"corpus_datasheet": QueryDef(q_corpus_datasheet, SQL_CORPUS_DATASHEET)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 118: XSD literal canonicalization — hygiene pass before dedup/join
+
+def q_kg_literal_canonical(sf_dir: str):
+    """Deterministically NOISY integer lexicals (zero-padded to a width
+    keyed on the row: lpad(key, 3 + key % 3)) and boolean variants
+    ('1'/'TRUE'/'false' cycling by key) canonicalized by
+    `kg/literals.canonicalize_literals` — equal values regain equal lexical
+    forms ("007" -> "7"), with a changed flag per triple. The oracle builds
+    the identical noise and replays the canonicalization with CASTs."""
+    from .kg.literals import canonicalize_literals
+
+    nat = load(sf_dir, "customer", ["c_custkey"])
+
+    def _noisy(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        width = 3 + (k % 3)
+        ints = [str(v).zfill(int(w)) for v, w in zip(k, width)]
+        bools = np.array(["1", "TRUE", "false"], dtype=object)[k % 3]
+        subj = [f"urn:cust:{v}" for v in k]
+        return pa.table(
+            {
+                "subj": pa.array(subj + subj, pa.string()),
+                "pred": pa.array(
+                    ["key"] * len(k) + ["active"] * len(k), pa.string()
+                ),
+                "obj": pa.array(ints + list(bools), pa.string()),
+                "obj_kind": pa.array(
+                    ["integer"] * len(k) + ["boolean"] * len(k), pa.string()
+                ),
+            }
+        )
+
+    noisy = nat.map_batches(_noisy, batch_format="pyarrow")
+    return canonicalize_literals(noisy)
+
+
+SQL_KG_LITERAL_CANONICAL = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         -- greatest(): lpad TRUNCATES above the target width, zfill pads
+         -- to max(len, width) — match zfill
+         lpad(CAST(c_custkey AS VARCHAR),
+              CAST(greatest(length(CAST(c_custkey AS VARCHAR)),
+                            3 + c_custkey % 3) AS INT), '0') AS noisy_int,
+         CASE c_custkey % 3 WHEN 0 THEN '1' WHEN 1 THEN 'TRUE'
+              ELSE 'false' END AS noisy_bool
+  FROM customer
+),
+t AS (
+  SELECT 'urn:cust:' || k AS subj, 'key' AS pred, noisy_int AS obj,
+         'integer' AS obj_kind,
+         CAST(CAST(noisy_int AS BIGINT) AS VARCHAR) AS canon
+  FROM base
+  UNION ALL
+  SELECT 'urn:cust:' || k, 'active', noisy_bool, 'boolean',
+         CASE WHEN lower(noisy_bool) IN ('1', 'true') THEN 'true'
+              ELSE 'false' END
+  FROM base
+)
+SELECT subj, pred, canon AS obj, obj_kind,
+       CAST(CASE WHEN canon <> obj THEN 1 ELSE 0 END AS BIGINT) AS changed
+FROM t
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "kg_literal_canonical": QueryDef(
+            q_kg_literal_canonical, SQL_KG_LITERAL_CANONICAL
+        )
+    }
+)

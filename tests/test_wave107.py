@@ -215,3 +215,29 @@ def test_tile_extractor_refuses_ragged_and_sums_exactly():
     assert got == {(y, x): int(g[y, x]) for y in range(2) for x in range(2)}
     with pytest.raises(NotImplementedError, match="does not divide"):
         TileExtractor(tile=5)(t)
+
+
+def test_literal_canonicalize_refuses_corrupt_integer():
+    from anonymization_ray.kg.literals import canonicalize_literals
+
+    bad = pa.table(
+        {
+            "subj": ["s"],
+            "pred": ["p"],
+            "obj": ["12abc"],
+            "obj_kind": ["integer"],
+        }
+    )
+    with pytest.raises(Exception, match="non-numeric|invalid|Failed"):
+        canonicalize_literals(rd.from_arrow(bad)).take_all()
+    ok = pa.table(
+        {
+            "subj": ["s", "s", "s"],
+            "pred": ["p", "p", "p"],
+            "obj": ["007", "True", "hello"],
+            "obj_kind": ["integer", "boolean", "string"],
+        }
+    )
+    out = canonicalize_literals(rd.from_arrow(ok)).to_pandas()
+    assert list(out["obj"]) == ["7", "true", "hello"]
+    assert list(out["changed"]) == [1, 1, 0]
