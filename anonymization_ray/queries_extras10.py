@@ -4439,3 +4439,58 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 119: namespace histogram — the first profiling query anyone runs on
+# an unfamiliar KG (which vocabularies, how much of each)
+
+def q_kg_namespace_stats(sf_dir: str):
+    """Namespace histogram over the canonical graph's subjects and IRI
+    objects: namespace = everything up to the LAST '/', '#' or ':' (''
+    for bare local names). One `exact_value_counts` fold at vocabulary
+    cardinality; the stream never gathers."""
+    from .extras.stats import exact_value_counts
+    from .kg.pipeline import kg_pipeline
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _ns(b: pa.Table) -> pa.Table:
+        subj = b.column("subj").combine_chunks()
+        t = b.filter(pc.equal(b.column("obj_kind"), "iri"))
+        terms = pa.concat_arrays(
+            [subj, t.column("obj").combine_chunks()]
+        )
+        m = pc.extract_regex(terms, r"^(?P<ns>.*[/#:])")
+        ns = pc.fill_null(pc.struct_field(m, "ns"), "")
+        return pa.table(
+            {"ns": ns.combine_chunks() if isinstance(ns, pa.ChunkedArray) else ns}
+        )
+
+    return exact_value_counts(
+        tri.map_batches(_ns, batch_format="pyarrow"), "ns"
+    ).rename_columns({"ns": "namespace", "n": "n_terms"})
+
+
+def _sql_namespace_stats() -> str:
+    from .queries_kg import SQL_KG_CANONICAL
+
+    return f"""
+WITH t AS ({SQL_KG_CANONICAL}),
+terms AS (
+  SELECT subj AS term FROM t
+  UNION ALL
+  SELECT obj FROM t WHERE obj_kind = 'iri'
+),
+ns AS (
+  SELECT coalesce(regexp_extract(term, '^(.*[/#:])', 1), '') AS namespace
+  FROM terms
+)
+SELECT namespace, CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM ns GROUP BY namespace
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_namespace_stats": QueryDef(q_kg_namespace_stats, _sql_namespace_stats())}
+)
