@@ -4494,3 +4494,133 @@ FROM ns GROUP BY namespace
 EXTRAS10_REGISTRY.update(
     {"kg_namespace_stats": QueryDef(q_kg_namespace_stats, _sql_namespace_stats())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 120: rolling-window deviation detector (the windowed sibling of the
+# global z-score anomaly query): per event, the trailing-W mean deviation
+# flag in cross-multiplied integers
+
+_ROLL_W = 5
+_ROLL_DELTA_CENTS = 800  # flag when |v - mean_W| > 8.00
+
+
+def q_events_rolling_dev(sf_dir: str):
+    """Per (user, ts) event: trailing-5-row sum/count of value cents and a
+    deviation flag |n_w·v − rs| > delta·n_w (the mean comparison without a
+    division). One range-sorted window pass (`per_key_window` running sum)
+    plus two event-cardinality joins: trailing cum at rn−W via a
+    (user|rn+W) key join, own value via cum − cum(rn−1)."""
+    from .extras.window import per_key_window
+    from .util import hash_join
+
+    ev = load(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "user_id": b.column("user_id").combine_chunks(),
+                "ts": b.column("ts").combine_chunks(),
+                "cents": cents,
+            }
+        )
+
+    w = per_key_window(
+        ev.map_batches(_cents, batch_format="pyarrow"),
+        "user_id",
+        "ts",
+        "event_id",
+        "cents",
+    ).materialize()
+
+    SEP = "\x1f"
+
+    def _k(shift: int, cum_name: str):
+        def _fn(b: pa.Table) -> pa.Table:
+            rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+            uid = pc.cast(b.column("user_id"), pa.string())
+            key = pc.binary_join_element_wise(
+                uid, pa.array((rn + shift).astype(str)), SEP
+            )
+            t = pa.table(
+                {
+                    "k": key.combine_chunks()
+                    if isinstance(key, pa.ChunkedArray)
+                    else key,
+                    cum_name: pc.cast(b.column("cum_val"), pa.int64()).combine_chunks(),
+                }
+            )
+            if shift == 0:
+                t = t.append_column("event_id", b.column("event_id"))
+                t = t.append_column("rn", pa.array(rn, pa.int64()))
+            return t
+
+        return _fn
+
+    cur = w.map_batches(_k(0, "cum"), batch_format="pyarrow").materialize()
+    lag_w = w.map_batches(_k(_ROLL_W, "cum_w"), batch_format="pyarrow").materialize()
+    lag_1 = w.map_batches(_k(1, "cum_1"), batch_format="pyarrow").materialize()
+
+    j = hash_join(
+        hash_join(cur, lag_w, on="k", join_type="left_outer").materialize(),
+        lag_1,
+        on="k",
+        join_type="left_outer",
+    )
+
+    def _final(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = b.column("cum").to_numpy(zero_copy_only=False).astype(np.int64)
+        cw = np.nan_to_num(
+            b.column("cum_w").to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        c1 = np.nan_to_num(
+            b.column("cum_1").to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        rs = cum - cw
+        n_w = np.minimum(rn, _ROLL_W)
+        v = cum - c1
+        flag = (np.abs(n_w * v - rs) > _ROLL_DELTA_CENTS * n_w).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": b.column("event_id").combine_chunks(),
+                "rs": pa.array(rs, pa.int64()),
+                "n_w": pa.array(n_w, pa.int64()),
+                "flag": pa.array(flag, pa.int64()),
+            }
+        )
+
+    return j.map_batches(_final, batch_format="pyarrow")
+
+
+SQL_EVENTS_ROLLING_DEV = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events
+),
+w AS (
+  SELECT event_id, c,
+         SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+           AS rs,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN {_ROLL_W - 1} PRECEDING AND CURRENT ROW)
+           AS n_w
+  FROM e
+)
+SELECT event_id, CAST(rs AS BIGINT) AS rs, CAST(n_w AS BIGINT) AS n_w,
+       CAST(CASE WHEN abs(n_w * c - rs) > {_ROLL_DELTA_CENTS} * n_w
+                 THEN 1 ELSE 0 END AS BIGINT) AS flag
+FROM w
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"events_rolling_dev": QueryDef(q_events_rolling_dev, SQL_EVENTS_ROLLING_DEV)}
+)
