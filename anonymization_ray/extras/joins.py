@@ -517,3 +517,66 @@ def bloom_semi_join(
         candidates, right, on=on, right_on=right_on,
         broadcast=False, num_partitions=num_partitions,
     )
+
+
+def band_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    left_val: str,
+    right_val: str,
+    band: int,
+    left_keep: list[str],
+    right_keep: list[str],
+) -> rd.Dataset:
+    """Numeric band join: all (l, r) pairs with |l.val − r.val| <= band
+    (integer units — scale floats to cents first). The classic bucketed
+    plan: values bucket into band-width cells, each LEFT row replicates
+    into its cell and both neighbors (3x bounded blowup, never a cross
+    join), one cell-keyed hash join, then the exact predicate filters.
+    Any candidate pair's values differ by < 2·band, so cells b−1..b+1
+    cover every match exactly once (pairs are emitted once because the
+    RIGHT side is bucketed once)."""
+    import numpy as np
+
+    from ..util import hash_join
+
+    def _r(b: pa.Table) -> pa.Table:
+        v = b.column(right_val).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"cell": pa.array(v // band), "_rv": pa.array(v)})
+        for c in right_keep:
+            t = t.append_column(c, b.column(c))
+        return t
+
+    def _l(b: pa.Table) -> pa.Table:
+        v = b.column(left_val).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = v // band
+        reps = np.concatenate([cell - 1, cell, cell + 1])
+        idx = np.tile(np.arange(len(v), dtype=np.int64), 3)
+        t = pa.table(
+            {
+                "cell": pa.array(reps),
+                "_lv": pa.array(np.tile(v, 3)),
+            }
+        )
+        take = pa.array(idx)
+        for c in left_keep:
+            t = t.append_column(c, b.column(c).take(take))
+        return t
+
+    rb = right.map_batches(_r, batch_format="pyarrow").materialize()
+    lb = left.map_batches(_l, batch_format="pyarrow").materialize()
+    j = hash_join(lb, rb, on="cell", join_type="inner")
+
+    def _exact(b: pa.Table) -> pa.Table:
+        lv = b.column("_lv").to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = b.column("_rv").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.abs(lv - rv) <= band
+        t = b.filter(pa.array(keep)).drop_columns(["cell"])
+        names = [
+            f"{left_val}_i" if c == "_lv" else f"{right_val}_i" if c == "_rv" else c
+            for c in t.column_names
+        ]
+        return t.rename_columns(names)
+
+    return j.map_batches(_exact, batch_format="pyarrow")

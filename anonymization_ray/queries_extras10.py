@@ -4624,3 +4624,75 @@ FROM w
 EXTRAS10_REGISTRY.update(
     {"events_rolling_dev": QueryDef(q_events_rolling_dev, SQL_EVENTS_ROLLING_DEV)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 121: numeric band join — |l - r| <= band via bucketed 3x replication
+
+def q_join_band_acctbal(sf_dir: str):
+    """Band join (`extras/joins.band_join`): customer x supplier pairs
+    whose account balances differ by <= 50.00 — values bucket into
+    band-width cells, LEFT rows replicate into cell±1 (bounded 3x, never a
+    cross join), one cell-keyed hash join, exact filter after. Counted per
+    customer so the output stays customer-cardinality."""
+    from .extras.joins import band_join
+    from .extras.graph import sum_per_key
+
+    BAND = 5000  # cents
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+    supp = load(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def _ci(b: pa.Table, col: str) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column(col), 100.0), 0.5)), pa.int64()
+        )
+        out = b.drop_columns([col]).append_column(col + "_c", cents)
+        return out
+
+    cust_c = cust.map_batches(lambda b: _ci(b, "c_acctbal"), batch_format="pyarrow")
+    supp_c = supp.map_batches(lambda b: _ci(b, "s_acctbal"), batch_format="pyarrow")
+    pairs = band_join(
+        cust_c,
+        supp_c,
+        left_val="c_acctbal_c",
+        right_val="s_acctbal_c",
+        band=BAND,
+        left_keep=["c_custkey"],
+        right_keep=["s_suppkey"],
+    )
+
+    counted = sum_per_key(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": pc.cast(
+                        b.column("c_custkey"), pa.int64()
+                    ).combine_chunks(),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "c_custkey",
+        "one",
+    )
+    return counted.rename_columns({"one": "n_suppliers_in_band"})
+
+
+SQL_JOIN_BAND_ACCTBAL = """
+WITH c AS (SELECT c_custkey,
+                  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cc
+           FROM customer),
+s AS (SELECT CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS sc
+      FROM supplier)
+SELECT c.c_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers_in_band
+FROM c JOIN s ON abs(c.cc - s.sc) <= 5000
+GROUP BY c.c_custkey
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"join_band_acctbal": QueryDef(q_join_band_acctbal, SQL_JOIN_BAND_ACCTBAL)}
+)

@@ -241,3 +241,23 @@ def test_literal_canonicalize_refuses_corrupt_integer():
     out = canonicalize_literals(rd.from_arrow(ok)).to_pandas()
     assert list(out["obj"]) == ["7", "true", "hello"]
     assert list(out["changed"]) == [1, 1, 0]
+
+
+def test_band_join_covers_neighbors_and_excludes_far():
+    from anonymization_ray.extras.joins import band_join
+
+    left = pa.table({"lv": [100, 1000], "lid": [1, 2]})
+    right = pa.table({"rv": [550, 99, 5000], "rid": [10, 11, 12]})
+    out = band_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        left_val="lv",
+        right_val="rv",
+        band=500,
+        left_keep=["lid"],
+        right_keep=["rid"],
+    ).to_pandas()
+    got = sorted(zip(out["lid"], out["rid"]))
+    # |100-550|=450 ok (neighbor cell), |100-99|=1 ok, 5000 excluded;
+    # lid=2 (1000): |1000-550|=450 ok, |1000-99|=901 excluded
+    assert got == [(1, 10), (1, 11), (2, 10)]
