@@ -4696,3 +4696,74 @@ GROUP BY c.c_custkey
 EXTRAS10_REGISTRY.update(
     {"join_band_acctbal": QueryDef(q_join_band_acctbal, SQL_JOIN_BAND_ACCTBAL)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 122: discrete-Laplace (two-sided geometric) DP counts — the
+# second classic DP mechanism beside the binomial one, still fully
+# integer-deterministic
+
+def q_dp_discrete_laplace(sf_dir: str, seed: int = 11):
+    """Noisy event-type counts under the DISCRETE LAPLACE mechanism
+    (Ghosh-Roughgarden-Sundararajan): noise = G1 − G2 with G ~
+    Geometric(1/2) drawn as the TRAILING-ONES count of a seeded md5-64
+    uniform — P(trailing ones = k) = 2^-(k+1) exactly, and
+    trailing_ones(u) = bit_count(u XOR (u+1)) − 1 is pure integer bit
+    math DuckDB replays verbatim. Counting is one partial-combiner pass;
+    noise is O(domain) driver work."""
+    from .extras.dedup import _md5_64
+
+    ev = load(sf_dir, "events", ["event_type"])
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "n"])
+
+    parts = ev.map_batches(_partial, batch_format="pyarrow").take_all()
+    acc: dict[str, int] = {}
+    for r in parts:
+        acc[r["event_type"]] = acc.get(r["event_type"], 0) + r["n"]
+
+    MASK = (1 << 62) - 1
+
+    def geo(s: str) -> int:
+        u = _md5_64(s) & MASK
+        return bin(u ^ (u + 1)).count("1") - 1
+
+    keys = sorted(acc)
+    noisy = [
+        acc[k] + geo(f"dplap{seed}|{k}|1") - geo(f"dplap{seed}|{k}|2")
+        for k in keys
+    ]
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "noisy_count": pa.array(noisy, pa.int64()),
+        }
+    )
+
+
+SQL_DP_DISCRETE_LAPLACE = """
+WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+u AS (
+  SELECT event_type, n,
+         CAST(md5_number_upper('dplap11|' || event_type || '|1') AS UBIGINT)
+           & 4611686018427387903 AS u1,
+         CAST(md5_number_upper('dplap11|' || event_type || '|2') AS UBIGINT)
+           & 4611686018427387903 AS u2
+  FROM g
+)
+SELECT event_type,
+       CAST(n + (bit_count(xor(u1, u1 + 1)) - 1)
+              - (bit_count(xor(u2, u2 + 1)) - 1) AS BIGINT) AS noisy_count
+FROM u
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "dp_discrete_laplace": QueryDef(
+            q_dp_discrete_laplace, SQL_DP_DISCRETE_LAPLACE
+        )
+    }
+)
