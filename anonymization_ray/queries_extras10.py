@@ -4767,3 +4767,60 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 123: overlapping chunking — the RAG-standard sliding window
+# (stride < size), exercising chunk_documents' overlap path end to end
+
+_OVL_SIZE, _OVL_STRIDE = 64, 32
+
+
+def q_text_chunks_overlap(sf_dir: str):
+    """Sliding-window chunking with 50% overlap (`extras/chunk.
+    chunk_documents(stride=32)`): chunk j covers tokens
+    [j·stride, j·stride+size); the last chunk is the FIRST one reaching
+    the document's end (no degenerate tail windows). Vectorized Arrow
+    kernels, no shuffle; the oracle replays the window algebra with a
+    per-doc chunk-id series join."""
+    from .extras.chunk import chunk_documents
+
+    ds = load(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_documents(ds, size=_OVL_SIZE, stride=_OVL_STRIDE)
+
+
+SQL_TEXT_CHUNKS_OVERLAP = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+n AS (SELECT doc_id, COUNT(*) AS nt FROM tok GROUP BY doc_id),
+ch AS (
+  SELECT doc_id, unnest(range(
+           CASE WHEN nt <= {_OVL_SIZE} THEN 1
+                ELSE (nt - {_OVL_SIZE} + {_OVL_STRIDE} - 1) // {_OVL_STRIDE} + 1
+           END)) AS chunk_id
+  FROM n
+)
+SELECT t.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+       COUNT(*) AS n_tokens,
+       string_agg(t.term, ' ' ORDER BY t.pos) AS chunk_text
+FROM ch c JOIN tok t
+  ON t.doc_id = c.doc_id
+ AND t.pos >= c.chunk_id * {_OVL_STRIDE}
+ AND t.pos < c.chunk_id * {_OVL_STRIDE} + {_OVL_SIZE}
+GROUP BY t.doc_id, c.chunk_id
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "text_chunks_overlap": QueryDef(
+            q_text_chunks_overlap, SQL_TEXT_CHUNKS_OVERLAP
+        )
+    }
+)
