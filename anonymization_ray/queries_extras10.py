@@ -4824,3 +4824,133 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 124: multi-source fact fusion (truth discovery) — the conflict-
+# resolution stage a KG built from several extractors/sources runs before
+# canonical triples are committed
+
+def q_kg_fact_fusion(sf_dir: str):
+    """Majority-vote fact fusion over three deterministic 'sources'
+    asserting each customer's basedIn nation: sources 1 and 3 assert the
+    true nation, source 2 mis-extracts every third customer (nation+1 mod
+    25 — the oracle replays the corruption). Fusion = vote counts per
+    (subj, obj) via one fold, winner per subj via `topk_per_key` (votes
+    desc, obj asc ties) — the whole conflict resolution runs at
+    assertion cardinality with no per-group UDF. Output: subj, winning
+    obj, its votes, and n_distinct_claims per subj."""
+    from .extras.graph import sum_per_key
+    from .util import fold_per_key, hash_join, topk_per_key
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def _claims(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        wrong = np.where(k % 3 == 0, (n + 1) % 25, n)
+        subj = np.concatenate([k, k, k])
+        obj = np.concatenate([n, wrong, n])
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.int64()),
+                "obj": pa.array(obj, pa.int64()),
+                "one": pa.array(np.ones(len(subj), np.int64)),
+            }
+        )
+
+    claims = cust.map_batches(_claims, batch_format="pyarrow")
+    votes = fold_per_key(
+        claims.map_batches(
+            lambda b: pa.table(
+                {
+                    "so": pc.binary_join_element_wise(
+                        pc.cast(b.column("subj"), pa.string()),
+                        pc.cast(b.column("obj"), pa.string()),
+                        "\x1f",
+                    ).combine_chunks(),
+                    "one": b.column("one").combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "so",
+        {"votes": ("sum", "one")},
+    ).materialize()
+
+    def _split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("so").combine_chunks(), "\x1f")
+        return pa.table(
+            {
+                "subj": pc.cast(pc.list_element(parts, 0), pa.int64()),
+                "obj": pc.cast(pc.list_element(parts, 1), pa.int64()),
+                "votes": pc.cast(b.column("votes"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    per_claim = votes.map_batches(_split, batch_format="pyarrow").materialize()
+    winners = topk_per_key(per_claim, "subj", "votes", 1, tie_col="obj")
+    claims_per_subj = sum_per_key(
+        per_claim.map_batches(
+            lambda b: pa.table(
+                {
+                    "subj": b.column("subj").combine_chunks(),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "subj",
+        "one",
+    ).materialize()
+
+    out = hash_join(
+        winners.materialize(),
+        claims_per_subj.map_batches(
+            lambda b: b.rename_columns(["subj", "n_claims"]),
+            batch_format="pyarrow",
+        ).materialize(),
+        on="subj",
+        join_type="inner",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "subj": pc.cast(b.column("subj"), pa.int64()).combine_chunks(),
+                "obj": pc.cast(b.column("obj"), pa.int64()).combine_chunks(),
+                "votes": pc.cast(b.column("votes"), pa.int64()).combine_chunks(),
+                "n_claims": pc.cast(b.column("n_claims"), pa.int64()).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KG_FACT_FUSION = """
+WITH claims AS (
+  SELECT c_custkey AS subj, c_nationkey AS obj FROM customer
+  UNION ALL
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 3 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_nationkey FROM customer
+),
+v AS (SELECT subj, obj, COUNT(*) AS votes FROM claims GROUP BY subj, obj),
+w AS (
+  SELECT subj, obj, votes,
+         row_number() OVER (PARTITION BY subj
+                            ORDER BY votes DESC, obj ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY subj) AS n_claims
+  FROM v
+)
+SELECT CAST(subj AS BIGINT) AS subj, CAST(obj AS BIGINT) AS obj,
+       CAST(votes AS BIGINT) AS votes, CAST(n_claims AS BIGINT) AS n_claims
+FROM w WHERE rn = 1
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_fact_fusion": QueryDef(q_kg_fact_fusion, SQL_KG_FACT_FUSION)}
+)
