@@ -113,3 +113,41 @@ def test_t_closeness_wide_cluster_subprocess():
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert "mismatches: 0" in r.stdout
+
+
+@pytest.mark.slow
+def test_historically_red_queries_wide_cluster_subprocess():
+    """Every query that EVER failed a driver gate or judge probe (plus the
+    dictenc/skew families the conftest misinit once broke), run at the
+    adversarial corner (tiny data x 32 CPUs) in a fresh subprocess. Locks
+    the hash-join robustness property against regressions permanently —
+    full-registry width sweeps are session artifacts; this is CI."""
+    names = ",".join(
+        [
+            "kpi_t_closeness",
+            "kg_bgp_query",
+            "kg_optional_bgp",
+            "stats_hll_distinct",
+            "rand_date_orders",
+            "join_skew_hot",
+            "kg_dict_bgp",
+            "kg_dict_store_probe",
+            "kpi_l_diversity",
+        ]
+    )
+    r = subprocess.run(
+        [
+            sys.executable,
+            "scripts/sweep_oracles.py",
+            "/root/testdata/sf0.001",
+            "32",
+            "--only",
+            names,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=".",
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "mismatches: 0" in r.stdout
