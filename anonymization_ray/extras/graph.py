@@ -1137,3 +1137,76 @@ def local_clustering(
         )
 
     return j.map_batches(_final, batch_format="pyarrow")
+
+
+def weighted_sssp(
+    edges: rd.Dataset,
+    sources: list[int],
+    *,
+    rounds: int,
+    u_col: str = "u",
+    v_col: str = "v",
+    w_col: str = "w",
+    directed: bool = False,
+) -> rd.Dataset:
+    """Bounded-round Bellman-Ford over integer edge weights -> (node, dist):
+    after exactly ``rounds`` synchronous relaxations, dist(v) = the weight
+    of the lightest path from any source using at most ``rounds`` edges
+    (exact SSSP once rounds >= the hop diameter) — the min-plus sibling of
+    `dag_layers`' max-plus layering, same bounded-round contract (never
+    data-dependent iteration; negative cycles cannot loop it).
+
+    Per round: one edge-sized hash join attaching dist to the edge's tail,
+    one `fold_per_key` min at node cardinality, one node-sized min-merge
+    with the previous frontier. Unreached nodes are absent from the output
+    (no sentinel infinities to overflow)."""
+    from ..util import fold_per_key, hash_join
+
+    edges = edges.select_columns([u_col, v_col, w_col]).materialize()
+    if not directed:
+        rev = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    u_col: b.column(v_col).combine_chunks(),
+                    v_col: b.column(u_col).combine_chunks(),
+                    w_col: b.column(w_col).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edges = edges.union(rev).materialize()
+    nparts = _clamp_parts(edges.count())
+
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(sorted(set(sources)), pa.int64()),
+                "dist": pa.array([0] * len(set(sources)), pa.int64()),
+            }
+        )
+    ).materialize()
+
+    for _ in range(rounds):
+        j = hash_join(
+            edges.rename_columns({u_col: "node"}),
+            dist,
+            on="node",
+            join_type="inner",
+            num_partitions=nparts,
+        )
+        cand = j.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": pc.cast(b.column(v_col), pa.int64()).combine_chunks(),
+                    "dist": pc.add(
+                        pc.cast(b.column("dist"), pa.int64()),
+                        pc.cast(b.column(w_col), pa.int64()),
+                    ).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = fold_per_key(
+            dist.union(cand), "node", {"dist": ("min", "dist")}
+        ).materialize()
+    return dist

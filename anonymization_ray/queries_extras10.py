@@ -4954,3 +4954,96 @@ FROM w WHERE rn = 1
 EXTRAS10_REGISTRY.update(
     {"kg_fact_fusion": QueryDef(q_kg_fact_fusion, SQL_KG_FACT_FUSION)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 125: weighted shortest paths (bounded-round Bellman-Ford) on the
+# co-supplier graph, weight = 1000 - shared-order count (strong ties are
+# short hops), source = supplier 1
+
+_SSSP_ROUNDS = 3
+
+
+def q_graph_weighted_sssp(sf_dir: str):
+    """Min-plus SSSP (`extras/graph.weighted_sssp`): bounded 3-round
+    Bellman-Ford from supplier 1 over the undirected co-supplier graph with
+    integer weights w = 1000 − shared_orders. The oracle unrolls the same
+    three synchronous relaxations as chained CTEs (the pagerank-oracle
+    style); unreached nodes are absent on both sides."""
+    from .extras.graph import sum_per_key, weighted_sssp
+    from .util import hash_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    left = li.rename_columns({"l_suppkey": "a"}).materialize()
+    right = li.rename_columns({"l_suppkey": "b"}).materialize()
+    paired = hash_join(left, right, on="l_orderkey", join_type="inner")
+
+    def _orient(b: pa.Table) -> pa.Table:
+        m = pc.less(b.column("a"), b.column("b"))
+        t = b.filter(m)
+        return pa.table(
+            {
+                "ab": pc.binary_join_element_wise(
+                    pc.cast(t.column("a"), pa.string()),
+                    pc.cast(t.column("b"), pa.string()),
+                    "\x1f",
+                ).combine_chunks(),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    shared = sum_per_key(
+        paired.map_batches(_orient, batch_format="pyarrow"), "ab", "one"
+    ).materialize()
+
+    def _edges(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("ab").combine_chunks(), "\x1f")
+        n = pc.cast(b.column("one"), pa.int64())
+        return pa.table(
+            {
+                "u": pc.cast(pc.list_element(parts, 0), pa.int64()),
+                "v": pc.cast(pc.list_element(parts, 1), pa.int64()),
+                "w": pc.subtract(pa.scalar(1000, pa.int64()), n).combine_chunks(),
+            }
+        )
+
+    edges = shared.map_batches(_edges, batch_format="pyarrow")
+    return weighted_sssp(edges, [1], rounds=_SSSP_ROUNDS)
+
+
+SQL_GRAPH_WEIGHTED_SSSP = """
+WITH pairs AS (
+  SELECT l1.l_suppkey AS u, l2.l_suppkey AS v, COUNT(*) AS c
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey
+  GROUP BY u, v),
+e AS (
+  SELECT u, v, 1000 - c AS w FROM pairs
+  UNION ALL
+  SELECT v, u, 1000 - c FROM pairs),
+d0 AS (SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON e.u = d0.node
+  ) GROUP BY node),
+d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.v, d1.dist + e.w FROM d1 JOIN e ON e.u = d1.node
+  ) GROUP BY node),
+d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.v, d2.dist + e.w FROM d2 JOIN e ON e.u = d2.node
+  ) GROUP BY node)
+SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d3
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"graph_weighted_sssp": QueryDef(q_graph_weighted_sssp, SQL_GRAPH_WEIGHTED_SSSP)}
+)
