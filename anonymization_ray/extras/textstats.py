@@ -837,3 +837,74 @@ def compression_stats(
     return ds.select_columns([id_col, text_col]).map_batches(
         _comp, batch_format="pyarrow"
     )
+
+
+def rake_scores(ds: rd.Dataset, text_col: str, *, stopwords=STOPWORDS) -> rd.Dataset:
+    """RAKE keyword statistics (Rose et al. 2010) in exact integers:
+    candidate phrases are maximal stopword-free token runs; per WORD,
+    ``freq`` = occurrences inside candidates and ``degree`` = sum of the
+    containing phrase's length over those occurrences (the RAKE score is
+    the rational degree/freq — left as the integer pair). Corpus-wide.
+
+    Shape: one vectorized pass per batch — phrase ids are the running
+    stopword count (a cumsum, so runs between stopwords share an id),
+    per-phrase lengths come from one np.unique on (doc-offset, phrase)
+    keys — followed by TWO `sum_per_key` folds at vocabulary cardinality.
+    No Python loop over tokens, nothing gathers."""
+    from .graph import sum_per_key
+
+    sw = pa.array(sorted(set(stopwords)))
+
+    def _pass(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column(text_col).combine_chunks(), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = toks.flatten()
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        words = flat.to_numpy(zero_copy_only=False)
+        nonempty = words != ""
+        words, doc_idx = words[nonempty], doc_idx[nonempty]
+        is_stop = (
+            pc.is_in(pa.array(words), value_set=sw)
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        # phrase id = running stopword count; a new doc also breaks runs
+        # (offset each doc's ids far apart)
+        stop_cum = np.cumsum(is_stop)
+        phrase = doc_idx * (len(words) + 1) + stop_cum
+        keep = ~is_stop
+        w_k, p_k = words[keep], phrase[keep]
+        # per-phrase length via np.unique inverse
+        uniq_p, inv, cnt = np.unique(p_k, return_inverse=True, return_counts=True)
+        deg = cnt[inv].astype(np.int64)
+        t = pa.table(
+            {
+                "word": pa.array(w_k),
+                "freq": pa.array(np.ones(len(w_k), np.int64)),
+                "degree": pa.array(deg),
+            }
+        )
+        g = t.group_by(["word"]).aggregate([("freq", "sum"), ("degree", "sum")])
+        return g.rename_columns(["word", "freq", "degree"])
+
+    part = ds.map_batches(_pass, batch_format="pyarrow").materialize()
+    f = sum_per_key(part.select_columns(["word", "freq"]), "word", "freq").materialize()
+    d = sum_per_key(
+        part.select_columns(["word", "degree"]), "word", "degree"
+    ).materialize()
+    from ..util import hash_join
+
+    j = hash_join(f, d, on="word", join_type="inner")
+    return j.map_batches(
+        lambda b: pa.table(
+            {
+                "word": b.column("word").combine_chunks(),
+                "freq": pc.cast(b.column("freq"), pa.int64()).combine_chunks(),
+                "degree": pc.cast(b.column("degree"), pa.int64()).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )

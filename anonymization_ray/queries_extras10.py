@@ -5047,3 +5047,50 @@ SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist FROM d3
 EXTRAS10_REGISTRY.update(
     {"graph_weighted_sssp": QueryDef(q_graph_weighted_sssp, SQL_GRAPH_WEIGHTED_SSSP)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 126: RAKE keyword extraction statistics
+
+def q_text_rake(sf_dir: str):
+    """RAKE keyword statistics (`extras/textstats.rake_scores`): candidate
+    phrases = maximal stopword-free runs, per-word freq and degree (sum of
+    containing-phrase lengths) as the exact integer pair behind the RAKE
+    score degree/freq. Phrase segmentation is a running stopword count —
+    the oracle replays it with one window cumsum."""
+    from .extras.textstats import rake_scores
+
+    docs = load(sf_dir, "documents", ["doc_id", "text"])
+    return rake_scores(docs, "text")
+
+
+SQL_TEXT_RAKE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS arr
+        FROM documents)
+),
+ph AS (
+  SELECT doc_id, w, pos,
+         w IN ('the', 'a', 'of', 'and', 'is', 'in', 'to') AS stop,
+         SUM(CASE WHEN w IN ('the', 'a', 'of', 'and', 'is', 'in', 'to')
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS phrase
+  FROM tok
+),
+cand AS (
+  SELECT doc_id, w, phrase,
+         COUNT(*) OVER (PARTITION BY doc_id, phrase) AS plen
+  FROM ph WHERE NOT stop
+)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(plen) AS BIGINT) AS degree
+FROM cand GROUP BY w
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"text_rake": QueryDef(q_text_rake, SQL_TEXT_RAKE)}
+)
