@@ -5094,3 +5094,144 @@ FROM cand GROUP BY w
 EXTRAS10_REGISTRY.update(
     {"text_rake": QueryDef(q_text_rake, SQL_TEXT_RAKE)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 127: entity-linking alias priors — the dictionary-BUILD side of the
+# linking stage (surface form -> candidate entity counts + surface totals),
+# harvested from the extraction + canonicalization outputs themselves
+
+def q_kg_alias_priors(sf_dir: str):
+    """Alias prior table for entity linking: per (surface form, canonical
+    entity) the link count, plus the surface's total mentions — the prior
+    P(entity|surface) stays the exact integer pair n_links/n_surface. Built
+    by joining the mention stream (actor-pool extraction) with the
+    canonicalized basedIn triples on the customer key — i.e. the engine
+    harvests its own EL dictionary from a linked corpus, the standard
+    bootstrap for the next crawl increment."""
+    from .extras.graph import sum_per_key
+    from .kg.extract import extract_mentions
+    from .kg.pages import synthesize_pages
+    from .kg.pipeline import kg_pipeline
+    from .util import hash_join
+
+    pages = synthesize_pages(sf_dir)
+    mentions = extract_mentions(pages.select_columns(["url", "html"]))
+
+    def _surface(b: pa.Table) -> pa.Table:
+        t = b.filter(
+            pc.and_(
+                pc.equal(b.column("pred"), "basedIn"),
+                pc.equal(b.column("obj_kind"), "mention"),
+            )
+        )
+        ck = pc.replace_substring_regex(
+            t.column("subj").combine_chunks(), r"^Customer#", ""
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(ck, pa.int64()),
+                "surface": t.column("obj").combine_chunks(),
+            }
+        )
+
+    surf = mentions.map_batches(_surface, batch_format="pyarrow").materialize()
+
+    tri = kg_pipeline(sf_dir, anonymize=False).triples
+
+    def _linked(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("pred"), "basedIn"))
+        ck = pc.replace_substring_regex(
+            t.column("subj").combine_chunks(), r"^urn:cust:", ""
+        )
+        return pa.table(
+            {
+                "ck": pc.cast(ck, pa.int64()),
+                "entity": t.column("obj").combine_chunks(),
+            }
+        )
+
+    linked = tri.map_batches(_linked, batch_format="pyarrow").materialize()
+    j = hash_join(surf, linked, on="ck", join_type="inner")
+
+    pair = sum_per_key(
+        j.map_batches(
+            lambda b: pa.table(
+                {
+                    "se": pc.binary_join_element_wise(
+                        b.column("surface").combine_chunks(),
+                        b.column("entity").combine_chunks(),
+                        "\x1f",
+                    ),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "se",
+        "one",
+    ).materialize()
+
+    def _split(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("se").combine_chunks(), "\x1f")
+        return pa.table(
+            {
+                "surface": pc.list_element(parts, 0),
+                "entity": pc.list_element(parts, 1),
+                "n_links": pc.cast(b.column("one"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    pairs = pair.map_batches(_split, batch_format="pyarrow").materialize()
+    totals = sum_per_key(
+        pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "surface": b.column("surface").combine_chunks(),
+                    "n_surface": pc.cast(
+                        b.column("n_links"), pa.int64()
+                    ).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "surface",
+        "n_surface",
+    ).materialize()
+    out = hash_join(pairs, totals, on="surface", join_type="inner")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "surface": b.column("surface").combine_chunks(),
+                "entity": b.column("entity").combine_chunks(),
+                "n_links": pc.cast(b.column("n_links"), pa.int64()).combine_chunks(),
+                "n_surface": pc.cast(
+                    b.column("n_surface"), pa.int64()
+                ).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _sql_alias_priors() -> str:
+    from .queries_kg import _SQL_VARIANT
+
+    return f"""
+WITH var AS (SELECT c_custkey, {_SQL_VARIANT} AS nv, c_nationkey
+             FROM customer JOIN nation ON c_nationkey = n_nationkey),
+p AS (
+  SELECT nv AS surface, 'urn:nation:' || c_nationkey AS entity,
+         COUNT(*) AS n_links
+  FROM var GROUP BY surface, entity
+),
+t AS (SELECT surface, SUM(n_links) AS n_surface FROM p GROUP BY surface)
+SELECT p.surface, p.entity, CAST(p.n_links AS BIGINT) AS n_links,
+       CAST(t.n_surface AS BIGINT) AS n_surface
+FROM p JOIN t USING (surface)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_alias_priors": QueryDef(q_kg_alias_priors, _sql_alias_priors())}
+)
