@@ -226,3 +226,167 @@ def delta_presence(
         )
 
     return folded.map_batches(_delta, batch_format="pyarrow")
+
+
+def mondrian_partition(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    *,
+    k: int,
+    rounds: int,
+) -> rd.Dataset:
+    """Mondrian multidimensional k-anonymity (LeFevre et al. 2006), the
+    median-cut greedy partitioner, bounded-round: each round every region
+    picks its WIDER attribute (x on ties), computes the lower median
+    (DuckDB ``quantile_disc`` semantics — rank ceil(n/2)), and splits into
+    v <= med / v > med halves IFF both halves keep >= k rows; regions that
+    cannot split are stamped '=' and stay intact. After ``rounds`` rounds
+    the region label is the cut path ('LRL=' ...), and every region is a
+    k-anonymous box. Returns (region, n) — the class table.
+
+    Scale shape per round: one `fold_per_key` (ranges + size) and one
+    `group_quantiles` median pass at REGION cardinality, one fold for the
+    below-median counts, then one region-cardinality hash join stamps the
+    row stream — the data never gathers; per-round state is region-sized.
+    Inputs must be integer units (cents) — float medians would not be
+    value-exact."""
+    from ..extras.stats import group_quantiles
+    from ..util import fold_per_key, hash_join
+
+    work = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "region": pa.array([""] * b.num_rows, pa.string()),
+                "x": pc.cast(b.column(x_col), pa.int64()).combine_chunks(),
+                "y": pc.cast(b.column(y_col), pa.int64()).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(rounds):
+        ranges = fold_per_key(
+            work.map_batches(
+                lambda b: pa.table(
+                    {
+                        "region": b.column("region").combine_chunks(),
+                        "minx": b.column("x").combine_chunks(),
+                        "maxx": b.column("x").combine_chunks(),
+                        "miny": b.column("y").combine_chunks(),
+                        "maxy": b.column("y").combine_chunks(),
+                        "one": pa.array(np.ones(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "region",
+            {
+                "minx": ("min", "minx"),
+                "maxx": ("max", "maxx"),
+                "miny": ("min", "miny"),
+                "maxy": ("max", "maxy"),
+                "n": ("sum", "one"),
+            },
+        ).take_all()
+        info = {
+            r["region"]: (
+                int(r["maxx"]) - int(r["minx"]) >= int(r["maxy"]) - int(r["miny"]),
+                int(r["n"]),
+            )
+            for r in ranges
+        }
+
+        def _val(b: pa.Table, info=info) -> pa.Table:
+            # factorize region ONCE per batch, then numpy gathers — no
+            # per-row dict lookups in the kernel
+            import pandas as pd
+
+            codes, uniq = pd.factorize(
+                b.column("region").to_numpy(zero_copy_only=False)
+            )
+            wide_u = np.array([info[r][0] for r in uniq], bool)
+            wide_x = wide_u[codes]
+            x = b.column("x").to_numpy(zero_copy_only=False)
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "region": b.column("region").combine_chunks(),
+                    "val": pa.array(np.where(wide_x, x, y).astype(np.int64)),
+                }
+            )
+
+        vals = work.map_batches(_val, batch_format="pyarrow").materialize()
+        med = {
+            r["region"]: int(r["value"])
+            for r in group_quantiles(vals, "region", "val", [0.5]).take_all()
+        }
+
+        def _below(b: pa.Table, med=med) -> pa.Table:
+            import pandas as pd
+
+            codes, uniq = pd.factorize(
+                b.column("region").to_numpy(zero_copy_only=False)
+            )
+            med_u = np.array([med[r] for r in uniq], np.int64)
+            lo = (
+                b.column("val").to_numpy(zero_copy_only=False) <= med_u[codes]
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "region": b.column("region").combine_chunks(),
+                    "lo": pa.array(lo),
+                }
+            )
+
+        low = fold_per_key(
+            vals.map_batches(_below, batch_format="pyarrow"),
+            "region",
+            {"n_lo": ("sum", "lo")},
+        ).take_all()
+        n_lo = {r["region"]: int(r["n_lo"]) for r in low}
+        split = {
+            r: min(n_lo[r], info[r][1] - n_lo[r]) >= k for r in info
+        }
+
+        def _stamp(b: pa.Table, info=info, med=med, split=split) -> pa.Table:
+            import pandas as pd
+
+            regs = b.column("region").to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(regs)
+            wide_u = np.array([info[r][0] for r in uniq], bool)
+            med_u = np.array([med[r] for r in uniq], np.int64)
+            split_u = np.array([split[r] for r in uniq], bool)
+            x = b.column("x").to_numpy(zero_copy_only=False)
+            y = b.column("y").to_numpy(zero_copy_only=False)
+            v = np.where(wide_u[codes], x, y)
+            suffix = np.where(
+                split_u[codes],
+                np.where(v <= med_u[codes], "L", "R"),
+                "=",
+            )
+            out = np.char.add(regs.astype(str), suffix)
+            return pa.table(
+                {
+                    "region": pa.array(out),
+                    "x": b.column("x").combine_chunks(),
+                    "y": b.column("y").combine_chunks(),
+                }
+            )
+
+        work = work.map_batches(_stamp, batch_format="pyarrow").materialize()
+
+    out = fold_per_key(
+        work.map_batches(
+            lambda b: pa.table(
+                {
+                    "region": b.column("region").combine_chunks(),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "region",
+        {"n": ("sum", "one")},
+    )
+    return out

@@ -5235,3 +5235,98 @@ FROM p JOIN t USING (surface)
 EXTRAS10_REGISTRY.update(
     {"kg_alias_priors": QueryDef(q_kg_alias_priors, _sql_alias_priors())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 128: Mondrian multidimensional k-anonymity (LeFevre et al. 2006) —
+# the classic greedy median-cut partitioner, bounded-round
+
+_MONDRIAN_K, _MONDRIAN_ROUNDS = 25, 3
+
+
+def q_anonymize_mondrian(sf_dir: str):
+    """Mondrian over (acctbal cents, nationkey) with k=25, 3 rounds
+    (`extras/privacy.mondrian_partition`): per round each region picks its
+    wider attribute (x on ties), lower-median cuts, splits only when both
+    halves keep >= k rows ('=' stamps regions that cannot split). Returns
+    the (region path, n) class table; per-round distributed cost is one
+    range fold + one per-region median pass + one below-median fold, with
+    region-sized (2^rounds) driver state only."""
+    from .extras.privacy import mondrian_partition
+
+    cust = load(sf_dir, "customer", ["c_acctbal", "c_nationkey"])
+
+    def _int(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("c_acctbal"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "xc": cents,
+                "yc": pc.cast(b.column("c_nationkey"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    return mondrian_partition(
+        cust.map_batches(_int, batch_format="pyarrow"),
+        "xc",
+        "yc",
+        k=_MONDRIAN_K,
+        rounds=_MONDRIAN_ROUNDS,
+    )
+
+
+def _sql_mondrian_round(prev: str, cur: str) -> str:
+    k = _MONDRIAN_K
+    return f"""
+{cur}_rng AS (
+  SELECT region, x, y,
+         max(x) OVER w - min(x) OVER w >= max(y) OVER w - min(y) OVER w
+           AS wide_x
+  FROM {prev}
+  WINDOW w AS (PARTITION BY region)
+),
+{cur}_med AS (
+  SELECT region, x, y, wide_x,
+         CASE WHEN wide_x THEN x ELSE y END AS val,
+         quantile_disc(CASE WHEN wide_x THEN x ELSE y END, 0.5)
+           OVER (PARTITION BY region) AS med
+  FROM {cur}_rng
+),
+{cur}_lo AS (
+  SELECT region, x, y, val, med,
+         SUM(CASE WHEN val <= med THEN 1 ELSE 0 END)
+           OVER (PARTITION BY region) AS n_lo,
+         COUNT(*) OVER (PARTITION BY region) AS n
+  FROM {cur}_med
+),
+{cur} AS (
+  SELECT CASE WHEN least(n_lo, n - n_lo) >= {k}
+              THEN region || (CASE WHEN val <= med THEN 'L' ELSE 'R' END)
+              ELSE region || '=' END AS region,
+         x, y
+  FROM {cur}_lo
+)"""
+
+
+def _sql_mondrian() -> str:
+    rounds = "".join(
+        "," + _sql_mondrian_round(f"r{i}", f"r{i + 1}")
+        for i in range(_MONDRIAN_ROUNDS)
+    )
+    return f"""
+WITH r0 AS (
+  SELECT '' AS region,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS x,
+         CAST(c_nationkey AS BIGINT) AS y
+  FROM customer
+){rounds}
+SELECT region, CAST(COUNT(*) AS BIGINT) AS n
+FROM r{_MONDRIAN_ROUNDS} GROUP BY region
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"anonymize_mondrian": QueryDef(q_anonymize_mondrian, _sql_mondrian())}
+)

@@ -261,3 +261,24 @@ def test_band_join_covers_neighbors_and_excludes_far():
     # |100-550|=450 ok (neighbor cell), |100-99|=1 ok, 5000 excluded;
     # lid=2 (1000): |1000-550|=450 ok, |1000-99|=901 excluded
     assert got == [(1, 10), (1, 11), (2, 10)]
+
+
+def test_mondrian_k_invariant_and_split_paths():
+    from anonymization_ray.extras.privacy import mondrian_partition
+
+    rng = np.random.default_rng(0)
+    t = pa.table(
+        {
+            "xc": rng.integers(0, 1000, 200).astype(np.int64),
+            "yc": rng.integers(0, 10, 200).astype(np.int64),
+        }
+    )
+    out = mondrian_partition(
+        rd.from_arrow(t), "xc", "yc", k=20, rounds=3
+    ).to_pandas()
+    # every final region is k-anonymous and labels are 3-cut paths
+    assert (out["n"] >= 20).all()
+    assert set(out["region"].str.len()) == {3}
+    assert out["n"].sum() == 200
+    # at least one actual split happened (not all '===')
+    assert any(c in "LR" for r in out["region"] for c in r)
