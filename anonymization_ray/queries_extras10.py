@@ -5330,3 +5330,99 @@ FROM r{_MONDRIAN_ROUNDS} GROUP BY region
 EXTRAS10_REGISTRY.update(
     {"anonymize_mondrian": QueryDef(q_anonymize_mondrian, _sql_mondrian())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 129: classifier evaluation — confusion matrix with marginals (the
+# eval report every router/classifier ships with, in exact integers)
+
+def q_ml_confusion_matrix(sf_dir: str):
+    """Confusion matrix of the Naive-Bayes language router against the true
+    labels: per (true, pred) cell count plus row/column marginals — class
+    precision = n/(n_pred) and recall = n/(n_true) stay exact integer
+    pairs. Predictions come from the SAME deterministic classifier the
+    `text_naive_bayes` oracle pins; the join is doc-cardinality."""
+    from .extras.graph import sum_per_key
+    from .extras.nbayes import naive_bayes_predict
+    from .util import fold_per_key, hash_join
+
+    docs = load(sf_dir, "documents", ["doc_id", "text", "lang"])
+    pred = naive_bayes_predict(
+        docs, text_col="text", label_col="lang", id_col="doc_id"
+    ).materialize()
+
+    truth = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks(),
+                "true_label": b.column("lang").combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    j = hash_join(
+        pred.map_batches(
+            lambda b: b.select(["doc_id", "pred_label"]), batch_format="pyarrow"
+        ).materialize(),
+        truth,
+        on="doc_id",
+        join_type="inner",
+    )
+    cells = fold_per_key(
+        j.map_batches(
+            lambda b: pa.table(
+                {
+                    "tp": pc.binary_join_element_wise(
+                        b.column("true_label").combine_chunks(),
+                        b.column("pred_label").combine_chunks(),
+                        "\x1f",
+                    ),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "tp",
+        {"n": ("sum", "one")},
+    ).take_all()  # label-pair cardinality — tiny by construction
+    obs = {}
+    n_true: dict[str, int] = {}
+    n_pred: dict[str, int] = {}
+    for r in cells:
+        t, p = r["tp"].split("\x1f", 1)
+        n = int(r["n"])
+        obs[(t, p)] = n
+        n_true[t] = n_true.get(t, 0) + n
+        n_pred[p] = n_pred.get(p, 0) + n
+    rows = sorted(obs)
+    return pa.table(
+        {
+            "true_label": pa.array([t for t, _ in rows], pa.string()),
+            "pred_label": pa.array([p for _, p in rows], pa.string()),
+            "n": pa.array([obs[r] for r in rows], pa.int64()),
+            "n_true": pa.array([n_true[t] for t, _ in rows], pa.int64()),
+            "n_pred": pa.array([n_pred[p] for _, p in rows], pa.int64()),
+        }
+    )
+
+
+def _sql_confusion_matrix() -> str:
+    return f"""
+WITH nb AS ({SQL_TEXT_NAIVE_BAYES}),
+cell AS (
+  SELECT d.lang AS true_label, nb.pred_label, COUNT(*) AS n
+  FROM nb JOIN documents d USING (doc_id)
+  GROUP BY true_label, pred_label
+),
+rt AS (SELECT true_label, SUM(n) AS n_true FROM cell GROUP BY true_label),
+ct AS (SELECT pred_label, SUM(n) AS n_pred FROM cell GROUP BY pred_label)
+SELECT cell.true_label, cell.pred_label, CAST(cell.n AS BIGINT) AS n,
+       CAST(rt.n_true AS BIGINT) AS n_true,
+       CAST(ct.n_pred AS BIGINT) AS n_pred
+FROM cell JOIN rt USING (true_label) JOIN ct USING (pred_label)
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"ml_confusion_matrix": QueryDef(q_ml_confusion_matrix, _sql_confusion_matrix())}
+)
