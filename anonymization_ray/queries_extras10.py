@@ -5426,3 +5426,86 @@ FROM cell JOIN rt USING (true_label) JOIN ct USING (pred_label)
 EXTRAS10_REGISTRY.update(
     {"ml_confusion_matrix": QueryDef(q_ml_confusion_matrix, _sql_confusion_matrix())}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 130: recency-decayed engagement — exponential time decay with a
+# one-week half-life, EXACT because the weight is a power of two applied
+# as integer floor-division (both engines floor identically)
+
+def q_events_decayed_engagement(sf_dir: str):
+    """Per-user recency-weighted value sum: each event contributes
+    floor(cents / 2^age_weeks) with age measured back from the corpus's
+    max timestamp — a one-week half-life. The decay is exact integer
+    arithmetic (power-of-two floor division), so the whole ranking is
+    value-hash stable. One tiny max-fold broadcast + one user-cardinality
+    sum fold; negative values are excluded (decay semantics assume
+    engagement mass)."""
+    from .extras.graph import sum_per_key
+    from .util import fold_per_key
+
+    ev = load(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _ts(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "t": pc.cast(b.column("ts"), pa.int64()).combine_chunks(),
+            }
+        )
+
+    mx = fold_per_key(
+        ev.map_batches(_ts, batch_format="pyarrow"), "k", {"t": ("max", "t")}
+    ).take_all()
+    max_us = int(mx[0]["t"]) if mx else 0
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+    def _decay(b: pa.Table) -> pa.Table:
+        cents = (
+            pc.cast(
+                pc.floor(pc.add(pc.multiply(b.column("value"), 100.0), 0.5)),
+                pa.int64(),
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ts = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        age_w = np.minimum((max_us - ts) // WEEK_US, 62).astype(np.int64)
+        keep = cents > 0
+        dec = cents[keep] // (np.int64(1) << age_w[keep])
+        return pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id"), pa.int64())
+                .combine_chunks()
+                .take(pa.array(np.nonzero(keep)[0])),
+                "dec": pa.array(dec, pa.int64()),
+            }
+        )
+
+    return sum_per_key(
+        ev.map_batches(_decay, batch_format="pyarrow"), "user_id", "dec"
+    ).rename_columns({"dec": "decayed_cents"})
+
+
+SQL_EVENTS_DECAYED = """
+WITH m AS (SELECT MAX(ts) AS mt FROM events),
+e AS (
+  SELECT user_id,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+         CAST(least((epoch_us(m.mt) - epoch_us(ts)) // 604800000000, 62)
+              AS BIGINT) AS age_w
+  FROM events, m
+)
+SELECT user_id,
+       CAST(SUM(c // CAST(power(2, age_w) AS BIGINT)) AS BIGINT) AS decayed_cents
+FROM e WHERE c > 0 GROUP BY user_id
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_decayed_engagement": QueryDef(
+            q_events_decayed_engagement, SQL_EVENTS_DECAYED
+        )
+    }
+)
