@@ -29,3 +29,11 @@ from .bpe import bpe_merges  # noqa: F401
 from .stats import cms_sketch, cms_estimate  # noqa: F401
 from .urls import url_blocklist_filter  # noqa: F401
 from .shuffle import token_budget_cut  # noqa: F401
+from .feature import hashing_features, target_encode  # noqa: F401
+from .joins import band_join  # noqa: F401
+from .window import ohlc_bars  # noqa: F401
+from .stats import benford_audit, contingency_table, mann_whitney_u2  # noqa: F401
+from .graph import local_clustering, weighted_sssp  # noqa: F401
+from .privacy import mondrian_partition  # noqa: F401
+from .textstats import rake_scores  # noqa: F401
+from .multimodal import extract_tiles, downmix_audio_stats  # noqa: F401
