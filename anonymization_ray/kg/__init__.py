@@ -13,3 +13,6 @@ from .checkpoint import (  # noqa: F401
     extract_link_checkpointed,
     kg_pipeline_checkpointed,
 )
+from .turtle import parse_turtle, read_turtle_files  # noqa: F401
+from .nquads import read_nquads, write_nquads  # noqa: F401
+from .literals import canonicalize_literals  # noqa: F401
