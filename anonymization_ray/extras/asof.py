@@ -327,3 +327,159 @@ def nearest_join(
         )
 
     return both.map_batches(_pick, batch_format="pyarrow")
+
+
+def interval_coalesce(
+    ds: rd.Dataset,
+    key_col: str,
+    from_col: str,
+    to_col: str,
+) -> rd.Dataset:
+    """Merge overlapping/touching [from, to) intervals per key ->
+    (key, c_from, c_to, n_merged) — temporal-KG validity compaction, and
+    (fed event-length intervals) overlap-sessionization. An interval opens
+    a new island iff its start exceeds the running max END of everything
+    before it in its key.
+
+    Shape: ONE range sort by (key, from, to), then the engine's
+    carry-chain discipline done RIGHT for max-carries: a summary pass
+    gives each block's first/last key segment max-ends, the driver chains
+    the incoming max-end carry per block (an island can span many blocks),
+    and the scan pass seeds each block's first key segment with that carry
+    — so block-local island breaks are globally correct. Each block emits
+    its certainly-closed islands directly; only the continuation piece and
+    the last open island (2 tuples per block) ride to the driver for
+    stitching."""
+    s = (
+        coalesce_blocks(
+            ds.select_columns([key_col, from_col, to_col]).materialize()
+        )
+        .sort([key_col, from_col, to_col])
+        .materialize()
+    )
+    refs = list(s.to_arrow_refs())
+
+    @ray.remote(num_cpus=0.25)
+    def _summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        e = t.column(to_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        first_seg_end = int(e[k == k[0]].max())
+        last_seg_end = int(e[k == k[-1]].max())
+        return (k[0], k[-1], first_seg_end, last_seg_end, bool(k[0] == k[-1]))
+
+    summaries = ray.get([_summary.remote(r) for r in refs])
+    refs = [r for r, sm in zip(refs, summaries) if sm is not None]
+    summaries = [sm for sm in summaries if sm is not None]
+
+    carry_in: list[int | None] = [None] * len(refs)
+    ck, ce = None, None
+    for i, (fk, lk, fe, le, single) in enumerate(summaries):
+        carry_in[i] = ce if (ck is not None and ck == fk) else None
+        if single and carry_in[i] is not None:
+            out_e = max(le, carry_in[i])
+        else:
+            out_e = le
+        ck, ce = lk, out_e
+
+    @ray.remote(num_cpus=0.5)
+    def _scan(t: pa.Table, carry: int | None):
+        """-> (closed islands table, continuation (key,n,end) | None,
+        last open island (key,from,end,n) | None)."""
+        k = t.column(key_col).to_numpy(zero_copy_only=False)
+        f = t.column(from_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column(to_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        islands: list[tuple] = []  # (key, from, end, n, is_continuation)
+        starts = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1, [len(k)]]
+        )
+        for si, (a, b) in enumerate(zip(starts[:-1], starts[1:])):
+            seg_e = e[a:b]
+            cme = np.maximum.accumulate(seg_e)
+            if si == 0 and carry is not None:
+                cme = np.maximum(cme, carry)
+            new = np.ones(b - a, bool)
+            if si == 0 and carry is not None:
+                new[0] = f[a] > carry
+            new[1:] = f[a + 1 : b] > cme[:-1]
+            idx = np.nonzero(new)[0]
+            if len(idx) == 0 or idx[0] != 0:
+                # entire prefix continues the incoming island
+                cut = idx[0] if len(idx) else b - a
+                islands.append(
+                    (k[a], None, int(cme[cut - 1]), int(cut), True)
+                )
+                idx = idx if len(idx) else np.array([], np.int64)
+            bounds = np.append(idx, b - a)
+            for i0, i1 in zip(bounds[:-1], bounds[1:]):
+                islands.append(
+                    (k[a + i0], int(f[a + i0]), int(cme[i1 - 1]), int(i1 - i0), False)
+                )
+        cont = None
+        if islands and islands[0][4]:
+            key0, _, end0, n0, _ = islands.pop(0)
+            cont = (key0, n0, end0)
+        last_open = islands.pop() if islands else None
+        if islands:
+            ks, fs, es, ns, _ = zip(*islands)
+            closed = pa.table(
+                {
+                    key_col: pa.array(list(ks)),
+                    "c_from": pa.array(list(fs), pa.int64()),
+                    "c_to": pa.array(list(es), pa.int64()),
+                    "n_merged": pa.array(list(ns), pa.int64()),
+                }
+            )
+        else:
+            closed = None
+        return closed, cont, (
+            None if last_open is None else last_open[:4]
+        )
+
+    parts = ray.get(
+        [_scan.remote(r, carry_in[i]) for i, r in enumerate(refs)]
+    )
+    tables = [p[0] for p in parts if p[0] is not None]
+
+    final_rows: list[tuple] = []
+    open_isl: list | None = None  # [key, from, end, n]
+    for _closed, cont, last_open in parts:
+        if cont is not None:
+            # continuation of the currently open island (same key, by the
+            # carry chain's construction)
+            assert open_isl is not None and open_isl[0] == cont[0]
+            open_isl[2] = max(open_isl[2], cont[2])
+            open_isl[3] += cont[1]
+        if last_open is not None:
+            # a fresh island started in this block -> the open one closes
+            if open_isl is not None:
+                final_rows.append(tuple(open_isl))
+            open_isl = list(last_open)
+    if open_isl is not None:
+        final_rows.append(tuple(open_isl))
+
+    if final_rows:
+        ks, fs, es, ns = zip(*final_rows)
+        tables.append(
+            pa.table(
+                {
+                    key_col: pa.array(list(ks)),
+                    "c_from": pa.array(list(fs), pa.int64()),
+                    "c_to": pa.array(list(es), pa.int64()),
+                    "n_merged": pa.array(list(ns), pa.int64()),
+                }
+            )
+        )
+    if not tables:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    key_col: pa.array([], pa.string()),
+                    "c_from": pa.array([], pa.int64()),
+                    "c_to": pa.array([], pa.int64()),
+                    "n_merged": pa.array([], pa.int64()),
+                }
+            )
+        )
+    return rd.from_arrow(pa.concat_tables(tables))

@@ -5509,3 +5509,69 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 131: per-key interval coalescing — temporal-KG validity compaction /
+# overlap-sessionization, with the carry-chain done right for max-carries
+
+def q_events_interval_coalesce(sf_dir: str):
+    """Coalesce per-user activity intervals [ts, ts + 30 min) into maximal
+    overlap sessions (`extras/asof.interval_coalesce`): one range sort,
+    per-block islands seeded with a driver-chained incoming max-end carry
+    (an island can span MANY blocks), 2 stitch tuples per block. Output
+    (user_id, c_from, c_to, n_merged) in epoch micros; the oracle is the
+    classic gaps-and-islands window pair."""
+    from .extras.asof import interval_coalesce
+
+    HALF_HOUR_US = 30 * 60 * 1_000_000
+    ev = load(sf_dir, "events", ["user_id", "ts"])
+
+    def _iv(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(b.column("user_id"), pa.int64()).combine_chunks(),
+                "f": ts.combine_chunks(),
+                "t": pc.add(ts, pa.scalar(HALF_HOUR_US, pa.int64())).combine_chunks(),
+            }
+        )
+
+    return interval_coalesce(
+        ev.map_batches(_iv, batch_format="pyarrow"), "user_id", "f", "t"
+    )
+
+
+SQL_EVENTS_INTERVAL_COALESCE = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS f, epoch_us(ts) + 1800000000 AS t
+  FROM events
+),
+m AS (
+  SELECT user_id, f, t,
+         MAX(t) OVER (PARTITION BY user_id ORDER BY f, t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+isl AS (
+  SELECT user_id, f, t,
+         SUM(CASE WHEN prev_max IS NULL OR f > prev_max THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY f, t) AS island
+  FROM m
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(f) AS BIGINT) AS c_from,
+       CAST(MAX(t) AS BIGINT) AS c_to,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM isl GROUP BY user_id, island
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "events_interval_coalesce": QueryDef(
+            q_events_interval_coalesce, SQL_EVENTS_INTERVAL_COALESCE
+        )
+    }
+)

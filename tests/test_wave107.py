@@ -282,3 +282,59 @@ def test_mondrian_k_invariant_and_split_paths():
     assert out["n"].sum() == 200
     # at least one actual split happened (not all '===')
     assert any(c in "LR" for r in out["region"] for c in r)
+
+
+def test_interval_coalesce_block_spanning_islands():
+    """Randomized cross-check vs a brute-force reference, with forced
+    8-block partitioning so islands span blocks (the carry-chain case a
+    naive edge-stitch gets wrong when one long island swallows interior
+    islands of a later block)."""
+    from collections import defaultdict
+
+    from anonymization_ray.extras.asof import interval_coalesce
+
+    def brute(rows):
+        by = defaultdict(list)
+        for k, f, t in rows:
+            by[k].append((f, t))
+        out = []
+        for k, iv in by.items():
+            iv.sort()
+            cur = None
+            for f, t in iv:
+                if cur is None or f > cur[1]:
+                    if cur:
+                        out.append((k, cur[0], cur[1], cur[2]))
+                    cur = [f, t, 1]
+                else:
+                    cur[1] = max(cur[1], t)
+                    cur[2] += 1
+            if cur:
+                out.append((k, cur[0], cur[1], cur[2]))
+        return sorted(out)
+
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        n = int(rng.integers(50, 300))
+        rows = [
+            (f"k{int(k)}", int(f), int(f + l))
+            for k, f, l in zip(
+                rng.integers(0, 3, n),
+                rng.integers(0, 200, n),
+                rng.integers(1, 80, n),
+            )
+        ]
+        t = pa.table(
+            {
+                "key": [r[0] for r in rows],
+                "f": [r[1] for r in rows],
+                "t": [r[2] for r in rows],
+            }
+        )
+        got = sorted(
+            (r["key"], r["c_from"], r["c_to"], r["n_merged"])
+            for r in interval_coalesce(
+                rd.from_arrow(t).repartition(8), "key", "f", "t"
+            ).take_all()
+        )
+        assert got == brute(rows)
