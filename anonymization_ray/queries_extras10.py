@@ -5575,3 +5575,86 @@ EXTRAS10_REGISTRY.update(
         )
     }
 )
+
+
+# --------------------------------------------------------------------------
+# wave 132: RDF patch round trip — diff two snapshots, APPLY the patch to
+# the base, certify the patched graph equals the target (the delta-pipeline
+# closure: incremental recrawls ship patches, not full dumps)
+
+def q_kg_patch_roundtrip(sf_dir: str):
+    """diff(old, new) -> apply(old, patch) == new, certified distributively:
+    patch apply = anti-join the removals + union the additions (packed-key
+    semi/anti joins — triples never gather); equality is checked by two
+    set-difference counts that must BOTH be zero. Scoreboard: (n_add,
+    n_del, patched_matches_target). The oracle pins the delta cardinality
+    from the recrawl rule and the flag at 1."""
+    import pyarrow.compute as _pc
+
+    from .extras.joins import semi_anti_join
+    from .kg.pipeline import kg_pipeline
+    from .kg.temporal import ASOF_T_US, pages_asof, synthesize_recrawls
+
+    def _triples(pages=None):
+        r = kg_pipeline(
+            sf_dir, pages=pages, anonymize=False, dedup_pages=pages is None
+        )
+        return r.triples.select_columns(["subj", "pred", "obj"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        k = _pc.binary_join_element_wise(
+            b.column("subj"), b.column("pred"), b.column("obj"), "\x1f"
+        )
+        return b.append_column("__k", k)
+
+    old = _triples().map_batches(_key, batch_format="pyarrow").materialize()
+    new = (
+        _triples(pages_asof(synthesize_recrawls(sf_dir), ASOF_T_US))
+        .map_batches(_key, batch_format="pyarrow")
+        .materialize()
+    )
+
+    removed = semi_anti_join(
+        old, new.select_columns(["__k"]), on="__k", anti=True
+    ).materialize()
+    added = semi_anti_join(
+        new, old.select_columns(["__k"]), on="__k", anti=True
+    ).materialize()
+
+    # apply: old - removed + added
+    patched = semi_anti_join(
+        old, removed.select_columns(["__k"]), on="__k", anti=True
+    ).union(added).materialize()
+
+    # set equality, both directions, distributed
+    miss = semi_anti_join(
+        new, patched.select_columns(["__k"]), on="__k", anti=True
+    ).count()
+    extra = semi_anti_join(
+        patched, new.select_columns(["__k"]), on="__k", anti=True
+    ).count()
+    return pa.table(
+        {
+            "n_add": pa.array([added.count()], pa.int64()),
+            "n_del": pa.array([removed.count()], pa.int64()),
+            "patched_matches_target": pa.array(
+                [int(miss == 0 and extra == 0)], pa.int64()
+            ),
+        }
+    )
+
+
+SQL_KG_PATCH_ROUNDTRIP = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+rec AS (SELECT c_custkey FROM customer, nn
+        WHERE c_acctbal IS NOT NULL AND (c_custkey % nn.c) % 5 = 0)
+SELECT CAST(count(*) AS BIGINT) AS n_add,
+       CAST(count(*) AS BIGINT) AS n_del,
+       CAST(1 AS BIGINT) AS patched_matches_target
+FROM rec
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"kg_patch_roundtrip": QueryDef(q_kg_patch_roundtrip, SQL_KG_PATCH_ROUNDTRIP)}
+)
