@@ -5658,3 +5658,97 @@ FROM rec
 EXTRAS10_REGISTRY.update(
     {"kg_patch_roundtrip": QueryDef(q_kg_patch_roundtrip, SQL_KG_PATCH_ROUNDTRIP)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 133: rank swapping — the classic statistical-disclosure-control
+# perturbation (Moore 1996): adjacent-rank records exchange their values,
+# preserving every marginal statistic exactly while unlinking record<->value
+
+def q_anonymize_rank_swap(sf_dir: str):
+    """Deterministic rank swap of acctbal: global rank by (cents, custkey),
+    rank 2i exchanges with 2i+1 (an odd tail keeps its value). Marginals
+    (sum, histogram) survive exactly; the record-value link breaks. One
+    global rank pass (`util.rank_per_key` under a constant key) + one
+    rank-cardinality self-join on the XOR-paired rank fetches the partner
+    value. Output (c_custkey, swapped_cents)."""
+    from .util import hash_join, rank_per_key
+
+    cust = load(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(b.column("c_acctbal"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        t = pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "cents": cents,
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        )
+        return t.filter(pc.is_valid(t.column("cents")))
+
+    keyed = cust.map_batches(_cents, batch_format="pyarrow").materialize()
+    n_total = keyed.count()
+    ranked = rank_per_key(
+        keyed, "k", "cents", tie_col="c_custkey", rank_col="rn"
+    ).materialize()
+
+    def _partner(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        partner = rn ^ 1
+        # an odd-count tail's last rank has no partner — keep itself
+        partner = np.where(partner >= n_total, rn, partner)
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey").combine_chunks(),
+                "want_rn": pa.array(partner, pa.int64()),
+            }
+        )
+
+    def _val(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "want_rn": pc.cast(b.column("rn"), pa.int64()).combine_chunks(),
+                "swapped_cents": pc.cast(
+                    b.column("cents"), pa.int64()
+                ).combine_chunks(),
+            }
+        )
+
+    out = hash_join(
+        ranked.map_batches(_partner, batch_format="pyarrow").materialize(),
+        ranked.map_batches(_val, batch_format="pyarrow").materialize(),
+        on="want_rn",
+        join_type="inner",
+    )
+    return out.select_columns(["c_custkey", "swapped_cents"])
+
+
+SQL_ANONYMIZE_RANK_SWAP = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal IS NOT NULL
+),
+r AS (
+  SELECT c_custkey, cents,
+         row_number() OVER (ORDER BY cents, c_custkey) - 1 AS rn,
+         COUNT(*) OVER () AS n
+  FROM c
+),
+p AS (
+  SELECT c_custkey,
+         CASE WHEN xor(rn, 1) >= n THEN rn ELSE xor(rn, 1) END AS want_rn
+  FROM r
+)
+SELECT p.c_custkey, r2.cents AS swapped_cents
+FROM p JOIN r r2 ON r2.rn = p.want_rn
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"anonymize_rank_swap": QueryDef(q_anonymize_rank_swap, SQL_ANONYMIZE_RANK_SWAP)}
+)
