@@ -1404,3 +1404,140 @@ def mann_whitney_u2(
             }
         )
     )
+
+
+def spearman_pair(
+    ds: rd.Dataset, a_col: str, b_col: str
+) -> rd.Dataset:
+    """Spearman rank correlation's exact integer core for two numeric
+    columns: one row (n, sum_d2_x4) where d = (2·avgrank_a − 2·avgrank_b)
+    per row — average ranks for ties carried DOUBLED so they stay integral
+    (avg2x of a tie group = 2·min_rank + count − 1). The familiar
+    rho = 1 − 6·Σd²/(n(n²−1)) is the caller's one float division;
+    everything order-dependent is integer.
+
+    Shape: per column one `exact_value_counts` + one constant-key running
+    sum over the sorted distinct values gives avg2x per VALUE; two
+    value-keyed hash joins stamp the rows; one scoreboard fold. Rows never
+    gather."""
+    from ..extras.window import per_key_window
+    from ..util import fold_per_key, hash_join
+
+    def _avg2x(col: str) -> rd.Dataset:
+        counts = exact_value_counts(
+            ds.map_batches(
+                lambda b, c=col: pa.table(
+                    {c: pc.cast(b.column(c), pa.int64()).combine_chunks()}
+                ),
+                batch_format="pyarrow",
+            ),
+            col,
+        ).materialize()
+        w = per_key_window(
+            counts.map_batches(
+                lambda b, c=col: pa.table(
+                    {
+                        "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                        "v": b.column(c).combine_chunks(),
+                        "vid": b.column(c).combine_chunks(),
+                        "cnt": pc.cast(b.column("n"), pa.int64()).combine_chunks(),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "k",
+            "v",
+            "vid",
+            "cnt",
+        )
+        cum = w.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": pc.cast(b.column("vid"), pa.int64()).combine_chunks(),
+                    "cum": pc.cast(b.column("cum_val"), pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        cnts = counts.map_batches(
+            lambda b, c=col: pa.table(
+                {
+                    "v": pc.cast(b.column(c), pa.int64()).combine_chunks(),
+                    "cnt": pc.cast(b.column("n"), pa.int64()).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        j = hash_join(cum, cnts, on="v", join_type="inner")
+        return j.map_batches(
+            lambda b: pa.table(
+                {
+                    "v": pc.cast(b.column("v"), pa.int64()).combine_chunks(),
+                    # min 1-based rank of the tie group = cum - cnt + 1;
+                    # avg2x = 2*min + cnt - 1 = 2*cum - cnt + 1
+                    "avg2x": pa.array(
+                        2 * b.column("cum").to_numpy(zero_copy_only=False)
+                        - b.column("cnt").to_numpy(zero_copy_only=False)
+                        + 1,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    a_map = _avg2x(a_col)
+    b_map = _avg2x(b_col)
+
+    rows = ds.map_batches(
+        lambda b: pa.table(
+            {
+                "va": pc.cast(b.column(a_col), pa.int64()).combine_chunks(),
+                "vb": pc.cast(b.column(b_col), pa.int64()).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    j = hash_join(
+        rows.materialize(),
+        a_map.map_batches(
+            lambda b: b.rename_columns(["va", "a2x"]), batch_format="pyarrow"
+        ).materialize(),
+        on="va",
+        join_type="inner",
+    ).materialize()
+    j2 = hash_join(
+        j,
+        b_map.map_batches(
+            lambda b: b.rename_columns(["vb", "b2x"]), batch_format="pyarrow"
+        ).materialize(),
+        on="vb",
+        join_type="inner",
+    )
+
+    def _d2(b: pa.Table) -> pa.Table:
+        d = b.column("a2x").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        ) - b.column("b2x").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+                "d2": pa.array(d * d, pa.int64()),
+            }
+        )
+
+    tot = fold_per_key(
+        j2.map_batches(_d2, batch_format="pyarrow"),
+        "k",
+        {"n": ("sum", "one"), "sum_d2_x4": ("sum", "d2")},
+    ).take_all()
+    r = tot[0] if tot else {"n": 0, "sum_d2_x4": 0}
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([int(r["n"])], pa.int64()),
+                "sum_d2_x4": pa.array([int(r["sum_d2_x4"])], pa.int64()),
+            }
+        )
+    )

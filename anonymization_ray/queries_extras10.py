@@ -5752,3 +5752,57 @@ FROM p JOIN r r2 ON r2.rn = p.want_rn
 EXTRAS10_REGISTRY.update(
     {"anonymize_rank_swap": QueryDef(q_anonymize_rank_swap, SQL_ANONYMIZE_RANK_SWAP)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 134: Spearman rank correlation core — exact integer Σd² with doubled
+# average ranks for ties
+
+def q_stats_spearman(sf_dir: str):
+    """Spearman core for (l_quantity, integer price cents):
+    (n, sum_d2_x4) with d = doubled-average-rank difference — ties stay
+    integral, rho = 1 − 6·(Σd²/4)/(n(n²−1)) is one caller-side division.
+    Per column: one distinct-count fold + one running sum gives avg2x per
+    VALUE; two value-keyed joins stamp rows; one scoreboard fold."""
+    from .extras.stats import spearman_pair
+
+    li = load(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def _int(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "qa": pc.cast(pc.round(b.column("l_quantity")), pa.int64()),
+                "pb": pc.cast(
+                    pc.floor(
+                        pc.add(pc.multiply(b.column("l_extendedprice"), 100.0), 0.5)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return spearman_pair(li.map_batches(_int, batch_format="pyarrow"), "qa", "pb")
+
+
+SQL_STATS_SPEARMAN = """
+WITH t AS (
+  SELECT CAST(round(l_quantity) AS BIGINT) AS qa,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS pb
+  FROM lineitem
+),
+r AS (
+  SELECT 2 * RANK() OVER (ORDER BY qa) + COUNT(*) OVER (PARTITION BY qa) - 1
+           AS a2x,
+         2 * RANK() OVER (ORDER BY pb) + COUNT(*) OVER (PARTITION BY pb) - 1
+           AS b2x
+  FROM t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((a2x - b2x) * (a2x - b2x)) AS BIGINT) AS sum_d2_x4
+FROM r
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {"stats_spearman": QueryDef(q_stats_spearman, SQL_STATS_SPEARMAN)}
+)
