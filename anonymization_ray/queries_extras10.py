@@ -5806,3 +5806,147 @@ FROM r
 EXTRAS10_REGISTRY.update(
     {"stats_spearman": QueryDef(q_stats_spearman, SQL_STATS_SPEARMAN)}
 )
+
+
+# --------------------------------------------------------------------------
+# wave 135a: per-supplier lead-time quantiles (ship -> receipt), the
+# logistics SLA report — exact per-key discrete quantiles at any key count
+
+def q_supplier_lead_quantiles(sf_dir: str):
+    """Per-supplier p50/p90 of shipping delay in days (order date ->
+    ship date, one orderkey join), via `extras/stats.group_quantiles` —
+    one range sort by (key, value), in-block vectorized quantiles, only
+    block-spanning keys re-gathered. Exact DuckDB quantile_disc
+    semantics."""
+    from .extras.stats import group_quantiles
+    from .util import hash_join
+
+    li = load(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    ords = load(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).rename_columns(
+        {"o_orderkey": "l_orderkey"}
+    )
+    j = hash_join(li.materialize(), ords.materialize(), on="l_orderkey",
+                  join_type="inner")
+
+    def _days(b: pa.Table) -> pa.Table:
+        d = pc.days_between(b.column("o_orderdate"), b.column("l_shipdate"))
+        return pa.table(
+            {
+                "l_suppkey": b.column("l_suppkey").combine_chunks(),
+                "lead_days": pc.cast(d, pa.int64()).combine_chunks(),
+            }
+        )
+
+    out = group_quantiles(
+        j.map_batches(_days, batch_format="pyarrow"),
+        "l_suppkey",
+        "lead_days",
+        [0.5, 0.9],
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "l_suppkey": pc.cast(b.column("l_suppkey"), pa.int64()).combine_chunks(),
+                "q": pc.cast(b.column("q"), pa.float64()).combine_chunks(),
+                "lead_days": pc.cast(b.column("value"), pa.int64()).combine_chunks(),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_SUPPLIER_LEAD_QUANTILES = """
+WITH d AS (
+  SELECT l_suppkey,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT)
+           AS lead_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey, 0.5 AS q,
+       CAST(quantile_disc(lead_days, 0.5) AS BIGINT) AS lead_days
+FROM d GROUP BY l_suppkey
+UNION ALL
+SELECT l_suppkey, 0.9,
+       CAST(quantile_disc(lead_days, 0.9) AS BIGINT) AS lead_days
+FROM d GROUP BY l_suppkey
+"""
+
+
+# wave 135b: hapax ratio — the vocabulary-health stat corpus linguists
+# check first (fraction of words seen exactly once)
+
+def q_text_hapax(sf_dir: str):
+    """Corpus vocabulary health: (n_tokens, n_vocab, n_hapax) — hapax
+    legomena counted from ONE `exact_value_counts` fold at vocabulary
+    cardinality; the hapax ratio stays the exact integer pair
+    n_hapax/n_vocab."""
+    from .extras.stats import exact_value_counts
+    from .util import fold_per_key
+
+    docs = load(sf_dir, "documents", ["text"])
+
+    def _words(b: pa.Table) -> pa.Table:
+        txt = pc.fill_null(b.column("text").combine_chunks(), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(txt)), r"\s+"
+        )
+        flat = toks.flatten()
+        return pa.table({"w": flat.filter(pc.not_equal(flat, ""))})
+
+    wc = exact_value_counts(
+        docs.map_batches(_words, batch_format="pyarrow"), "w"
+    ).materialize()
+    tot = fold_per_key(
+        wc.map_batches(
+            lambda b: pa.table(
+                {
+                    "k": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "n_tokens": pc.cast(b.column("n"), pa.int64()).combine_chunks(),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                    "hapax": pc.cast(
+                        pc.equal(b.column("n"), 1), pa.int64()
+                    ).combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "k",
+        {
+            "n_tokens": ("sum", "n_tokens"),
+            "n_vocab": ("sum", "one"),
+            "n_hapax": ("sum", "hapax"),
+        },
+    ).take_all()
+    r = tot[0] if tot else {"n_tokens": 0, "n_vocab": 0, "n_hapax": 0}
+    return pa.table(
+        {
+            "n_tokens": pa.array([int(r["n_tokens"])], pa.int64()),
+            "n_vocab": pa.array([int(r["n_vocab"])], pa.int64()),
+            "n_hapax": pa.array([int(r["n_hapax"])], pa.int64()),
+        }
+    )
+
+
+SQL_TEXT_HAPAX = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(lower(coalesce(text, ''))), '\s+'),
+           x -> x <> '')) AS w
+  FROM documents
+),
+wc AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w)
+SELECT CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM wc
+"""
+
+
+EXTRAS10_REGISTRY.update(
+    {
+        "supplier_lead_quantiles": QueryDef(
+            q_supplier_lead_quantiles, SQL_SUPPLIER_LEAD_QUANTILES
+        ),
+        "text_hapax": QueryDef(q_text_hapax, SQL_TEXT_HAPAX),
+    }
+)
